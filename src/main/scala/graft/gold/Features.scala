@@ -1,0 +1,77 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gold-layer ML feature operators (SURVEY.md D6; the reference documents
+  * these as planned: price momentum/volatility, orderbook imbalance
+  * signals, whale position changes, participant concentration —
+  * reference `README.md:225-229`).
+  *
+  * Numeric discipline: inputs are integer cents (exact longs); doubles
+  * appear only in final, fixed-shape expressions (one deterministic IEEE
+  * evaluation), so results are reproducible across partitionings and
+  * engines. Variance uses the sum/sum-of-squares decomposition — a single
+  * map-side-combinable aggregation instead of a two-pass mean/deviation.
+  *
+  * Every window partitions by a key (user, market, event_type): at 100 TB
+  * that is one shuffle on the key, and within-partition sorting —
+  * no global sort anywhere.
+  */
+object Features {
+
+  /** D6 momentum: per-key delta vs previous row + trailing moving average
+    * over `maRows` rows. Ordering must be made total by the caller
+    * (e.g. (ts, event_id)) or lag() is nondeterministic. */
+  def momentum(df: DataFrame, keys: Seq[Column], ord: Seq[Column],
+               valueC: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+    val wm = w.rowsBetween(-4, 0)
+    df.withColumn("delta_c", valueC - lag(valueC, 1).over(w))
+      .withColumn("ma5",
+        round(sum(valueC).over(wm).cast(DoubleType) / count(lit(1)).over(wm), 4))
+  }
+
+  /** D6 volatility: per-group sample variance via exact integer
+    * sum / sum-of-squares (decimal accumulator: overflow-proof), finished
+    * in one deterministic double expression. */
+  def volatility(df: DataFrame, keys: Seq[Column], valueC: Column): DataFrame = {
+    val d = valueC.cast(DecimalType(38, 0))
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(d).as("s1"),
+        sum(d * d).as("s2"))
+      .filter(col("n") > 1)
+      .withColumn("variance_c2", round(
+        (col("s2").cast(DoubleType)
+          - col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n"))
+          / (col("n") - 1), 4))
+      .drop("s1", "s2")
+  }
+
+  /** D6 whale deltas: balance change per key between consecutive
+    * snapshots, kept when |delta| >= thresholdC (reference whale
+    * threshold $1,000 = 100,000 cents, `README.md:143-147`). */
+  def whaleDeltas(df: DataFrame, keys: Seq[Column], snapOrd: Seq[Column],
+                  balC: Column, thresholdC: Long): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(snapOrd: _*)
+    df.withColumn("delta_c", balC - lag(balC, 1).over(w))
+      .filter(abs(col("delta_c")) >= thresholdC)
+  }
+
+  /** D6 concentration: Herfindahl–Hirschman index per group over member
+    * balances: sum((bal/total)^2) = sum(bal^2)/total^2, both sums exact
+    * (decimal for the squares), one double division at the end. */
+  def hhi(df: DataFrame, keys: Seq[Column], balC: Column): DataFrame = {
+    val d = balC.cast(DecimalType(19, 0))
+    df.groupBy(keys: _*)
+      .agg(sum(balC).as("total_c"), sum(d * d).as("_s2"),
+        count(lit(1)).as("participants"))
+      .withColumn("hhi", round(
+        col("_s2").cast(DoubleType)
+          / (col("total_c").cast(DoubleType) * col("total_c").cast(DoubleType)), 8))
+      .drop("_s2")
+  }
+}

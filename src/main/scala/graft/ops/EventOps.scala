@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-event projections, filters and demux (SURVEY.md P1, P2, P9, P10,
+  * P12, P13; reference `producers/coinbase_producer.py:35-48`,
+  * `producers/polymarket_ws_manager.py:48-162`,
+  * `producers/user_positions_tracker.py:81-88`).
+  *
+  * All pure narrow transformations (filter/project) — no shuffle, fully
+  * codegen'd, scale linearly with input splits.
+  */
+object EventOps {
+
+  /** P1: type-gate + 4-field projection (the Coinbase ticker path,
+    * reference `producers/coinbase_producer.py:35-41`). */
+  def tickerProject(df: DataFrame, typeCol: Column, keep: Seq[Column]): DataFrame =
+    df.filter(typeCol === "ticker").select(keep: _*)
+
+  /** P2: last-value-wins rate decimation to one row per (key, bucket)
+    * (reference `producers/coinbase_producer.py:43-48`). Latest by
+    * `ord` columns wins; ties broken by the trailing ord columns, so the
+    * result is deterministic under any partitioning. Implemented as
+    * max_by over a single hash aggregation — one shuffle on the group
+    * keys, map-side partial aggregation keeps shuffle volume at one row
+    * per key per bucket regardless of input rate. */
+  def throttle(df: DataFrame, keys: Seq[Column], bucket: Column,
+               ord: Seq[Column], payload: Seq[(String, Column)]): DataFrame = {
+    val ordKey = struct(ord: _*)
+    val aggs = payload.map { case (n, c) => max_by(c, ordKey).as(n) }
+    df.groupBy(keys :+ bucket: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P9: outcome-index decode (reference `producers/user_positions_tracker.py:87-88`). */
+  def outcomeDecode(idx: Column): Column =
+    when(idx === 0, "YES").otherwise("NO")
+
+  /** P10: positive-balance filter (reference `producers/user_positions_tracker.py:81-85`). */
+  def positiveBalance(df: DataFrame, balance: Column): DataFrame =
+    df.filter(balance > 0)
+
+  /** P12 + P13: 4-way event-type demux into a unified schema with an
+    * unknown-event catch-all that retains the raw payload (reference
+    * `producers/polymarket_ws_manager.py:48-162`). `branches` maps
+    * event-type literal -> projected detail column. */
+  def demux(df: DataFrame, typeCol: Column,
+            branches: Seq[(String, Column)], rawCol: Column): (Column, Column) = {
+    val known = branches.map(_._1)
+    val kind = branches.foldLeft(null.asInstanceOf[Column]) { (acc, b) =>
+      if (acc == null) when(typeCol === b._1, b._1) else acc.when(typeCol === b._1, b._1)
+    }.otherwise("unknown")
+    val detail = branches.foldLeft(null.asInstanceOf[Column]) { (acc, b) =>
+      if (acc == null) when(typeCol === b._1, b._2) else acc.when(typeCol === b._1, b._2)
+    }.otherwise(rawCol) // P13: unknown events keep the raw payload
+    (kind, detail)
+  }
+}
+
+/** A6/A8: table-generating ops — explode packed event arrays, keep BUY
+  * side only (reference `producers/polymarket_ws_manager.py:113-131`,
+  * `producers/user_positions_tracker.py:78-105`). */
+object PriceChanges {
+
+  /** Explode `changes` (array<struct>) one row per element, keeping only
+    * `side == keepSide`. Catalyst pushes the post-explode filter into
+    * the generate via array `filter()` here — we filter *before*
+    * exploding so the generator emits half the rows up front. */
+  def explodeSide(df: DataFrame, changes: Column, keepSide: String,
+                  keep: Seq[Column]): DataFrame =
+    df.select(keep :+ explode(filter(changes, _.getField("side") === keepSide)).as("c"): _*)
+}
+
+/** A7/O2: top-K per group, the positions leaderboard (reference
+  * `producers/user_positions_tracker.py:30-47`: GraphQL
+  * `orderBy: balance, first: 1000` pushed down).
+  *
+  * Implemented as row_number over a window — at scale this shuffles once
+  * on the partition keys and sorts within partitions; skewed groups are
+  * bounded because the per-group output is K rows (partial top-K happens
+  * map-side via the sort). For the single-group case use
+  * `df.orderBy(desc).limit(k)` which Spark plans as
+  * TakeOrderedAndProject (no full sort).
+  */
+object TopK {
+  def perGroup(df: DataFrame, keys: Seq[Column], ord: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+}
+
+/** P7/P8: market-winner derivation (reference
+  * `producers/market_resolution.py:41,77-101`). Float equality on 1.0 is
+  * intentional — the upstream API returns the literal "1". */
+object Resolution {
+  /** `resolvedAt` is the exact resolved-price constant (1.0 in the
+    * reference — the API returns the literal "1"; float equality kept). */
+  def winner(noPrice: Column, yesPrice: Column, resolvedAt: Double = 1.0): Column =
+    when(noPrice === resolvedAt, "Down")
+      .when(yesPrice === resolvedAt, "Up")
+      .otherwise("Unknown")
+
+  /** Resolution gate: closed AND uma-resolved (reference `market_resolution.py:41`). */
+  def resolvedGate(df: DataFrame, closed: Column, status: Column): DataFrame =
+    df.filter(closed && status === "resolved")
+}
+
+/** P3/P4: discovery filters (reference `producers/market_discovery.py:35-73`). */
+object Discovery {
+
+  /** P3: case-insensitive keyword containment. */
+  def keywordFilter(df: DataFrame, text: Column, keywords: Seq[String]): DataFrame =
+    df.filter(keywords.map(k => lower(text).contains(k)).reduce(_ || _))
+
+  /** P4: point-in-interval predicate — rows whose
+    * [start, start + widthMinutes) window contains `at`. */
+  def containsPoint(df: DataFrame, start: Column, widthMinutes: Int, at: Column): DataFrame =
+    df.filter(start <= at && at < start + expr(s"INTERVAL $widthMinutes MINUTES"))
+}

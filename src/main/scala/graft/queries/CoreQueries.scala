@@ -1,0 +1,500 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.gold.Features
+import graft.ops._
+import graft.silver.Silver
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch-verifiable queries for the reference's operator inventory
+  * (SURVEY.md §2), expressed over the driver testdata tables. The
+  * polymarket domain tables don't exist in testdata, so each query first
+  * synthesizes the reference-shaped input (books, packed change arrays,
+  * position snapshots) from lineitem/events deterministically — the same
+  * synthesis appears in the oracle SQL — then applies the real operator.
+  *
+  * Numeric convention: money/quantity → integer cents (exact longs; see
+  * Norms.cents) so Spark and DuckDB agree bit-for-bit.
+  */
+object CoreQueries {
+
+  private val centsSql = (c: String) => s"CAST(round($c * 100, 0) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- A1–A5: orderbook summary (flagship; reference ws_manager.py:55-110)
+    QueryDef("a05_book_summary",
+      "A1-A5 orderbook summary: best bid/ask, depth sums, arg-max largest order, guarded imbalance — HOFs over array columns")(
+      s"""WITH t AS (
+         |  SELECT l_orderkey AS order_key,
+         |         CASE WHEN l_linenumber % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+         |         ${centsSql("l_extendedprice")} AS price_c,
+         |         ${centsSql("l_quantity")} AS size_c
+         |  FROM lineitem),
+         |w AS (
+         |  SELECT *,
+         |         CASE WHEN side = 'bid' THEN max(price_c) OVER (PARTITION BY order_key, side)
+         |              ELSE min(price_c) OVER (PARTITION BY order_key, side) END AS bp,
+         |         max(size_c) OVER (PARTITION BY order_key, side) AS ms
+         |  FROM t),
+         |a AS (
+         |  SELECT order_key, side,
+         |         max(bp) AS best_price_c,
+         |         max(CASE WHEN price_c = bp THEN size_c END) AS best_size_c,
+         |         CAST(sum(size_c) AS BIGINT) AS total_volume_c,
+         |         max(size_c) AS largest_size_c,
+         |         max(CASE WHEN size_c = ms THEN price_c END) AS largest_price_c
+         |  FROM w GROUP BY 1, 2)
+         |SELECT b.order_key,
+         |       b.best_price_c AS best_bid_price_c, b.best_size_c AS best_bid_size_c,
+         |       k.best_price_c AS best_ask_price_c, k.best_size_c AS best_ask_size_c,
+         |       b.total_volume_c AS total_bid_volume_c, k.total_volume_c AS total_ask_volume_c,
+         |       b.largest_size_c AS largest_bid_size_c, b.largest_price_c AS largest_bid_price_c,
+         |       k.largest_size_c AS largest_ask_size_c, k.largest_price_c AS largest_ask_price_c,
+         |       CASE WHEN b.total_volume_c + k.total_volume_c = 0 THEN 0.0
+         |            ELSE round(CAST(b.total_volume_c - k.total_volume_c AS DOUBLE)
+         |                       / CAST(b.total_volume_c + k.total_volume_c AS DOUBLE), 6)
+         |       END AS book_imbalance
+         |FROM a b JOIN a k ON b.order_key = k.order_key AND b.side = 'bid' AND k.side = 'ask'
+         |""".stripMargin) { (s, dir) =>
+      val levels = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("order_key"),
+        (col("l_linenumber") % 2 === 0).as("is_bid"),
+        struct(Norms.cents(col("l_extendedprice")).as("price_c"),
+          Norms.cents(col("l_quantity")).as("size_c")).as("level"))
+      val books = levels.groupBy("order_key").agg(
+        collect_list(when(col("is_bid"), col("level"))).as("bids"),
+        collect_list(when(!col("is_bid"), col("level"))).as("asks"))
+      Book.summarize(books, Seq("order_key"))
+    },
+
+    // ----- TPC-H Q1 shape: the canonical wide aggregation (D6/A-class baseline)
+    QueryDef("q1_pricing_summary",
+      "wide hash aggregation with map-side combine; exact-cents sums")(
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |       CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_c,
+         |       CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS sum_disc_c2,
+         |       CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+         |                * (100 + ${centsSql("l_tax")})) AS BIGINT) AS sum_charge_c3,
+         |       count(*) AS n,
+         |       round(CAST(sum(${centsSql("l_quantity")}) AS DOUBLE) / count(*), 4) AS avg_qty_c
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |""".stripMargin) { (s, dir) =>
+      val qc = Norms.cents(col("l_quantity"))
+      val pc = Norms.cents(col("l_extendedprice"))
+      val dc = Norms.cents(col("l_discount"))
+      val tc = Norms.cents(col("l_tax"))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(qc).as("sum_qty_c"),
+          sum(pc).as("sum_base_c"),
+          sum(pc * (lit(100) - dc)).as("sum_disc_c2"),
+          sum(pc * (lit(100) - dc) * (lit(100) + tc)).as("sum_charge_c3"),
+          count(lit(1)).as("n"),
+          round(sum(qc).cast(DoubleType) / count(lit(1)), 4).as("avg_qty_c"))
+    },
+
+    // ----- A6: explode packed change arrays, BUY side only (ws_manager.py:113-131)
+    QueryDef("a06_explode_buy_filter",
+      "pack per-order change arrays then explode keeping BUY side — generator with pre-explode filter")(
+      s"""SELECT l_orderkey AS order_key,
+         |       ${centsSql("l_extendedprice")} AS price_c,
+         |       ${centsSql("l_quantity")} AS size_c
+         |FROM lineitem WHERE l_returnflag = 'R'
+         |""".stripMargin) { (s, dir) =>
+      val packed = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("order_key"),
+        struct(Norms.cents(col("l_extendedprice")).as("price_c"),
+          Norms.cents(col("l_quantity")).as("size_c"),
+          when(col("l_returnflag") === "R", "BUY").otherwise("SELL").as("side")).as("chg"))
+        .groupBy("order_key").agg(collect_list(col("chg")).as("changes"))
+      PriceChanges.explodeSide(packed, col("changes"), "BUY", Seq(col("order_key")))
+        .select(col("order_key"), col("c.price_c").as("price_c"), col("c.size_c").as("size_c"))
+    },
+
+    // ----- A7/O2: top-K per group (positions leaderboard, tracker.py:30-47)
+    QueryDef("a07_topk_positions",
+      "top-20 users by exact-cents total value per event_type — windowed row_number top-K")(
+      s"""SELECT event_type, user_id, bal_c FROM (
+         |  SELECT event_type, user_id, bal_c,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY bal_c DESC, user_id) AS rk
+         |  FROM (SELECT event_type, user_id, CAST(sum(${centsSql("value")}) AS BIGINT) AS bal_c
+         |        FROM events GROUP BY 1, 2))
+         |WHERE rk <= 20
+         |""".stripMargin) { (s, dir) =>
+      val bal = Tables.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(sum(Norms.cents(col("value"))).as("bal_c"))
+      TopK.perGroup(bal, Seq(col("event_type")), Seq(col("bal_c").desc, col("user_id")), 20)
+    },
+
+    // ----- A10: missed-snapshot estimate (tracker.py:196-199)
+    QueryDef("a10_missed_snapshots",
+      "integer-division gap estimate from timestamp arithmetic")(
+      """SELECT user_id,
+        |       CAST(floor(date_diff('second', min(ts), max(ts)) / 10) AS BIGINT) AS missed
+        |FROM events GROUP BY user_id
+        |""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(floor((unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))) / 10)
+          .cast(LongType).as("missed"))
+    },
+
+    // ----- P1 (+P6, coalesce): ticker filter + project (coinbase_producer.py:35-41)
+    QueryDef("p01_ticker_project",
+      "type-gate filter + literal/cast/coalesce projection, pushed to the scan")(
+      s"""SELECT event_id, 'BTC' AS symbol, ${centsSql("value")} AS price_c, ts,
+         |       coalesce(CAST(props->>'k' AS BIGINT), 0) AS k
+         |FROM events WHERE event_type = 'purchase'
+         |""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), lit("BTC").as("symbol"),
+          Norms.cents(col("value")).as("price_c"), col("ts"),
+          Norms.getOr(get_json_object(col("props"), "$.k").cast(LongType), lit(0L)).as("k"))
+    },
+
+    // ----- P2/W3: last-value-wins 1-per-minute decimation (coinbase_producer.py:43-48)
+    QueryDef("p02_throttle_decimate",
+      "rate decimation: latest event per (user, minute) via max_by — one combinable aggregation")(
+      s"""SELECT user_id, win_start, event_id, value_c FROM (
+         |  SELECT user_id, date_trunc('minute', ts) AS win_start, event_id,
+         |         ${centsSql("value")} AS value_c,
+         |         row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+         |                            ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1
+         |""".stripMargin) { (s, dir) =>
+      EventOps.throttle(Tables.events(s, dir),
+        keys = Seq(col("user_id")),
+        bucket = window(col("ts"), "1 minute").getField("start").as("win_start"),
+        ord = Seq(col("ts"), col("event_id")),
+        payload = Seq("event_id" -> col("event_id"), "value_c" -> Norms.cents(col("value"))))
+    },
+
+    // ----- P3: keyword containment filter (market_discovery.py:35-48)
+    QueryDef("p03_keyword_filter",
+      "case-insensitive multi-keyword containment")(
+      """SELECT doc_id, lang FROM documents
+        |WHERE lower(text) LIKE '%window%' OR lower(text) LIKE '%shuffle%'
+        |""".stripMargin) { (s, dir) =>
+      Discovery.keywordFilter(Tables.documents(s, dir), col("text"), Seq("window", "shuffle"))
+        .select("doc_id", "lang")
+    },
+
+    // ----- P4: point-in-interval predicate (market_discovery.py:50-73)
+    QueryDef("p04_window_predicate",
+      "rows whose [start, start+15d) interval contains a fixed point")(
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderdate <= TIMESTAMP '1995-06-17 00:00:00'
+        |  AND TIMESTAMP '1995-06-17 00:00:00' < o_orderdate + INTERVAL 15 DAY
+        |""".stripMargin) { (s, dir) =>
+      val at = lit("1995-06-17 00:00:00").cast(TimestampType)
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") <= at && at < col("o_orderdate") + expr("INTERVAL 15 DAYS"))
+        .select("o_orderkey")
+    },
+
+    // ----- P7/P8: winner derivation with intentional float equality (market_resolution.py:41,77-101)
+    QueryDef("p07_winner_case",
+      "resolution gate + CASE winner derivation (float-equality semantics preserved)")(
+      """SELECT l_orderkey AS order_key, l_linenumber AS line,
+        |       CASE WHEN l_tax = 0.0 THEN 'Down'
+        |            WHEN l_discount = 0.0 THEN 'Up'
+        |            ELSE 'Unknown' END AS winner
+        |FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+        |""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+        .select(col("l_orderkey").as("order_key"), col("l_linenumber").as("line"),
+          Resolution.winner(col("l_tax"), col("l_discount"), resolvedAt = 0.0).as("winner"))
+    },
+
+    // ----- P9/P10: outcome decode + positive-balance filter (tracker.py:81-88)
+    QueryDef("p09_positions_decode",
+      "dust filter + outcome-index decode projection")(
+      s"""SELECT event_id, user_id,
+         |       CASE WHEN user_id % 2 = 0 THEN 'YES' ELSE 'NO' END AS outcome,
+         |       ${centsSql("value")} AS balance_c
+         |FROM events WHERE value > 0
+         |""".stripMargin) { (s, dir) =>
+      EventOps.positiveBalance(Tables.events(s, dir), col("value"))
+        .select(col("event_id"), col("user_id"),
+          EventOps.outcomeDecode(col("user_id") % 2).as("outcome"),
+          Norms.cents(col("value")).as("balance_c"))
+    },
+
+    // ----- P11/J1: broadcast dim lookup with inner-join drop semantics (ws_manager.py:61-64,279-282)
+    QueryDef("p11_dim_lookup",
+      "stream-static broadcast inner join against a small dimension")(
+      """SELECT c.c_custkey, n.n_name FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).join(
+          broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    },
+
+    // ----- P12/P13: event-type demux + unknown passthrough (ws_manager.py:48-162)
+    QueryDef("p12_event_demux",
+      "4-way type demux into a unified schema; catch-all keeps raw payload")(
+      """SELECT event_id,
+        |       CASE WHEN event_type = 'click' THEN 'click'
+        |            WHEN event_type = 'view' THEN 'view'
+        |            WHEN event_type = 'purchase' THEN 'purchase'
+        |            ELSE 'unknown' END AS kind,
+        |       CASE WHEN event_type = 'click' THEN CAST(user_id AS VARCHAR)
+        |            WHEN event_type = 'view' THEN CAST(value AS VARCHAR)
+        |            WHEN event_type = 'purchase' THEN 'trade'
+        |            ELSE props END AS detail
+        |FROM events
+        |""".stripMargin) { (s, dir) =>
+      val df = Tables.events(s, dir)
+      val (kind, detail) = EventOps.demux(df, col("event_type"),
+        Seq(
+          "click" -> col("user_id").cast(StringType),
+          "view" -> col("value").cast(StringType),
+          "purchase" -> lit("trade")),
+        rawCol = col("props"))
+      df.select(col("event_id"), kind.as("kind"), detail.as("detail"))
+    },
+
+    // ----- J1 (analytical): 4-dim star join with broadcast dims (README.md:56,221-229)
+    QueryDef("j01_star_join",
+      "fact ⋈ orders ⋈ customer ⋈ nation ⋈ region; dims broadcast; exact-cents revenue")(
+      s"""SELECT r.r_name, n.n_name,
+         |       CAST(sum(${centsSql("l.l_extendedprice")} * (100 - ${centsSql("l.l_discount")})) AS BIGINT) AS revenue_c2,
+         |       count(*) AS n_lines
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY 1, 2
+         |""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(Norms.cents(col("l_extendedprice")) * (lit(100) - Norms.cents(col("l_discount"))))
+          .as("revenue_c2"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ----- J2: as-of join — each event to the latest order of its user (README.md:221-229)
+    QueryDef("j02_asof_join",
+      "as-of join: latest order with o_orderdate <= event ts per event")(
+      """SELECT event_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1
+        |""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderdate")
+      val joined = e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("event_id", "o_orderkey", "o_orderdate")
+    },
+
+    // ----- O1/J3: latest-row probe (tracker.py:177-180)
+    QueryDef("o01_latest_row",
+      "ORDER BY ts DESC LIMIT 1 — TakeOrderedAndProject, no full sort")(
+      """SELECT event_id, ts, event_type FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 1
+        |""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).orderBy(col("ts").desc, col("event_id").desc)
+        .limit(1).select("event_id", "ts", "event_type")
+    },
+
+    // ----- O2: global top-K (tracker.py:33-36 GraphQL first:1000)
+    QueryDef("o02_topk_global",
+      "global top-100 by balance — TakeOrderedAndProject")(
+      s"""SELECT c_custkey, ${centsSql("c_acctbal")} AS acctbal_c FROM customer
+         |ORDER BY ${centsSql("c_acctbal")} DESC, c_custkey LIMIT 100
+         |""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), Norms.cents(col("c_acctbal")).as("acctbal_c"))
+        .orderBy(col("acctbal_c").desc, col("c_custkey")).limit(100)
+    },
+
+    // ----- O3: first-match scan (market_discovery.py:55-71)
+    QueryDef("o03_first_match",
+      "filtered ordered LIMIT 1 — first qualifying row")(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+        |ORDER BY o_orderkey LIMIT 1
+        |""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000)
+        .orderBy(col("o_orderkey")).limit(1)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // ----- O4: set ops (free once schemas unify — SURVEY §2.6)
+    QueryDef("o04_set_ops",
+      "EXCEPT: clickers who never errored")(
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .except(ev.filter(col("event_type") === "error").select("user_id"))
+    },
+
+    // ----- W1: 15-minute tumbling windows aligned :00/:15/:30/:45 (market_discovery.py:114-137)
+    QueryDef("w01_tumbling_15min",
+      "epoch-aligned tumbling window aggregation")(
+      s"""SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type,
+         |       count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS vol_c
+         |FROM events GROUP BY 1, 2
+         |""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "15 minutes").getField("start").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(Norms.cents(col("value"))).as("vol_c"))
+    },
+
+    // ----- W2: sliding windows (10-minute window, 5-minute slide)
+    QueryDef("w02_sliding_window",
+      "sliding window: each event lands in 2 overlapping buckets")(
+      s"""SELECT ws AS win_start, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS vol_c
+         |FROM (
+         |  SELECT time_bucket(INTERVAL '5 minutes', e.ts) - (o.i * INTERVAL 5 MINUTE) AS ws,
+         |         ${centsSql("e.value")} AS value_c
+         |  FROM events e CROSS JOIN (VALUES (0), (1)) o(i))
+         |GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").getField("start").as("win_start"))
+        .agg(count(lit(1)).as("n"), sum(Norms.cents(col("value"))).as("vol_c"))
+    },
+
+    // ----- D1: silver typed projection from bronze JSON (models/silver/markets.sql)
+    QueryDef("d01_silver_projection",
+      "from_json typed extraction over bronze payload strings")(
+      """SELECT event_id, ts AS ingested_at, CAST(props->>'k' AS BIGINT) AS k
+        |FROM events WHERE props IS NOT NULL
+        |""".stripMargin) { (s, dir) =>
+      Silver.project(Tables.events(s, dir), col("props"),
+        StructType(Seq(StructField("k", LongType))),
+        fields = Seq("k" -> LongType),
+        keep = Seq(col("event_id"), col("ts").as("ingested_at")))
+    },
+
+    // ----- D2: incremental high-watermark (models/silver/btc_prices.sql:17-19)
+    QueryDef("d02_incremental_watermark",
+      "rows newer than max(ts) - 7d; 1-row aggregate broadcast, no big-side shuffle")(
+      """SELECT event_id, ts FROM events
+        |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        |""".stripMargin) { (s, dir) =>
+      Silver.incrementalAfter(Tables.events(s, dir).select("event_id", "ts"),
+        col("ts"), "7 DAYS")
+    },
+
+    // ----- D6/f1: price momentum (README.md:225-229)
+    QueryDef("f01_price_momentum",
+      "per-user delta + 5-row trailing moving average (window functions)")(
+      s"""SELECT event_id, user_id,
+         |       value_c - lag(value_c) OVER w AS delta_c,
+         |       round(CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
+         |FROM (SELECT event_id, user_id, ts, ${centsSql("value")} AS value_c FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |""".stripMargin) { (s, dir) =>
+      val base = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+        Norms.cents(col("value")).as("value_c"))
+      Features.momentum(base, Seq(col("user_id")), Seq(col("ts"), col("event_id")), col("value_c"))
+        .select("event_id", "user_id", "delta_c", "ma5")
+    },
+
+    // ----- D6/f2: volatility via exact sum-of-squares
+    QueryDef("f02_volatility",
+      "per-type sample variance from exact integer sums (single combinable agg)")(
+      s"""SELECT event_type, n,
+         |       round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+         |             / (n - 1), 4) AS variance_c2
+         |FROM (SELECT event_type, count(*) AS n,
+         |             sum(CAST(${centsSql("value")} AS DECIMAL(38,0))) AS s1,
+         |             sum(CAST(${centsSql("value")} AS DECIMAL(38,0))
+         |                 * CAST(${centsSql("value")} AS DECIMAL(38,0))) AS s2
+         |      FROM events GROUP BY 1)
+         |WHERE n > 1
+         |""".stripMargin) { (s, dir) =>
+      Features.volatility(Tables.events(s, dir), Seq(col("event_type")),
+        Norms.cents(col("value")))
+        .select("event_type", "n", "variance_c2")
+    },
+
+    // ----- D6/f3: windowed imbalance signal
+    QueryDef("f03_imbalance_signal",
+      "15-min window bid/ask volume imbalance with guarded division")(
+      s"""SELECT win_start,
+         |       CAST(bid_c AS BIGINT) AS bid_c, CAST(ask_c AS BIGINT) AS ask_c,
+         |       CASE WHEN bid_c + ask_c = 0 THEN 0.0
+         |            ELSE round(CAST(bid_c - ask_c AS DOUBLE) / CAST(bid_c + ask_c AS DOUBLE), 6)
+         |       END AS imbalance
+         |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+         |             coalesce(sum(CASE WHEN event_type = 'click' THEN ${centsSql("value")} END), 0) AS bid_c,
+         |             coalesce(sum(CASE WHEN event_type = 'view' THEN ${centsSql("value")} END), 0) AS ask_c
+         |      FROM events GROUP BY 1)
+         |""".stripMargin) { (s, dir) =>
+      val vc = Norms.cents(col("value"))
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "15 minutes").getField("start").as("win_start"))
+        .agg(
+          coalesce(sum(when(col("event_type") === "click", vc)), lit(0L)).as("bid_c"),
+          coalesce(sum(when(col("event_type") === "view", vc)), lit(0L)).as("ask_c"))
+        .select(col("win_start"), col("bid_c"), col("ask_c"),
+          Book.imbalance(col("bid_c"), col("ask_c")).as("imbalance"))
+    },
+
+    // ----- D6/f4: whale deltas between consecutive snapshots (README.md:143-147)
+    QueryDef("f04_whale_deltas",
+      "per-user day-over-day balance deltas, |delta| >= $1000 (100000 cents)")(
+      s"""SELECT user_id, day, delta_c FROM (
+         |  SELECT user_id, day, bal_c - lag(bal_c) OVER (PARTITION BY user_id ORDER BY day) AS delta_c
+         |  FROM (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |               CAST(sum(${centsSql("value")}) AS BIGINT) AS bal_c
+         |        FROM events GROUP BY 1, 2))
+         |WHERE abs(delta_c) >= 100000
+         |""".stripMargin) { (s, dir) =>
+      val snaps = Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(Norms.cents(col("value"))).as("bal_c"))
+      Features.whaleDeltas(snaps, Seq(col("user_id")), Seq(col("day")), col("bal_c"), 100000L)
+        .select("user_id", "day", "delta_c")
+    },
+
+    // ----- D6/f5: participant concentration (HHI)
+    QueryDef("f05_concentration_hhi",
+      "Herfindahl index per event_type from exact integer sums")(
+      s"""SELECT event_type, CAST(total_c AS BIGINT) AS total_c, participants,
+         |       round(CAST(s2 AS DOUBLE) / (CAST(total_c AS DOUBLE) * CAST(total_c AS DOUBLE)), 8) AS hhi
+         |FROM (SELECT event_type, sum(bal_c) AS total_c, count(*) AS participants,
+         |             sum(CAST(bal_c AS DECIMAL(19,0)) * CAST(bal_c AS DECIMAL(19,0))) AS s2
+         |      FROM (SELECT event_type, user_id, CAST(sum(${centsSql("value")}) AS BIGINT) AS bal_c
+         |            FROM events GROUP BY 1, 2)
+         |      GROUP BY 1)
+         |""".stripMargin) { (s, dir) =>
+      val perUser = Tables.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(sum(Norms.cents(col("value"))).as("bal_c"))
+      Features.hhi(perUser, Seq(col("event_type")), col("bal_c"))
+        .select("event_type", "total_c", "participants", "hhi")
+    }
+  )
+}

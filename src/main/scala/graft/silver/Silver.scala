@@ -1,0 +1,41 @@
+package graft.silver
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The silver layer: typed, cleaned projections of bronze JSON rows
+  * (SURVEY.md D1/D2; reference `data/polymarket_analytics/models/silver/`).
+  *
+  * Bronze rows are `(id, ingested_at, payload STRING)` — schema-on-read.
+  * D1 recovers typed columns with `from_json` (PERMISSIVE: malformed
+  * payloads null out and are filtered, replacing the reference's
+  * skip-bad-message policy, `consumers/db_writer.py:66-73`).
+  *
+  * D2 (incremental high-watermark) is what Structured Streaming
+  * checkpointing gives us natively; the batch analog filters on
+  * `ingested_at > (select max(...) from target)`. The watermark subquery
+  * is a 1-row aggregate — broadcast, never a shuffle of the big side.
+  */
+object Silver {
+
+  /** D1: parse + typed projection. `fields` maps output name -> cast type
+    * applied to the parsed struct's field of the same name. */
+  def project(bronze: DataFrame, payload: Column, schema: StructType,
+              fields: Seq[(String, DataType)], keep: Seq[Column]): DataFrame = {
+    val parsed = bronze.withColumn("_p", from_json(payload, schema))
+    parsed
+      .filter(col("_p").isNotNull) // P14 non-dict guard / corrupt-record drop
+      .select(keep ++ fields.map { case (n, t) => col(s"_p.$n").cast(t).as(n) }: _*)
+  }
+
+  /** D2: batch high-watermark increment — keep rows newer than the
+    * current max of `watermarkCol` minus `lagBack` (late-data grace).
+    * The aggregate side is a single row; Spark broadcasts it. */
+  def incrementalAfter(df: DataFrame, watermarkCol: Column, lagBack: String): DataFrame = {
+    val mx = df.agg(max(watermarkCol).as("_hwm"))
+    df.crossJoin(broadcast(mx))
+      .filter(watermarkCol > col("_hwm") - expr(s"INTERVAL $lagBack"))
+      .drop("_hwm")
+  }
+}
