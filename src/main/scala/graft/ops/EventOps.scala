@@ -76,17 +76,74 @@ object PriceChanges {
   * `producers/user_positions_tracker.py:30-47`: GraphQL
   * `orderBy: balance, first: 1000` pushed down).
   *
-  * Implemented as row_number over a window — at scale this shuffles once
-  * on the partition keys and sorts within partitions; skewed groups are
-  * bounded because the per-group output is K rows (partial top-K happens
-  * map-side via the sort). For the single-group case use
-  * `df.orderBy(desc).limit(k)` which Spark plans as
-  * TakeOrderedAndProject (no full sort).
+  * Two-phase salted top-K, safe for low-cardinality keys: a single
+  * row_number window partitioned only by `keys` funnels every row of a
+  * key into ONE task — with ~5 distinct keys at 100× scale that is five
+  * giant single-partition sorts. Instead:
+  *   phase 1: partition by (keys, input-split id) — each task keeps its
+  *            local top-K, so the shuffle spreads over all splits and the
+  *            survivor set is ≤ K × numInputPartitions rows per key;
+  *   phase 2: the real window over `keys` on that tiny survivor set.
+  * Top-K-of-local-top-Ks == global top-K because any global winner is a
+  * winner within its own split. For a single global group use
+  * `df.orderBy(...).limit(k)` (TakeOrderedAndProject) instead.
   */
 object TopK {
   def perGroup(df: DataFrame, keys: Seq[Column], ord: Seq[Column], k: Int): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    val salted = df.withColumn("_salt", spark_partition_id())
+    val w1 = Window.partitionBy(keys :+ col("_salt"): _*).orderBy(ord: _*)
+    val partial = salted.withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") <= k).drop("_rn")
+    val w2 = Window.partitionBy(keys: _*).orderBy(ord: _*)
+    partial.withColumn("_rn", row_number().over(w2))
+      .filter(col("_rn") <= k).drop("_rn", "_salt")
+  }
+}
+
+/** J2: linear as-of join — each probe row gets the latest build row of
+  * the same key with build.ts <= probe.ts (reference silver "Cleaned &
+  * Joined" layer, `README.md:56,221-229`: BTC price tick aligned to its
+  * market window).
+  *
+  * Scale shape: tag both sides, union, ONE window per key ordered by
+  * (ts, side, tiebreak) carrying `last(build_payload, ignoreNulls)` —
+  * linear in |probe| + |build| with a single shuffle on the key. The
+  * naive form (theta-join on ts <= ts then rank) materializes
+  * Σ(probe_k × build_k) intermediate rows — quadratic in per-key history
+  * and fatal for a hot key at 100× scale.
+  */
+object AsOf {
+  /** @param probe    rows asking "latest build row as of my ts"
+    * @param build    rows providing the payload
+    * @param key      equi-join key name present on both sides
+    * @param probeTs  probe timestamp column name
+    * @param buildTs  build timestamp column name (<= probeTs matches; ties
+    *                 on equal ts count as matched, build sorts first)
+    * @param buildTie extra build ordering columns — among equal buildTs the
+    *                 row greatest by these wins (must be build columns)
+    * @param payload  build columns to carry onto each probe row
+    */
+  def join(probe: DataFrame, build: DataFrame, key: String,
+           probeTs: String, buildTs: String, buildTie: Seq[String],
+           payload: Seq[String]): DataFrame = {
+    val pCols = probe.columns.filter(_ != key).toSeq
+    val payNames = (buildTs +: payload).distinct
+    val b = build.select(
+      Seq(col(key), col(buildTs).as("_ts"), lit(0).as("_side"),
+        (if (buildTie.isEmpty) lit(0) else struct(buildTie.map(col): _*)).as("_tie"),
+        struct(payNames.map(col): _*).as("_pay")) ++
+        pCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val p = probe.select(
+      Seq(col(key), col(probeTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(b.schema("_tie").dataType).as("_tie"),
+        lit(null).cast(b.schema("_pay").dataType).as("_pay")) ++
+        pCols.map(col): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.unionByName(p)
+      .withColumn("_last", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_last").isNotNull)
+      .select(pCols.map(col) ++ payload.map(c => col(s"_last.$c").as(c)): _*)
   }
 }
 

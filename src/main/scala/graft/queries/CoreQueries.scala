@@ -299,11 +299,10 @@ object CoreQueries {
         |WHERE rn = 1
         |""".stripMargin) { (s, dir) =>
       val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
-      val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderdate")
-      val joined = e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"), col("o_orderdate"))
+      AsOf.join(e, o, key = "user_id", probeTs = "ts", buildTs = "o_orderdate",
+          buildTie = Seq("o_orderkey"), payload = Seq("o_orderkey", "o_orderdate"))
         .select("event_id", "o_orderkey", "o_orderdate")
     },
 
