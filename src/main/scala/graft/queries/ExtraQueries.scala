@@ -1,9 +1,325 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Large-scale training-data-pipeline operators (dedup, similarity
-  * search, text analysis, multimodal) — populated incrementally. */
+/** The LLM-data-pipeline tier: dedup (exact, MinHash-LSH, SimHash,
+  * Jaccard), similarity search over embeddings, and text analysis —
+  * the operations a training-data pipeline needs at 100 TB, expressed
+  * over the `documents` and `embeddings` testdata tables.
+  *
+  * Oracle discipline: every numeric path is either exact integer math,
+  * engine-portable digests (md5 hex strings), or LEFT-FOLD double sums
+  * (`aggregate` HOF ≡ DuckDB `list_reduce`) — so Spark and DuckDB agree
+  * bit-for-bit and the driver's hash compare is meaningful.
+  *
+  * Dedup queries synthesize known duplicates (testdata has none): a
+  * whitespace-mangled copy for exact dedup (exercises normalization), a
+  * tail-appended copy for near-dup (Jaccard ≈ 0.9 against its original).
+  */
 object ExtraQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  /** Normalization fragment shared by the oracle SQL strings (DuckDB
+    * needs the explicit 'g' flag; Spark's regexp_replace is global). */
+  private val normD = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private val wsDupCorpusD =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS text
+      |  FROM documents)""".stripMargin
+
+  private val tailDupCorpusD =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text || ' zz qq xx yy' AS text FROM documents)""".stripMargin
+
+  /** documents ∪ whitespace-mangled copies (normalizes equal → exact dups). */
+  private def wsDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"),
+      concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" ")).as("text")))
+  }
+
+  /** documents ∪ tail-appended copies (near-dups, shingle Jaccard ≈ 0.9). */
+  private def tailDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" zz qq xx yy")).as("text")))
+  }
+
+  /** MinHash/LSH fragments for the oracle (5-char shingles, 12 hashes,
+    * 4 bands × 3 rows — mirrors Dedup.scala defaults). */
+  private val shinglesD =
+    s"""n AS (SELECT doc_id, $normD AS t FROM corpus),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([substr(t, i, 5) FOR i IN range(1, greatest(len(t)-4,1)+1)]) AS shingles
+       |  FROM n)""".stripMargin
+
+  private val candidatesD =
+    s"""$shinglesD,
+       |sig AS (SELECT doc_id,
+       |  [list_min([md5(h::VARCHAR || ':' || s) FOR s IN shingles]) FOR h IN range(0,12)] AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, b AS band_id,
+       |  md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_key
+       |  FROM sig, range(0,4) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Bigram-token SimHash fragment (16 bits) for the oracle. */
+  private def simhashD(src: String) =
+    s"""n AS (SELECT doc_id, $normD AS t FROM $src),
+       |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n),
+       |tok AS (SELECT doc_id,
+       |  CASE WHEN len(ws) >= 2
+       |       THEN list_distinct([ws[i] || '_' || ws[i+1] FOR i IN range(1, len(ws))])
+       |       ELSE ws END AS toks FROM w),
+       |fp AS (SELECT doc_id, CAST(list_sum([
+       |    CASE WHEN list_sum([
+       |           CASE WHEN substr(md5(tk), i+1, 1) IN ('8','9','a','b','c','d','e','f')
+       |                THEN 1 ELSE -1 END FOR tk IN toks]) >= 0
+       |         THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0,16)]) AS BIGINT) AS simhash
+       |  FROM tok)""".stripMargin
+
+  /** Left-fold cosine fragments for the oracle (≡ Similarity.dot/sqNorm). */
+  private val dotD =
+    """list_reduce(list_transform(list_zip(q_emb, embedding),
+      |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
+  private def sqNormD(c: String) =
+    s"list_reduce(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)"
+  private def bucketD(c: String) =
+    s"CAST(list_sum([CASE WHEN $c[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0,4)]) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- exact dedup: normalize → digest → hash-aggregate
+    QueryDef("x01_exact_dedup",
+      "exact dedup on normalized text digest: survivor id + dup count; map-side combine, digests not text shuffle")(
+      s"""WITH $wsDupCorpusD,
+         |n AS (SELECT doc_id, md5($normD) AS norm_key FROM corpus)
+         |SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM n GROUP BY norm_key
+         |""".stripMargin) { (s, dir) =>
+      Dedup.exact(wsDupCorpus(s, dir), col("doc_id"), col("text"))
+    },
+
+    // ----- MinHash-LSH near-dup candidates (banded; never all-pairs)
+    QueryDef("x02_minhash_lsh",
+      "banded MinHash-LSH candidate pairs: 5-shingles, 12 hashes, 4 bands x 3 rows; equi-join on band key")(
+      s"""WITH $tailDupCorpusD,
+         |$candidatesD
+         |SELECT doc_a, doc_b FROM cand
+         |""".stripMargin) { (s, dir) =>
+      Dedup.minhashCandidates(tailDupCorpus(s, dir), col("doc_id"), col("text"))
+    },
+
+    // ----- exact Jaccard verification on the LSH candidates only
+    QueryDef("x03_jaccard_verify",
+      "exact shingle-Jaccard on LSH candidate pairs (integer set sizes, one final division)")(
+      s"""WITH $tailDupCorpusD,
+         |$candidatesD
+         |SELECT c.doc_a, c.doc_b,
+         |  round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |        / CAST(len(x.shingles) + len(y.shingles)
+         |               - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE), 6) AS jaccard
+         |FROM cand c
+         |JOIN sh x ON x.doc_id = c.doc_a
+         |JOIN sh y ON y.doc_id = c.doc_b
+         |""".stripMargin) { (s, dir) =>
+      val corpus = tailDupCorpus(s, dir)
+      val cand = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"))
+      Dedup.jaccardVerify(cand, corpus, col("doc_id"), col("text"))
+    },
+
+    // ----- SimHash fingerprints (16-bit, word-bigram tokens)
+    QueryDef("x04_simhash",
+      "16-bit SimHash over word-bigram tokens — integer-only majority vote per bit")(
+      s"""WITH ${simhashD("documents")}
+         |SELECT doc_id, simhash FROM fp
+         |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(Dedup.bigramTokens(col("text"))).as("simhash"))
+    },
+
+    // ----- SimHash near-dup pairs (top-byte bucket, Hamming <= 3)
+    QueryDef("x05_simhash_pairs",
+      "Hamming-LSH: bucket on simhash top byte, exact bit_count(xor) <= 3 within buckets")(
+      s"""WITH $tailDupCorpusD,
+         |${simhashD("corpus")}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b
+         |  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(tailDupCorpus(s, dir), col("doc_id"), col("text"))
+    },
+
+    // ----- brute-force cosine top-k (exact ANN baseline)
+    QueryDef("x06_cosine_topk",
+      "brute-force cosine top-3 per query vector; left-fold double dot products, broadcast query side")(
+      s"""WITH dotn AS (
+         |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         |    list_reduce(list_transform(list_zip(q.embedding, v.embedding),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x) AS dot,
+         |    ${sqNormD("q.embedding")} AS nq,
+         |    ${sqNormD("v.embedding")} AS nv
+         |  FROM embeddings q, embeddings v WHERE q.vec_id < 5),
+         |cs AS (SELECT q_id, vec_id,
+         |         CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / sqrt(nq * nv) END AS cos
+         |       FROM dotn)
+         |SELECT q_id, vec_id, round(cos, 6) AS cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cs)
+         |WHERE rn <= 3
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(emb.select("vec_id", "embedding"), queries, 3)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    },
+
+    // ----- sign-LSH bucketed ANN (the sublinear scale path)
+    QueryDef("x07_ann_lsh_cosine",
+      "sign-LSH bucketed cosine top-3: equi-join on 4-bit sign bucket instead of cross product")(
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |             ${bucketD("embedding")} AS bucket
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding, ${bucketD("embedding")} AS bucket FROM embeddings),
+         |dotn AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    list_reduce(list_transform(list_zip(q.q_emb, c.embedding),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x) AS dot,
+         |    ${sqNormD("q.q_emb")} AS nq,
+         |    ${sqNormD("c.embedding")} AS nv
+         |  FROM q JOIN c ON q.bucket = c.bucket),
+         |cs AS (SELECT q_id, vec_id,
+         |         CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / sqrt(nq * nv) END AS cos
+         |       FROM dotn)
+         |SELECT q_id, vec_id, round(cos, 6) AS cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cs)
+         |WHERE rn <= 3
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.lshTopK(emb.select("vec_id", "embedding"), queries, 3)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    },
+
+    // ----- language ID (marker-token argmax heuristic)
+    QueryDef("x08_lang_id",
+      "n-gram language-ID heuristic: per-language marker counts, deterministic argmax, accuracy flag")(
+      s"""WITH n AS (SELECT doc_id, lang, ' ' || $normD || ' ' AS pad FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  CAST((length(pad) - length(replace(pad, ' the ', ''))) / 5 AS BIGINT) AS c_en,
+         |  CAST((length(pad) - length(replace(pad, ' der ', ''))) / 5 AS BIGINT) AS c_de,
+         |  CAST((length(pad) - length(replace(pad, ' le ', ''))) / 4 AS BIGINT) AS c_fr,
+         |  CAST((length(pad) - length(replace(pad, ' el ', ''))) / 4 AS BIGINT) AS c_es,
+         |  CAST((length(pad) - length(replace(pad, '的', ''))) / 1 AS BIGINT) AS c_zh
+         |  FROM n),
+         |p AS (SELECT doc_id, lang,
+         |  CASE WHEN c_en >= greatest(c_de, c_fr, c_es, c_zh) THEN 'en'
+         |       WHEN c_de >= greatest(c_fr, c_es, c_zh) THEN 'de'
+         |       WHEN c_fr >= greatest(c_es, c_zh) THEN 'fr'
+         |       WHEN c_es >= c_zh THEN 'es'
+         |       ELSE 'zh' END AS pred_lang
+         |  FROM c)
+         |SELECT doc_id, lang, pred_lang, pred_lang = lang AS hit FROM p
+         |""".stripMargin) { (s, dir) =>
+      val markers = Seq("en" -> " the ", "de" -> " der ", "fr" -> " le ",
+        "es" -> " el ", "zh" -> "的")
+      val pad = TextOps.padded(TextOps.norm(col("text")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextOps.langId(pad, markers).as("pred_lang"))
+        .withColumn("hit", col("pred_lang") === col("lang"))
+    },
+
+    // ----- quality scoring (length / punct / stopword / case metrics)
+    QueryDef("x09_quality_score",
+      "per-doc quality metrics: token count, punctuation, stopword ratio, uppercase, length gate")(
+      s"""WITH n AS (SELECT doc_id, n_chars, text, ' ' || $normD || ' ' AS pad FROM documents),
+         |m AS (SELECT doc_id, n_chars,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_cnt,
+         |  CAST((length(pad) - length(replace(pad, ' the ', ''))) / 5
+         |     + (length(pad) - length(replace(pad, ' a ', ''))) / 3
+         |     + (length(pad) - length(replace(pad, ' of ', ''))) / 4
+         |     + (length(pad) - length(replace(pad, ' and ', ''))) / 5 AS BIGINT) AS stop_cnt,
+         |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS upper_cnt
+         |  FROM n)
+         |SELECT doc_id, n_tokens, punct_cnt, stop_cnt, upper_cnt,
+         |       round(CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+         |       n_chars BETWEEN 100 AND 2000 AS len_ok
+         |FROM m
+         |""".stripMargin) { (s, dir) =>
+      val pad = TextOps.padded(TextOps.norm(col("text")))
+      val stops = Seq(" the ", " a ", " of ", " and ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          TextOps.wsTokenCount(col("text")).as("n_tokens"),
+          TextOps.charClassCount(col("text"), "[.,!?;:]").as("punct_cnt"),
+          stops.map(m => TextOps.countOccurrences(pad, m)).reduce(_ + _).as("stop_cnt"),
+          TextOps.charClassCount(col("text"), "[A-Z]").as("upper_cnt"))
+        .select(col("doc_id"), col("n_tokens"), col("punct_cnt"), col("stop_cnt"),
+          col("upper_cnt"),
+          round(col("stop_cnt").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+            .as("stop_ratio"),
+          col("n_chars").between(100, 2000).as("len_ok"))
+    },
+
+    // ----- token counting (whitespace + BPE-ish regex)
+    QueryDef("x10_token_count",
+      "whitespace token count + BPE-style pre-tokenizer regex count per document")(
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS chars
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+          TextOps.regexTokenCount(col("text")).as("bpe_tokens"),
+          length(col("text")).cast(LongType).as("chars"))
+    },
+
+    // ----- document fingerprint (rolling polynomial hash)
+    QueryDef("x11_fingerprint",
+      "rolling polynomial content hash (acc*31+cp mod 1e9+7) — engine-portable exact dedup key")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents)
+         |SELECT doc_id,
+         |  list_reduce([ord(substr(t, i, 1)) FOR i IN range(1, len(t)+1)]::BIGINT[],
+         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         |FROM n
+         |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(TextOps.norm(col("text"))).as("fp"))
+    },
+
+    // ----- distinct-user sketch (HLL) with exactness tolerance gate
+    QueryDef("x12_distinct_sketch",
+      "approx_count_distinct (HLL, rsd 0.01) vs exact per event_type; emits within-5% flag")(
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS sketch_ok
+        |FROM events GROUP BY event_type
+        |""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("sketch_ok"))
+    }
+  )
 }

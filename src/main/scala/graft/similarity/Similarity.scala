@@ -1,0 +1,73 @@
+package graft.similarity
+
+import graft.ops.TopK
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (Array[Float]) for the
+  * LLM-data-pipeline tier: brute-force cosine top-k as the exact baseline
+  * and a sign-LSH bucketed variant as the sublinear scale path.
+  *
+  * Numeric discipline: dot products and norms are LEFT FOLDS in double
+  * precision over the array order (`aggregate` HOF). float×float promoted
+  * to double is exact (24-bit mantissas), so the only rounding is the
+  * sequential sum — identical for any engine that folds left-to-right,
+  * which makes results hash-comparable against the DuckDB oracle's
+  * `list_reduce`. Order-dependent parallel reductions (SUM over exploded
+  * rows) would NOT be reproducible; never used here.
+  *
+  * Scale design: the query side is small and broadcast — the corpus scan
+  * stays shuffle-free narrow work; top-k uses the two-phase salted TopK
+  * (graft.ops.TopK) so no single task sorts a whole query's scores. The
+  * LSH variant turns the cross product into an equi-join on bucket id.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two float arrays in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Left-fold squared L2 norm. */
+  def sqNorm(a: Column): Column =
+    aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Guarded cosine similarity (0.0 when either vector is all-zero). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = sqNorm(a) * sqNorm(b)
+    when(n === 0.0, 0.0).otherwise(d / sqrt(n))
+  }
+
+  /** Brute-force cosine top-k: every query vector against the whole
+    * corpus. `queries` must be small (it is broadcast). Output:
+    * (q_id, vec_id, cos) with k rows per query. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
+  }
+
+  /** Sign-LSH bucket id: bit i set iff embedding[i] >= 0, over the first
+    * `bits` dimensions — axis-aligned random-hyperplane LSH for cosine. */
+  def signBucket(emb: Column, bits: Int = 4): Column =
+    (0 until bits).map { i =>
+      when(get(emb, lit(i)) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Bucketed approximate top-k: candidates share the query's sign
+    * bucket, so the cross product becomes an equi-join on bucket id.
+    * Queries are broadcast; recall trades off against 2^bits. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4): DataFrame = {
+    val c = corpus.withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = queries.withColumn("bucket", signBucket(col("q_emb"), bits))
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
+  }
+}
