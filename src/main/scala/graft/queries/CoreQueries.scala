@@ -198,6 +198,115 @@ object CoreQueries {
         .select("o_orderkey")
     },
 
+    // ----- P5: double-encoded JSON array decode (market_discovery.py:85-95)
+    QueryDef("p05_double_decode",
+      "JSON field whose value is a JSON-encoded array STRING: two-stage decode (the Gamma API quirk)")(
+      """WITH b AS (SELECT event_id,
+        |  '{"a": "' || replace('["' || CAST(user_id AS VARCHAR) || '","' || CAST(event_id AS VARCHAR) || '"]',
+        |               '"', '\"') || '"}' AS payload
+        |  FROM events),
+        |d AS (SELECT event_id, json_extract_string(payload, '$.a') AS a_str FROM b)
+        |SELECT event_id,
+        |       json_extract_string(a_str::JSON, '$[0]')::BIGINT AS token0,
+        |       json_extract_string(a_str::JSON, '$[1]')::BIGINT AS token1
+        |FROM d
+        |""".stripMargin) { (s, dir) =>
+      val inner = concat(lit("[\""), col("user_id").cast(StringType), lit("\",\""),
+        col("event_id").cast(StringType), lit("\"]"))
+      val payload = concat(lit("{\"a\": \""),
+        replace(inner, lit("\""), lit("\\\"")), lit("\"}"))
+      val arr = Norms.decodeJsonArray(get_json_object(payload, "$.a"))
+      Tables.events(s, dir).select(col("event_id"),
+        element_at(arr, 1).cast(LongType).as("token0"),
+        element_at(arr, 2).cast(LongType).as("token1"))
+    },
+
+    // ----- P6: mixed naive/Z ISO-8601 normalization (ws_manager.py:96 vs tracker.py:222-224)
+    QueryDef("p06_iso_mix",
+      "normalize a mix of naive and Z-suffixed ISO-8601 timestamp strings to UTC timestamps")(
+      """WITH s AS (SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |       ELSE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') END AS raw FROM events)
+        |SELECT event_id,
+        |  CASE WHEN raw LIKE '%Z' THEN strptime(raw, '%Y-%m-%dT%H:%M:%SZ')
+        |       ELSE strptime(raw, '%Y-%m-%d %H:%M:%S') END AS ts_norm
+        |FROM s
+        |""".stripMargin) { (s, dir) =>
+      val raw = when(col("event_id") % 2 === 0,
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      Tables.events(s, dir)
+        .select(col("event_id"), Norms.isoTs(raw).as("ts_norm"))
+    },
+
+    // ----- P15: empty-snapshot marker rows (tracker.py:64-76)
+    QueryDef("p15_empty_snapshot",
+      "emit marker rows for (user, window) cells with no events — dim-grid left join, small dims broadcast")(
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+         |w AS (SELECT DISTINCT time_bucket(INTERVAL '15 minutes', ts) AS win_start FROM events),
+         |a AS (SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+         |             count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS vol_c
+         |      FROM events WHERE user_id < 20 GROUP BY 1, 2)
+         |SELECT u.user_id, w.win_start,
+         |       coalesce(a.n, 0) AS n, coalesce(a.vol_c, 0) AS vol_c,
+         |       CASE WHEN a.n IS NULL THEN 'position_snapshot_empty' ELSE 'position' END AS snap_type
+         |FROM u CROSS JOIN w LEFT JOIN a ON a.user_id = u.user_id AND a.win_start = w.win_start
+         |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val win = window(col("ts"), "15 minutes").getField("start").as("win_start")
+      val users = ev.filter(col("user_id") < 20).select("user_id").distinct()
+      val wins = ev.select(win).distinct()
+      val actual = ev.filter(col("user_id") < 20)
+        .groupBy(col("user_id"), win)
+        .agg(count(lit(1)).as("n"), sum(Norms.cents(col("value"))).as("vol_c"))
+      users.crossJoin(broadcast(wins))
+        .join(actual, Seq("user_id", "win_start"), "left")
+        .select(col("user_id"), col("win_start"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("vol_c"), lit(0L)).as("vol_c"),
+          when(col("n").isNull, "position_snapshot_empty").otherwise("position")
+            .as("snap_type"))
+    },
+
+    // ----- W7/D1: corrupt-record keep-and-flag silver projection (db_writer.py:66-73)
+    QueryDef("d03_corrupt_keep",
+      "malformed payloads are kept with _corrupt_record populated, not dropped — replayable bad-record channel")(
+      """WITH b AS (SELECT event_id, user_id,
+        |  CASE WHEN event_id % 10 = 0 THEN 'corrupt ' || CAST(event_id AS VARCHAR)
+        |       ELSE '{"k": ' || CAST(user_id AS VARCHAR) || '}' END AS payload
+        |  FROM events)
+        |SELECT event_id,
+        |       CASE WHEN event_id % 10 = 0 THEN NULL ELSE user_id END AS k,
+        |       CASE WHEN event_id % 10 = 0 THEN payload END AS _corrupt_record
+        |FROM b
+        |""".stripMargin) { (s, dir) =>
+      val payload = when(col("event_id") % 10 === 0,
+          concat(lit("corrupt "), col("event_id").cast(StringType)))
+        .otherwise(concat(lit("{\"k\": "), col("user_id").cast(StringType), lit("}")))
+      Silver.projectKeepCorrupt(
+        Tables.events(s, dir).withColumn("_payload", payload),
+        col("_payload"),
+        StructType(Seq(StructField("k", LongType))),
+        fields = Seq("k" -> LongType),
+        keep = Seq(col("event_id")))
+    },
+
+    // ----- D5: partitioned bronze write + pruned scan (init.sql expression-index analog)
+    QueryDef("d05_partition_prune",
+      "write bronze partitioned by event_type, read back with a partition filter — scan prunes instead of full read")(
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |       count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS vol_c
+         |FROM events WHERE event_type = 'click' GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      val out = s"/tmp/graft_bronze_${new java.io.File(dir).getName}"
+      Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "click")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(Norms.cents(col("value"))).as("vol_c"))
+    },
+
     // ----- P7/P8: winner derivation with intentional float equality (market_resolution.py:41,77-101)
     QueryDef("p07_winner_case",
       "resolution gate + CASE winner derivation (float-equality semantics preserved)")(

@@ -29,6 +29,26 @@ object Silver {
       .select(keep ++ fields.map { case (n, t) => col(s"_p.$n").cast(t).as(n) }: _*)
   }
 
+  /** W7/P14: keep-and-flag variant of [[project]] matching the reference's
+    * keep-everything contract (`consumers/db_writer.py:66-73` skips the
+    * insert but logs and continues; unknown events are persisted at
+    * `producers/polymarket_ws_manager.py:152-162`). Malformed payloads are
+    * NOT dropped: typed fields null out and the raw payload surfaces in
+    * `_corrupt_record`, so a replay/repair job can target them. */
+  def projectKeepCorrupt(bronze: DataFrame, payload: Column, schema: StructType,
+                         fields: Seq[(String, DataType)], keep: Seq[Column]): DataFrame = {
+    // PERMISSIVE from_json yields an all-null struct (not NULL) for
+    // malformed input, so corruption is detected via the dedicated
+    // corrupt-record column, not struct nullness.
+    val withCr = schema.add(StructField("_corrupt_record", StringType))
+    val parsed = bronze.withColumn("_p",
+      from_json(payload, withCr,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+    parsed.select(keep ++
+      fields.map { case (n, t) => col(s"_p.$n").cast(t).as(n) } :+
+      col("_p._corrupt_record").as("_corrupt_record"): _*)
+  }
+
   /** D2: batch high-watermark increment — keep rows newer than the
     * current max of `watermarkCol` minus `lagBack` (late-data grace).
     * The aggregate side is a single row; Spark broadcasts it. */
