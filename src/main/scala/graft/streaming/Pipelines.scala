@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured Streaming wiring for the reference's hot path (SURVEY.md
+  * §2.1 S1-S8, §2.2 K1-K4, §2.7 W1-W3/W6-W8).
+  *
+  * The reference runs 6 Python services through Kafka (7 topics) into
+  * Postgres JSONB bronze (`consumers/db_writer.py:44-136`). Here the same
+  * surface is: `readStream.format("kafka")` sources → the SAME batch
+  * operator functions (every operator in graft.ops/silver/gold is a pure
+  * DataFrame => DataFrame, so it runs unchanged inside a streaming query)
+  * → `writeStream` sinks with checkpointing. Checkpointed Kafka offsets +
+  * idempotent file sinks upgrade the reference's at-least-once/autocommit
+  * contract (`db_writer.py:48-50`) to effective exactly-once.
+  *
+  * Tests drive these with MemoryStream (no broker needed); production
+  * needs the spark-sql-kafka connector on the classpath.
+  */
+object Pipelines {
+
+  /** S1/S2/S6/S7: Kafka source for one or more topics. `startingOffsets`
+    * mirrors the reference's latest-vs-earliest consumer split
+    * (`polymarket_ws_manager.py:10-16` latest control reads vs
+    * `db_writer.py` earliest persistence reads; W8 replay = "earliest"). */
+  def kafkaSource(spark: SparkSession, topics: Seq[String],
+                  startingOffsets: String = "latest",
+                  bootstrap: String = "localhost:9092"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Parse the Kafka value column against a topic schema; the raw value
+    * is retained so unknown/corrupt events stay persistable (P13/W7). */
+  def parseValue(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(col("topic"), col("timestamp").as("kafka_ts"),
+      col("value").cast("string").as("raw"),
+      from_json(col("value").cast("string"), schema).as("p"))
+
+  /** K1: Kafka JSON producer sink — mirror of the reference's
+    * `json.dumps` value serializer (`coinbase_producer.py:14-17`). */
+  def kafkaSink(df: DataFrame, topic: String, checkpoint: String,
+                bootstrap: String = "localhost:9092"): DataStreamWriter[Row] =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** K2: bronze writer — append-only parquet partitioned by ingest date
+    * (the partition-pruning analog of the reference's JSONB expression
+    * indexes, `init.sql:14-15`; D5). foreachBatch so one streaming query
+    * can also fan out side outputs (K4) transactionally per micro-batch. */
+  def bronzeSink(df: DataFrame, path: String, checkpoint: String,
+                 tsCol: String = "kafka_ts"): DataStreamWriter[Row] =
+    df.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("ingest_date", to_date(col(tsCol)))
+          .write.mode("append").partitionBy("ingest_date").parquet(path)
+      }
+
+  /** K3: multi-topic router — one bronze directory per topic from a single
+    * subscribe-pattern source, the analog of `db_writer.py:121-136`'s
+    * 7 writer threads. Partitioning by (topic, date) keeps per-topic scans
+    * pruned. */
+  def routedBronzeSink(raw: DataFrame, root: String, checkpoint: String): DataStreamWriter[Row] =
+    raw.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("topic"), col("value").cast("string").as("payload"),
+            col("timestamp").as("ingested_at"),
+            to_date(col("timestamp")).as("ingest_date"))
+          .write.mode("append").partitionBy("topic", "ingest_date").parquet(root)
+      }
+
+  /** K4: error-event side channel (`user_positions_tracker.py:139-151`):
+    * split one parsed stream into (good, errors) inside foreachBatch so
+    * both writes share the micro-batch boundary. */
+  def withErrorChannel(df: DataFrame, isError: Column, goodPath: String,
+                       errorPath: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          b.filter(!isError).write.mode("append").parquet(goodPath)
+          b.filter(isError).write.mode("append").parquet(errorPath)
+        } finally { b.unpersist(); () }
+      }
+
+  /** P2/W3 streaming form: last-value-wins decimation to one row per
+    * (key, bucket) with watermarked state cleanup. Same max_by shape as
+    * the batch operator (EventOps.throttle) — map-side combinable. */
+  def throttle(df: DataFrame, tsCol: String, watermark: String,
+               bucket: String, keys: Seq[Column],
+               payload: Seq[(String, Column)]): DataFrame = {
+    val ordKey = struct(col(tsCol))
+    val aggs = payload.map { case (n, c) => max_by(c, ordKey).as(n) }
+    // group on the window() column itself — extracting .start inside the
+    // groupBy severs watermark propagation and append mode rejects the agg
+    df.withWatermark(tsCol, watermark)
+      .groupBy(keys :+ window(col(tsCol), bucket).as("_win"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("win_start", col("_win.start")).drop("_win")
+  }
+
+  /** W1/W6: watermarked tumbling-window aggregation — the 15-minute
+    * market window unit with late-data tolerance ≥ the observed 30-60 s
+    * subgraph lag (`README.md:330-332`). */
+  def windowedAgg(df: DataFrame, tsCol: String, watermark: String,
+                  windowLen: String, keys: Seq[Column],
+                  aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(keys :+ window(col(tsCol), windowLen).as("_win"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("win_start", col("_win.start")).drop("_win")
+
+  /** W2: 10-second cadence trigger (`user_positions_tracker.py:12`). */
+  val snapshotTrigger: Trigger = Trigger.ProcessingTime("10 seconds")
+
+  /** S8: console debug consumer (`consumers/simple_consumer.py`). */
+  def consoleSink(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream.format("console").option("truncate", "false")
+
+  /** Start helper pinning the trigger + query name. */
+  def start(w: DataStreamWriter[Row], name: String,
+            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    w.queryName(name).trigger(trigger).start()
+}

@@ -1,0 +1,59 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup tier invariants: normalization-equal docs collapse, identical
+  * docs share signatures, Jaccard bounds, SimHash Hamming-0 on equals. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup collapses whitespace/case variants to one survivor") {
+    val docs = Seq((1L, "Hello  World"), (2L, " hello world "), (3L, "other doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("identical texts share the full MinHash signature; different texts differ") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+        (3L, "a completely different sentence here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"))).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("LSH candidates find planted near-dups and never pair a doc with itself") {
+    val base = (0 until 30).map(i => (i.toLong, s"document number $i talks about topic ${i % 5} in detail"))
+    val dups = Seq((100L, base(3)._2 + " tail"), (101L, base(7)._2))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.contains((7L, 101L))) // exact copy always collides
+  }
+
+  test("Jaccard is 1.0 for identical docs and within (0,1) for overlapping ones") {
+    val docs = Seq((1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc dddd"),
+      (3L, "aaaa bbbb cccc eeee")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.jaccardVerify(pairs, docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) > 0.0 && out((1L, 3L)) < 1.0)
+  }
+
+  test("SimHash: identical docs have Hamming distance 0, fingerprint fits 16 bits") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "totally unrelated words entirely"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash(Dedup.bigramTokens(col("text"))).as("h"))
+    val hs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(2L))
+    hs.values.foreach(h => assert(h >= 0L && h < 65536L))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.Lifecycle._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** W4/W5 state machine: deterministic pure-core tests for every
+  * transition (including timer paths a wall clock can't drive reliably),
+  * plus a MemoryStream run of the flatMapGroupsWithState wrapper for the
+  * message-driven paths. */
+class LifecycleSpec extends SparkSpec {
+
+  private def discovered(ts: Long, toks: Seq[String], end: Long) =
+    MarketMsg("m1", "discovered", ts, toks, end, closed = false, "", 0.0, 0.0)
+  private def poll(ts: Long, closed: Boolean, status: String, no: Double, yes: Double) =
+    MarketMsg("m1", "poll_result", ts, Nil, 0L, closed, status, no, yes)
+
+  test("discover → subscribe; re-discovery with same tokens is deduped (ws_manager.py:271)") {
+    val (s1, out1) = onMessages("m1", Seq(discovered(1000L, Seq("a", "b"), 900000L)), None)
+    assert(out1.map(_.transition) === Seq("subscribe"))
+    assert(s1.get.phase === "subscribed")
+    val (s2, out2) = onMessages("m1", Seq(discovered(2000L, Seq("a", "b"), 900000L)), s1)
+    assert(out2.isEmpty && s2 === s1)
+  }
+
+  test("token change unsubscribes the old market before subscribing the new") {
+    val (s1, _) = onMessages("m1", Seq(discovered(1000L, Seq("a", "b"), 900000L)), None)
+    val (s2, out) = onMessages("m1", Seq(discovered(2000L, Seq("c", "d"), 1800000L)), s1)
+    assert(out.map(_.transition) === Seq("unsubscribe", "subscribe"))
+    assert(s2.get.tokenIds === Seq("c", "d"))
+  }
+
+  test("close timer fires at end_time → awaiting_resolution with first poll at end+60s") {
+    val (s1, _) = onMessages("m1", Seq(discovered(0L, Seq("a"), 900000L)), None)
+    val (s2, out) = onTimeout("m1", s1.get, 900000L)
+    assert(out.map(_.transition) === Seq("close"))
+    assert(s2.get.phase === "awaiting_resolution")
+    assert(s2.get.nextActionMs === 900000L + FirstPollDelayMs)
+  }
+
+  test("poll backoff doubles 30s→300s cap and fails after 20 attempts (market_resolution.py:29-38)") {
+    var st = MarketState("awaiting_resolution", Seq("a"), 900000L, 0, 960000L)
+    var now = 960000L
+    val delays = (0 until 6).map { _ =>
+      val (ns, out) = onTimeout("m1", st, now)
+      assert(out.map(_.transition) === Seq("poll_due"))
+      val d = ns.get.nextActionMs - now
+      st = ns.get; now = ns.get.nextActionMs
+      d
+    }
+    assert(delays === Seq(30000L, 60000L, 120000L, 240000L, 300000L, 300000L))
+    // exhaust the attempt budget
+    st = st.copy(attempt = MaxAttempts)
+    val (fin, out) = onTimeout("m1", st, now)
+    assert(fin.isEmpty)
+    assert(out.map(_.transition) === Seq("resolution_failed"))
+  }
+
+  test("resolved poll emits the winner and clears state; winner matches P7 semantics") {
+    val st = Some(MarketState("awaiting_resolution", Seq("a"), 900000L, 3, 0L))
+    val (fin, out) = onMessages("m1", Seq(poll(1000000L, closed = true, "resolved", 1.0, 0.0)), st)
+    assert(fin.isEmpty)
+    assert(out.map(t => (t.transition, t.detail)) === Seq(("resolved", "Down")))
+    // unresolved poll keeps waiting
+    val (still, none) = onMessages("m1", Seq(poll(1000000L, closed = true, "pending", 0.6, 0.4)), st)
+    assert(still === st && none.isEmpty)
+    assert(winner(0.0, 1.0) === "Up")
+    assert(winner(0.4, 0.6) === "Unknown")
+  }
+
+  test("flatMapGroupsWithState wrapper: subscribe transitions flow through a MemoryStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[MarketMsg]
+    // One-shot Trigger.AvailableNow: a query with registered processing-
+    // time timeouts never goes idle (it keeps running empty batches to
+    // evaluate timers), so processAllAvailable would block forever.
+    // Timer paths are covered by the pure onTimeout tests above.
+    val end = System.currentTimeMillis() + 3600000L
+    in.addData(
+      MarketMsg("mA", "discovered", 1000L, Seq("t1", "t2"), end, closed = false, "", 0, 0),
+      MarketMsg("mB", "discovered", 1000L, Seq("t3"), end, closed = false, "", 0, 0),
+      // changed tokens for mA → unsubscribe + subscribe (folded in ts order)
+      MarketMsg("mA", "discovered", 2000L, Seq("t9"), end + 900000L, closed = false, "", 0, 0))
+    val q = Lifecycle.run(in.toDS())
+      .writeStream.format("memory").queryName("lifecycle_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      // the engine keeps evaluating (far-future) timers, so don't wait for
+      // termination — poll the sink until the data batch has landed
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("lifecycle_out").count() < 4 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val out = spark.table("lifecycle_out").as[Transition].collect()
+      assert(out.count(t => t.marketId == "mA" && t.transition == "subscribe") === 2)
+      assert(out.count(t => t.marketId == "mA" && t.transition == "unsubscribe") === 1)
+      assert(out.count(t => t.marketId == "mB" && t.transition == "subscribe") === 1)
+    } finally q.stop()
+  }
+}
