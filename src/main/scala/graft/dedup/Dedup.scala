@@ -32,42 +32,49 @@ object Dedup {
       .agg(min(id).as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
-  /** Distinct character k-shingles of the normalized text (whole text when
-    * shorter than k). */
-  def shingles(text: Column, k: Int = 5): Column = {
+  private val P = 1000000007L
+
+  /** Distinct character k-shingles of the normalized text, each reduced to
+    * a polynomial rolling hash (fold acc*31+codepoint mod 1e9+7) — one
+    * cheap integer fold per shingle instead of a cryptographic digest.
+    * Engine-portable: any SQL engine reproduces it with ord/list folds. */
+  def shingleHashes(text: Column, k: Int = 7): Column = {
     val t = TextOps.norm(text)
     array_distinct(transform(
       sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => t.substr(i, lit(k))))
+      i => aggregate(
+        transform(sequence(lit(0), lit(k - 1)),
+          j => ascii(t.substr(i + j, lit(1))).cast(LongType)),
+        lit(0L), (acc, x) => (acc * 31 + x) % P)))
   }
 
-  /** MinHash signature: for each of `nHashes` hash families, the minimum
-    * of md5("h:" + shingle) over the shingle set. Using the lexicographic
-    * min of salted md5 hex strings gives a uniform, engine-portable
-    * min-hash with no custom hash function. */
-  def minhashSignature(sh: Column, nHashes: Int = 12): Column =
+  /** MinHash signature over shingle hashes via an affine hash family:
+    * g_h(x) = (x·(2h+1) + 12345·h) mod p. Derived hashes are integer
+    * arithmetic on the one shingle hash — nHashes× cheaper than salted
+    * digests, same minwise-independence in practice. */
+  def minhashSignature(hs: Column, nHashes: Int = 12): Column =
     array((0 until nHashes).map { h =>
-      array_min(transform(sh, s => md5(concat(lit(s"$h:"), s))))
+      array_min(transform(hs, x => (x * (2 * h + 1) + 12345L * h) % P))
     }: _*)
 
   /** LSH banding: rows×bands decomposition of the signature. Emits one
     * (band_id, band_key) struct per band; docs agreeing on ANY full band
     * become candidates. */
-  def lshBands(sig: Column, bands: Int = 4, rows: Int = 3): Column =
+  def lshBands(sig: Column, bands: Int = 3, rows: Int = 4): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band_id"),
-        md5(concat_ws("|", (0 until rows).map(r => get(sig, lit(b * rows + r))): _*))
-          .as("band_key"))
+        concat_ws("|", (0 until rows).map(r =>
+          get(sig, lit(b * rows + r)).cast(StringType)): _*).as("band_key"))
     }: _*)
 
   /** Near-dup candidate pairs via banded MinHash-LSH. Input: (id, text).
     * Output: distinct (doc_a, doc_b) with doc_a < doc_b. */
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
-                        k: Int = 5, nHashes: Int = 12,
-                        bands: Int = 4, rows: Int = 3): DataFrame = {
+                        k: Int = 7, nHashes: Int = 12,
+                        bands: Int = 3, rows: Int = 4): DataFrame = {
     val banded = docs.select(
         id.as("doc_id"),
-        explode(lshBands(minhashSignature(shingles(text, k), nHashes), bands, rows))
+        explode(lshBands(minhashSignature(shingleHashes(text, k), nHashes), bands, rows))
           .as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
     val a = banded.as("a")
@@ -80,11 +87,12 @@ object Dedup {
   }
 
   /** Exact shingle-Jaccard for given candidate pairs: |A∩B| / |A∪B| from
-    * integer set sizes (one double division at the end). `pairs` must have
+    * integer set sizes (one double division at the end). Operates on the
+    * hashed shingle sets (long arrays — cheap set ops). `pairs` must have
     * (doc_a, doc_b); `docs` provides (id, text). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
-                    k: Int = 5): DataFrame = {
-    val sh = docs.select(id.as("_id"), shingles(text, k).as("_sh"))
+                    k: Int = 7): DataFrame = {
+    val sh = docs.select(id.as("_id"), shingleHashes(text, k).as("_sh"))
     pairs
       .join(sh.select(col("_id").as("doc_a"), col("_sh").as("sh_a")), "doc_a")
       .join(sh.select(col("_id").as("doc_b"), col("_sh").as("sh_b")), "doc_b")
@@ -108,12 +116,14 @@ object Dedup {
 
   /** 16-bit SimHash over the token set: bit i is set when the majority of
     * tokens have the high bit of hex digit i of their md5 set. All integer
-    * arithmetic — engine-portable, no float rounding. */
+    * arithmetic — engine-portable, no float rounding. The md5 is hashed
+    * ONCE per token (hoisted out of the per-bit loop — 16× fewer digests). */
   def simhash(toks: Column, bits: Int = 16): Column = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val hashed = transform(toks, tk => md5(tk))
     (0 until bits).map { i =>
-      val bitSum = aggregate(toks, lit(0),
-        (acc, tk) => acc + when(substring(md5(tk), i + 1, 1).isin(highHex: _*), 1)
+      val bitSum = aggregate(hashed, lit(0),
+        (acc, hx) => acc + when(substring(hx, i + 1, 1).isin(highHex: _*), 1)
           .otherwise(-1))
       when(bitSum >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)

@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Multimodal columns for the LLM-data-pipeline tier: image/audio/video
+  * carried as opaque `binary` columns with TYPED metadata, and the
+  * decode / feature-extract / frame-sample stages as partition-local
+  * imperative work over typed Datasets.
+  *
+  * Design for 100 TB: media bytes never shuffle — every stage here is
+  * `mapPartitions` (narrow, batch-shaped: one iterator pass per input
+  * split, constant memory per row). Join features to other tables by
+  * `media_id`, never by content. Real deployments put content in object
+  * storage and carry (uri, byte_range) instead; the operator shapes are
+  * identical.
+  *
+  * The codec itself is a STUB (this container has no image/audio libs):
+  * [[FakeCodec.decode]] is the single seam where libjpeg/ffmpeg/etc.
+  * would be called. Everything around it — schema, encoders, partition
+  * iteration, feature math, frame slicing — is real and tested.
+  */
+final case class MediaMeta(format: String, width: Int, height: Int)
+final case class MediaRow(media_id: Long, kind: String,
+                          content: Array[Byte], meta: MediaMeta)
+final case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
+                               checksum: Long, q1: Long, q2: Long, q3: Long)
+final case class FrameSample(media_id: Long, n_frames: Long, frame_checksum: Long)
+
+/** STUB codec — deterministic identity "decode". A real implementation
+  * decodes `content` per `meta.format` into pixel/sample buffers; the
+  * surrounding plumbing does not change. */
+object FakeCodec {
+  def decode(content: Array[Byte], format: String): Array[Byte] = content
+}
+
+object Multimodal {
+
+  private val P = 1000000007L
+
+  /** Synthesize a media table from the documents table: ASCII text bytes
+    * as the opaque payload, kind/format cycling through the three
+    * modalities, metadata derived from doc size. Deterministic, so a
+    * SQL oracle can mirror every downstream feature byte-for-byte. */
+  def media(docs: DataFrame): Dataset[MediaRow] = {
+    val kinds = Seq("image", "audio", "video")
+    val kind = element_at(typedLit(kinds), (col("doc_id") % 3).cast("int") + 1)
+    val fmt = element_at(typedLit(Seq("png", "wav", "mp4")),
+      (col("doc_id") % 3).cast("int") + 1)
+    docs.select(
+      col("doc_id").as("media_id"),
+      kind.as("kind"),
+      col("text").cast(BinaryType).as("content"),
+      struct(fmt.as("format"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height")).as("meta"))
+      .as[MediaRow](Encoders.product[MediaRow])
+  }
+
+  /** Decode + feature-extract per partition: rolling checksum and byte
+    * "quadrant" counts (high bits b>>5 — for ASCII payloads the 1/2/3
+    * quadrants are punctuation-digits / uppercase / lowercase). One
+    * iterator pass, no shuffle. */
+  def features(ds: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val bytes = FakeCodec.decode(m.content, m.meta.format)
+        var checksum = 0L
+        val q = new Array[Long](8)
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          checksum = (checksum * 31 + b) % P
+          q(b >> 5) += 1
+          i += 1
+        }
+        MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
+          checksum, q(1), q(2), q(3))
+      }
+    }(Encoders.product[MediaFeatures])
+
+  /** Frame sampling: slice the payload into `frameBytes` blocks and keep
+    * every `everyN`-th (video keyframe-sampling shape). Emits the kept
+    * count and the first kept frame's checksum. */
+  def frameSample(ds: Dataset[MediaRow], frameBytes: Int, everyN: Int): Dataset[FrameSample] =
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val bytes = FakeCodec.decode(m.content, m.meta.format)
+        val frames = bytes.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % everyN == 0).map(_._1).toSeq
+        val first = frames.headOption.getOrElse(Array.emptyByteArray)
+        var checksum = 0L
+        first.foreach(b => checksum = (checksum * 31 + (b & 0xff)) % P)
+        FrameSample(m.media_id, frames.length.toLong, checksum)
+      }
+    }(Encoders.product[FrameSample])
+}

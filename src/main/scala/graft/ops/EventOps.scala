@@ -76,27 +76,20 @@ object PriceChanges {
   * `producers/user_positions_tracker.py:30-47`: GraphQL
   * `orderBy: balance, first: 1000` pushed down).
   *
-  * Two-phase salted top-K, safe for low-cardinality keys: a single
-  * row_number window partitioned only by `keys` funnels every row of a
-  * key into ONE task — with ~5 distinct keys at 100× scale that is five
-  * giant single-partition sorts. Instead:
-  *   phase 1: partition by (keys, input-split id) — each task keeps its
-  *            local top-K, so the shuffle spreads over all splits and the
-  *            survivor set is ≤ K × numInputPartitions rows per key;
-  *   phase 2: the real window over `keys` on that tiny survivor set.
-  * Top-K-of-local-top-Ks == global top-K because any global winner is a
-  * winner within its own split. For a single global group use
+  * Low-cardinality keys are safe here WITHOUT manual salting: Catalyst's
+  * InferWindowGroupLimit plans a `WindowGroupLimit` BELOW the exchange
+  * (verified via ExplainAudit — Sort+WindowGroupLimit on the map side),
+  * so every input split pre-truncates to its local top-K before the
+  * shuffle and the per-key post-shuffle set is ≤ K × numInputPartitions
+  * rows, never the key's full row count. A hand-rolled salted two-phase
+  * variant was measured to only add a second shuffle on top of the same
+  * pre-truncation. For a single global group use
   * `df.orderBy(...).limit(k)` (TakeOrderedAndProject) instead.
   */
 object TopK {
   def perGroup(df: DataFrame, keys: Seq[Column], ord: Seq[Column], k: Int): DataFrame = {
-    val salted = df.withColumn("_salt", spark_partition_id())
-    val w1 = Window.partitionBy(keys :+ col("_salt"): _*).orderBy(ord: _*)
-    val partial = salted.withColumn("_rn", row_number().over(w1))
-      .filter(col("_rn") <= k).drop("_rn")
-    val w2 = Window.partitionBy(keys: _*).orderBy(ord: _*)
-    partial.withColumn("_rn", row_number().over(w2))
-      .filter(col("_rn") <= k).drop("_rn", "_salt")
+    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
   }
 }
 

@@ -55,22 +55,26 @@ object ExtraQueries {
       concat(col("text"), lit(" zz qq xx yy")).as("text")))
   }
 
-  /** MinHash/LSH fragments for the oracle (5-char shingles, 12 hashes,
-    * 4 bands × 3 rows — mirrors Dedup.scala defaults). */
+  /** MinHash/LSH fragments for the oracle (7-char shingles reduced to
+    * polynomial hashes, affine 12-hash family, 3 bands × 4 rows —
+    * mirrors Dedup.scala defaults). */
   private val shinglesD =
     s"""n AS (SELECT doc_id, $normD AS t FROM corpus),
-       |sh AS (SELECT doc_id,
-       |  list_distinct([substr(t, i, 5) FOR i IN range(1, greatest(len(t)-4,1)+1)]) AS shingles
+       |sh AS (SELECT doc_id, list_distinct([
+       |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, 7)]::BIGINT[],
+       |                (acc, x) -> (acc * 31 + x) % 1000000007)
+       |    FOR i IN range(1, greatest(len(t) - 6, 1) + 1)]) AS shingles
        |  FROM n)""".stripMargin
 
   private val candidatesD =
     s"""$shinglesD,
        |sig AS (SELECT doc_id,
-       |  [list_min([md5(h::VARCHAR || ':' || s) FOR s IN shingles]) FOR h IN range(0,12)] AS sig
+       |  [list_min([(h * (2 * k + 1) + 12345 * k) % 1000000007 FOR h IN shingles])
+       |   FOR k IN range(0, 12)] AS sig
        |  FROM sh),
        |bands AS (SELECT doc_id, b AS band_id,
-       |  md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_key
-       |  FROM sig, range(0,4) r(b)),
+       |  sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4] AS band_key
+       |  FROM sig, range(0,3) r(b)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
@@ -83,12 +87,13 @@ object ExtraQueries {
        |  CASE WHEN len(ws) >= 2
        |       THEN list_distinct([ws[i] || '_' || ws[i+1] FOR i IN range(1, len(ws))])
        |       ELSE ws END AS toks FROM w),
+       |th AS (SELECT doc_id, [md5(tk) FOR tk IN toks] AS hx FROM tok),
        |fp AS (SELECT doc_id, CAST(list_sum([
        |    CASE WHEN list_sum([
-       |           CASE WHEN substr(md5(tk), i+1, 1) IN ('8','9','a','b','c','d','e','f')
-       |                THEN 1 ELSE -1 END FOR tk IN toks]) >= 0
+       |           CASE WHEN substr(h, i+1, 1) IN ('8','9','a','b','c','d','e','f')
+       |                THEN 1 ELSE -1 END FOR h IN hx]) >= 0
        |         THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0,16)]) AS BIGINT) AS simhash
-       |  FROM tok)""".stripMargin
+       |  FROM th)""".stripMargin
 
   /** Left-fold cosine fragments for the oracle (≡ Similarity.dot/sqNorm). */
   private val dotD =
@@ -113,7 +118,7 @@ object ExtraQueries {
 
     // ----- MinHash-LSH near-dup candidates (banded; never all-pairs)
     QueryDef("x02_minhash_lsh",
-      "banded MinHash-LSH candidate pairs: 5-shingles, 12 hashes, 4 bands x 3 rows; equi-join on band key")(
+      "banded MinHash-LSH candidate pairs: hashed 7-shingles, affine 12-hash family, 3 bands x 4 rows; equi-join on band key")(
       s"""WITH $tailDupCorpusD,
          |$candidatesD
          |SELECT doc_a, doc_b FROM cand
@@ -305,6 +310,39 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.fingerprint(TextOps.norm(col("text"))).as("fp"))
+    },
+
+    // ----- multimodal: binary decode + feature extraction (mapPartitions)
+    QueryDef("x13_media_features",
+      "opaque binary media column + typed metadata: partition-local decode + checksum/quadrant features, no shuffle")(
+      """WITH n AS (SELECT doc_id, text,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents),
+        |c AS (SELECT doc_id, kind,
+        |  [ord(substr(text, i, 1)) FOR i IN range(1, len(text)+1)]::BIGINT[] AS bs FROM n)
+        |SELECT doc_id AS media_id, kind, CAST(len(bs) AS BIGINT) AS byte_len,
+        |  list_reduce(bs, (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+        |  CAST(len(list_filter(bs, b -> b // 32 = 1)) AS BIGINT) AS q1,
+        |  CAST(len(list_filter(bs, b -> b // 32 = 2)) AS BIGINT) AS q2,
+        |  CAST(len(list_filter(bs, b -> b // 32 = 3)) AS BIGINT) AS q3
+        |FROM c
+        |""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.features(
+        graft.multimodal.Multimodal.media(Tables.documents(s, dir))).toDF()
+    },
+
+    // ----- multimodal: frame sampling over the binary payload
+    QueryDef("x14_frame_sample",
+      "keyframe-style sampling: every 2nd 16-byte block of the binary payload, partition-local")(
+      """SELECT doc_id AS media_id,
+        |  CAST(((len(text) + 15) // 16 + 1) // 2 AS BIGINT) AS n_frames,
+        |  list_reduce([ord(substr(text, i, 1)) FOR i IN range(1, least(len(text), 16)+1)]::BIGINT[],
+        |              (acc, x) -> (acc * 31 + x) % 1000000007) AS frame_checksum
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.frameSample(
+        graft.multimodal.Multimodal.media(Tables.documents(s, dir)),
+        frameBytes = 16, everyN = 2).toDF()
     },
 
     // ----- distinct-user sketch (HLL) with exactness tolerance gate

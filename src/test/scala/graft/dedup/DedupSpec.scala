@@ -21,8 +21,8 @@ class DedupSpec extends SparkSpec {
         (3L, "a completely different sentence here"))
       .toDF("doc_id", "text")
       .select(col("doc_id"),
-        Dedup.minhashSignature(Dedup.shingles(col("text"))).as("sig"))
-    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        Dedup.minhashSignature(Dedup.shingleHashes(col("text"))).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
   }
