@@ -26,7 +26,10 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // toRdd.count() forces full evaluation of the physical plan —
+        // df.count() would let Catalyst prune every projected column and
+        // under-measure pure-projection queries as a metadata row count
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }

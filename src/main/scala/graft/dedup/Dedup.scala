@@ -34,19 +34,23 @@ object Dedup {
 
   private val P = 1000000007L
 
-  /** Distinct character k-shingles of the normalized text, each reduced to
+  /** Distinct character k-shingles of pre-normalized text, each reduced to
     * a polynomial rolling hash (fold acc*31+codepoint mod 1e9+7) — one
     * cheap integer fold per shingle instead of a cryptographic digest.
-    * Engine-portable: any SQL engine reproduces it with ord/list folds. */
-  def shingleHashes(text: Column, k: Int = 7): Column = {
-    val t = TextOps.norm(text)
+    * Engine-portable: any SQL engine reproduces it with ord/list folds.
+    *
+    * `normText` MUST be a materialized column (projected in a prior
+    * select), never an inlined expression like TextOps.norm(...): HOF
+    * lambdas are CodegenFallback and re-evaluate their leaf children per
+    * element access, so an inlined regexp-based norm would re-run per
+    * CHARACTER (~2000× per doc — measured as the sf0.1 bench killer). */
+  def shingleHashes(normText: Column, k: Int = 7): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      sequence(lit(1), greatest(length(normText) - (k - 1), lit(1))),
       i => aggregate(
         transform(sequence(lit(0), lit(k - 1)),
-          j => ascii(t.substr(i + j, lit(1))).cast(LongType)),
+          j => ascii(normText.substr(i + j, lit(1))).cast(LongType)),
         lit(0L), (acc, x) => (acc * 31 + x) % P)))
-  }
 
   /** MinHash signature over shingle hashes via an affine hash family:
     * g_h(x) = (x·(2h+1) + 12345·h) mod p. Derived hashes are integer
@@ -72,11 +76,21 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
                         k: Int = 7, nHashes: Int = 12,
                         bands: Int = 3, rows: Int = 4): DataFrame = {
-    val banded = docs.select(
-        id.as("doc_id"),
-        explode(lshBands(minhashSignature(shingleHashes(text, k), nHashes), bands, rows))
-          .as("b"))
+    // staged projections: norm once per row, shingle array once, signature
+    // once — each stage reads the previous stage's materialized value.
+    // Repartition first: shingle hashing is heavy narrow compute, and a
+    // byte-sized scan of a small text table yields far fewer input splits
+    // than cores (one 1.5 MB parquet file = one task doing ALL the work);
+    // shuffling the thin (id, text) rows is trivial next to the compute.
+    val banded = spread(docs)
+      .select(id.as("doc_id"), TextOps.norm(text).as("_t"))
+      .select(col("doc_id"), shingleHashes(col("_t"), k).as("_hs"))
+      .select(col("doc_id"), minhashSignature(col("_hs"), nHashes).as("_sig"))
+      .select(col("doc_id"), explode(lshBands(col("_sig"), bands, rows)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+      // both sides of the self-join read this — without persist each side
+      // recomputes the whole hash pipeline (no codegen CSE across joins)
+      .persist()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band_id") === col("b.band_id") &&
@@ -92,49 +106,77 @@ object Dedup {
     * (doc_a, doc_b); `docs` provides (id, text). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
                     k: Int = 7): DataFrame = {
-    val sh = docs.select(id.as("_id"), shingleHashes(text, k).as("_sh"))
+    val sh = spread(docs).select(id.as("_id"), TextOps.norm(text).as("_t"))
+      .select(col("_id"), shingleHashes(col("_t"), k).as("_sh"))
+      .persist() // read twice (a-side and b-side joins)
     pairs
       .join(sh.select(col("_id").as("doc_a"), col("_sh").as("sh_a")), "doc_a")
       .join(sh.select(col("_id").as("doc_b"), col("_sh").as("sh_b")), "doc_b")
+      // stage the intersect size so it is computed once, not once per use
       .select(col("doc_a"), col("doc_b"),
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-            (size(col("sh_a")) + size(col("sh_b"))
-              - size(array_intersect(col("sh_a"), col("sh_b")))).cast(DoubleType),
-          6).as("jaccard"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType).as("_i"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("_s"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_i") / (col("_s") - col("_i")), 6).as("jaccard"))
   }
 
-  /** Distinct word-bigram tokens of the normalized text (falls back to the
-    * unigram list for single-word docs). get() is 0-based and OOB-safe. */
-  def bigramTokens(text: Column): Column = {
-    val ws = split(TextOps.norm(text), " ")
+  /** Distinct word-bigram tokens of pre-normalized text (falls back to the
+    * unigram list for single-word docs). get() is 0-based and OOB-safe.
+    * Same staging contract as [[shingleHashes]]: pass a materialized
+    * column. */
+  def bigramTokens(normText: Column): Column = {
+    val ws = split(normText, " ")
     when(size(ws) >= 2,
       array_distinct(transform(sequence(lit(1), size(ws) - 1),
         i => concat(get(ws, i - 1), lit("_"), get(ws, i)))))
       .otherwise(ws)
   }
 
-  /** 16-bit SimHash over the token set: bit i is set when the majority of
-    * tokens have the high bit of hex digit i of their md5 set. All integer
-    * arithmetic — engine-portable, no float rounding. The md5 is hashed
-    * ONCE per token (hoisted out of the per-bit loop — 16× fewer digests). */
-  def simhash(toks: Column, bits: Int = 16): Column = {
-    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val hashed = transform(toks, tk => md5(tk))
+  /** Integer token hashes — polynomial char fold then a Lehmer mix
+    * ((h·48271) mod 2³¹−1) so the low 16 bits are well distributed.
+    * Pure long arithmetic: ~10× cheaper than a digest under interpreted
+    * HOF evaluation and trivially engine-portable. Materialize ONCE per
+    * row before [[simhash]], which scans the array 16 times. */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, tk =>
+      aggregate(
+        transform(sequence(lit(1), length(tk)),
+          i => ascii(tk.substr(i, lit(1))).cast(LongType)),
+        lit(0L), (acc, x) => (acc * 31 + x) % P) * 48271L % 2147483647L)
+
+  /** 16-bit SimHash over pre-hashed tokens: bit i is set when the
+    * majority of token hashes have bit i set. All integer arithmetic —
+    * engine-portable, no float rounding. */
+  def simhash(tokenHs: Column, bits: Int = 16): Column =
     (0 until bits).map { i =>
-      val bitSum = aggregate(hashed, lit(0),
-        (acc, hx) => acc + when(substring(hx, i + 1, 1).isin(highHex: _*), 1)
+      val bitSum = aggregate(tokenHs, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1)
           .otherwise(-1))
       when(bitSum >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Match CPU-bound narrow stages to the cluster's parallelism when the
+    * input scan produced fewer splits than cores (tiny files). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Staged fingerprint pipeline: norm → bigrams → md5s → simhash, one
+    * materialized projection per stage. */
+  def simhashFingerprints(docs: DataFrame, id: Column, text: Column): DataFrame =
+    spread(docs).select(id.as("doc_id"), TextOps.norm(text).as("_t"))
+      .select(col("doc_id"), bigramTokens(col("_t")).as("_toks"))
+      .select(col("doc_id"), tokenHashes(col("_toks")).as("_hx"))
+      .select(col("doc_id"), simhash(col("_hx")).as("simhash"))
 
   /** SimHash near-dup pairs: bucket on the top `bits-8` bits (Hamming-LSH
     * band), then exact Hamming ≤ maxHamming within buckets. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(id.as("doc_id"), simhash(bigramTokens(text)).as("simhash"))
+    val fp = simhashFingerprints(docs, id, text)
       .withColumn("bucket", shiftright(col("simhash"), 8))
+      .persist() // self-joined: avoid recomputing fingerprints per side
     val a = fp.as("a")
     val b = fp.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&

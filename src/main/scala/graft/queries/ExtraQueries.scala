@@ -87,11 +87,13 @@ object ExtraQueries {
        |  CASE WHEN len(ws) >= 2
        |       THEN list_distinct([ws[i] || '_' || ws[i+1] FOR i IN range(1, len(ws))])
        |       ELSE ws END AS toks FROM w),
-       |th AS (SELECT doc_id, [md5(tk) FOR tk IN toks] AS hx FROM tok),
+       |th AS (SELECT doc_id, [
+       |    (list_reduce([ord(substr(tk, i, 1)) FOR i IN range(1, len(tk)+1)]::BIGINT[],
+       |                 (acc, x) -> (acc * 31 + x) % 1000000007) * 48271) % 2147483647
+       |    FOR tk IN toks] AS hx FROM tok),
        |fp AS (SELECT doc_id, CAST(list_sum([
        |    CASE WHEN list_sum([
-       |           CASE WHEN substr(h, i+1, 1) IN ('8','9','a','b','c','d','e','f')
-       |                THEN 1 ELSE -1 END FOR h IN hx]) >= 0
+       |           CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hx]) >= 0
        |         THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0,16)]) AS BIGINT) AS simhash
        |  FROM th)""".stripMargin
 
@@ -150,8 +152,7 @@ object ExtraQueries {
       s"""WITH ${simhashD("documents")}
          |SELECT doc_id, simhash FROM fp
          |""".stripMargin) { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash(Dedup.bigramTokens(col("text"))).as("simhash"))
+      Dedup.simhashFingerprints(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
 
     // ----- SimHash near-dup pairs (top-byte bucket, Hamming <= 3)
@@ -308,8 +309,12 @@ object ExtraQueries {
          |              (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
          |FROM n
          |""".stripMargin) { (s, dir) =>
+      // staged: norm materialized once per row, then the per-char fold
+      // reads the materialized string (HOFs are interpreted — an inlined
+      // norm would re-run its regex per character)
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.fingerprint(TextOps.norm(col("text"))).as("fp"))
+        .select(col("doc_id"), TextOps.norm(col("text")).as("_t"))
+        .select(col("doc_id"), TextOps.fingerprint(col("_t")).as("fp"))
     },
 
     // ----- multimodal: binary decode + feature extraction (mapPartitions)

@@ -61,7 +61,9 @@ object TextOps {
   /** Rolling polynomial document fingerprint: fold (acc*31 + codepoint)
     * mod 1e9+7 over the characters — a content hash computable identically
     * by any engine (no engine-specific hash function), usable as an exact
-    * dedup key. Codegen'd HOF fold; no shuffle. */
+    * dedup key. No shuffle. HOF folds are interpreted (CodegenFallback)
+    * and re-evaluate leaf children per element, so `text` must be a
+    * MATERIALIZED column — never an inlined regex-normalization. */
   def fingerprint(text: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(text)),

@@ -21,7 +21,7 @@ class DedupSpec extends SparkSpec {
         (3L, "a completely different sentence here"))
       .toDF("doc_id", "text")
       .select(col("doc_id"),
-        Dedup.minhashSignature(Dedup.shingleHashes(col("text"))).as("sig"))
+        Dedup.minhashSignature(Dedup.shingleHashes(graft.text.TextOps.norm(col("text")))).as("sig"))
     val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
@@ -48,10 +48,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("SimHash: identical docs have Hamming distance 0, fingerprint fits 16 bits") {
-    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
-        (3L, "totally unrelated words entirely"))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), Dedup.simhash(Dedup.bigramTokens(col("text"))).as("h"))
+    val df = Dedup.simhashFingerprints(
+      Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "totally unrelated words entirely")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
     val hs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hs(1L) === hs(2L))
     hs.values.foreach(h => assert(h >= 0L && h < 65536L))
