@@ -24,16 +24,22 @@ object Bench {
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        // toRdd.count() forces full evaluation of the physical plan —
-        // df.count() would let Catalyst prune every projected column and
-        // under-measure pure-projection queries as a metadata row count
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      // toRdd.count() forces full evaluation of the physical plan —
+      // df.count() would let Catalyst prune every projected column and
+      // under-measure pure-projection queries as a metadata row count.
+      // Best-of-2 guards against ambient load on a shared host.
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (t1, ok1) = once()
+      val (t2, ok2) = if (ok1) once() else (t1, ok1)
+      (name, math.min(t1, t2), ok1 && ok2)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface smoke driver: a session with GraftExtensions registered,
+  * testdata tables as views, and the native functions called from SQL. */
+object SqlDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
+    println("[sqldemo] scalar: " +
+      spark.sql("SELECT poly_hash('hello'), size(shingle_hashes('hello world!', 7))")
+        .head().toSeq.mkString(", "))
+    spark.sql(
+      """SELECT count(DISTINCT poly_hash(lower(trim(text)))) AS distinct_fp,
+        |       count(*) AS n
+        |FROM documents""".stripMargin).show()
+    spark.stop()
+  }
+}

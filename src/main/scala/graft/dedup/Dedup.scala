@@ -39,18 +39,12 @@ object Dedup {
     * cheap integer fold per shingle instead of a cryptographic digest.
     * Engine-portable: any SQL engine reproduces it with ord/list folds.
     *
-    * `normText` MUST be a materialized column (projected in a prior
-    * select), never an inlined expression like TextOps.norm(...): HOF
-    * lambdas are CodegenFallback and re-evaluate their leaf children per
-    * element access, so an inlined regexp-based norm would re-run per
-    * CHARACTER (~2000× per doc — measured as the sf0.1 bench killer). */
+    * Implemented as a native codegen'd Catalyst expression
+    * (graft.plans.ShingleHashes): one tight loop per row. The equivalent
+    * nested-HOF formulation is CodegenFallback and re-evaluates leaf
+    * children per element access — measured as the sf0.1 bench killer. */
   def shingleHashes(normText: Column, k: Int = 7): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(normText) - (k - 1), lit(1))),
-      i => aggregate(
-        transform(sequence(lit(0), lit(k - 1)),
-          j => ascii(normText.substr(i + j, lit(1))).cast(LongType)),
-        lit(0L), (acc, x) => (acc * 31 + x) % P)))
+    graft.plans.functions.shingle_hashes(normText, k)
 
   /** MinHash signature over shingle hashes via an affine hash family:
     * g_h(x) = (x·(2h+1) + 12345·h) mod p. Derived hashes are integer
@@ -120,40 +114,17 @@ object Dedup {
         round(col("_i") / (col("_s") - col("_i")), 6).as("jaccard"))
   }
 
-  /** Distinct word-bigram tokens of pre-normalized text (falls back to the
-    * unigram list for single-word docs). get() is 0-based and OOB-safe.
-    * Same staging contract as [[shingleHashes]]: pass a materialized
-    * column. */
-  def bigramTokens(normText: Column): Column = {
-    val ws = split(normText, " ")
-    when(size(ws) >= 2,
-      array_distinct(transform(sequence(lit(1), size(ws) - 1),
-        i => concat(get(ws, i - 1), lit("_"), get(ws, i)))))
-      .otherwise(ws)
-  }
+  /** Lehmer-mixed word-bigram token hashes (unigram fallback for
+    * single-word docs) — native expression, one pass per row
+    * (graft.plans.BigramTokenHashes). */
+  def bigramTokenHashes(normText: Column): Column =
+    graft.plans.functions.bigram_token_hashes(normText)
 
-  /** Integer token hashes — polynomial char fold then a Lehmer mix
-    * ((h·48271) mod 2³¹−1) so the low 16 bits are well distributed.
-    * Pure long arithmetic: ~10× cheaper than a digest under interpreted
-    * HOF evaluation and trivially engine-portable. Materialize ONCE per
-    * row before [[simhash]], which scans the array 16 times. */
-  def tokenHashes(toks: Column): Column =
-    transform(toks, tk =>
-      aggregate(
-        transform(sequence(lit(1), length(tk)),
-          i => ascii(tk.substr(i, lit(1))).cast(LongType)),
-        lit(0L), (acc, x) => (acc * 31 + x) % P) * 48271L % 2147483647L)
-
-  /** 16-bit SimHash over pre-hashed tokens: bit i is set when the
-    * majority of token hashes have bit i set. All integer arithmetic —
-    * engine-portable, no float rounding. */
-  def simhash(tokenHs: Column, bits: Int = 16): Column =
-    (0 until bits).map { i =>
-      val bitSum = aggregate(tokenHs, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1))
-      when(bitSum >= 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+  /** 16-bit SimHash over pre-hashed tokens — native expression
+    * (graft.plans.SimHash16): bit i set when the majority of token
+    * hashes have bit i set. All integer arithmetic, engine-portable. */
+  def simhash(tokenHs: Column): Column =
+    graft.plans.functions.simhash16(tokenHs)
 
   /** Match CPU-bound narrow stages to the cluster's parallelism when the
     * input scan produced fewer splits than cores (tiny files). */
@@ -162,12 +133,10 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Staged fingerprint pipeline: norm → bigrams → md5s → simhash, one
-    * materialized projection per stage. */
+  /** Staged fingerprint pipeline: norm → bigram hashes → simhash. */
   def simhashFingerprints(docs: DataFrame, id: Column, text: Column): DataFrame =
     spread(docs).select(id.as("doc_id"), TextOps.norm(text).as("_t"))
-      .select(col("doc_id"), bigramTokens(col("_t")).as("_toks"))
-      .select(col("doc_id"), tokenHashes(col("_toks")).as("_hx"))
+      .select(col("doc_id"), bigramTokenHashes(col("_t")).as("_hx"))
       .select(col("doc_id"), simhash(col("_hx")).as("simhash"))
 
   /** SimHash near-dup pairs: bucket on the top `bits-8` bits (Hamming-LSH

@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's portable hash family.
+  *
+  * Why custom expressions (SURVEY §7.3 said "none required" — this is the
+  * one measured exception): the polynomial hashes are *expressible* with
+  * builtin higher-order functions, but HOFs are CodegenFallback — every
+  * per-character lambda invocation walks an interpreted expression tree.
+  * Profiling the sf0.1 bench showed the shingle/fingerprint pipelines
+  * spending their time in interpreted `UnaryExpression.eval`. These
+  * expressions compute the same values in a tight JVM loop with
+  * whole-stage-codegen glue (`doGenCode` emits a static call), which is
+  * preference order (b) of the builder brief: a native Expression before
+  * any UDF.
+  *
+  * Semantics (shared with the DuckDB oracle and the HOF forms they
+  * replace): fold `acc*31 + codepoint mod 1e9+7` over the string's
+  * codepoints.
+  */
+object HashUtil {
+  val P = 1000000007L
+
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Distinct Lehmer-mixed hashes of word bigrams ("w1_w2"), matching
+    * split(t, " ") semantics (-1 limit) with unigram fallback for
+    * single-word input. One native pass; ≡ the HOF pipeline
+    * bigramTokens → polyHash·48271 mod 2³¹−1. */
+  def bigramTokenHashes(s: UTF8String): ArrayData = {
+    val ws = s.toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    def mixed(tok: String): java.lang.Long = {
+      var acc = 0L
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        acc = (acc * 31 + cp) % P
+        i += Character.charCount(cp)
+      }
+      acc * 48271L % 2147483647L
+    }
+    if (ws.length >= 2) {
+      var i = 0
+      while (i < ws.length - 1) { seen.add(mixed(ws(i) + "_" + ws(i + 1))); i += 1 }
+    } else ws.foreach(w => seen.add(mixed(w)))
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 16-bit SimHash from an array of token hashes: bit i of the result is
+    * set when bit i is set in at least half the hashes. */
+  def simhash16(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val sums = new Array[Int](16)
+    var idx = 0
+    while (idx < n) {
+      val h = hs.getLong(idx)
+      var i = 0
+      while (i < 16) {
+        sums(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      idx += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 16) { if (sums(i) >= 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  /** Distinct rolling k-shingle hashes over codepoints; one whole-string
+    * hash when shorter than k. First-occurrence order (= array_distinct). */
+  def shingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val cps = s.toString.codePoints.toArray
+    val n = math.max(cps.length - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var j = i
+      val end = math.min(i + k, cps.length)
+      while (j < end) { acc = (acc * 31 + cps(j)) % P; j += 1 }
+      seen.add(acc)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** poly_hash(str): LONG — codegen'd rolling polynomial string hash. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"poly_hash requires STRING, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.HashUtil.polyHash($c);")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+  override def prettyName: String = "poly_hash"
+}
+
+/** bigram_token_hashes(str): ARRAY<LONG> — distinct Lehmer-mixed word
+  * bigram hashes in one native loop per row. */
+case class BigramTokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bigram_token_hashes requires STRING, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.bigramTokenHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashUtil.bigramTokenHashes($c);")
+  override protected def withNewChildInternal(newChild: Expression): BigramTokenHashes =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_token_hashes"
+}
+
+/** simhash16(array<long>): LONG — 16-bit SimHash of token hashes. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash16 requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.simhash16(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.HashUtil.simhash16($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash16"
+}
+
+/** shingle_hashes(str, k): ARRAY<LONG> — distinct rolling k-shingle
+  * hashes computed in one native loop per row. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "shingle length must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires STRING, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.shingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashUtil.shingleHashes($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}

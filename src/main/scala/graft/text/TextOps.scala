@@ -61,13 +61,9 @@ object TextOps {
   /** Rolling polynomial document fingerprint: fold (acc*31 + codepoint)
     * mod 1e9+7 over the characters — a content hash computable identically
     * by any engine (no engine-specific hash function), usable as an exact
-    * dedup key. No shuffle. HOF folds are interpreted (CodegenFallback)
-    * and re-evaluate leaf children per element, so `text` must be a
-    * MATERIALIZED column — never an inlined regex-normalization. */
+    * dedup key. No shuffle; a native codegen'd Catalyst expression
+    * (graft.plans.PolyHash) — the HOF formulation of the same fold is
+    * CodegenFallback and ~100× slower per row. */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)),
-        i => ascii(text.substr(i, lit(1))).cast(LongType)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+    graft.plans.functions.poly_hash(text)
 }
