@@ -5,6 +5,7 @@ import graft.gold.Features
 import graft.ops._
 import graft.silver.Silver
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,43 +23,48 @@ object CoreQueries {
 
   private val centsSql = (c: String) => s"CAST(round($c * 100, 0) AS BIGINT)"
 
+  /** Shared oracle for the book-summary shape (a05 and the s02 JSON
+    * roundtrip — same values, different Spark-side plumbing). */
+  private lazy val bookSummaryOracle =
+    s"""WITH t AS (
+       |  SELECT l_orderkey AS order_key,
+       |         CASE WHEN l_linenumber % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+       |         ${centsSql("l_extendedprice")} AS price_c,
+       |         ${centsSql("l_quantity")} AS size_c
+       |  FROM lineitem),
+       |w AS (
+       |  SELECT *,
+       |         CASE WHEN side = 'bid' THEN max(price_c) OVER (PARTITION BY order_key, side)
+       |              ELSE min(price_c) OVER (PARTITION BY order_key, side) END AS bp,
+       |         max(size_c) OVER (PARTITION BY order_key, side) AS ms
+       |  FROM t),
+       |a AS (
+       |  SELECT order_key, side,
+       |         max(bp) AS best_price_c,
+       |         max(CASE WHEN price_c = bp THEN size_c END) AS best_size_c,
+       |         CAST(sum(size_c) AS BIGINT) AS total_volume_c,
+       |         max(size_c) AS largest_size_c,
+       |         max(CASE WHEN size_c = ms THEN price_c END) AS largest_price_c
+       |  FROM w GROUP BY 1, 2)
+       |SELECT b.order_key,
+       |       b.best_price_c AS best_bid_price_c, b.best_size_c AS best_bid_size_c,
+       |       k.best_price_c AS best_ask_price_c, k.best_size_c AS best_ask_size_c,
+       |       b.total_volume_c AS total_bid_volume_c, k.total_volume_c AS total_ask_volume_c,
+       |       b.largest_size_c AS largest_bid_size_c, b.largest_price_c AS largest_bid_price_c,
+       |       k.largest_size_c AS largest_ask_size_c, k.largest_price_c AS largest_ask_price_c,
+       |       CASE WHEN b.total_volume_c + k.total_volume_c = 0 THEN 0.0
+       |            ELSE round(CAST(b.total_volume_c - k.total_volume_c AS DOUBLE)
+       |                       / CAST(b.total_volume_c + k.total_volume_c AS DOUBLE), 6)
+       |       END AS book_imbalance
+       |FROM a b JOIN a k ON b.order_key = k.order_key AND b.side = 'bid' AND k.side = 'ask'
+       |""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- A1–A5: orderbook summary (flagship; reference ws_manager.py:55-110)
     QueryDef("a05_book_summary",
       "A1-A5 orderbook summary: best bid/ask, depth sums, arg-max largest order, guarded imbalance — HOFs over array columns")(
-      s"""WITH t AS (
-         |  SELECT l_orderkey AS order_key,
-         |         CASE WHEN l_linenumber % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
-         |         ${centsSql("l_extendedprice")} AS price_c,
-         |         ${centsSql("l_quantity")} AS size_c
-         |  FROM lineitem),
-         |w AS (
-         |  SELECT *,
-         |         CASE WHEN side = 'bid' THEN max(price_c) OVER (PARTITION BY order_key, side)
-         |              ELSE min(price_c) OVER (PARTITION BY order_key, side) END AS bp,
-         |         max(size_c) OVER (PARTITION BY order_key, side) AS ms
-         |  FROM t),
-         |a AS (
-         |  SELECT order_key, side,
-         |         max(bp) AS best_price_c,
-         |         max(CASE WHEN price_c = bp THEN size_c END) AS best_size_c,
-         |         CAST(sum(size_c) AS BIGINT) AS total_volume_c,
-         |         max(size_c) AS largest_size_c,
-         |         max(CASE WHEN size_c = ms THEN price_c END) AS largest_price_c
-         |  FROM w GROUP BY 1, 2)
-         |SELECT b.order_key,
-         |       b.best_price_c AS best_bid_price_c, b.best_size_c AS best_bid_size_c,
-         |       k.best_price_c AS best_ask_price_c, k.best_size_c AS best_ask_size_c,
-         |       b.total_volume_c AS total_bid_volume_c, k.total_volume_c AS total_ask_volume_c,
-         |       b.largest_size_c AS largest_bid_size_c, b.largest_price_c AS largest_bid_price_c,
-         |       k.largest_size_c AS largest_ask_size_c, k.largest_price_c AS largest_ask_price_c,
-         |       CASE WHEN b.total_volume_c + k.total_volume_c = 0 THEN 0.0
-         |            ELSE round(CAST(b.total_volume_c - k.total_volume_c AS DOUBLE)
-         |                       / CAST(b.total_volume_c + k.total_volume_c AS DOUBLE), 6)
-         |       END AS book_imbalance
-         |FROM a b JOIN a k ON b.order_key = k.order_key AND b.side = 'bid' AND k.side = 'ask'
-         |""".stripMargin) { (s, dir) =>
+      bookSummaryOracle) { (s, dir) =>
       val levels = Tables.lineitem(s, dir).select(
         col("l_orderkey").as("order_key"),
         (col("l_linenumber") % 2 === 0).as("is_bid"),
@@ -68,6 +74,52 @@ object CoreQueries {
         collect_list(when(col("is_bid"), col("level"))).as("bids"),
         collect_list(when(!col("is_bid"), col("level"))).as("asks"))
       Book.summarize(books, Seq("order_key"))
+    },
+
+    // ----- S2/S7 + P12: the real wire format — reference-schema JSON events
+    // round-tripped through to_json/from_json (EventSchemas.wsEvent), string
+    // prices decoded, then the same A1-A5 summary (ws_manager.py:48-110)
+    QueryDef("s02_ws_json_roundtrip",
+      "serialize books as reference-shaped WS JSON, parse with the declared topic StructType, decode string prices, summarize")(
+      bookSummaryOracle) { (s, dir) =>
+      val levels = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("order_key"),
+        (col("l_linenumber") % 2 === 0).as("is_bid"),
+        // the CLOB WS sends prices/sizes as decimal STRINGS (ws_manager.py:56-57)
+        struct(Norms.cents(col("l_extendedprice")).cast(StringType).as("price"),
+          Norms.cents(col("l_quantity")).cast(StringType).as("size")).as("level"))
+      val payloads = levels.groupBy("order_key").agg(
+          collect_list(when(col("is_bid"), col("level"))).as("bids"),
+          collect_list(when(!col("is_bid"), col("level"))).as("asks"))
+        .select(to_json(struct(
+          lit("book").as("event_type"),
+          col("order_key").cast(StringType).as("asset_id"),
+          col("bids"), col("asks"))).as("value"))
+      val parsed = payloads
+        .select(from_json(col("value"), graft.schemas.EventSchemas.wsEvent).as("e"))
+        .filter(col("e.event_type") === "book")
+      def cents(side: Column) = transform(side, l =>
+        struct(l.getField("price").cast(LongType).as("price_c"),
+          l.getField("size").cast(LongType).as("size_c")))
+      Book.summarize(
+        parsed.select(col("e.asset_id").cast(LongType).as("order_key"),
+          cents(col("e.bids")).as("bids"), cents(col("e.asks")).as("asks")),
+        Seq("order_key"))
+    },
+
+    // ----- D3/D4: catalog registrations + materialization policy (dbt_project.yml:32-47)
+    QueryDef("d04_sql_views",
+      "bronze as views, silver materialized as a parquet table, queried through the spark.sql surface")(
+      s"""SELECT event_type, count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS vol_c
+         |FROM events WHERE user_id < 50 GROUP BY event_type
+         |""".stripMargin) { (s, dir) =>
+      graft.silver.Catalog.registerBronze(s, dir)
+      val silver = s.table("events").select(col("event_id"), col("ts"),
+        col("event_type"), col("user_id"), Norms.cents(col("value")).as("value_c"))
+      graft.silver.Catalog.materialize(s, silver,
+        s"/tmp/graft_silver_${new java.io.File(dir).getName}/events", "silver_events")
+      s.sql("""SELECT event_type, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS vol_c
+              |FROM silver_events WHERE user_id < 50 GROUP BY event_type""".stripMargin)
     },
 
     // ----- TPC-H Q1 shape: the canonical wide aggregation (D6/A-class baseline)

@@ -223,6 +223,42 @@ object ExtraQueries {
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
     },
 
+    // ----- IVF-style ANN: coarse-quantizer cells, nprobe=1
+    QueryDef("x15_ann_ivf_cosine",
+      "IVF ANN: assign corpus+queries to nearest-of-8-centroid cells, search only the query's cell, top-3")(
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      CASE WHEN ${sqNormD("e.embedding")} * ${sqNormD("c.c_emb")} = 0 THEN 0.0
+         |           ELSE list_reduce(list_transform(list_zip(e.embedding, c.c_emb),
+         |                  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+         |                / sqrt(${sqNormD("e.embedding")} * ${sqNormD("c.c_emb")}) END DESC,
+         |      c.cid) AS rn
+         |  FROM embeddings e, cent c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell FROM asg WHERE vec_id < 5),
+         |dotn AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    list_reduce(list_transform(list_zip(q.q_emb, c.embedding),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x) AS dot,
+         |    ${sqNormD("q.q_emb")} AS nq,
+         |    ${sqNormD("c.embedding")} AS nv
+         |  FROM q JOIN asg c ON q.cell = c.cell),
+         |cs AS (SELECT q_id, vec_id,
+         |         CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / sqrt(nq * nv) END AS cos
+         |       FROM dotn)
+         |SELECT q_id, vec_id, round(cos, 6) AS cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cs)
+         |WHERE rn <= 3
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfTopK(emb, queries, 3)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    },
+
     // ----- language ID (marker-token argmax heuristic)
     QueryDef("x08_lang_id",
       "n-gram language-ID heuristic: per-language marker counts, deterministic argmax, accuracy flag")(

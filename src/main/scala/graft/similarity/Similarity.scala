@@ -58,6 +58,30 @@ object Similarity {
       when(get(emb, lit(i)) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF-style ANN: partition the corpus into cells by nearest centroid
+    * (coarse quantizer), then search only the query's cell (nprobe=1).
+    * Centroids here are a deterministic sample (first `nCells` vectors) —
+    * a k-means fit would slot in identically; assignment is a broadcast
+    * cross join + per-vector argmax, so corpus assignment is one narrow
+    * pass and the search is an equi-join on cell id. The classic
+    * recall/latency trade: cells shrink candidate sets by ~nCells×. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8): DataFrame = {
+    val centroids = corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    def assign(df: DataFrame, idCol: String, emb: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("_ccos", cosine(col(emb), col("c_emb"))).drop("c_emb")
+      TopK.perGroup(scored, Seq(col(idCol)), Seq(col("_ccos").desc, col("cid")), 1)
+        .withColumnRenamed("cid", "cell").drop("_ccos")
+    }
+    val c = assign(corpus, "vec_id", "embedding")
+    val q = assign(queries, "q_id", "q_emb").select("q_id", "q_emb", "cell")
+    val scored = c.join(broadcast(q), "cell")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
+  }
+
   /** Bucketed approximate top-k: candidates share the query's sign
     * bucket, so the cross product becomes an equi-join on bucket id.
     * Queries are broadcast; recall trades off against 2^bits. */
