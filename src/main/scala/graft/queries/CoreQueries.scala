@@ -467,6 +467,74 @@ object CoreQueries {
         .select("event_id", "o_orderkey", "o_orderdate")
     },
 
+    // ----- J2 (skew): salted hot-key join — same result as the plain join
+    QueryDef("j03_salted_join",
+      "deterministic-salt skew join: small side replicated per salt, big side scattered; result identical to plain join")(
+      s"""SELECT c.c_nationkey, count(*) AS n, CAST(sum(${centsSql("e.value")}) AS BIGINT) AS vol_c
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY c.c_nationkey
+         |""".stripMargin) { (s, dir) =>
+      val dim = Tables.customer(s, dir).select(
+        col("c_custkey").as("user_id"), col("c_nationkey"))
+      Skew.saltedJoin(
+          Tables.events(s, dir).select(col("user_id"), Norms.cents(col("value")).as("v_c"),
+            col("event_id")),
+          dim, key = "user_id", saltSrc = col("event_id"), nSalts = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum(col("v_c")).as("vol_c"))
+    },
+
+    // ----- J1 (bucketed): co-located join — bucketed tables, no shuffle at join
+    QueryDef("j04_bucketed_join",
+      "bucketBy(8, key) saveAsTable both sides; the join reads co-located buckets with NO Exchange")(
+      s"""SELECT o.o_orderpriority, count(*) AS n,
+         |       CAST(sum(${centsSql("l.l_extendedprice")}) AS BIGINT) AS rev_c
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderpriority
+         |""".stripMargin) { (s, dir) =>
+      val tag = new java.io.File(dir).getName.replace('.', '_')
+      val lt = s"g_lineitem_$tag"
+      val ot = s"g_orders_$tag"
+      if (!s.catalog.tableExists(lt)) {
+        // external tables under /tmp: the warehouse survives across
+        // sessions while the in-memory catalog does not, and a managed
+        // saveAsTable onto a leftover location fails
+        s.sql(s"DROP TABLE IF EXISTS $lt")
+        s.sql(s"DROP TABLE IF EXISTS $ot")
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+          .write.mode("overwrite").option("path", s"/tmp/graft_bucketed/$tag/$lt")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").option("path", s"/tmp/graft_bucketed/$tag/$ot")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      }
+      // hint("merge"): at test scale Spark would broadcast the small side,
+      // hiding the point — at 100 TB neither side broadcasts and the
+      // bucketed SMJ (no Exchange under either side) is the real plan
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(Norms.cents(col("l_extendedprice"))).as("rev_c"))
+    },
+
+    // ----- D2 (unique_key): upsert/latest-per-key — dbt incremental MERGE analog
+    QueryDef("d06_upsert_unique_key",
+      "latest row per unique key via max_by (one combinable aggregation) — the dbt unique_key MERGE semantics")(
+      s"""SELECT uk, event_id, ${centsSql("value")} AS value_c FROM (
+         |  SELECT event_id % 1000 AS uk, event_id, value,
+         |         row_number() OVER (PARTITION BY event_id % 1000
+         |                            ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1
+         |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select((col("event_id") % 1000).as("uk"), col("event_id"), col("ts"),
+          Norms.cents(col("value")).as("value_c"))
+      val ord = struct(col("ts"), col("event_id"))
+      ev.groupBy("uk")
+        .agg(max_by(col("event_id"), ord).as("event_id"),
+          max_by(col("value_c"), ord).as("value_c"))
+    },
+
     // ----- O1/J3: latest-row probe (tracker.py:177-180)
     QueryDef("o01_latest_row",
       "ORDER BY ts DESC LIMIT 1 — TakeOrderedAndProject, no full sort")(
