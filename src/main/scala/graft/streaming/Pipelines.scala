@@ -53,17 +53,29 @@ object Pipelines {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
-  /** K2: bronze writer — append-only parquet partitioned by ingest date
-    * (the partition-pruning analog of the reference's JSONB expression
-    * indexes, `init.sql:14-15`; D5). foreachBatch so one streaming query
-    * can also fan out side outputs (K4) transactionally per micro-batch. */
+  /** K2/W7: the per-batch bronze write. Partitioning by batch id with
+    * DYNAMIC partition overwrite makes a replayed micro-batch replace its
+    * own partition instead of appending duplicates — this is what turns
+    * the checkpointed source's at-least-once redelivery into effective
+    * exactly-once on a plain file sink, upgrading the reference's
+    * duplicate-on-crash contract (`db_writer.py:48-50`, README.md:107). */
+  def bronzeBatchWrite(path: String, tsCol: String)(batch: DataFrame, id: Long): Unit =
+    batch.withColumn("ingest_date", to_date(col(tsCol)))
+      .withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "ingest_date")
+      .parquet(path)
+
+  /** K2: bronze writer — idempotent parquet partitioned by (batch id,
+    * ingest date); the date partition is the pruning analog of the
+    * reference's JSONB expression indexes (`init.sql:14-15`; D5).
+    * foreachBatch so one streaming query can also fan out side outputs
+    * (K4) per micro-batch. */
   def bronzeSink(df: DataFrame, path: String, checkpoint: String,
                  tsCol: String = "kafka_ts"): DataStreamWriter[Row] =
     df.writeStream.option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.withColumn("ingest_date", to_date(col(tsCol)))
-          .write.mode("append").partitionBy("ingest_date").parquet(path)
-      }
+      .foreachBatch(bronzeBatchWrite(path, tsCol) _)
 
   /** K3: multi-topic router — one bronze directory per topic from a single
     * subscribe-pattern source, the analog of `db_writer.py:121-136`'s
