@@ -36,6 +36,27 @@ object Pipelines {
       .option("startingOffsets", startingOffsets)
       .load()
 
+  /** S3: periodic-poll source analog. The reference polls the Gamma REST
+    * API every 15-minute window (`market_discovery.py:14-33`); in Spark
+    * the poller is an edge adapter landing JSON files (or Kafka
+    * messages), and the engine consumes them as an unbounded file
+    * source with the declared schema — each new file is a poll result,
+    * discovered per trigger. Source-side predicate pushdown (the
+    * reference's `closed=false` query param) stays in the adapter;
+    * engine-side filters (P3/P4) compose downstream. */
+  def fileJsonSource(spark: SparkSession, path: String,
+                     schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  /** S4: point-lookup by key — the engine form of
+    * `get_market_by_slug(slug)` (`market_resolution.py:65-75`): a
+    * stream-static broadcast join against a periodically refreshed
+    * dimension snapshot. Left join keeps events whose key is missing
+    * (lookup-miss visible downstream, matching the reference's
+    * None-result branch). */
+  def keyedLookup(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Parse the Kafka value column against a topic schema; the raw value
     * is retained so unknown/corrupt events stay persistable (P13/W7). */
   def parseValue(raw: DataFrame, schema: StructType): DataFrame =

@@ -130,6 +130,42 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S3/S4: file-source poll results flow through discovery filters + keyed lookup") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_poll").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("slug", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("question", org.apache.spark.sql.types.StringType)))
+    // one "poll result" file lands before the query starts
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/poll1.json"),
+      """{"slug":"btc-updown-1","question":"Bitcoin Up or Down?"}
+        |{"slug":"weather-1","question":"Will it rain?"}""".stripMargin)
+    val src = Pipelines.fileJsonSource(spark, dir, schema)
+    val dim = Seq(("btc-updown-1", "cond-99")).toDF("slug", "condition_id")
+    val out = Pipelines.keyedLookup(
+      graft.ops.Discovery.keywordFilter(src, col("question"), Seq("bitcoin", "btc")),
+      dim, "slug")
+    val q = out.writeStream.format("memory").queryName("poll_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("poll_out")
+        .select("slug", "condition_id").as[(String, String)].collect()
+      assert(rows.toSeq === Seq(("btc-updown-1", "cond-99"))) // weather filtered
+      // the NEXT poll lands a new file mid-stream: incremental discovery,
+      // plus a lookup miss that must survive with a null condition_id
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/poll2.json"),
+        """{"slug":"btc-updown-2","question":"BTC next window?"}""")
+      q.processAllAvailable()
+      val all = spark.table("poll_out")
+        .select("slug", "condition_id").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(all === Set(("btc-updown-1", Some("cond-99")),
+        ("btc-updown-2", None))) // miss kept, visible downstream
+    } finally q.stop()
+  }
+
   test("progress listener counts rows without hot-path instrumentation (A9)") {
     val s = spark
     import s.implicits._
