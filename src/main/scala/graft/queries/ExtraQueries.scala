@@ -259,6 +259,76 @@ object ExtraQueries {
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
     },
 
+    // ----- embedding-cosine near-dup (the vector member of the dedup family)
+    QueryDef("x16_embedding_neardup",
+      "near-dup pairs by embedding cosine >= 0.999 within sign-LSH buckets — planted exact copies are found")(
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |b AS (SELECT vec_id, embedding, ${bucketD("embedding")} AS bucket FROM corpus),
+         |dotn AS (
+         |  SELECT a.vec_id AS vec_a, k.vec_id AS vec_b,
+         |    list_reduce(list_transform(list_zip(a.embedding, k.embedding),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x) AS dot,
+         |    ${sqNormD("a.embedding")} AS na, ${sqNormD("k.embedding")} AS nb
+         |  FROM b a JOIN b k ON a.bucket = k.bucket AND a.vec_id < k.vec_id),
+         |cs AS (SELECT vec_a, vec_b,
+         |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END AS cos
+         |       FROM dotn)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos_r FROM cs WHERE cos >= 0.999
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = emb.unionAll(emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val b = corpus
+        .withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
+        .persist() // self-joined
+      b.as("a").join(b.as("k"),
+          col("a.bucket") === col("k.bucket") && col("a.vec_id") < col("k.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("k.vec_id").as("vec_b"),
+          Similarity.cosine(col("a.embedding"), col("k.embedding")).as("cos"))
+        .filter(col("cos") >= 0.999)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
+    },
+
+    // ----- end-to-end curation pipeline: dedup → quality gate → token count
+    QueryDef("x17_curation_pipeline",
+      "composed training-data curation: exact-dedup survivors → quality gate → token counting — one declarative plan")(
+      s"""WITH $wsDupCorpusD,
+         |n AS (SELECT doc_id, text, md5($normD) AS norm_key FROM corpus),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm_key),
+         |d AS (SELECT n.doc_id, n.text, ' ' || $normD || ' ' AS pad
+         |      FROM n JOIN surv ON n.doc_id = surv.doc_id),
+         |m AS (SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST((length(pad) - length(replace(pad, ' the ', ''))) / 5
+         |     + (length(pad) - length(replace(pad, ' a ', ''))) / 3
+         |     + (length(pad) - length(replace(pad, ' of ', ''))) / 4
+         |     + (length(pad) - length(replace(pad, ' and ', ''))) / 5 AS BIGINT) AS stop_cnt
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         |       round(CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio
+         |FROM m
+         |WHERE n_tokens BETWEEN 10 AND 1000
+         |  AND CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.01
+         |""".stripMargin) { (s, dir) =>
+      val corpus = wsDupCorpus(s, dir)
+      val survivors = Dedup.exact(corpus, col("doc_id"), col("text")).select("doc_id")
+      val stops = Seq(" the ", " a ", " of ", " and ")
+      val pad = TextOps.padded(TextOps.norm(col("text")))
+      val metered = corpus.join(survivors, "doc_id")
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).as("n_tokens"),
+          stops.map(m => TextOps.countOccurrences(pad, m)).reduce(_ + _).as("stop_cnt"))
+      metered
+        .select(col("doc_id"), col("n_tokens"),
+          (col("stop_cnt").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+            .as("_ratio"))
+        .filter(col("n_tokens").between(10, 1000) && col("_ratio") >= 0.01)
+        .select(col("doc_id"), col("n_tokens"), round(col("_ratio"), 6).as("stop_ratio"))
+    },
+
     // ----- language ID (marker-token argmax heuristic)
     QueryDef("x08_lang_id",
       "n-gram language-ID heuristic: per-language marker counts, deterministic argmax, accuracy flag")(
