@@ -4,7 +4,6 @@ import graft.{QueryDef, Tables}
 import graft.gold.Features
 import graft.ops._
 import graft.silver.Silver
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._

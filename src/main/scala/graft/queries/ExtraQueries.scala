@@ -390,6 +390,38 @@ object ExtraQueries {
           col("n_chars").between(100, 2000).as("len_ok"))
     },
 
+    // ----- tf-idf term statistics (top terms per document)
+    QueryDef("x18_tfidf_topterms",
+      "tf-idf top-5 terms per doc; rarity score tf*N/df keeps the math a single deterministic double op (no ln)")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_docs FROM n),
+         |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |             CAST(tf.tf AS DOUBLE) * nn.n_docs / df.df AS score
+         |           FROM tf JOIN df USING (term) CROSS JOIN nn)
+         |SELECT doc_id, term, tf, df, round(score, 6) AS score_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5
+         |""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.norm(col("text")).as("_t"))
+        .select(col("doc_id"), explode(split(col("_t"), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast(DoubleType) * col("n_docs") / col("df")).as("score"))
+      graft.ops.TopK.perGroup(scored, Seq(col("doc_id")),
+          Seq(col("score").desc, col("term")), 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("score"), 6).as("score_r"))
+    },
+
     // ----- token counting (whitespace + BPE-ish regex)
     QueryDef("x10_token_count",
       "whitespace token count + BPE-style pre-tokenizer regex count per document")(
