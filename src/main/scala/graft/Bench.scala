@@ -41,13 +41,18 @@ object Bench {
       val (t2, ok2) = if (ok1) once() else (t1, ok1)
       (name, math.min(t1, t2), ok1 && ok2)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // The driver keeps only a ~2000-char tail of stdout; the JSON line must
+    // fit inside it or it can never be parsed. 3-decimal times + a failures
+    // list (normally empty) instead of a per-query status map keep the full
+    // 56-query line under ~1600 chars.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val st = results.map { case (k, _, ok) =>
-      "\"" + k + "\":\"" + (if (ok) "ok" else "err") + "\"" }
-      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -127,10 +127,16 @@ object Dedup {
     graft.plans.functions.simhash16(tokenHs)
 
   /** Match CPU-bound narrow stages to the cluster's parallelism when the
-    * input scan produced fewer splits than cores (tiny files). */
+    * input scan would produce fewer splits than cores (tiny files). The
+    * decision reads the optimized plan's size ESTIMATE — logical stats
+    * only, no physical planning or RDD materialization — divided by the
+    * configured split size, mirroring how FilePartition would split it. */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = (bytes / math.max(conf.filesMaxPartitionBytes, 1L)).toLong + 1L
+    if (estSplits < target) df.repartition(target) else df
   }
 
   /** Staged fingerprint pipeline: norm → bigram hashes → simhash. */
@@ -139,20 +145,46 @@ object Dedup {
       .select(col("doc_id"), bigramTokenHashes(col("_t")).as("_hx"))
       .select(col("doc_id"), simhash(col("_hx")).as("simhash"))
 
-  /** SimHash near-dup pairs: bucket on the top `bits-8` bits (Hamming-LSH
-    * band), then exact Hamming ≤ maxHamming within buckets. */
+  /** 64-bit SimHash as four 16-bit band values — native one-pass
+    * expression (graft.plans.SimHash64Bands). */
+  def simhash64Bands(tokenHs: Column): Column =
+    graft.plans.functions.simhash64_bands(tokenHs)
+
+  /** Staged 64-bit fingerprint pipeline: norm → bigram hashes → bands. */
+  def simhash64Fingerprints(docs: DataFrame, id: Column, text: Column): DataFrame =
+    spread(docs).select(id.as("doc_id"), TextOps.norm(text).as("_t"))
+      .select(col("doc_id"), bigramTokenHashes(col("_t")).as("_hx"))
+      .select(col("doc_id"), simhash64Bands(col("_hx")).as("bands"))
+
+  /** SimHash near-dup pairs, Manku-style banded Hamming-LSH: the 64-bit
+    * fingerprint splits into 4 bands of 16 bits; any pair within Hamming
+    * ≤ 3 agrees exactly on at least one band (pigeonhole), so candidate
+    * generation is an EQUI-JOIN on (band_id, band_value) — never an
+    * all-pairs scan. Unlike a constant bucket split, band-value
+    * cardinality (up to 2¹⁶ per band, 2¹⁸ keys total) grows with corpus
+    * diversity and duplicate clusters are exactly the rows that should
+    * co-locate; exact Hamming over the carried bands then filters the
+    * candidates. Mirrors the minhashCandidates banding design. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = simhashFingerprints(docs, id, text)
-      .withColumn("bucket", shiftright(col("simhash"), 8))
+    val fp = simhash64Fingerprints(docs, id, text)
+      .select(col("doc_id"), col("bands"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band_id"), get(col("bands"), lit(b)).as("band_val"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("bands"), col("b.band_id"), col("b.band_val"))
       .persist() // self-joined: avoid recomputing fingerprints per side
     val a = fp.as("a")
     val b = fp.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
+    val ham = (0 until 4).map { j =>
+      bit_count(get(col("a.bands"), lit(j)).bitwiseXOR(get(col("b.bands"), lit(j))))
+    }.reduce(_ + _).cast(LongType)
+    a.join(b, col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType)
-          .as("hamming"))
+        ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may agree on several bands
   }
 }

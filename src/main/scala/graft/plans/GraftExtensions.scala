@@ -49,6 +49,12 @@ object functions {
   def simhash16(c: Column): Column =
     GraftBridge.column(SimHash16(GraftBridge.expression(c)))
 
+  def simhash64_bands(c: Column): Column =
+    GraftBridge.column(SimHash64Bands(GraftBridge.expression(c)))
+
+  def sign_bucket_rh(c: Column, bits: Int, seed: Int): Column =
+    GraftBridge.column(SignBucketRH(GraftBridge.expression(c), bits, seed))
+
   def dot_fold(a: Column, b: Column): Column =
     GraftBridge.column(DotFold(GraftBridge.expression(a), GraftBridge.expression(b)))
 

@@ -87,6 +87,47 @@ object HashUtil {
     fp
   }
 
+  /** Lehmer multipliers deriving the four 16-bit bands of the 64-bit
+    * SimHash (band 0 reuses the already-mixed token hash; the others are
+    * classic MINSTD/L'Ecuyer constants). Public-domain constants. */
+  val simhashBandMults: Array[Long] = Array(1L, 16807L, 69621L, 40692L)
+
+  /** 64-bit SimHash as 4 × 16-bit bands (Manku-style Hamming-LSH): band
+    * b's per-token hash is h·mult_b mod 2³¹−1; bit i of band b is set
+    * when the majority of those derived hashes have bit i set. Emitting
+    * the bands (not one packed long) keeps every value positive —
+    * portable to engines whose BIGINT shifts differ on the sign bit —
+    * and makes the band the direct LSH join key. */
+  def simhash64Bands(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    val sums = new Array[Int](64)
+    var idx = 0
+    while (idx < n) {
+      val h = hs.getLong(idx)
+      var b = 0
+      while (b < 4) {
+        val hb = h * simhashBandMults(b) % 2147483647L
+        var i = 0
+        while (i < 16) {
+          sums(b * 16 + i) += (if (((hb >> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+        b += 1
+      }
+      idx += 1
+    }
+    val out = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L
+      var i = 0
+      while (i < 16) { if (sums(b * 16 + i) >= 0) v |= (1L << i); i += 1 }
+      out(b) = v
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct rolling k-shingle hashes over codepoints; one whole-string
     * hash when shorter than k. First-occurrence order (= array_distinct). */
   def shingleHashes(s: UTF8String, k: Int): ArrayData = {
@@ -159,6 +200,24 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
   override def prettyName: String = "simhash16"
+}
+
+/** simhash64_bands(array<long>): ARRAY<LONG>[4] — 64-bit SimHash as four
+  * 16-bit band values (the Hamming-LSH join keys). */
+case class SimHash64Bands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64_bands requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.simhash64Bands(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.HashUtil.simhash64Bands($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Bands =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64_bands"
 }
 
 /** shingle_hashes(str, k): ARRAY<LONG> — distinct rolling k-shingle

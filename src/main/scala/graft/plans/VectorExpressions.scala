@@ -39,6 +39,43 @@ object VecUtil {
     }
     acc
   }
+
+  private final val M31 = 2147483647L
+
+  /** Deterministic Rademacher (±1) entry of random hyperplane `i` at
+    * dimension `d` for table `seed`: parity of a double-Lehmer mix of
+    * (d+1)(2i+1)+7919·seed. Two multiplier steps are required — a single
+    * product of these small operands never wraps the modulus and its
+    * parity would degenerate to parity(d). */
+  def radSign(i: Int, d: Int, seed: Int): Boolean = {
+    var v = ((d + 1).toLong * (2 * i + 1) + 7919L * seed) % M31
+    v = v * 48271L % M31
+    v = v * 69621L % M31
+    (v & 1L) == 1L
+  }
+
+  /** Random-hyperplane sign-LSH bucket: bit i is the sign of the
+    * sequential left-fold (in dimension order — oracle-reproducible) of
+    * ±emb[d] with Rademacher signs. One pass over the vector accumulates
+    * all `bits` hyperplane projections. */
+  def signBucketRH(emb: ArrayData, bits: Int, seed: Int): Long = {
+    val n = emb.numElements()
+    val acc = new Array[Double](bits)
+    var d = 0
+    while (d < n) {
+      val x = emb.getFloat(d).toDouble
+      var i = 0
+      while (i < bits) {
+        acc(i) += (if (radSign(i, d, seed)) x else -x)
+        i += 1
+      }
+      d += 1
+    }
+    var bucket = 0L
+    var i = 0
+    while (i < bits) { if (acc(i) >= 0.0) bucket |= (1L << i); i += 1 }
+    bucket
+  }
 }
 
 /** dot_fold(array<float>, array<float>): DOUBLE — sequential left-fold
@@ -58,6 +95,26 @@ case class DotFold(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotFold =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "dot_fold"
+}
+
+/** sign_bucket_rh(array<float>, bits, seed): LONG — random-hyperplane
+  * sign-LSH bucket id with corpus-scalable bit count. */
+case class SignBucketRH(child: Expression, bits: Int, seed: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 62, "sign_bucket_rh bits must be in [1, 62]")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_bucket_rh requires ARRAY<FLOAT>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    VecUtil.signBucketRH(input.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VecUtil.signBucketRH($c, $bits, $seed);")
+  override protected def withNewChildInternal(newChild: Expression): SignBucketRH =
+    copy(child = newChild)
+  override def prettyName: String = "sign_bucket_rh"
 }
 
 /** sqnorm_fold(array<float>): DOUBLE — sequential left-fold squared L2. */

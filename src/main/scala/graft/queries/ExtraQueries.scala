@@ -79,8 +79,8 @@ object ExtraQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** Bigram-token SimHash fragment (16 bits) for the oracle. */
-  private def simhashD(src: String) =
+  /** Bigram token-hash chain shared by the SimHash oracles. */
+  private def tokenHashesD(src: String) =
     s"""n AS (SELECT doc_id, $normD AS t FROM $src),
        |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n),
        |tok AS (SELECT doc_id,
@@ -90,12 +90,28 @@ object ExtraQueries {
        |th AS (SELECT doc_id, [
        |    (list_reduce([ord(substr(tk, i, 1)) FOR i IN range(1, len(tk)+1)]::BIGINT[],
        |                 (acc, x) -> (acc * 31 + x) % 1000000007) * 48271) % 2147483647
-       |    FOR tk IN toks] AS hx FROM tok),
+       |    FOR tk IN toks] AS hx FROM tok)""".stripMargin
+
+  /** Bigram-token SimHash fragment (16 bits) for the oracle. */
+  private def simhashD(src: String) =
+    s"""${tokenHashesD(src)},
        |fp AS (SELECT doc_id, CAST(list_sum([
        |    CASE WHEN list_sum([
        |           CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hx]) >= 0
        |         THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0,16)]) AS BIGINT) AS simhash
        |  FROM th)""".stripMargin
+
+  /** 64-bit banded SimHash fragment (4 bands × 16 bits; band b's token
+    * hash is h·mult_b mod 2³¹−1) — mirrors graft.plans.SimHash64Bands. */
+  private def simhash64D(src: String) =
+    s"""${tokenHashesD(src)},
+       |fp64 AS (SELECT doc_id, [
+       |    CAST(list_sum([CASE WHEN list_sum([
+       |        CASE WHEN (((h * m) % 2147483647) >> i) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hx]) >= 0
+       |      THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0, 16)]) AS BIGINT)
+       |    FOR m IN [1, 16807, 69621, 40692]] AS bands FROM th),
+       |fb AS (SELECT doc_id, bands, b AS band_id, bands[b+1] AS band_val
+       |       FROM fp64, range(0,4) r(b))""".stripMargin
 
   /** Left-fold cosine fragments for the oracle (≡ Similarity.dot/sqNorm). */
   private val dotD =
@@ -103,8 +119,16 @@ object ExtraQueries {
       |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
   private def sqNormD(c: String) =
     s"list_reduce(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)"
-  private def bucketD(c: String) =
-    s"CAST(list_sum([CASE WHEN $c[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0,4)]) AS BIGINT)"
+  /** Random-hyperplane sign-LSH bucket fragment ≡ graft.plans.SignBucketRH:
+    * Rademacher sign = parity of a double-Lehmer mix of (d+1)(2i+1)+7919·seed;
+    * per-bit projection is a left fold of ±emb[d] in dimension order.
+    * `bits` is a SQL expression so callers can pass a corpus-scaled value. */
+  private def rhBucketD(c: String, bits: String, seed: String) =
+    s"""CAST(list_sum([CASE WHEN list_reduce(
+       |  [CASE WHEN ((((((d+1)*(2*i+1) + 7919*($seed)) % 2147483647) * 48271 % 2147483647) * 69621 % 2147483647) & 1) = 1
+       |        THEN CAST($c[d+1] AS DOUBLE) ELSE -CAST($c[d+1] AS DOUBLE) END
+       |   FOR d IN range(0, len($c))], (acc, x) -> acc + x) >= 0
+       |  THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0, $bits)]) AS BIGINT)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -155,16 +179,17 @@ object ExtraQueries {
       Dedup.simhashFingerprints(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
 
-    // ----- SimHash near-dup pairs (top-byte bucket, Hamming <= 3)
+    // ----- SimHash near-dup pairs (64-bit banded Hamming-LSH, Hamming <= 3)
     QueryDef("x05_simhash_pairs",
-      "Hamming-LSH: bucket on simhash top byte, exact bit_count(xor) <= 3 within buckets")(
+      "Manku banded Hamming-LSH: 64-bit SimHash in 4x16-bit bands, equi-join on (band_id, band_val), exact Hamming <= 3")(
       s"""WITH $tailDupCorpusD,
-         |${simhashD("corpus")}
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM fp a JOIN fp b
-         |  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |${simhash64D("corpus")},
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, k.doc_id AS doc_b,
+         |        CAST(bit_count(xor(a.bands[1], k.bands[1])) + bit_count(xor(a.bands[2], k.bands[2]))
+         |           + bit_count(xor(a.bands[3], k.bands[3])) + bit_count(xor(a.bands[4], k.bands[4])) AS BIGINT) AS hamming
+         |       FROM fb a JOIN fb k
+         |         ON a.band_id = k.band_id AND a.band_val = k.band_val AND a.doc_id < k.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3
          |""".stripMargin) { (s, dir) =>
       Dedup.simhashPairs(tailDupCorpus(s, dir), col("doc_id"), col("text"))
     },
@@ -196,11 +221,11 @@ object ExtraQueries {
 
     // ----- sign-LSH bucketed ANN (the sublinear scale path)
     QueryDef("x07_ann_lsh_cosine",
-      "sign-LSH bucketed cosine top-3: equi-join on 4-bit sign bucket instead of cross product")(
+      "sign-LSH bucketed cosine top-3: equi-join on 4 random-hyperplane sign bits instead of cross product")(
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
-         |             ${bucketD("embedding")} AS bucket
+         |             ${rhBucketD("embedding", "4", "0")} AS bucket
          |           FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id, embedding, ${bucketD("embedding")} AS bucket FROM embeddings),
+         |c AS (SELECT vec_id, embedding, ${rhBucketD("embedding", "4", "0")} AS bucket FROM embeddings),
          |dotn AS (
          |  SELECT q.q_id, c.vec_id,
          |    list_reduce(list_transform(list_zip(q.q_emb, c.embedding),
@@ -261,18 +286,25 @@ object ExtraQueries {
 
     // ----- embedding-cosine near-dup (the vector member of the dedup family)
     QueryDef("x16_embedding_neardup",
-      "near-dup pairs by embedding cosine >= 0.999 within sign-LSH buckets — planted exact copies are found")(
+      "near-dup pairs by embedding cosine >= 0.999 in corpus-scaled random-hyperplane LSH buckets, 2 hash tables for recall")(
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
-         |b AS (SELECT vec_id, embedding, ${bucketD("embedding")} AS bucket FROM corpus),
+         |p AS (SELECT greatest(len(bin(CAST((count(*) + 31) // 32 AS BIGINT) - 1)), 1) AS nbits FROM corpus),
+         |b AS (SELECT s.seed, c.vec_id, c.embedding,
+         |        ${rhBucketD("c.embedding", "p.nbits", "s.seed")} AS bucket
+         |      FROM corpus c CROSS JOIN p CROSS JOIN (SELECT unnest([0, 1]) AS seed) s),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, k.vec_id AS vec_b,
+         |           a.embedding AS ea, k.embedding AS eb
+         |         FROM b a JOIN b k
+         |           ON a.seed = k.seed AND a.bucket = k.bucket AND a.vec_id < k.vec_id),
          |dotn AS (
-         |  SELECT a.vec_id AS vec_a, k.vec_id AS vec_b,
-         |    list_reduce(list_transform(list_zip(a.embedding, k.embedding),
+         |  SELECT vec_a, vec_b,
+         |    list_reduce(list_transform(list_zip(ea, eb),
          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x) AS dot,
-         |    ${sqNormD("a.embedding")} AS na, ${sqNormD("k.embedding")} AS nb
-         |  FROM b a JOIN b k ON a.bucket = k.bucket AND a.vec_id < k.vec_id),
+         |    ${sqNormD("ea")} AS na, ${sqNormD("eb")} AS nb
+         |  FROM cand),
          |cs AS (SELECT vec_a, vec_b,
          |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END AS cos
          |       FROM dotn)
@@ -281,14 +313,11 @@ object ExtraQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val corpus = emb.unionAll(emb.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      val b = corpus
-        .withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
-        .persist() // self-joined
-      b.as("a").join(b.as("k"),
-          col("a.bucket") === col("k.bucket") && col("a.vec_id") < col("k.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("k.vec_id").as("vec_b"),
-          Similarity.cosine(col("a.embedding"), col("k.embedding")).as("cos"))
-        .filter(col("cos") >= 0.999)
+      // one cheap driver-side count sizes the hyperplane family to the
+      // corpus (the point of the scale fix: bits grow with n, bucket
+      // population stays ~constant)
+      val n = corpus.count()
+      Similarity.neardupPairs(corpus, n, minCos = 0.999)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
     },
 

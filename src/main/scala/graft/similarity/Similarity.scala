@@ -51,12 +51,50 @@ object Similarity {
     TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
   }
 
-  /** Sign-LSH bucket id: bit i set iff embedding[i] >= 0, over the first
-    * `bits` dimensions — axis-aligned random-hyperplane LSH for cosine. */
-  def signBucket(emb: Column, bits: Int = 4): Column =
-    (0 until bits).map { i =>
-      when(get(emb, lit(i)) >= 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+  /** Sign-LSH bucket id from `bits` DETERMINISTIC RANDOM HYPERPLANES
+    * (Rademacher ±1 entries from a double-Lehmer mix — not axis-aligned,
+    * so no dependence on any dimension's marginal distribution): bit i is
+    * the sign of the hyperplane-i projection, computed as a sequential
+    * left fold in dimension order (oracle-reproducible). Native one-pass
+    * codegen'd expression. `seed` selects an independent hash table —
+    * union several for recall. */
+  def signBucket(emb: Column, bits: Int = 4, seed: Int = 0): Column =
+    graft.plans.functions.sign_bucket_rh(emb, bits, seed)
+
+  /** Corpus-scaled hyperplane count: the smallest b with
+    * 2^b ≥ n / targetBucket, so expected bucket population stays ≈
+    * targetBucket no matter the corpus size — within-bucket work is
+    * O(n · targetBucket), linear in the corpus, NOT O(n²/constant).
+    * Integer-only (len-of-binary), reproducible in any engine. */
+  def scaledBits(n: Long, targetBucket: Int = 32): Int = {
+    val m = math.max((n + targetBucket - 1) / targetBucket, 2L)
+    math.max(64 - java.lang.Long.numberOfLeadingZeros(m - 1), 1)
+  }
+
+  /** Embedding near-dup pairs: sign-LSH bucket self-join per hash table
+    * (bits scaled to the corpus via scaledBits), candidates unioned
+    * across `tables` independent seeds for recall, then the exact cosine
+    * gate. Exact duplicates always share every bucket, so recall on true
+    * copies is 1.0 regardless of bits. */
+  def neardupPairs(corpus: DataFrame, n: Long, minCos: Double,
+                   targetBucket: Int = 32, tables: Int = 2): DataFrame = {
+    val bits = scaledBits(n, targetBucket)
+    val b = corpus.select(col("vec_id"), col("embedding"),
+        explode(array((0 until tables).map { s =>
+          struct(lit(s).as("seed"),
+            signBucket(col("embedding"), bits, s).as("bucket"))
+        }: _*)).as("t"))
+      .select(col("vec_id"), col("embedding"), col("t.seed"), col("t.bucket"))
+      .persist() // self-joined
+    b.as("a").join(b.as("k"),
+        col("a.seed") === col("k.seed") && col("a.bucket") === col("k.bucket") &&
+        col("a.vec_id") < col("k.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("k.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("k.embedding").as("eb"))
+      .distinct() // same pair can collide in several tables
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 
   /** IVF-style ANN: partition the corpus into cells by nearest centroid
     * (coarse quantizer), then search only the query's cell (nprobe=1).

@@ -56,4 +56,24 @@ class DedupSpec extends SparkSpec {
     assert(hs(1L) === hs(2L))
     hs.values.foreach(h => assert(h >= 0L && h < 65536L))
   }
+
+  test("SimHash64: identical docs share all 4 bands; bands fit 16 bits; banded pairs found") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated words entirely different content here now")).toDF("doc_id", "text")
+    val fp = Dedup.simhash64Fingerprints(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp(1L) === fp(2L))
+    fp.values.foreach { bands =>
+      assert(bands.size === 4)
+      bands.foreach(b => assert(b >= 0L && b < 65536L))
+    }
+    // identical docs: Hamming 0 → must surface as a pair; the unrelated
+    // doc must not pair with them at Hamming <= 3
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) === 0L)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }

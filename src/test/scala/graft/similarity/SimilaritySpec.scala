@@ -39,12 +39,41 @@ class SimilaritySpec extends SparkSpec {
     assert(best === Map(0L -> 0L, 1L -> 1L))
   }
 
-  test("sign bucket packs sign bits of leading dims deterministically") {
-    val out = corpus.select(col("vec_id"),
+  test("sign bucket: deterministic, bounded, equal vectors collide, seeds independent") {
+    val twice = corpus.unionAll(corpus)
+    val out = twice.select(col("vec_id"),
         Similarity.signBucket(col("embedding"), 4).as("b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // 0.0f counts as >= 0 → bit set
-    assert(out(0L) === 15L)  // all non-negative
-    assert(out(3L) === 14L)  // dim0 negative → bit0 clear
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // deterministic: both copies of each vector land in the same bucket
+    assert(out.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1))
+    assert(out.forall { case (_, b) => b >= 0L && b < 16L })
+    // a different seed is a different hash table (some bucket differs)
+    val s0 = corpus.select(Similarity.signBucket(col("embedding"), 8, 0).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val s1 = corpus.select(Similarity.signBucket(col("embedding"), 8, 1).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s0 !== s1)
+  }
+
+  test("scaledBits grows with corpus so bucket population stays ~targetBucket") {
+    assert(Similarity.scaledBits(64, 32) === 1)
+    assert(Similarity.scaledBits(550, 32) === 5)
+    assert(Similarity.scaledBits(2200, 32) === 7)
+    assert(Similarity.scaledBits(1L << 40, 32) === 35)
+    // monotone non-decreasing in n
+    val bs = Seq(10L, 100L, 1000L, 10000L, 100000L).map(Similarity.scaledBits(_, 32))
+    assert(bs === bs.sorted)
+  }
+
+  test("neardupPairs finds planted exact duplicates (recall 1.0 on true copies)") {
+    val planted = corpus.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val all = corpus.unionAll(planted)
+    val pairs = Similarity.neardupPairs(all, n = 7L, minCos = 0.999)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)))
+    assert(pairs.contains((1L, 101L)))
+    // orthogonal vectors never pass the cosine gate
+    assert(!pairs.contains((0L, 1L)))
   }
 }
