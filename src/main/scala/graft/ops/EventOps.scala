@@ -70,6 +70,17 @@ object PriceChanges {
   def explodeSide(df: DataFrame, changes: Column, keepSide: String,
                   keep: Seq[Column]): DataFrame =
     df.select(keep :+ explode(filter(changes, _.getField("side") === keepSide)).as("c"): _*)
+
+  /** A8: positions snapshot fan-out — each poll's array-of-position
+    * structs becomes one typed row per position, and a missing/empty
+    * snapshot still yields ONE marker row (explode_outer), the P15
+    * empty-snapshot interplay (reference
+    * `producers/user_positions_tracker.py:78-105` + `:64-76`). `grid` is
+    * the expected (key…) universe; `packed` carries `positions`. */
+  def snapshotFanout(grid: DataFrame, packed: DataFrame,
+                     keyCols: Seq[String], positions: Column): DataFrame =
+    grid.join(packed, keyCols, "left")
+      .select(keyCols.map(col) :+ explode_outer(positions).as("p"): _*)
 }
 
 /** A7/O2: top-K per group, the positions leaderboard (reference

@@ -183,6 +183,38 @@ object CoreQueries {
       TopK.perGroup(bal, Seq(col("event_type")), Seq(col("bal_c").desc, col("user_id")), 20)
     },
 
+    // ----- A8: positions snapshot fan-out (tracker.py:78-105)
+    QueryDef("a08_positions_fanout",
+      "array-of-position-structs poll payload fans out to one typed row per position; empty snapshots keep a marker row")(
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+         |w AS (SELECT DISTINCT time_bucket(INTERVAL '15 minutes', ts) AS win_start FROM events),
+         |a AS (SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+         |             event_id, ${centsSql("value")} AS value_c
+         |      FROM events WHERE user_id < 20)
+         |SELECT u.user_id, w.win_start, a.event_id,
+         |       coalesce(a.value_c, 0) AS value_c,
+         |       CASE WHEN a.event_id IS NULL THEN 'position_snapshot_empty'
+         |            ELSE 'position' END AS snap_type
+         |FROM u CROSS JOIN w
+         |LEFT JOIN a ON a.user_id = u.user_id AND a.win_start = w.win_start
+         |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val win = window(col("ts"), "15 minutes").getField("start").as("win_start")
+      val packed = ev.filter(col("user_id") < 20)
+        .select(col("user_id"), win,
+          struct(col("event_id"), Norms.cents(col("value")).as("value_c")).as("pos"))
+        .groupBy("user_id", "win_start")
+        .agg(collect_list(col("pos")).as("positions"))
+      val grid = ev.filter(col("user_id") < 20).select("user_id").distinct()
+        .crossJoin(broadcast(ev.select(win).distinct()))
+      PriceChanges.snapshotFanout(grid, packed, Seq("user_id", "win_start"), col("positions"))
+        .select(col("user_id"), col("win_start"),
+          col("p.event_id").as("event_id"),
+          coalesce(col("p.value_c"), lit(0L)).as("value_c"),
+          when(col("p").isNull, "position_snapshot_empty").otherwise("position")
+            .as("snap_type"))
+    },
+
     // ----- A10: missed-snapshot estimate (tracker.py:196-199)
     QueryDef("a10_missed_snapshots",
       "integer-division gap estimate from timestamp arithmetic")(
@@ -570,14 +602,18 @@ object CoreQueries {
 
     // ----- O4: set ops (free once schemas unify — SURVEY §2.6)
     QueryDef("o04_set_ops",
-      "EXCEPT: clickers who never errored")(
-      """SELECT user_id FROM events WHERE event_type = 'click'
-        |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'error'
+      "EXCEPT at (user, day) grain: click-days with no error that day (user-level EXCEPT is degenerate-empty on dense data)")(
+      """SELECT user_id, day FROM (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events WHERE event_type = 'error')
         |""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
-      ev.filter(col("event_type") === "click").select("user_id")
-        .except(ev.filter(col("event_type") === "error").select("user_id"))
+      def days(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      days("click").except(days("error"))
     },
 
     // ----- W1: 15-minute tumbling windows aligned :00/:15/:30/:45 (market_discovery.py:114-137)
@@ -622,12 +658,14 @@ object CoreQueries {
 
     // ----- D2: incremental high-watermark (models/silver/btc_prices.sql:17-19)
     QueryDef("d02_incremental_watermark",
-      "rows newer than max(ts) - 7d; 1-row aggregate broadcast, no big-side shuffle")(
+      "dbt {{this}} semantics: SOURCE rows newer than the TARGET's max(ts) - 7d grace (target fixture = rows loaded before Jan 21); 1-row aggregate broadcast")(
       """SELECT event_id, ts FROM events
-        |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        |WHERE ts > (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '2024-01-21')
+        |           - INTERVAL 7 DAY
         |""".stripMargin) { (s, dir) =>
-      Silver.incrementalAfter(Tables.events(s, dir).select("event_id", "ts"),
-        col("ts"), "7 DAYS")
+      val source = Tables.events(s, dir).select("event_id", "ts")
+      val target = source.filter(col("ts") < lit("2024-01-21").cast(TimestampType))
+      Silver.incrementalAfter(source, target, col("ts"), "7 DAYS")
     },
 
     // ----- D6/f1: price momentum (README.md:225-229)
@@ -691,18 +729,18 @@ object CoreQueries {
 
     // ----- D6/f4: whale deltas between consecutive snapshots (README.md:143-147)
     QueryDef("f04_whale_deltas",
-      "per-user day-over-day balance deltas, |delta| >= $1000 (100000 cents)")(
+      "per-user day-over-day balance deltas, |delta| >= $200 (20000 cents; the reference's $1000 is a parameter — testdata balances sit below it, which would verify nothing)")(
       s"""SELECT user_id, day, delta_c FROM (
          |  SELECT user_id, day, bal_c - lag(bal_c) OVER (PARTITION BY user_id ORDER BY day) AS delta_c
          |  FROM (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
          |               CAST(sum(${centsSql("value")}) AS BIGINT) AS bal_c
          |        FROM events GROUP BY 1, 2))
-         |WHERE abs(delta_c) >= 100000
+         |WHERE abs(delta_c) >= 20000
          |""".stripMargin) { (s, dir) =>
       val snaps = Tables.events(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
         .agg(sum(Norms.cents(col("value"))).as("bal_c"))
-      Features.whaleDeltas(snaps, Seq(col("user_id")), Seq(col("day")), col("bal_c"), 100000L)
+      Features.whaleDeltas(snaps, Seq(col("user_id")), Seq(col("day")), col("bal_c"), 20000L)
         .select("user_id", "day", "delta_c")
     },
 

@@ -49,13 +49,19 @@ object Silver {
       col("_p._corrupt_record").as("_corrupt_record"): _*)
   }
 
-  /** D2: batch high-watermark increment — keep rows newer than the
-    * current max of `watermarkCol` minus `lagBack` (late-data grace).
-    * The aggregate side is a single row; Spark broadcasts it. */
-  def incrementalAfter(df: DataFrame, watermarkCol: Column, lagBack: String): DataFrame = {
-    val mx = df.agg(max(watermarkCol).as("_hwm"))
-    df.crossJoin(broadcast(mx))
-      .filter(watermarkCol > col("_hwm") - expr(s"INTERVAL $lagBack"))
+  /** D2: batch high-watermark increment with dbt `{{ this }}` semantics
+    * (`models/silver/btc_prices.sql:17-19`): keep SOURCE rows newer than
+    * the TARGET table's max of `watermarkCol` minus `lagBack` (late-data
+    * grace) — "rows not yet loaded", not "last N days of source". The
+    * watermark aggregate is a single row; Spark broadcasts it. On first
+    * load (empty target) the null watermark passes everything through.
+    * `d06`'s max_by MERGE is the companion upsert half. */
+  def incrementalAfter(source: DataFrame, target: DataFrame,
+                       watermarkCol: Column, lagBack: String): DataFrame = {
+    val mx = target.agg(max(watermarkCol).as("_hwm"))
+    source.crossJoin(broadcast(mx))
+      .filter(col("_hwm").isNull ||
+        watermarkCol > col("_hwm") - expr(s"INTERVAL $lagBack"))
       .drop("_hwm")
   }
 }
