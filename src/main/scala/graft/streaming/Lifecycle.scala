@@ -52,15 +52,23 @@ object Lifecycle {
   final case class Transition(marketId: String, transition: String,
                               atMs: Long, detail: String)
 
-  /** Reference constants (`market_resolution.py:25,29-38`; README.md:75). */
-  val FirstPollDelayMs = 60000L
-  val BaseBackoffMs = 30000L
-  val MaxBackoffMs = 300000L
-  val MaxAttempts = 20
+  /** Timing knobs, defaulting to the reference constants
+    * (`market_resolution.py:25,29-38`; README.md:75). Tests compress
+    * them to drive real processing-time timeouts in seconds. */
+  final case class Timing(firstPollDelayMs: Long = 60000L,
+                          baseBackoffMs: Long = 30000L,
+                          maxBackoffMs: Long = 300000L,
+                          maxAttempts: Int = 20)
+  val DefaultTiming: Timing = Timing()
 
-  /** Doubling backoff capped at 300 s: 30, 60, 120, 240, 300, 300, ... */
-  def backoffMs(attempt: Int): Long =
-    math.min(BaseBackoffMs << math.min(attempt, 4).toLong, MaxBackoffMs)
+  val FirstPollDelayMs = DefaultTiming.firstPollDelayMs
+  val BaseBackoffMs = DefaultTiming.baseBackoffMs
+  val MaxBackoffMs = DefaultTiming.maxBackoffMs
+  val MaxAttempts = DefaultTiming.maxAttempts
+
+  /** Doubling backoff capped at the max: 30, 60, 120, 240, 300, 300, … */
+  def backoffMs(attempt: Int, t: Timing = DefaultTiming): Long =
+    math.min(t.baseBackoffMs << math.min(attempt, 4).toLong, t.maxBackoffMs)
 
   /** Winner derivation — same float-equality semantics as the batch
     * operator (graft.ops.Resolution.winner; `market_resolution.py:84-90`). */
@@ -99,22 +107,22 @@ object Lifecycle {
     }
 
   /** Pure timer-driven transitions at processing time `nowMs`. */
-  def onTimeout(marketId: String, state: MarketState,
-                nowMs: Long): (Option[MarketState], Seq[Transition]) =
+  def onTimeout(marketId: String, state: MarketState, nowMs: Long,
+                t: Timing = DefaultTiming): (Option[MarketState], Seq[Transition]) =
     state.phase match {
       case "subscribed" =>
         // close timer fired (ws_manager.py:287-299): stop streaming,
         // schedule the first resolution poll at end + 60 s
         val next = state.copy(phase = "awaiting_resolution", attempt = 0,
-          nextActionMs = state.endTimeMs + FirstPollDelayMs)
+          nextActionMs = state.endTimeMs + t.firstPollDelayMs)
         (Some(next), Seq(Transition(marketId, "close", nowMs, "")))
       case "awaiting_resolution" =>
-        if (state.attempt >= MaxAttempts)
+        if (state.attempt >= t.maxAttempts)
           (None, Seq(Transition(marketId, "resolution_failed", nowMs,
             s"attempts=${state.attempt}")))
         else {
           val next = state.copy(attempt = state.attempt + 1,
-            nextActionMs = nowMs + backoffMs(state.attempt))
+            nextActionMs = nowMs + backoffMs(state.attempt, t))
           (Some(next), Seq(Transition(marketId, "poll_due", nowMs,
             s"attempt=${next.attempt}")))
         }
@@ -123,7 +131,8 @@ object Lifecycle {
 
   /** flatMapGroupsWithState wrapper: keyed by market_id, processing-time
     * timeouts armed at the state's nextActionMs. */
-  def run(msgs: Dataset[MarketMsg]): Dataset[Transition] = {
+  def run(msgs: Dataset[MarketMsg],
+          timing: Timing = DefaultTiming): Dataset[Transition] = {
     implicit val te = Encoders.product[Transition]
     implicit val ke = Encoders.STRING
     msgs.groupByKey(_.marketId)
@@ -132,7 +141,7 @@ object Lifecycle {
         (key: String, it: Iterator[MarketMsg], gs: GroupState[MarketState]) =>
           val nowMs = gs.getCurrentProcessingTimeMs()
           val (ns, out) =
-            if (gs.hasTimedOut) onTimeout(key, gs.get, nowMs)
+            if (gs.hasTimedOut) onTimeout(key, gs.get, nowMs, timing)
             else onMessages(key, it.toSeq.sortBy(_.tsMs), gs.getOption)
           ns match {
             case Some(s) =>

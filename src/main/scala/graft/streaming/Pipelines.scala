@@ -64,11 +64,17 @@ object Pipelines {
       col("value").cast("string").as("raw"),
       from_json(col("value").cast("string"), schema).as("p"))
 
-  /** K1: Kafka JSON producer sink — mirror of the reference's
-    * `json.dumps` value serializer (`coinbase_producer.py:14-17`). */
+  /** K1 value serializer — mirror of the reference's `json.dumps`
+    * (`coinbase_producer.py:14-17`): the whole row as one JSON object in
+    * the Kafka `value` column. Factored out of [[kafkaSink]] so the
+    * projection is testable without a broker. */
+  def jsonValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** K1: Kafka JSON producer sink. */
   def kafkaSink(df: DataFrame, topic: String, checkpoint: String,
                 bootstrap: String = "localhost:9092"): DataStreamWriter[Row] =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    jsonValue(df)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)

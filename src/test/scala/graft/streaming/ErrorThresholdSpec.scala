@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.ErrorThreshold._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** K4 threshold semantics (user_positions_tracker.py:134-151): an error
+  * event fires only on the 5th CONSECUTIVE failure; success resets. */
+class ErrorThresholdSpec extends SparkSpec {
+
+  private def fails(k: String, from: Long, n: Int) =
+    (0 until n).map(i => Probe(k, from + i, failed = true))
+
+  test("4 consecutive failures emit nothing; the 5th emits exactly one event") {
+    val (st4, out4) = step(RunState(0), fails("u1", 0L, 4), DefaultThreshold)
+    assert(out4.isEmpty && st4.consecutive === 4)
+    val (st5, out5) = step(RunState(0), fails("u1", 0L, 5), DefaultThreshold)
+    assert(out5.map(e => (e.key, e.consecutive)) === Seq(("u1", 5)))
+    assert(st5.consecutive === 0) // notify-then-reset
+  }
+
+  test("a success resets the run: 4 fails, success, 4 fails emits nothing") {
+    val probes = fails("u1", 0L, 4) ++ Seq(Probe("u1", 4L, failed = false)) ++
+      fails("u1", 5L, 4)
+    val (st, out) = step(RunState(0), probes, DefaultThreshold)
+    assert(out.isEmpty && st.consecutive === 4)
+  }
+
+  test("runs continue across micro-batches and emit once per completed run") {
+    val (st1, out1) = step(RunState(0), fails("u1", 0L, 3), DefaultThreshold)
+    assert(out1.isEmpty)
+    val (st2, out2) = step(st1, fails("u1", 3L, 7), DefaultThreshold)
+    // 3 carried + 7 new = one event at the 5th, run restarts, 5 left → second event
+    assert(out2.size === 2)
+    assert(st2.consecutive === 0)
+  }
+
+  test("streaming wrapper: per-key isolation through a MemoryStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Probe]
+    val q = ErrorThreshold.run(in.toDS(), threshold = 3)
+      .writeStream.format("memory").queryName("errth_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1 fails 2× then succeeds; u2 fails 3× → only u2 fires
+      in.addData(fails("u1", 0L, 2) ++ Seq(Probe("u1", 2L, failed = false)) ++
+        fails("u2", 0L, 3): _*)
+      q.processAllAvailable()
+      val out = spark.table("errth_out").as[ErrorEvent].collect()
+      assert(out.map(e => (e.key, e.consecutive)).toSeq === Seq(("u2", 3)))
+      // u1's remaining run: 2 more fails reach 3 only if state carried — it
+      // was reset by the success, so 2 fails stay silent; a 3rd fires
+      in.addData(fails("u1", 10L, 2): _*)
+      q.processAllAvailable()
+      assert(spark.table("errth_out").count() === 1)
+      in.addData(Probe("u1", 20L, failed = true))
+      q.processAllAvailable()
+      val all = spark.table("errth_out").as[ErrorEvent].collect()
+      assert(all.count(_.key == "u1") === 1)
+    } finally q.stop()
+  }
+}

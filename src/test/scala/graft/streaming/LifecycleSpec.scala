@@ -69,6 +69,75 @@ class LifecycleSpec extends SparkSpec {
     assert(winner(0.4, 0.6) === "Unknown")
   }
 
+  /** Poll the named memory sink until `pred` holds or the deadline
+    * passes (queries with registered processing-time timeouts never go
+    * idle, so processAllAvailable can't be used as a barrier). */
+  private def awaitSink(name: String, timeoutMs: Long = 90000)(
+      pred: org.apache.spark.sql.DataFrame => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!pred(spark.table(name)) && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    pred(spark.table(name))
+  }
+
+  test("end-to-end: close timer → poll_due → resolved poll result clears the market (W4/W5)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // compressed timing: close ~1 s after subscribe, first poll 300 ms
+    // after close, 200 ms backoff — the full reference cycle in seconds
+    val timing = Timing(firstPollDelayMs = 300L, baseBackoffMs = 200L,
+      maxBackoffMs = 400L, maxAttempts = 20)
+    val in = MemoryStream[MarketMsg]
+    val q = Lifecycle.run(in.toDS(), timing)
+      .writeStream.format("memory").queryName("lc_e2e")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val end = System.currentTimeMillis() + 1000L
+      in.addData(MarketMsg("mX", "discovered", 1L, Seq("t1"), end,
+        closed = false, "", 0, 0))
+      // timer path: close fires at end_time, then a poll_due at +300 ms
+      assert(awaitSink("lc_e2e") { df =>
+        val ts = df.as[Transition].collect().map(_.transition)
+        ts.contains("close") && ts.contains("poll_due")
+      }, "expected close + poll_due transitions")
+      // answer the poll: resolved, No side at 1.0 → winner Down, state cleared
+      in.addData(MarketMsg("mX", "poll_result", 2L, Nil, 0L,
+        closed = true, "resolved", 1.0, 0.0))
+      assert(awaitSink("lc_e2e") { df =>
+        df.as[Transition].collect()
+          .exists(t => t.transition == "resolved" && t.detail == "Down")
+      }, "expected resolved transition with winner Down")
+    } finally q.stop()
+  }
+
+  test("end-to-end: unanswered polls exhaust the attempt budget → resolution_failed (W5)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val timing = Timing(firstPollDelayMs = 200L, baseBackoffMs = 100L,
+      maxBackoffMs = 200L, maxAttempts = 3)
+    val in = MemoryStream[MarketMsg]
+    val q = Lifecycle.run(in.toDS(), timing)
+      .writeStream.format("memory").queryName("lc_fail")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      val end = System.currentTimeMillis() + 500L
+      in.addData(MarketMsg("mY", "discovered", 1L, Seq("t1"), end,
+        closed = false, "", 0, 0))
+      assert(awaitSink("lc_fail") { df =>
+        df.as[Transition].collect().map(_.transition).contains("resolution_failed")
+      }, "expected resolution_failed after exhausted attempts")
+      val ts = spark.table("lc_fail").as[Transition].collect()
+      assert(ts.count(_.transition == "poll_due") === timing.maxAttempts)
+      assert(ts.map(_.transition).count(_ == "close") === 1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState wrapper: subscribe transitions flow through a MemoryStream") {
     val s = spark
     import s.implicits._

@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 final case class Tick(k: Long, ts: Timestamp, v: Long)
+final case class KafkaRec(topic: String, value: String, timestamp: Timestamp)
 
 /** Streaming wiring driven via MemoryStream: throttle decimation,
   * watermarked windows, bronze foreachBatch sink with date partitions,
@@ -164,6 +165,62 @@ class PipelinesSpec extends SparkSpec {
       assert(all === Set(("btc-updown-1", Some("cond-99")),
         ("btc-updown-2", None))) // miss kept, visible downstream
     } finally q.stop()
+  }
+
+  test("K3: routed bronze sink lands one pruned partition per topic") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val root = Files.createTempDirectory("graft_routed").toString + "/bronze"
+    val ckpt = Files.createTempDirectory("graft_routed_ckpt").toString
+    val in = MemoryStream[KafkaRec]
+    val q = Pipelines.routedBronzeSink(in.toDF(), root, ckpt).start()
+    try {
+      in.addData(
+        KafkaRec("coinbase.ticker", """{"price":"1"}""", ts("2026-01-01 10:00:00")),
+        KafkaRec("coinbase.ticker", """{"price":"2"}""", ts("2026-01-01 11:00:00")),
+        KafkaRec("polymarket.book", """{"bids":[]}""", ts("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      val back = spark.read.parquet(root)
+      assert(back.count() === 3)
+      // per-topic directories exist (the 7-writer-threads analog) and a
+      // topic filter prunes to its own partition
+      assert(back.select("topic").distinct().as[String].collect().toSet ===
+        Set("coinbase.ticker", "polymarket.book"))
+      assert(back.filter(col("topic") === "polymarket.book").count() === 1)
+      assert(new java.io.File(s"$root/topic=coinbase.ticker").isDirectory)
+    } finally q.stop()
+  }
+
+  test("K4: error side channel lands good and error rows in separate paths per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val base = Files.createTempDirectory("graft_errch").toString
+    val ckpt = Files.createTempDirectory("graft_errch_ckpt").toString
+    val in = MemoryStream[Tick]
+    val q = Pipelines.withErrorChannel(in.toDF(), col("v") < 0L,
+      s"$base/good", s"$base/errors", ckpt).start()
+    try {
+      in.addData(Tick(1L, ts("2026-01-01 10:00:00"), 5L),
+        Tick(2L, ts("2026-01-01 10:00:01"), -1L),
+        Tick(3L, ts("2026-01-01 10:00:02"), 7L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/good").select("k").as[Long]
+        .collect().toSet === Set(1L, 3L))
+      assert(spark.read.parquet(s"$base/errors").select("k").as[Long]
+        .collect().toSet === Set(2L))
+    } finally q.stop()
+  }
+
+  test("K1: kafkaSink's value projection serializes the whole row as reference-shaped JSON") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("BTC-USD", 97000.5, 1700000000L))
+      .toDF("product_id", "price", "time")
+    val out = Pipelines.jsonValue(df).as[String].collect()
+    assert(out.toSeq ===
+      Seq("""{"product_id":"BTC-USD","price":97000.5,"time":1700000000}"""))
   }
 
   test("progress listener counts rows without hot-path instrumentation (A9)") {
