@@ -250,18 +250,20 @@ object ExtraQueries {
 
     // ----- IVF-style ANN: coarse-quantizer cells, nprobe=1
     QueryDef("x15_ann_ivf_cosine",
-      "IVF ANN: assign corpus+queries to nearest-of-8-centroid cells, search only the query's cell, top-3")(
+      "IVF ANN: corpus in nearest-of-8-centroid cells, queries probe their top-2 cells (nprobe=2), top-3")(
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
-         |asg AS (SELECT vec_id, embedding, cell FROM (
-         |  SELECT e.vec_id, e.embedding, c.cid AS cell,
+         |sc AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |      CASE WHEN ${sqNormD("e.embedding")} * ${sqNormD("c.c_emb")} = 0 THEN 0.0
          |           ELSE list_reduce(list_transform(list_zip(e.embedding, c.c_emb),
          |                  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
          |                / sqrt(${sqNormD("e.embedding")} * ${sqNormD("c.c_emb")}) END DESC,
          |      c.cid) AS rn
-         |  FROM embeddings e, cent c) WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell FROM asg WHERE vec_id < 5),
+         |  FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, embedding, cid AS cell FROM sc WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cid AS cell
+         |      FROM sc WHERE vec_id < 5 AND rn <= 2),
          |dotn AS (
          |  SELECT q.q_id, c.vec_id,
          |    list_reduce(list_transform(list_zip(q.q_emb, c.embedding),
@@ -280,7 +282,7 @@ object ExtraQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      Similarity.ivfTopK(emb, queries, 3)
+      Similarity.ivfTopK(emb, queries, 3, nCells = 8, nprobe = 2)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
     },
 

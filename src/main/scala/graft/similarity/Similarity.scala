@@ -96,24 +96,61 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
-  /** IVF-style ANN: partition the corpus into cells by nearest centroid
-    * (coarse quantizer), then search only the query's cell (nprobe=1).
-    * Centroids here are a deterministic sample (first `nCells` vectors) —
-    * a k-means fit would slot in identically; assignment is a broadcast
-    * cross join + per-vector argmax, so corpus assignment is one narrow
-    * pass and the search is an equi-join on cell id. The classic
-    * recall/latency trade: cells shrink candidate sets by ~nCells×. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8): DataFrame = {
-    val centroids = corpus.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    def assign(df: DataFrame, idCol: String, emb: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("_ccos", cosine(col(emb), col("c_emb"))).drop("c_emb")
-      TopK.perGroup(scored, Seq(col(idCol)), Seq(col("_ccos").desc, col("cid")), 1)
-        .withColumnRenamed("cid", "cell").drop("_ccos")
+  /** Assign each row to its `nprobe` nearest centroids by cosine
+    * (broadcast centroids + per-row top-nprobe argmax — one narrow pass
+    * over the big side, no shuffle of embeddings). */
+  def assignCells(df: DataFrame, idCol: String, emb: String,
+                  centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("_ccos", cosine(col(emb), col("c_emb"))).drop("c_emb")
+    TopK.perGroup(scored, Seq(col(idCol)), Seq(col("_ccos").desc, col("cid")), nprobe)
+      .withColumnRenamed("cid", "cell").drop("_ccos")
+  }
+
+  /** Deterministic Lloyd refinement of IVF centroids: assign → per-cell
+    * element-wise mean → repeat. The mean uses EXACT decimal sums per
+    * (cell, dimension) — order-independent regardless of partitioning, so
+    * the trained centroids (and hence cell assignment) are reproducible
+    * run to run on any cluster. Each iteration is one narrow assignment
+    * pass + one (cell, dim)-keyed aggregation; nothing quadratic. Empty
+    * cells keep their previous centroid (classic k-means convention). */
+  def kmeansRefine(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val means = assignCells(corpus, "vec_id", "embedding", cents, 1)
+        .select(col("cell").as("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast(DecimalType(38, 12))) / count(lit(1)))
+          .cast(FloatType).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("c_emb"))
+      cents = cents.select(col("cid"), col("c_emb").as("_prev"))
+        .join(means.withColumnRenamed("c_emb", "_new"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("_new"), col("_prev")).as("c_emb"))
     }
-    val c = assign(corpus, "vec_id", "embedding")
-    val q = assign(queries, "q_id", "q_emb").select("q_id", "q_emb", "cell")
+    cents
+  }
+
+  /** IVF ANN: partition the corpus into cells by nearest centroid
+    * (coarse quantizer), then search only the query's `nprobe` nearest
+    * cells. Centroids start as a deterministic sample (first `nCells`
+    * vectors) and are optionally Lloyd-refined (`kmeansIters`);
+    * assignment is a broadcast cross join + per-vector argmax, so corpus
+    * assignment is one narrow pass and the search is an equi-join on
+    * cell id. Recall/latency trade: candidates shrink ~nCells/nprobe×;
+    * raise `nprobe` (or train centroids) for recall. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8,
+              nprobe: Int = 1, kmeansIters: Int = 0): DataFrame = {
+    val init = corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val cents = (if (kmeansIters > 0) kmeansRefine(corpus, init, kmeansIters)
+                 else init).persist()
+    val c = assignCells(corpus, "vec_id", "embedding", cents, 1)
+    val q = assignCells(queries, "q_id", "q_emb", cents, nprobe)
+      .select("q_id", "q_emb", "cell")
+    // corpus vectors live in exactly one cell, so probing nprobe disjoint
+    // cells never duplicates a (q_id, vec_id) candidate
     val scored = c.join(broadcast(q), "cell")
       .select(col("q_id"), col("vec_id"),
         cosine(col("q_emb"), col("embedding")).as("cos"))

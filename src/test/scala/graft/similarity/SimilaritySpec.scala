@@ -65,6 +65,35 @@ class SimilaritySpec extends SparkSpec {
     assert(bs === bs.sorted)
   }
 
+  test("IVF with trained centroids + nprobe reaches recall@3 = 1.0 vs brute force on testdata") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Similarity.bruteForceTopK(emb, queries, 3))
+    val ivf = resultSet(
+      Similarity.ivfTopK(emb, queries, 3, nCells = 4, nprobe = 2, kmeansIters = 2))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall === 1.0, s"recall@3 $recall; missing ${exact diff ivf}")
+  }
+
+  test("kmeansRefine is deterministic and keeps one centroid per cell") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val init = emb.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    def train() = Similarity.kmeansRefine(emb, init, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val a = train()
+    val b = train()
+    assert(a.keySet === Set(0L, 1L, 2L, 3L))
+    assert(a === b) // exact decimal sums → identical floats run to run
+    a.values.foreach(c => assert(c.length === 64))
+  }
+
   test("neardupPairs finds planted exact duplicates (recall 1.0 on true copies)") {
     val planted = corpus.filter(col("vec_id") < 2)
       .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
