@@ -74,4 +74,32 @@ object Features {
           / (col("total_c").cast(DoubleType) * col("total_c").cast(DoubleType)), 8))
       .drop("_s2")
   }
+
+  /** Accumulator for [[TopShareAgg]]: exact long total + running max. */
+  final case class ShareBuf(total: Long, maxBal: Long)
+
+  /** D6 concentration as a typed `Aggregator` (SURVEY §2.10's one
+    * named UDAF candidate): the largest single holder's share of the
+    * group total. Buffer is two exact longs — associative, commutative,
+    * map-side combinable (Spark plans partial_topshareagg below the
+    * exchange like any builtin agg); the only double op is one final
+    * division, so results are partition-order independent. */
+  object TopShareAgg extends org.apache.spark.sql.expressions.Aggregator[Long, ShareBuf, Double] {
+    override def zero: ShareBuf = ShareBuf(0L, 0L)
+    override def reduce(b: ShareBuf, balC: Long): ShareBuf =
+      ShareBuf(b.total + balC, math.max(b.maxBal, balC))
+    override def merge(a: ShareBuf, b: ShareBuf): ShareBuf =
+      ShareBuf(a.total + b.total, math.max(a.maxBal, b.maxBal))
+    // no rounding here: callers apply Spark's round() (proven oracle
+    // parity with DuckDB's); the division itself is one IEEE op on
+    // exact longs, partition-order independent
+    override def finish(b: ShareBuf): Double =
+      if (b.total == 0L) 0.0 else b.maxBal.toDouble / b.total.toDouble
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product[ShareBuf]
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** Column form of [[TopShareAgg]] via `udaf()`. */
+  val topShare: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(TopShareAgg)
 }

@@ -744,6 +744,23 @@ object CoreQueries {
         .select("user_id", "day", "delta_c")
     },
 
+    // ----- D6/f6: top-holder share via a typed Aggregator (SURVEY §2.10 UDAF surface)
+    QueryDef("f06_top_share",
+      "largest holder's share of each event_type's total — typed Aggregator (udaf), two-long buffer, map-side combinable")(
+      s"""SELECT event_type,
+         |       round(CAST(max(bal_c) AS DOUBLE) / CAST(sum(bal_c) AS DOUBLE), 6) AS top_share
+         |FROM (SELECT event_type, user_id, CAST(sum(${centsSql("value")}) AS BIGINT) AS bal_c
+         |      FROM events GROUP BY 1, 2)
+         |GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      val perUser = Tables.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(sum(Norms.cents(col("value"))).as("bal_c"))
+      perUser.groupBy("event_type")
+        .agg(Features.topShare(col("bal_c")).as("_ts"))
+        .select(col("event_type"), round(col("_ts"), 6).as("top_share"))
+    },
+
     // ----- D6/f5: participant concentration (HHI)
     QueryDef("f05_concentration_hhi",
       "Herfindahl index per event_type from exact integer sums")(

@@ -158,6 +158,18 @@ object Pipelines {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("win_start", col("_win.start")).drop("_win")
 
+  /** W7 streaming exact-dedup: drop redelivered events by key within the
+    * watermark horizon (`dropDuplicatesWithinWatermark` — state per key
+    * is evicted once the watermark passes, so memory is bounded by the
+    * late-data window, not the stream's history). This is the streaming
+    * member of the dedup family (batch exact dedup = Dedup.exact) and
+    * the engine form of the reference's at-least-once redelivery guard
+    * (SURVEY §7.2 step 5 "dropDuplicates market dedupe"). */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String], tsCol: String,
+                           watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** W2: 10-second cadence trigger (`user_positions_tracker.py:12`). */
   val snapshotTrigger: Trigger = Trigger.ProcessingTime("10 seconds")
 

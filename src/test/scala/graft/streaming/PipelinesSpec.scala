@@ -223,6 +223,26 @@ class PipelinesSpec extends SparkSpec {
       Seq("""{"product_id":"BTC-USD","price":97000.5,"time":1700000000}"""))
   }
 
+  test("W7: dropDuplicatesWithinWatermark drops redelivered keys across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Tick]
+    val out = Pipelines.dedupWithinWatermark(in.toDF(), Seq("k"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Tick(1L, ts("2026-01-01 00:00:05"), 10L),
+        Tick(1L, ts("2026-01-01 00:00:05"), 10L)) // same-batch duplicate
+      q.processAllAvailable()
+      in.addData(Tick(1L, ts("2026-01-01 00:00:06"), 11L), // redelivery, next batch
+        Tick(2L, ts("2026-01-01 00:00:07"), 20L))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").select("k").as[Long].collect().toSeq
+      assert(rows.sorted === Seq(1L, 2L)) // key 1 kept once, not three times
+    } finally q.stop()
+  }
+
   test("progress listener counts rows without hot-path instrumentation (A9)") {
     val s = spark
     import s.implicits._
