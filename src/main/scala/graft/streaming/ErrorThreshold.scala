@@ -38,6 +38,42 @@ object ErrorThreshold {
       }
     }
 
+  /** Spark-4 `transformWithState` form of the same operator — the
+    * next-gen keyed-state API (requires the RocksDB state store
+    * provider). Two upgrades over the fMGWS form that matter at scale:
+    * typed per-key `ValueState` lives in the store (not a single
+    * serialized blob per key), and the TTL evicts state for keys that
+    * simply stop arriving — unbounded key churn (users come and go)
+    * cannot accumulate state forever even when no success row ever
+    * shows up to clear it. */
+  class ThresholdProcessor(threshold: Int, ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Probe, ErrorEvent] {
+    @transient private var run: org.apache.spark.sql.streaming.ValueState[RunState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      run = getHandle.getValueState[RunState]("run",
+        Encoders.product[RunState],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[Probe],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[ErrorEvent] = {
+      val st = if (run.exists()) run.get() else RunState(0)
+      val (ns, out) = step(st, rows.toSeq.sortBy(_.tsMs), threshold)
+      if (ns.consecutive == 0 && out.isEmpty) run.clear() else run.update(ns)
+      out.iterator
+    }
+  }
+
+  /** [[run]] on `transformWithState`: same pure `step` core, store-native
+    * state with TTL eviction. */
+  def runTws(probes: Dataset[Probe], threshold: Int = DefaultThreshold,
+             ttl: java.time.Duration = java.time.Duration.ofDays(1)): Dataset[ErrorEvent] = {
+    implicit val ee = Encoders.product[ErrorEvent]
+    probes.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new ThresholdProcessor(threshold, ttl),
+        // TTL is clock-based state expiry → the store needs a time mode
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Streaming wrapper: keyed consecutive-failure detection. */
   def run(probes: Dataset[Probe],
           threshold: Int = DefaultThreshold): Dataset[ErrorEvent] = {

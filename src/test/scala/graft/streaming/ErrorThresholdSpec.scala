@@ -36,6 +36,50 @@ class ErrorThresholdSpec extends SparkSpec {
     assert(st2.consecutive === 0)
   }
 
+  test("transformWithState form matches: threshold fires once per run (RocksDB store)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Probe]
+    val q = ErrorThreshold.runTws(in.toDS(), threshold = 3)
+      .writeStream.format("memory").queryName("errtws_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    // a TimeMode.ProcessingTime query keeps running TTL-evaluation
+    // batches, so processAllAvailable can't be used as a barrier — poll
+    // the sink with a deadline instead (same pattern as LifecycleSpec)
+    def awaitCount(n: Long): Boolean = {
+      val deadline = System.currentTimeMillis() + 90000
+      while (spark.table("errtws_out").count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      spark.table("errtws_out").count() === n
+    }
+    try {
+      in.addData(fails("u1", 0L, 2): _*)
+      in.addData(fails("u1", 2L, 1): _*) // run carried across batches → 3rd fires
+      assert(awaitCount(1L), "expected exactly one threshold event")
+      val out = spark.table("errtws_out").as[ErrorEvent].collect()
+      assert(out.map(e => (e.key, e.consecutive)).toSeq === Seq(("u1", 3)))
+      in.addData(fails("u1", 10L, 2): _*) // reset after emit: 2 more stay silent
+      in.addData(fails("u2", 0L, 3): _*)  // independent key fires
+      assert(awaitCount(2L), "expected u2's event and nothing more from u1")
+      val all = spark.table("errtws_out").as[ErrorEvent].collect()
+      assert(all.count(_.key == "u1") === 1)
+      assert(all.count(_.key == "u2") === 1)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming wrapper: per-key isolation through a MemoryStream") {
     val s = spark
     import s.implicits._
