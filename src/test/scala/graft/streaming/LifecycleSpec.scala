@@ -138,6 +138,45 @@ class LifecycleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState form: absolute timers drive close → poll_due → resolved (RocksDB)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val timing = Timing(firstPollDelayMs = 300L, baseBackoffMs = 200L,
+      maxBackoffMs = 400L, maxAttempts = 20)
+    val in = MemoryStream[MarketMsg]
+    val q = Lifecycle.runTws(in.toDS(), timing)
+      .writeStream.format("memory").queryName("lc_tws")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val end = System.currentTimeMillis() + 1000L
+      in.addData(MarketMsg("mT", "discovered", 1L, Seq("t1"), end,
+        closed = false, "", 0, 0))
+      assert(awaitSink("lc_tws") { df =>
+        val ts = df.as[Transition].collect().map(_.transition)
+        ts.contains("close") && ts.contains("poll_due")
+      }, "expected close + poll_due via registered timers")
+      in.addData(MarketMsg("mT", "poll_result", 2L, Nil, 0L,
+        closed = true, "resolved", 0.0, 1.0))
+      assert(awaitSink("lc_tws") { df =>
+        df.as[Transition].collect()
+          .exists(t => t.transition == "resolved" && t.detail == "Up")
+      }, "expected resolved transition with winner Up")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState wrapper: subscribe transitions flow through a MemoryStream") {
     val s = spark
     import s.implicits._
