@@ -19,6 +19,12 @@ object SqlDemo {
     println("[sqldemo] scalar: " +
       spark.sql("SELECT poly_hash('hello'), size(shingle_hashes('hello world!', 7))")
         .head().toSeq.mkString(", "))
+    println("[sqldemo] vector+simhash: " +
+      spark.sql(
+        """SELECT dot_fold(array(1.0f, 2.0f), array(3.0f, 4.0f)),
+          |       sign_bucket_rh(array(1.0f, -2.0f, 3.0f, -4.0f), 4, 0),
+          |       simhash64_bands(bigram_token_hashes('alpha beta gamma'))
+          |""".stripMargin).head().toSeq.mkString(", "))
     spark.sql(
       """SELECT count(DISTINCT poly_hash(lower(trim(text)))) AS distinct_fp,
         |       count(*) AS n

@@ -4,33 +4,52 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-/** SparkSessionExtensions entry point: registers the native hash
-  * expressions as SQL functions so `spark.sql("SELECT poly_hash(text)")`
-  * works. Activate with
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+/** SparkSessionExtensions entry point: registers every native expression
+  * as a SQL function so `spark.sql("SELECT poly_hash(text)")` works.
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`, or
+  * on an already-built session via `GraftBridge.registerFunctions`.
   * The DataFrame API does not need this — graft wraps the expressions
   * directly (see graft.plans.functions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (args: Seq[Expression]) => {
-        require(args.length == 1, "poly_hash(str)")
-        PolyHash(args.head)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("shingle_hashes"),
-      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "shingle_hashes(str, k)")
-        val k = args(1) match {
-          case Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Number].intValue()
-        }
-        ShingleHashes(args.head, k)
-      }))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.sqlFunctions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Fold a constant argument (bits/seed/k parameters) to an Int. */
+  private def intArg(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => other.eval().asInstanceOf[Number].intValue()
   }
+
+  private def fn(name: String, cls: Class[_], arity: Int, usage: String)(
+      build: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, usage)
+        build(args)
+      })
+
+  /** The full SQL-function surface (one row per native expression). */
+  val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("poly_hash", classOf[PolyHash], 1, "poly_hash(str)")(
+      a => PolyHash(a.head)),
+    fn("shingle_hashes", classOf[ShingleHashes], 2, "shingle_hashes(str, k)")(
+      a => ShingleHashes(a.head, intArg(a(1)))),
+    fn("bigram_token_hashes", classOf[BigramTokenHashes], 1, "bigram_token_hashes(str)")(
+      a => BigramTokenHashes(a.head)),
+    fn("simhash16", classOf[SimHash16], 1, "simhash16(array<bigint>)")(
+      a => SimHash16(a.head)),
+    fn("simhash64_bands", classOf[SimHash64Bands], 1, "simhash64_bands(array<bigint>)")(
+      a => SimHash64Bands(a.head)),
+    fn("dot_fold", classOf[DotFold], 2, "dot_fold(array<float>, array<float>)")(
+      a => DotFold(a(0), a(1))),
+    fn("sqnorm_fold", classOf[SqNormFold], 1, "sqnorm_fold(array<float>)")(
+      a => SqNormFold(a.head)),
+    fn("sign_bucket_rh", classOf[SignBucketRH], 3, "sign_bucket_rh(array<float>, bits, seed)")(
+      a => SignBucketRH(a.head, intArg(a(1)), intArg(a(2)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
