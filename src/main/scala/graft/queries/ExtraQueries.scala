@@ -519,6 +519,60 @@ object ExtraQueries {
         frameBytes = 16, everyN = 2).toDF()
     },
 
+    // ----- PII detection + C4-style scrub (emails/URLs → placeholder tokens)
+    QueryDef("x19_pii_scrub",
+      "count email/URL patterns per doc and fingerprint the scrubbed text — dialect-neutral regexes, planted PII rows")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 5 WHEN 0 THEN ' contact bob.smith@example.com or ann@mail.co'
+         |                    WHEN 1 THEN ' see https://example.com/data?x=1 now'
+         |                    ELSE '' END AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS BIGINT) AS emails,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.UrlPattern}')) AS BIGINT) AS urls,
+         |  regexp_replace(regexp_replace(text, '${TextOps.UrlPattern}', '<URL>', 'g'),
+         |                 '${TextOps.EmailPattern}', '<EMAIL>', 'g') AS scrubbed
+         |  FROM corpus)
+         |SELECT doc_id, emails, urls,
+         |  list_reduce([ord(substr(scrubbed, i, 1)) FOR i IN range(1, len(scrubbed)+1)]::BIGINT[],
+         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS scrub_fp
+         |FROM m
+         |""".stripMargin) { (s, dir) =>
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, " contact bob.smith@example.com or ann@mail.co")
+            .when(col("doc_id") % 5 === 1, " see https://example.com/data?x=1 now")
+            .otherwise("")).as("text"))
+      corpus
+        .select(col("doc_id"),
+          TextOps.patternCount(col("text"), TextOps.EmailPattern).as("emails"),
+          TextOps.patternCount(col("text"), TextOps.UrlPattern).as("urls"),
+          TextOps.scrub(TextOps.scrub(col("text"), TextOps.UrlPattern, "<URL>"),
+            TextOps.EmailPattern, "<EMAIL>").as("_scrubbed"))
+        .select(col("doc_id"), col("emails"), col("urls"),
+          TextOps.fingerprint(col("_scrubbed")).as("scrub_fp"))
+    },
+
+    // ----- Gopher/C4 repetition signal (top-bigram share of occurrences)
+    QueryDef("x20_repetition",
+      "boilerplate signal: most-frequent word-bigram's share of all bigram occurrences — exact counts, map-side combinable")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n),
+         |tok AS (SELECT doc_id,
+         |  CASE WHEN len(ws) >= 2 THEN [ws[i] || '_' || ws[i+1] FOR i IN range(1, len(ws))]
+         |       ELSE ws END AS toks FROM w),
+         |e AS (SELECT doc_id, unnest(toks) AS bigram FROM tok),
+         |c AS (SELECT doc_id, bigram, count(*) AS c FROM e GROUP BY 1, 2),
+         |a AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS total_c
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, top_c, total_c,
+         |       round(CAST(top_c AS DOUBLE) / CAST(total_c AS DOUBLE), 6) AS rep_share
+         |FROM a
+         |""".stripMargin) { (s, dir) =>
+      TextOps.repetition(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
     // ----- distinct-user sketch (HLL) with exactness tolerance gate
     QueryDef("x12_distinct_sketch",
       "approx_count_distinct (HLL, rsd 0.01) vs exact per event_type; emits within-5% flag")(

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,4 +66,43 @@ object TextOps {
     * CodegenFallback and ~100× slower per row. */
   def fingerprint(text: Column): Column =
     graft.plans.functions.poly_hash(text)
+
+  /** PII-ish patterns kept deliberately dialect-neutral (identical
+    * semantics in Java regex and RE2, so oracle engines agree):
+    * email-shaped tokens and http(s) URLs. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  /** Count of non-overlapping matches of `pattern`. */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
+
+  /** C4-style scrub: replace every match of `pattern` with `token`
+    * (e.g. emails → "<EMAIL>") — narrow per-row projection; the
+    * downstream dedup/fingerprint pipeline runs on the scrubbed text. */
+  def scrub(text: Column, pattern: String, token: String): Column =
+    regexp_replace(text, pattern, token)
+
+  /** Gopher/C4-style repetition signal: the share of all word-bigram
+    * occurrences taken by the single most frequent bigram — high values
+    * flag boilerplate/template text. Exact integer counts via a
+    * (doc, bigram) aggregation: map-side combinable, scales to any doc
+    * length (a per-row nested-HOF count would be O(distinct·n)
+    * INTERPRETED per row — the CodegenFallback trap). One final double
+    * division. */
+  def repetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val ws = split(norm(text), " ")
+    // word bigrams in order, WITH duplicates (counts matter here —
+    // BigramTokenHashes dedupes so it can't be reused); unigram
+    // fallback for single-word docs mirrors the SimHash tokenizer
+    val bigrams = when(size(ws) >= 2,
+      transform(slice(ws, lit(1), size(ws) - 1),
+        (w, i) => concat(w, lit("_"), get(ws, i + 1)))).otherwise(ws)
+    docs.select(id.as("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("total_c"))
+      .select(col("doc_id"), col("top_c"), col("total_c"),
+        round(col("top_c").cast(DoubleType) / col("total_c").cast(DoubleType), 6)
+          .as("rep_share"))
+  }
 }
