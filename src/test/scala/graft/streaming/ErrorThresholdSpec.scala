@@ -36,6 +36,28 @@ class ErrorThresholdSpec extends SparkSpec {
     assert(st2.consecutive === 0)
   }
 
+  test("property: event count = completed failure runs of a naive scan, any batch split") {
+    val probeGen = org.scalacheck.Gen.listOfN(60,
+      org.scalacheck.Gen.frequency(3 -> true, 1 -> false))
+    (1 to 25).foreach { _ =>
+      val flags = probeGen.sample.get
+      val probes = flags.zipWithIndex.map { case (f, i) => Probe("k", i.toLong, f) }
+      // model: scan with a counter that resets at threshold (notify) or success
+      var run = 0; var want = 0
+      flags.foreach { f =>
+        if (f) { run += 1; if (run >= 3) { want += 1; run = 0 } } else run = 0
+      }
+      // one-shot step
+      val (_, all) = step(RunState(0), probes, 3)
+      assert(all.size === want)
+      // split into arbitrary micro-batches: state carries, total is identical
+      val cut = scala.util.Random.nextInt(probes.size + 1)
+      val (s1, o1) = step(RunState(0), probes.take(cut), 3)
+      val (_, o2) = step(s1, probes.drop(cut), 3)
+      assert(o1.size + o2.size === want)
+    }
+  }
+
   test("transformWithState form matches: threshold fires once per run (RocksDB store)") {
     val s = spark
     import s.implicits._
