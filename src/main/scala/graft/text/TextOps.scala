@@ -91,14 +91,20 @@ object TextOps {
     * INTERPRETED per row — the CodegenFallback trap). One final double
     * division. */
   def repetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val ws = split(norm(text), " ")
+    // STAGE the token array before any HOF touches it: an index lambda
+    // like `get(ws, i+1)` re-evaluates the split(norm(regex)) leaf PER
+    // ELEMENT when ws is an unprojected expression (interpreted HOFs do
+    // no CSE — measured 5.4 s vs 0.9 s at sf0.1). zip_with of the two
+    // staged slices touches only its element arguments.
+    val staged = docs.select(id.as("doc_id"), split(norm(text), " ").as("_ws"))
+    val ws = col("_ws")
     // word bigrams in order, WITH duplicates (counts matter here —
     // BigramTokenHashes dedupes so it can't be reused); unigram
     // fallback for single-word docs mirrors the SimHash tokenizer
     val bigrams = when(size(ws) >= 2,
-      transform(slice(ws, lit(1), size(ws) - 1),
-        (w, i) => concat(w, lit("_"), get(ws, i + 1)))).otherwise(ws)
-    docs.select(id.as("doc_id"), explode(bigrams).as("bigram"))
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit("_"), b))).otherwise(ws)
+    staged.select(col("doc_id"), explode(bigrams).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("total_c"))
       .select(col("doc_id"), col("top_c"), col("total_c"),
