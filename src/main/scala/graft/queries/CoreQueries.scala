@@ -644,6 +644,29 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(Norms.cents(col("value"))).as("vol_c"))
     },
 
+    // ----- W1+: session windows (gap-merged activity sessions per user)
+    QueryDef("w03_session_window",
+      "session_window with 30-min gap: per-user activity sessions (start, end=last+gap, count, exact volume) — keyed state merges windows, one shuffle on user")(
+      s"""WITH e AS (SELECT user_id, ts, ${centsSql("value")} AS vc FROM events),
+         |o AS (SELECT user_id, ts, vc,
+         |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |s AS (SELECT user_id, ts, vc,
+         |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM o)
+         |SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |       count(*) AS n, CAST(sum(vc) AS BIGINT) AS vol_c
+         |FROM s GROUP BY user_id, sid
+         |""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("_w"))
+        .agg(count(lit(1)).as("n"), sum(Norms.cents(col("value"))).as("vol_c"))
+        .select(col("user_id"), col("_w.start").as("session_start"),
+          col("_w.end").as("session_end"), col("n"), col("vol_c"))
+    },
+
     // ----- D1: silver typed projection from bronze JSON (models/silver/markets.sql)
     QueryDef("d01_silver_projection",
       "from_json typed extraction over bronze payload strings")(
