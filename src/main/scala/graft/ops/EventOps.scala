@@ -83,6 +83,28 @@ object PriceChanges {
       .select(keyCols.map(col) :+ explode_outer(positions).as("p"): _*)
 }
 
+/** Point-in-interval RANGE JOIN, bin-bucketed. A raw theta-join
+  * (`at >= lo && at < hi`) has no equi-key, so Spark plans a
+  * BroadcastNestedLoopJoin — O(points × intervals), a non-starter at
+  * scale. Binning converts it to an equi-join: points key on
+  * floor(ts / bin); each interval explodes into the bins it covers
+  * (bounded by interval span / bin size), and the exact containment
+  * predicate filters the candidates after the join. Shuffle keys grow
+  * with the time domain, so buckets stay bounded — same contract as the
+  * LSH band joins. Pick `binSeconds` ≈ the typical interval span so
+  * intervals explode into O(1) bins. */
+object RangeJoin {
+  def binned(points: DataFrame, at: Column, intervals: DataFrame,
+             lo: Column, hi: Column, binSeconds: Long): DataFrame = {
+    val pb = points.withColumn("_bin", floor(unix_timestamp(at) / binSeconds))
+    val ib = intervals
+      .withColumn("_bin", explode(sequence(
+        floor(unix_timestamp(lo) / binSeconds),
+        floor(unix_timestamp(hi) / binSeconds))))
+    pb.join(ib, Seq("_bin")).filter(at >= lo && at < hi).drop("_bin")
+  }
+}
+
 /** A7/O2: top-K per group, the positions leaderboard (reference
   * `producers/user_positions_tracker.py:30-47`: GraphQL
   * `orderBy: balance, first: 1000` pushed down).

@@ -644,6 +644,31 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(Norms.cents(col("value"))).as("vol_c"))
     },
 
+    // ----- J5: bin-bucketed range join (point-in-interval, no nested loop)
+    QueryDef("j05_range_join",
+      "events range-joined to variable-width overlapping intervals via bin equi-join + exact containment filter (a theta-join would plan BroadcastNestedLoopJoin)")(
+      s"""WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '15 minutes', ts) AS lo FROM events),
+         |iv AS (SELECT lo,
+         |         lo + (10 + (CAST(extract(minute FROM lo) AS INT) % 3) * 10) * INTERVAL '1 minute' AS hi
+         |       FROM w),
+         |e AS (SELECT ts, ${centsSql("value")} AS vc FROM events WHERE user_id < 20)
+         |SELECT iv.lo, iv.hi, count(*) AS n, CAST(sum(e.vc) AS BIGINT) AS vol_c
+         |FROM e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi
+         |GROUP BY 1, 2
+         |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val intervals = ev
+        .select(window(col("ts"), "15 minutes").getField("start").as("lo")).distinct()
+        .select(col("lo"), timestamp_seconds(unix_timestamp(col("lo"))
+          + (lit(10) + (minute(col("lo")) % 3) * 10) * 60).as("hi"))
+      val points = ev.filter(col("user_id") < 20)
+        .select(col("ts"), Norms.cents(col("value")).as("vc"))
+      RangeJoin.binned(points, col("ts"), intervals, col("lo"), col("hi"),
+          binSeconds = 600L)
+        .groupBy("lo", "hi")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("vol_c"))
+    },
+
     // ----- W1+: session windows (gap-merged activity sessions per user)
     QueryDef("w03_session_window",
       "session_window with 30-min gap: per-user activity sessions (start, end=last+gap, count, exact volume) — keyed state merges windows, one shuffle on user")(

@@ -79,4 +79,26 @@ class EventOpsSpec extends SparkSpec {
     // earlier is 12; event 102: user 2's only order is later → dropped
     assert(out === Map(100L -> 11L, 101L -> 12L))
   }
+
+  test("property: RangeJoin.binned ≡ theta-join model on sampled overlapping intervals") {
+    val pts = org.scalacheck.Gen.listOfN(80,
+      org.scalacheck.Gen.chooseNum(0L, 20000L)).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val ivs = org.scalacheck.Gen.listOfN(25,
+      org.scalacheck.Gen.zip(org.scalacheck.Gen.chooseNum(0L, 18000L),
+        org.scalacheck.Gen.chooseNum(1L, 4000L))).sample.get.zipWithIndex
+      .map { case ((lo, len), i) => (100L + i, lo, lo + len) }
+    val p = pts.toDF("pid", "tl").withColumn("ts", timestamp_seconds(col("tl"))).drop("tl")
+    val iv = ivs.toDF("iid", "ll", "hl")
+      .withColumn("lo", timestamp_seconds(col("ll")))
+      .withColumn("hi", timestamp_seconds(col("hl"))).drop("ll", "hl")
+    val got = RangeJoin.binned(p, col("ts"), iv, col("lo"), col("hi"), binSeconds = 900L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, t) <- pts
+      (iid, lo, hi) <- ivs
+      if t >= lo && t < hi
+    } yield (pid, iid)).toSet
+    assert(got === want)
+  }
 }
