@@ -573,6 +573,31 @@ object ExtraQueries {
       TextOps.repetition(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
 
+    // ----- deterministic stratified sampling (language-balanced quota)
+    QueryDef("x21_stratified_sample",
+      "language-balanced corpus sample: top-40 docs per lang by content-hash order — deterministic pseudo-random quota sampling, two-phase top-K")(
+      s"""WITH n AS (SELECT doc_id, lang, $normD AS t FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  list_reduce([ord(substr(t, i, 1)) FOR i IN range(1, len(t)+1)]::BIGINT[],
+         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS hk
+         |  FROM n)
+         |SELECT doc_id, lang, hk FROM (
+         |  SELECT doc_id, lang, hk,
+         |         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+         |  FROM h)
+         |WHERE rn <= 40
+         |""".stripMargin) { (s, dir) =>
+      // content-hash order is a deterministic stand-in for a random
+      // permutation (same idea as hash-based train/test splits): every
+      // engine and every run selects the same per-language quota, unlike
+      // Bernoulli sampleBy whose RNG stream is engine-specific
+      val h = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextOps.norm(col("text")).as("_t"))
+        .select(col("doc_id"), col("lang"), TextOps.fingerprint(col("_t")).as("hk"))
+      graft.ops.TopK.perGroup(h, Seq(col("lang")), Seq(col("hk"), col("doc_id")), 40)
+        .select("doc_id", "lang", "hk")
+    },
+
     // ----- distinct-user sketch (HLL) with exactness tolerance gate
     QueryDef("x12_distinct_sketch",
       "approx_count_distinct (HLL, rsd 0.01) vs exact per event_type; emits within-5% flag")(

@@ -158,6 +158,18 @@ object Pipelines {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("win_start", col("_win.start")).drop("_win")
 
+  /** W1+ streaming session windows: gap-merged per-key sessions with
+    * watermark-driven close — the streaming form of w03. Session state
+    * merges windows per key until the watermark passes session end. */
+  def sessionAgg(df: DataFrame, tsCol: String, watermark: String,
+                 gap: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(keys :+ session_window(col(tsCol), gap).as("_win"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("_win.start"))
+      .withColumn("session_end", col("_win.end"))
+      .drop("_win")
+
   /** W7 streaming exact-dedup: drop redelivered events by key within the
     * watermark horizon (`dropDuplicatesWithinWatermark` — state per key
     * is evicted once the watermark passes, so memory is bounded by the

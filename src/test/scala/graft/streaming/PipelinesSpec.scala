@@ -223,6 +223,30 @@ class PipelinesSpec extends SparkSpec {
       Seq("""{"product_id":"BTC-USD","price":97000.5,"time":1700000000}"""))
   }
 
+  test("streaming session window merges within the gap and closes via watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Tick]
+    val agg = Pipelines.sessionAgg(in.toDF(), "ts", "1 minute", "5 minutes",
+      Seq(col("k")), Seq(count(lit(1)).as("n"), sum(col("v")).as("vol")))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Tick(1L, ts("2026-01-01 00:00:00"), 1L),
+        Tick(1L, ts("2026-01-01 00:03:00"), 2L),  // within gap → same session
+        Tick(1L, ts("2026-01-01 00:20:00"), 4L))  // new session
+      q.processAllAvailable()
+      // nothing closed yet; advance the watermark far past both sessions
+      in.addData(Tick(2L, ts("2026-01-01 01:00:00"), 0L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").filter(col("k") === 1L)
+        .select("n", "vol").as[(Long, Long)].collect().toSet
+      assert(rows === Set((2L, 3L), (1L, 4L))) // merged pair + singleton
+    } finally q.stop()
+  }
+
   test("W7: dropDuplicatesWithinWatermark drops redelivered keys across micro-batches") {
     val s = spark
     import s.implicits._
