@@ -598,6 +598,32 @@ object ExtraQueries {
         .select("doc_id", "lang", "hk")
     },
 
+    // ----- quantile sketch with exactness tolerance gate (t-digest analog of x12)
+    QueryDef("x22_quantile_sketch",
+      "exact interpolated p50/p95 per event_type (cents) + approx_percentile within-2% gate — the quantile member of the sketch family")(
+      s"""SELECT event_type,
+         |       round(quantile_cont(vc, 0.5), 4) AS p50,
+         |       round(quantile_cont(vc, 0.95), 4) AS p95,
+         |       TRUE AS sketch_ok
+         |FROM (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events)
+         |GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      // the exact percentile is the verified surface (interpolation at
+      // rank p·(n-1), same contract as quantile_cont; round(,4) absorbs
+      // the engines' different-but-equivalent interpolation rounding);
+      // the sketch side ships at scale and is gated like x12's HLL
+      Tables.events(s, dir)
+        .select(col("event_type"), graft.ops.Norms.cents(col("value")).as("vc"))
+        .groupBy("event_type")
+        .agg(percentile(col("vc"), lit(0.5)).as("_p50"),
+          percentile(col("vc"), lit(0.95)).as("_p95"),
+          percentile_approx(col("vc"), lit(0.5), lit(1000)).as("_a50"))
+        .select(col("event_type"),
+          round(col("_p50"), 4).as("p50"),
+          round(col("_p95"), 4).as("p95"),
+          (abs(col("_a50") - col("_p50")) <= col("_p50") * 0.02).as("sketch_ok"))
+    },
+
     // ----- distinct-user sketch (HLL) with exactness tolerance gate
     QueryDef("x12_distinct_sketch",
       "approx_count_distinct (HLL, rsd 0.01) vs exact per event_type; emits within-5% flag")(
