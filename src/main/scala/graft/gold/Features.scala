@@ -85,7 +85,9 @@ object Features {
     * exchange like any builtin agg); the only double op is one final
     * division, so results are partition-order independent. */
   object TopShareAgg extends org.apache.spark.sql.expressions.Aggregator[Long, ShareBuf, Double] {
-    override def zero: ShareBuf = ShareBuf(0L, 0L)
+    // maxBal identity is MinValue (not 0) so all-negative groups still
+    // report their true largest holder
+    override def zero: ShareBuf = ShareBuf(0L, Long.MinValue)
     override def reduce(b: ShareBuf, balC: Long): ShareBuf =
       ShareBuf(b.total + balC, math.max(b.maxBal, balC))
     override def merge(a: ShareBuf, b: ShareBuf): ShareBuf =
@@ -94,7 +96,8 @@ object Features {
     // parity with DuckDB's); the division itself is one IEEE op on
     // exact longs, partition-order independent
     override def finish(b: ShareBuf): Double =
-      if (b.total == 0L) 0.0 else b.maxBal.toDouble / b.total.toDouble
+      if (b.total == 0L || b.maxBal == Long.MinValue) 0.0
+      else b.maxBal.toDouble / b.total.toDouble
     override def bufferEncoder = org.apache.spark.sql.Encoders.product[ShareBuf]
     override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }

@@ -21,12 +21,14 @@ class FeaturesSpec extends SparkSpec {
   }
 
   test("topShare through a grouped plan matches the direct ratio; zero total guarded") {
-    val df = Seq(("a", 60L), ("a", 30L), ("a", 10L), ("b", 5L), ("z", 0L))
+    val df = Seq(("a", 60L), ("a", 30L), ("a", 10L), ("b", 5L), ("z", 0L),
+      ("neg", -10L), ("neg", -30L))
       .toDF("g", "bal_c")
     val out = df.groupBy("g").agg(Features.topShare(col("bal_c")).as("s"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out("a") === 0.6)
     assert(out("b") === 1.0)
-    assert(out("z") === 0.0) // guarded division
+    assert(out("z") === 0.0)     // guarded division
+    assert(out("neg") === 0.25)  // all-negative group: true max is -10, not 0
   }
 }
