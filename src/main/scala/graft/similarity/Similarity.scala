@@ -89,10 +89,12 @@ object Similarity {
     b.as("a").join(b.as("k"),
         col("a.seed") === col("k.seed") && col("a.bucket") === col("k.bucket") &&
         col("a.vec_id") < col("k.vec_id"))
+      // score BEFORE dedup: cosine is deterministic per pair, so distinct
+      // on (ids, cos) equals distinct on ids — and the dedup shuffle then
+      // moves 3 scalars per row instead of two embedding arrays
       .select(col("a.vec_id").as("vec_a"), col("k.vec_id").as("vec_b"),
-        col("a.embedding").as("ea"), col("k.embedding").as("eb"))
+        cosine(col("a.embedding"), col("k.embedding")).as("cos"))
       .distinct() // same pair can collide in several tables
-      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 

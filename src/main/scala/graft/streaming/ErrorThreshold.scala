@@ -58,7 +58,8 @@ object ErrorThreshold {
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[ErrorEvent] = {
       val st = if (run.exists()) run.get() else RunState(0)
       val (ns, out) = step(st, rows.toSeq.sortBy(_.tsMs), threshold)
-      if (ns.consecutive == 0 && out.isEmpty) run.clear() else run.update(ns)
+      // run 0 ≡ absent (see fMGWS form)
+      if (ns.consecutive == 0) run.clear() else run.update(ns)
       out.iterator
     }
   }
@@ -85,9 +86,10 @@ object ErrorThreshold {
         (_: String, it: Iterator[Probe], gs: GroupState[RunState]) =>
           val st = gs.getOption.getOrElse(RunState(0))
           val (ns, out) = step(st, it.toSeq.sortBy(_.tsMs), threshold)
-          if (ns.consecutive == 0 && out.isEmpty) {
-            if (gs.exists) gs.remove() // healthy key: keep state map empty
-          } else gs.update(ns)
+          // run 0 ≡ absent: never store it, so the state map holds only
+          // keys with an open failure run
+          if (ns.consecutive == 0) { if (gs.exists) gs.remove() }
+          else gs.update(ns)
           out.iterator
       }(Encoders.product[RunState], ee)
   }
