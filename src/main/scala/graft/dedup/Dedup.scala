@@ -145,6 +145,44 @@ object Dedup {
       .select(col("doc_id"), bigramTokenHashes(col("_t")).as("_hx"))
       .select(col("doc_id"), simhash(col("_hx")).as("simhash"))
 
+  /** Near-dup CLUSTERS from candidate pairs: min-label propagation to a
+    * fixpoint — each node repeatedly takes the smallest label among
+    * itself and its neighbors, converging in O(component diameter)
+    * rounds, each one join + one aggregation (all shuffles on node id,
+    * nothing quadratic). Near-dup graphs have tiny components by
+    * construction (duplicate clusters), so the diameter bound is small;
+    * for adversarial long-chain graphs swap in large-star/small-star
+    * (O(log n) rounds, same join shape). The driver loop holds only a
+    * convergence COUNT per round — no row data ever reaches the driver.
+    * Output: (doc_id, component = min doc_id in cluster, is_survivor). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neigh = und
+        .join(labels.select(col("node").as("v"), col("label").as("_nl")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("_nl")).as("_minNeigh"))
+      val next = labels.join(neigh, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("_minNeigh"), col("label"))).as("label"))
+        .persist()
+      changed = next
+        .join(labels.select(col("node"), col("label").as("_old")), "node")
+        .filter(col("label") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    und.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("component"),
+      (col("label") === col("node")).as("is_survivor"))
+  }
+
   /** 64-bit SimHash as four 16-bit band values — native one-pass
     * expression (graft.plans.SimHash64Bands). */
   def simhash64Bands(tokenHs: Column): Column =

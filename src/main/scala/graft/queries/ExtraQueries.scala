@@ -170,6 +170,26 @@ object ExtraQueries {
       Dedup.jaccardVerify(cand, corpus, col("doc_id"), col("text"))
     },
 
+    // ----- near-dup clusters: LSH pairs → connected components → survivors
+    QueryDef("x23_neardup_clusters",
+      "dedup clusters from MinHash-LSH pairs via min-label propagation (one survivor per cluster) — O(diameter) rounds of node-keyed joins")(
+      s"""WITH RECURSIVE $tailDupCorpusD,
+         |$candidatesD,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |nodes AS (SELECT DISTINCT u AS node FROM und),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT und.u, reach.lab FROM und JOIN reach ON reach.node = und.v)
+         |SELECT node AS doc_id, min(lab) AS component,
+         |       (min(lab) = node) AS is_survivor
+         |FROM reach GROUP BY node
+         |""".stripMargin) { (s, dir) =>
+      val cand = Dedup.minhashCandidates(tailDupCorpus(s, dir), col("doc_id"), col("text"))
+      Dedup.connectedComponents(cand)
+    },
+
     // ----- SimHash fingerprints (16-bit, word-bigram tokens)
     QueryDef("x04_simhash",
       "16-bit SimHash over word-bigram tokens — integer-only majority vote per bit")(

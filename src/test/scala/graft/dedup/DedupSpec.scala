@@ -57,6 +57,21 @@ class DedupSpec extends SparkSpec {
     hs.values.foreach(h => assert(h >= 0L && h < 65536L))
   }
 
+  test("connectedComponents: chains merge, min id wins, singleton edges isolate") {
+    // components: {1,2,3,4} (a chain), {10,11}, {20,21} — plus a long
+    // chain 30..36 exercising multi-round propagation
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L)) ++
+      (30L until 36L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert((1L to 4L).forall(d => out(d)._1 == 1L))
+    assert(out(11L)._1 === 10L && out(21L)._1 === 20L)
+    assert((30L to 36L).forall(d => out(d)._1 == 30L))
+    // exactly one survivor per component, and it is the min id
+    val survivors = out.collect { case (d, (_, true)) => d }.toSet
+    assert(survivors === Set(1L, 10L, 20L, 30L))
+  }
+
   test("SimHash64: identical docs share all 4 bands; bands fit 16 bits; banded pairs found") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
