@@ -39,6 +39,10 @@ object Bench {
       }
       val (t1, ok1) = once()
       val (t2, ok2) = if (ok1) once() else (t1, ok1)
+      // clear AFTER both runs: intra-query persist() reuse is part of the
+      // measured query, but caches must not accumulate across queries
+      // (65 queries × cached shingle/fingerprint tables GC-thrash the JVM)
+      spark.catalog.clearCache()
       (name, math.min(t1, t2), ok1 && ok2)
     }
     // The driver keeps only a ~2000-char tail of stdout; the JSON line must

@@ -156,11 +156,19 @@ object Dedup {
     * convergence COUNT per round — no row data ever reaches the driver.
     * Output: (doc_id, component = min doc_id in cluster, is_survivor). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (NOT persist): an iterative loop's logical plan
+    // embeds the previous iteration's plan twice per round, so without
+    // lineage TRUNCATION analysis cost grows ~2^rounds and the driver
+    // hangs long before any task runs (persist only short-circuits
+    // physical recompute). Checkpointing pins each round's result as a
+    // flat scan — every iteration analyzes an O(1)-size plan. On a real
+    // cluster prefer reliable checkpointing (survives executor loss);
+    // local checkpoints are the right cost here.
     val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
+      .localCheckpoint(true)
     var labels = und.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+      .withColumn("label", col("node")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -170,7 +178,7 @@ object Dedup {
       val next = labels.join(neigh, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("_minNeigh"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       changed = next
         .join(labels.select(col("node"), col("label").as("_old")), "node")
         .filter(col("label") =!= col("_old")).count()
