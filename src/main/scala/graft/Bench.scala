@@ -53,7 +53,11 @@ object Bench {
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // cap the list so a mass failure can't push the JSON line past the
+    // 2000-char tail (rc=1 still signals the failure either way)
+    val failedAll = results.collect { case (k, _, false) => k }
+    val failed = (failedAll.take(5).map("\"" + _ + "\"") ++
+      (if (failedAll.size > 5) Seq("\"+" + (failedAll.size - 5) + " more\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
