@@ -37,11 +37,15 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      // clear between runs, not just between queries: CacheManager
+      // dedupes identical plans, so run 2 would otherwise read run 1's
+      // materialized persist() caches and best-of-2 would report
+      // warm-cache time for every persist-using query. Intra-RUN reuse
+      // (a self-join reading its own persist) is part of the query and
+      // stays. This also bounds cross-query cache accumulation.
       val (t1, ok1) = once()
+      spark.catalog.clearCache()
       val (t2, ok2) = if (ok1) once() else (t1, ok1)
-      // clear AFTER both runs: intra-query persist() reuse is part of the
-      // measured query, but caches must not accumulate across queries
-      // (65 queries × cached shingle/fingerprint tables GC-thrash the JVM)
       spark.catalog.clearCache()
       (name, math.min(t1, t2), ok1 && ok2)
     }

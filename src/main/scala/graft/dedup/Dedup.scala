@@ -187,6 +187,13 @@ object Dedup {
       i += 1
     }
     und.unpersist()
+    // fail LOUDLY on non-convergence: silently returning partially
+    // propagated labels would split one real cluster into several
+    // "components" each with its own survivor — wrong dedup downstream
+    require(changed == 0L,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still moving) — raise maxIter (component " +
+        "diameter exceeds it) or switch to large-star/small-star")
     labels.select(col("node").as("doc_id"), col("label").as("component"),
       (col("label") === col("node")).as("is_survivor"))
   }

@@ -211,8 +211,11 @@ object CoreQueries {
         .select(col("user_id"), col("win_start"),
           col("p.event_id").as("event_id"),
           coalesce(col("p.value_c"), lit(0L)).as("value_c"),
-          when(col("p").isNull, "position_snapshot_empty").otherwise("position")
-            .as("snap_type"))
+          // marker on the FIELD, matching the oracle's a.event_id IS
+          // NULL (a joined struct with a null event_id field is
+          // non-null as a struct)
+          when(col("p.event_id").isNull, "position_snapshot_empty")
+            .otherwise("position").as("snap_type"))
     },
 
     // ----- A10: missed-snapshot estimate (tracker.py:196-199)
@@ -649,7 +652,8 @@ object CoreQueries {
       "events range-joined to variable-width overlapping intervals via bin equi-join + exact containment filter (a theta-join would plan BroadcastNestedLoopJoin)")(
       s"""WITH w AS (SELECT DISTINCT time_bucket(INTERVAL '15 minutes', ts) AS lo FROM events),
          |iv AS (SELECT lo,
-         |         lo + (10 + (CAST(extract(minute FROM lo) AS INT) % 3) * 10) * INTERVAL '1 minute' AS hi
+         |         lo + (10 + CASE CAST(extract(minute FROM lo) AS INT)
+         |                    WHEN 15 THEN 10 WHEN 30 THEN 20 ELSE 0 END) * INTERVAL '1 minute' AS hi
          |       FROM w),
          |e AS (SELECT ts, ${centsSql("value")} AS vc FROM events WHERE user_id < 20)
          |SELECT iv.lo, iv.hi, count(*) AS n, CAST(sum(e.vc) AS BIGINT) AS vol_c
@@ -659,8 +663,13 @@ object CoreQueries {
       val ev = Tables.events(s, dir)
       val intervals = ev
         .select(window(col("ts"), "15 minutes").getField("start").as("lo")).distinct()
+        // width cycles 10/20/30/10 min by window position (raw
+        // minute(lo) % 3 is constantly 0 on a 15-min grid), so
+        // consecutive intervals genuinely overlap and the wider ones
+        // exercise the multi-bin explode
         .select(col("lo"), timestamp_seconds(unix_timestamp(col("lo"))
-          + (lit(10) + (minute(col("lo")) % 3) * 10) * 60).as("hi"))
+          + (lit(10) + when(minute(col("lo")) === 15, 10)
+              .when(minute(col("lo")) === 30, 20).otherwise(0)) * 60).as("hi"))
       val points = ev.filter(col("user_id") < 20)
         .select(col("ts"), Norms.cents(col("value")).as("vc"))
       RangeJoin.binned(points, col("ts"), intervals, col("lo"), col("hi"),

@@ -641,7 +641,9 @@ object ExtraQueries {
         .select(col("event_type"),
           round(col("_p50"), 4).as("p50"),
           round(col("_p95"), 4).as("p95"),
-          (abs(col("_a50") - col("_p50")) <= col("_p50") * 0.02).as("sketch_ok"))
+          // abs() on the tolerance side too: a negative median would
+          // otherwise make the gate unsatisfiable
+          (abs(col("_a50") - col("_p50")) <= abs(col("_p50")) * 0.02).as("sketch_ok"))
     },
 
     // ----- distinct-user sketch (HLL) with exactness tolerance gate

@@ -94,8 +94,10 @@ object Similarity {
       // moves 3 scalars per row instead of two embedding arrays
       .select(col("a.vec_id").as("vec_a"), col("k.vec_id").as("vec_b"),
         cosine(col("a.embedding"), col("k.embedding")).as("cos"))
-      .distinct() // same pair can collide in several tables
+      // row-local gate BEFORE the dedup exchange: only near-duplicates
+      // (a tiny fraction of candidates) reach the distinct shuffle
       .filter(col("cos") >= minCos)
+      .distinct() // same pair can collide in several tables
   }
 
   /** Assign each row to its `nprobe` nearest centroids by cosine
@@ -117,7 +119,11 @@ object Similarity {
     * pass + one (cell, dim)-keyed aggregation; nothing quadratic. Empty
     * cells keep their previous centroid (classic k-means convention). */
   def kmeansRefine(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
-    var cents = init
+    // localCheckpoint per round: the iteration embeds the previous
+    // round's plan twice (assignment + empty-cell fallback join), so
+    // without lineage truncation analysis cost grows ~2^iters — the
+    // same hang Dedup.connectedComponents documents
+    var cents = init.localCheckpoint(true)
     for (_ <- 0 until iters) {
       val means = assignCells(corpus, "vec_id", "embedding", cents, 1)
         .select(col("cell").as("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -127,9 +133,12 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           _.getField("m")).as("c_emb"))
-      cents = cents.select(col("cid"), col("c_emb").as("_prev"))
+      val next = cents.select(col("cid"), col("c_emb").as("_prev"))
         .join(means.withColumnRenamed("c_emb", "_new"), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("_new"), col("_prev")).as("c_emb"))
+        .localCheckpoint(true)
+      cents.unpersist()
+      cents = next
     }
     cents
   }

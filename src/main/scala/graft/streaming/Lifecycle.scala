@@ -66,9 +66,15 @@ object Lifecycle {
   val MaxBackoffMs = DefaultTiming.maxBackoffMs
   val MaxAttempts = DefaultTiming.maxAttempts
 
-  /** Doubling backoff capped at the max: 30, 60, 120, 240, 300, 300, … */
-  def backoffMs(attempt: Int, t: Timing = DefaultTiming): Long =
-    math.min(t.baseBackoffMs << math.min(attempt, 4).toLong, t.maxBackoffMs)
+  /** Doubling backoff capped at the max: 30, 60, 120, 240, 300, 300, …
+    * The shift is clamped only against Long overflow — the reachable
+    * ceiling is maxBackoffMs itself, whatever the base/max ratio (a
+    * fixed shift cap of 4 would silently floor custom Timings at
+    * 16× base). */
+  def backoffMs(attempt: Int, t: Timing = DefaultTiming): Long = {
+    val safeShift = java.lang.Long.numberOfLeadingZeros(math.max(t.baseBackoffMs, 1L)) - 1
+    math.min(t.baseBackoffMs << math.min(attempt, safeShift).toLong, t.maxBackoffMs)
+  }
 
   /** Winner derivation — same float-equality semantics as the batch
     * operator (graft.ops.Resolution.winner; `market_resolution.py:84-90`). */
@@ -148,7 +154,7 @@ object Lifecycle {
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
       val cur = if (st.exists()) Some(st.get()) else None
       val (ns, out) = onMessages(key, rows.toSeq.sortBy(_.tsMs), cur)
-      applyState(cur, ns)
+      applyState(cur, ns, timerConsumed = false)
       out.iterator
     }
     override def handleExpiredTimer(key: String,
@@ -159,22 +165,27 @@ object Lifecycle {
         val cur = st.get()
         val (ns, out) =
           onTimeout(key, cur, timers.getCurrentProcessingTimeInMs(), timing)
-        applyState(Some(cur), ns)
+        applyState(Some(cur), ns, timerConsumed = true)
         out.iterator
       }
     }
     /** Persist the transition result and re-arm the absolute timer when
       * the action time moved (timers are registered at nextActionMs
       * verbatim, so the old one is deletable by the same value; a
-      * past-due timestamp just fires on the next batch). */
-    private def applyState(prev: Option[MarketState],
-                           ns: Option[MarketState]): Unit = {
+      * past-due timestamp just fires on the next batch). When the call
+      * came from an EXPIRED timer, the old timer is already consumed —
+      * re-register unconditionally or a nextActionMs that happens to
+      * repeat (e.g. firstPollDelayMs = 0) would leave the key stuck
+      * with state but no timer. */
+    private def applyState(prev: Option[MarketState], ns: Option[MarketState],
+                           timerConsumed: Boolean): Unit = {
       val moved = prev.exists(p => ns.forall(_.nextActionMs != p.nextActionMs))
-      if (moved) getHandle.deleteTimer(prev.get.nextActionMs)
+      if (moved && !timerConsumed) getHandle.deleteTimer(prev.get.nextActionMs)
       ns match {
         case Some(s) =>
           st.update(s)
-          if (prev.isEmpty || moved) getHandle.registerTimer(s.nextActionMs)
+          if (prev.isEmpty || moved || timerConsumed)
+            getHandle.registerTimer(s.nextActionMs)
         case None => st.clear()
       }
     }
