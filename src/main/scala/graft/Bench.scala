@@ -50,12 +50,12 @@ object Bench {
       (name, math.min(t1, t2), ok1 && ok2)
     }
     // The driver keeps only a ~2000-char tail of stdout; the JSON line must
-    // fit inside it or it can never be parsed. 3-decimal times + a failures
-    // list (normally empty) instead of a per-query status map keep the full
-    // 56-query line under ~1600 chars.
+    // fit inside it or it can never be parsed. 1-decimal per-query times +
+    // a capped failures list (normally empty) instead of a status map keep
+    // the 66-query line under ~1700 chars.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
+    def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f1(v) }
       .mkString("{", ",", "}")
     // cap the list so a mass failure can't push the JSON line past the
     // 2000-char tail (rc=1 still signals the failure either way)

@@ -593,6 +593,34 @@ object ExtraQueries {
       TextOps.repetition(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
 
+    // ----- benchmark decontamination (n-gram overlap vs a benchmark set)
+    QueryDef("x24_decontamination",
+      "per-doc shingle overlap with a broadcast benchmark set + contamination flag — the pre-training decontamination sweep")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$shinglesD,
+         |bs AS (SELECT DISTINCT unnest(shingles) AS h FROM sh WHERE doc_id < 3),
+         |d AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         |o AS (SELECT d.doc_id, count(*) AS n_overlap
+         |      FROM d JOIN bs USING (h) GROUP BY 1)
+         |SELECT doc_id, n_overlap, n_overlap >= 20 AS contaminated FROM o
+         |""".stripMargin) { (s, dir) =>
+      // the benchmark side of a decontamination sweep is small (eval-set
+      // n-grams) → broadcast; the corpus side stays a narrow explode +
+      // one doc-keyed count. Shingle lists are distinct per doc, so the
+      // join count IS the intersection size.
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.norm(col("text")).as("_t"))
+        .select(col("doc_id"), Dedup.shingleHashes(col("_t")).as("_sh"))
+        .persist() // read twice: benchmark side and corpus side
+      val bench = sh.filter(col("doc_id") < 3)
+        .select(explode(col("_sh")).as("h")).distinct()
+      sh.select(col("doc_id"), explode(col("_sh")).as("h"))
+        .join(broadcast(bench), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .select(col("doc_id"), col("n_overlap"),
+          (col("n_overlap") >= 20).as("contaminated"))
+    },
+
     // ----- deterministic stratified sampling (language-balanced quota)
     QueryDef("x21_stratified_sample",
       "language-balanced corpus sample: top-40 docs per lang by content-hash order — deterministic pseudo-random quota sampling, two-phase top-K")(
