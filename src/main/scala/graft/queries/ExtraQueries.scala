@@ -593,6 +593,22 @@ object ExtraQueries {
       TextOps.repetition(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
 
+    // ----- context-window chunking (token windows with overlap)
+    QueryDef("x25_chunking",
+      "overlapping 50-token windows every 40 tokens per doc — context-window packing; chunk content fingerprinted for the compare")(
+      s"""WITH n AS (SELECT doc_id, string_split($normD, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), 40)) AS st FROM n),
+         |ch AS (SELECT doc_id, st // 40 AS chunk_id, ws[st+1 : st+50] AS chunk FROM c)
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |  list_reduce([ord(substr(t, i, 1)) FOR i IN range(1, len(t)+1)]::BIGINT[],
+         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp
+         |FROM (SELECT doc_id, chunk_id, array_to_string(chunk, ' ') AS t, chunk FROM ch)
+         |""".stripMargin) { (s, dir) =>
+      TextOps.chunk(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          TextOps.fingerprint(col("chunk_text")).as("chunk_fp"))
+    },
+
     // ----- benchmark decontamination (n-gram overlap vs a benchmark set)
     QueryDef("x24_decontamination",
       "per-doc shingle overlap with a broadcast benchmark set + contamination flag — the pre-training decontamination sweep")(

@@ -83,6 +83,29 @@ object TextOps {
   def scrub(text: Column, pattern: String, token: String): Column =
     regexp_replace(text, pattern, token)
 
+  /** Context-window chunking: split each document into overlapping
+    * fixed-token windows (`size` tokens every `stride` — overlap =
+    * size − stride), the packing step before LLM training. Narrow
+    * per-row work: one staged tokenization, one `sequence` explode of
+    * window starts, array slices on the staged tokens (no per-element
+    * lambdas → no interpreted-HOF re-evaluation). Output one row per
+    * chunk: (doc_id, chunk_id, n_tokens, chunk text). */
+  def chunk(docs: DataFrame, id: Column, text: Column,
+            chunkTokens: Int = 50, stride: Int = 40): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val staged = docs.select(id.as("doc_id"), split(norm(text), " ").as("_ws"))
+    staged
+      .select(col("doc_id"), col("_ws"),
+        explode(sequence(lit(0), greatest(size(col("_ws")) - 1, lit(0)),
+          lit(stride))).as("_st"))
+      .select(col("doc_id"), (col("_st") / stride).cast(LongType).as("chunk_id"),
+        slice(col("_ws"), col("_st") + 1, lit(chunkTokens)).as("_chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("_chunk")).cast(LongType).as("n_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
   /** Gopher/C4-style repetition signal: the share of all word-bigram
     * occurrences taken by the single most frequent bigram — high values
     * flag boilerplate/template text. Exact integer counts via a
