@@ -72,6 +72,18 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Set(1L, 10L, 20L, 30L))
   }
 
+  test("connectedComponents fails loudly when the diameter exceeds maxIter") {
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and converges fine with enough rounds
+    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(d => ok(d) == 1L))
+  }
+
   test("SimHash64: identical docs share all 4 bands; bands fit 16 bits; banded pairs found") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
