@@ -52,7 +52,7 @@ object Bench {
     // The driver keeps only a ~2000-char tail of stdout; the JSON line must
     // fit inside it or it can never be parsed. 1-decimal per-query times +
     // a capped failures list (normally empty) instead of a status map keep
-    // the 66-query line under ~1700 chars.
+    // the 67-query line under ~1750 chars.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f1(v) }

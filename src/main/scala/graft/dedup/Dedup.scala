@@ -94,14 +94,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Shared staging for every shingle consumer: spread for parallelism,
+    * norm materialized once, then the native shingle pass. Output:
+    * (_id, _sh: array<long>). */
+  def stagedShingles(docs: DataFrame, id: Column, text: Column,
+                     k: Int = 7): DataFrame =
+    spread(docs).select(id.as("_id"), TextOps.norm(text).as("_t"))
+      .select(col("_id"), shingleHashes(col("_t"), k).as("_sh"))
+
   /** Exact shingle-Jaccard for given candidate pairs: |A∩B| / |A∪B| from
     * integer set sizes (one double division at the end). Operates on the
     * hashed shingle sets (long arrays — cheap set ops). `pairs` must have
     * (doc_a, doc_b); `docs` provides (id, text). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
                     k: Int = 7): DataFrame = {
-    val sh = spread(docs).select(id.as("_id"), TextOps.norm(text).as("_t"))
-      .select(col("_id"), shingleHashes(col("_t"), k).as("_sh"))
+    val sh = stagedShingles(docs, id, text, k)
       .persist() // read twice (a-side and b-side joins)
     pairs
       .join(sh.select(col("_id").as("doc_a"), col("_sh").as("sh_a")), "doc_a")

@@ -55,16 +55,19 @@ object ExtraQueries {
       concat(col("text"), lit(" zz qq xx yy")).as("text")))
   }
 
+  /** k-char shingle fragment (polynomial hashes) for the oracle. */
+  private def shinglesKD(k: Int) =
+    s"""n AS (SELECT doc_id, $normD AS t FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct([
+       |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, $k)]::BIGINT[],
+       |                (acc, x) -> (acc * 31 + x) % 1000000007)
+       |    FOR i IN range(1, greatest(len(t) - ${k - 1}, 1) + 1)]) AS shingles
+       |  FROM n)""".stripMargin
+
   /** MinHash/LSH fragments for the oracle (7-char shingles reduced to
     * polynomial hashes, affine 12-hash family, 3 bands × 4 rows —
     * mirrors Dedup.scala defaults). */
-  private val shinglesD =
-    s"""n AS (SELECT doc_id, $normD AS t FROM corpus),
-       |sh AS (SELECT doc_id, list_distinct([
-       |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, 7)]::BIGINT[],
-       |                (acc, x) -> (acc * 31 + x) % 1000000007)
-       |    FOR i IN range(1, greatest(len(t) - 6, 1) + 1)]) AS shingles
-       |  FROM n)""".stripMargin
+  private val shinglesD = shinglesKD(7)
 
   private val candidatesD =
     s"""$shinglesD,
@@ -611,22 +614,25 @@ object ExtraQueries {
 
     // ----- benchmark decontamination (n-gram overlap vs a benchmark set)
     QueryDef("x24_decontamination",
-      "per-doc shingle overlap with a broadcast benchmark set + contamination flag — the pre-training decontamination sweep")(
+      "per-doc 20-char-shingle overlap with a broadcast benchmark set + contamination flag — the pre-training decontamination sweep")(
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
-         |$shinglesD,
+         |${shinglesKD(20)},
          |bs AS (SELECT DISTINCT unnest(shingles) AS h FROM sh WHERE doc_id < 3),
          |d AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
          |o AS (SELECT d.doc_id, count(*) AS n_overlap
          |      FROM d JOIN bs USING (h) GROUP BY 1)
-         |SELECT doc_id, n_overlap, n_overlap >= 20 AS contaminated FROM o
+         |SELECT doc_id, n_overlap, n_overlap >= 10 AS contaminated FROM o
          |""".stripMargin) { (s, dir) =>
       // the benchmark side of a decontamination sweep is small (eval-set
       // n-grams) → broadcast; the corpus side stays a narrow explode +
       // one doc-keyed count. Shingle lists are distinct per doc, so the
-      // join count IS the intersection size.
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.norm(col("text")).as("_t"))
-        .select(col("doc_id"), Dedup.shingleHashes(col("_t")).as("_sh"))
+      // join count IS the intersection size. 20-char shingles ≈ 3-4-word
+      // n-grams: at sf0.01, 7-char shingles flag 95% of the corpus
+      // (stopword collisions) while k=20/threshold 10 flags exactly the
+      // benchmark docs + near-verbatim copies — a discriminating sweep.
+      val sh = Dedup.stagedShingles(Tables.documents(s, dir),
+          col("doc_id"), col("text"), k = 20)
+        .withColumnRenamed("_id", "doc_id")
         .persist() // read twice: benchmark side and corpus side
       val bench = sh.filter(col("doc_id") < 3)
         .select(explode(col("_sh")).as("h")).distinct()
@@ -634,7 +640,7 @@ object ExtraQueries {
         .join(broadcast(bench), "h")
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
         .select(col("doc_id"), col("n_overlap"),
-          (col("n_overlap") >= 20).as("contaminated"))
+          (col("n_overlap") >= 10).as("contaminated"))
     },
 
     // ----- deterministic stratified sampling (language-balanced quota)
