@@ -75,6 +75,28 @@ object Features {
       .drop("_s2")
   }
 
+  /** D6 EWMA: exponentially weighted moving average of each key's last
+    * `window` observations (α-weighted, recursive — NOT expressible as a
+    * combinable aggregate). Deterministic everywhere: observations sort
+    * totally on `ord`, the fold runs left-to-right seeded with the first
+    * element (≡ DuckDB list_reduce), doubles only in the fixed-shape
+    * fold. Scale: the collect is per key — pre-filter `df` to the
+    * feature horizon (incremental D2-style) so per-key state is bounded;
+    * the trailing-`window` slice bounds the fold itself regardless. */
+  def ewma(df: DataFrame, keys: Seq[Column], ord: Seq[Column], valueC: Column,
+           window: Int = 20, alpha: Double = 0.2): DataFrame = {
+    val obs = struct(ord :+ valueC.cast(DoubleType).as("_v"): _*)
+    df.groupBy(keys: _*)
+      .agg(transform(sort_array(collect_list(obs)), _.getField("_v")).as("_l"))
+      .withColumn("_lw", slice(col("_l"),
+        greatest(size(col("_l")) - (window - 1), lit(1)), lit(window)))
+      .withColumn("n_obs", size(col("_lw")).cast(LongType))
+      .withColumn("ewma", round(
+        aggregate(slice(col("_lw"), 2, window), element_at(col("_lw"), 1),
+          (acc, x) => lit(alpha) * x + lit(1 - alpha) * acc), 6))
+      .drop("_l", "_lw")
+  }
+
   /** Accumulator for [[TopShareAgg]]: exact long total + running max. */
   final case class ShareBuf(total: Long, maxBal: Long)
 

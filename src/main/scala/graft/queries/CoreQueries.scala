@@ -818,6 +818,24 @@ object CoreQueries {
         .select(col("event_type"), round(col("_ts"), 6).as("top_share"))
     },
 
+    // ----- D6/f7: per-user EWMA of the trailing 20 observations
+    QueryDef("f07_ewma",
+      "exponentially weighted moving average (alpha 0.2) of each user's last 20 values — total-order sort, first-element-seeded left fold")(
+      s"""WITH e AS (SELECT user_id, ts, event_id, ${centsSql("value")} AS vc FROM events),
+         |g AS (SELECT user_id, list(CAST(vc AS DOUBLE) ORDER BY ts, event_id) AS l
+         |      FROM e GROUP BY 1),
+         |t AS (SELECT user_id, l[greatest(len(l) - 19, 1):len(l)] AS lw FROM g)
+         |SELECT user_id, CAST(len(lw) AS BIGINT) AS n_obs,
+         |       round(list_reduce(lw, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
+         |FROM t
+         |""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), Norms.cents(col("value")).as("vc"))
+      Features.ewma(e, Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          col("vc"), window = 20, alpha = 0.2)
+        .select("user_id", "n_obs", "ewma")
+    },
+
     // ----- D6/f5: participant concentration (HHI)
     QueryDef("f05_concentration_hhi",
       "Herfindahl index per event_type from exact integer sums")(
