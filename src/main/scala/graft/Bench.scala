@@ -50,12 +50,14 @@ object Bench {
       (name, math.min(t1, t2), ok1 && ok2)
     }
     // The driver keeps only a ~2000-char tail of stdout; the JSON line must
-    // fit inside it or it can never be parsed. 1-decimal per-query times +
-    // a capped failures list (normally empty) instead of a status map keep
-    // the 67-query line under ~1750 chars.
+    // fit inside it or it can never be parsed. 2-decimal per-query times
+    // (1 decimal loses all regression signal on the many sub-50 ms
+    // queries) + a capped failures list (normally empty) instead of a
+    // status map keep the ~70-query line under ~1900 chars; the length
+    // check below warns before the budget is actually blown.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f1(v) }
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // cap the list so a mass failure can't push the JSON line past the
     // 2000-char tail (rc=1 still signals the failure either way)
@@ -64,7 +66,11 @@ object Bench {
       (if (failedAll.size > 5) Seq("\"+" + (failedAll.size - 5) + " more\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    if (line.length > 1850)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
+        "approaching the driver's 2000-char stdout tail; shorten names/precision")
+    println(line)
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

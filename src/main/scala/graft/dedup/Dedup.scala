@@ -19,9 +19,19 @@ import org.apache.spark.sql.types._
   *     grows with the corpus, so bucket sizes stay bounded and skew is
   *     governed by real duplicate clusters, exactly the rows we want
   *     co-located. Exact Jaccard runs only on candidate pairs.
-  *   - SimHash pairs bucket by the fingerprint's top byte (a 256-way
-  *     partition of the space) — the classic Hamming-LSH compromise:
-  *     cheap recall for small Hamming radii without pairwise scans.
+  *   - SimHash pairs band a 64-bit fingerprint Manku-style (4×16-bit
+  *     bands; Hamming ≤ 3 guarantees an exact match on ≥ 1 band) so
+  *     candidate generation is the same bounded-bucket equi-join shape
+  *     as MinHash banding — never a constant-way partition of the space.
+  *
+  * CACHE LIFETIME CONTRACT: pair-generating operators persist() their
+  * staged fingerprints because both sides of the candidate self-join
+  * read them (Spark has no cross-join codegen CSE). The cache must stay
+  * live until the RETURNED (lazy) DataFrame has been consumed, so these
+  * methods cannot unpersist internally; in a long-lived session, call
+  * `spark.catalog.clearCache()` (or unpersist the returned frame's
+  * cached children) after consuming the result — graft's Verify/Bench
+  * mains do exactly that per query.
   */
 object Dedup {
 
@@ -142,8 +152,15 @@ object Dedup {
     val conf = df.sparkSession.sessionState.conf
     val target = conf.numShufflePartitions
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estSplits = (bytes / math.max(conf.filesMaxPartitionBytes, 1L)).toLong + 1L
-    if (estSplits < target) df.repartition(target) else df
+    // Relations without stats report spark.sql.defaultSizeInBytes
+    // (Long.MaxValue) — that is "unknown", not "huge": treat it as small
+    // and repartition, since the method exists to protect CPU-heavy
+    // narrow stages from under-split inputs and a spurious shuffle of a
+    // genuinely big input is cheap next to the compute it feeds. Compare
+    // as BigInt: join-inflated estimates can exceed Long range.
+    val unknown = bytes >= BigInt(conf.defaultSizeInBytes)
+    val estSplits = bytes / BigInt(math.max(conf.filesMaxPartitionBytes, 1L)) + 1
+    if (unknown || estSplits < BigInt(target)) df.repartition(target) else df
   }
 
   /** Staged fingerprint pipeline: norm → bigram hashes → simhash. */
@@ -182,15 +199,17 @@ object Dedup {
       val neigh = und
         .join(labels.select(col("node").as("v"), col("label").as("_nl")), "v")
         .groupBy(col("u").as("node")).agg(min(col("_nl")).as("_minNeigh"))
+      // carry a moved-flag through the checkpoint so the convergence
+      // check is a flat scan of already-materialized rows — folding it
+      // here removes a whole labels⋈next join (and its shuffle) per round
       val next = labels.join(neigh, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("_minNeigh"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("_minNeigh"), col("label"))).as("label"),
+          (coalesce(col("_minNeigh"), col("label")) < col("label")).as("_moved"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("node"), col("label").as("_old")), "node")
-        .filter(col("label") =!= col("_old")).count()
+      changed = next.filter(col("_moved")).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("_moved")
       i += 1
     }
     und.unpersist()

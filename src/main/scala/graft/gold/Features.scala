@@ -116,7 +116,11 @@ object Features {
       ShareBuf(a.total + b.total, math.max(a.maxBal, b.maxBal))
     // no rounding here: callers apply Spark's round() (proven oracle
     // parity with DuckDB's); the division itself is one IEEE op on
-    // exact longs, partition-order independent
+    // exact longs, partition-order independent.
+    // CONVENTION: a zero total (empty group or mixed signs summing to 0)
+    // yields 0.0, NOT the ±Infinity that raw max/sum division would give
+    // — "share of nothing" is defined as no concentration. The f06
+    // oracle SQL encodes the same CASE so both sides state it.
     override def finish(b: ShareBuf): Double =
       if (b.total == 0L || b.maxBal == Long.MinValue) 0.0
       else b.maxBal.toDouble / b.total.toDouble

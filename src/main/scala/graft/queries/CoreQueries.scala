@@ -805,7 +805,9 @@ object CoreQueries {
     QueryDef("f06_top_share",
       "largest holder's share of each event_type's total — typed Aggregator (udaf), two-long buffer, map-side combinable")(
       s"""SELECT event_type,
-         |       round(CAST(max(bal_c) AS DOUBLE) / CAST(sum(bal_c) AS DOUBLE), 6) AS top_share
+         |       CASE WHEN sum(bal_c) = 0 THEN 0.0
+         |            ELSE round(CAST(max(bal_c) AS DOUBLE) / CAST(sum(bal_c) AS DOUBLE), 6)
+         |       END AS top_share
          |FROM (SELECT event_type, user_id, CAST(sum(${centsSql("value")}) AS BIGINT) AS bal_c
          |      FROM events GROUP BY 1, 2)
          |GROUP BY 1

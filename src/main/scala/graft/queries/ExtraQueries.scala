@@ -612,6 +612,44 @@ object ExtraQueries {
           TextOps.fingerprint(col("chunk_text")).as("chunk_fp"))
     },
 
+    // ----- GPT-style sequence packing (sharded token stream → fixed cuts)
+    QueryDef("x26_packing",
+      "pack the corpus token stream into 128-token training sequences within 8 hash shards — sharded window cumsum, exact span arithmetic at the cuts")(
+      s"""WITH n AS (SELECT doc_id, doc_id % 8 AS shard,
+         |                  len(string_split($normD, ' ')) AS n_tok FROM documents),
+         |o AS (SELECT doc_id, shard, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS e FROM n),
+         |s AS (SELECT doc_id, shard, CAST(e - n_tok AS BIGINT) AS st,
+         |             CAST(e AS BIGINT) AS e FROM o WHERE n_tok > 0),
+         |x AS (SELECT doc_id, shard, st, e,
+         |             unnest(range(st // 128, (e - 1) // 128 + 1)) AS seq_id FROM s)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+         |       CAST(least(e, (seq_id + 1) * 128) - greatest(st, seq_id * 128) AS BIGINT)
+         |         AS n_tok_in_seq
+         |FROM x
+         |""".stripMargin) { (s, dir) =>
+      TextOps.pack(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
+    // ----- bigram-LM quality score (CCNet-style perplexity proxy)
+    QueryDef("x27_lm_score",
+      "corpus-trained bigram LM, per-doc mean log-prob — exact count model, position-ordered left-fold sum")(
+      s"""WITH n AS (SELECT doc_id, string_split($normD, ' ') AS ws FROM documents),
+         |w AS (SELECT doc_id, ws FROM n WHERE len(ws) >= 2),
+         |ix AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+         |b AS (SELECT doc_id, i AS pos, ws[i] AS w1, ws[i] || '_' || ws[i+1] AS bg FROM ix),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+         |l AS (SELECT doc_id, pos, ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS lp
+         |      FROM b JOIN c2 USING (bg) JOIN c1 USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(list_reduce(list(lp ORDER BY pos), (a, x) -> a + x) / count(*), 6)
+         |         AS lm_score
+         |FROM l GROUP BY doc_id
+         |""".stripMargin) { (s, dir) =>
+      TextOps.lmScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
     // ----- benchmark decontamination (n-gram overlap vs a benchmark set)
     QueryDef("x24_decontamination",
       "per-doc 20-char-shingle overlap with a broadcast benchmark set + contamination flag — the pre-training decontamination sweep")(

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types._
   * stays shuffle-free narrow work; top-k uses the two-phase salted TopK
   * (graft.ops.TopK) so no single task sorts a whole query's scores. The
   * LSH variant turns the cross product into an equi-join on bucket id.
+  *
+  * CACHE LIFETIME CONTRACT: neardupPairs / ivfTopK persist() staging
+  * (bucketed vectors, trained centroids) that the returned lazy plan
+  * reads more than once, so they cannot unpersist internally. Long-lived
+  * sessions should `spark.catalog.clearCache()` after consuming results
+  * (Verify/Bench do, per query); see the same note on graft.dedup.Dedup.
   */
 object Similarity {
 

@@ -106,6 +106,80 @@ object TextOps {
         array_join(col("_chunk"), " ").as("chunk_text"))
   }
 
+  /** GPT-style sequence packing: concatenate documents in a deterministic
+    * order and cut the token stream into fixed `seqLen`-token training
+    * sequences — the step that turns a curated corpus into model input.
+    * A document occupying token interval [start, end) of the stream
+    * contributes to sequences floor(start/L) .. floor((end-1)/L), with
+    * exact per-sequence token counts at the cut points.
+    *
+    * Scale design: the running offset is a window sum WITHIN a hash
+    * shard (`doc_id mod nShards`), never a global one — one shuffle on
+    * shard, per-partition sorted cumsum, and each shard packs its own
+    * independent sequence stream exactly like a sharded pretraining
+    * dataset. A single global ordering would serialize the cumsum into
+    * one partition at 100 TB; shards keep every partition bounded.
+    * Output: (doc_id, shard, seq_id, n_tok_in_seq) — one row per
+    * (document, sequence) span; documents may straddle a cut. */
+  def pack(docs: DataFrame, id: Column, text: Column,
+           seqLen: Int = 128, nShards: Int = 8): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "need positive seqLen / nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(id.as("doc_id"), wsTokenCount(norm(text)).as("n_tok"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast(LongType))
+      .withColumn("_end", sum(col("n_tok")).over(w))
+      .withColumn("_start", col("_end") - col("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("shard"), col("_start"), col("_end"),
+        explode(sequence(floor(col("_start") / seqLen).cast(LongType),
+          floor((col("_end") - 1) / seqLen).cast(LongType))).as("seq_id"))
+      .select(col("doc_id"), col("shard"), col("seq_id"),
+        (least(col("_end"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("_start"), col("seq_id") * seqLen)).as("n_tok_in_seq"))
+  }
+
+  /** Bigram-LM quality score (CCNet-style perplexity proxy): train
+    * bigram/context counts on the corpus itself, then score each
+    * document by the mean log-probability ln(c(w1 w2) / c(w1 ·)) of its
+    * word bigrams — low scores flag text the corpus LM finds surprising
+    * (gibberish, OCR noise); single-word documents are out of scope.
+    *
+    * Determinism: counts are exact integers; each bigram's log-prob is
+    * one fixed-shape double expression; the per-document sum is a
+    * position-ordered LEFT FOLD (sort_array on unique positions +
+    * `aggregate`), so the result is partition-order independent and
+    * DuckDB's `list_reduce` over `list(lp ORDER BY pos)` reproduces it.
+    *
+    * Scale: the model is two corpus-keyed aggregations (map-side
+    * combinable); scoring is equi-joins on bigram/context keys; the
+    * fold's collect_list is per document, bounded by document length.
+    * Output: (doc_id, n_bigrams, lm_score). */
+  def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val bg = docs.select(id.as("doc_id"), split(norm(text), " ").as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(col("doc_id"), posexplode(
+        zip_with(slice(col("_ws"), lit(1), size(col("_ws")) - 1),
+          slice(col("_ws"), lit(2), size(col("_ws")) - 1),
+          (a, b) => struct(a.as("w1"), concat(a, lit("_"), b).as("bg"))))
+        .as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"), col("p.w1"), col("p.bg"))
+      // read three times (two model aggregations + the scoring join);
+      // see the cache-lifetime contract on graft.dedup.Dedup
+      .persist()
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("_c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    bg.join(c2, "bg").join(c1, "w1")
+      .select(col("doc_id"), col("pos"),
+        log(col("_c2").cast(DoubleType) / col("_c1").cast(DoubleType)).as("_lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(transform(array_sort(collect_list(struct(col("pos"), col("_lp")))),
+          _.getField("_lp")), lit(0.0), (acc, x) => acc + x).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("_s") / col("n_bigrams"), 6).as("lm_score"))
+  }
+
   /** Gopher/C4-style repetition signal: the share of all word-bigram
     * occurrences taken by the single most frequent bigram — high values
     * flag boilerplate/template text. Exact integer counts via a

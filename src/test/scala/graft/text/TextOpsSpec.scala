@@ -34,6 +34,52 @@ class TextOpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_tokens") === 3L)
   }
 
+  test("pack: spans tile each shard's token stream exactly; straddling docs split at the cut") {
+    // one shard (nShards=1): docs of 3+4+6=13 tokens, seqLen 5 →
+    // sequences 0..2; doc 2 (tokens [3,7)) straddles the 5-token cut
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l m")).toDF("doc_id", "text")
+    val out = TextOps.pack(docs, col("doc_id"), col("text"), seqLen = 5, nShards = 1)
+      .orderBy("doc_id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 3L),            // [0,3) in seq 0
+      (2L, 0L, 2L), (2L, 1L, 2L), // [3,7) splits 2+2 at the cut
+      (3L, 1L, 3L), (3L, 2L, 3L))) // [7,13) splits 3+3
+    // per-sequence totals tile the stream: 5, 5, then the 3-token tail
+    val bySeq = out.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+    assert(bySeq === Map(0L -> 5L, 1L -> 5L, 2L -> 3L))
+  }
+
+  test("pack: shards carry independent offsets") {
+    // nShards=2: doc 1,3 → shard 1; doc 2,4 → shard 0 — each shard's
+    // first doc starts at offset 0 (seq_id 0)
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"), (4L, "g h"))
+      .toDF("doc_id", "text")
+    val out = TextOps.pack(docs, col("doc_id"), col("text"), seqLen = 100, nShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 4)
+    assert(out.forall(_._3 == 0L)) // everything fits in each shard's seq 0
+    assert(out.map(r => r._1 -> r._2).toMap === Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("lmScore: repeated-context docs score higher than one with a unique continuation") {
+    // "a b" appears in both docs; "a z" only once — doc 2's mean
+    // log-prob must be lower (the LM finds "a z" surprising)
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b a z")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 5L) // 5 bigrams in a 6-token doc
+    assert(out(2L)._1 === 3L)
+    assert(out(1L)._2 > out(2L)._2)
+    // single-word docs are out of scope (no bigram context)
+    val single = TextOps.lmScore(Seq((9L, "word")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(single.count() === 0L)
+  }
+
   test("repetition: a constant-bigram doc scores 1.0, diverse text scores lower") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),          // one bigram repeated
