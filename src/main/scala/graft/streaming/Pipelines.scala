@@ -170,6 +170,26 @@ object Pipelines {
       .withColumn("session_end", col("_win.end"))
       .drop("_win")
 
+  /** Stream-stream event-time interval join: enrich each left event with
+    * right-side events for the same key whose timestamp falls in
+    * [left.ts − maxLag, left.ts] — e.g. a trade joined to the quotes
+    * that preceded it. Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, so Spark derives a
+    * state-eviction horizon for each side: buffered state is bounded by
+    * watermark + maxLag, never the stream's history. The two sides must
+    * use disjoint column names (pass the right key as `rightKey`).
+    * Inner join: a left event emits only when a match exists; results
+    * finalize once the watermark proves no further match can arrive. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   maxLag: String, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxLag") &&
+          col(rightTs) <= col(leftTs))
+
   /** W7 streaming exact-dedup: drop redelivered events by key within the
     * watermark horizon (`dropDuplicatesWithinWatermark` — state per key
     * is evicted once the watermark passes, so memory is bounded by the

@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 final case class Tick(k: Long, ts: Timestamp, v: Long)
+final case class Quote(qk: Long, qts: Timestamp, px: Long)
 final case class KafkaRec(topic: String, value: String, timestamp: Timestamp)
 
 /** Streaming wiring driven via MemoryStream: throttle decimation,
@@ -244,6 +245,36 @@ class PipelinesSpec extends SparkSpec {
       val rows = spark.table("sess_out").filter(col("k") === 1L)
         .select("n", "vol").as[(Long, Long)].collect().toSet
       assert(rows === Set((2L, 3L), (1L, 4L))) // merged pair + singleton
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches right events within the lag window; state evicts by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val trades = MemoryStream[Tick]  // left: k, ts, v
+    val quotes = MemoryStream[Quote] // right: qk, qts, px
+    val joined = Pipelines.intervalJoin(trades.toDF(), quotes.toDF(),
+      leftKey = "k", rightKey = "qk", leftTs = "ts", rightTs = "qts",
+      maxLag = "10 seconds", watermark = "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      quotes.addData(
+        Quote(1L, ts("2026-01-01 00:00:02"), 100L), // 8s before trade — in window
+        Quote(1L, ts("2026-01-01 00:00:09"), 101L), // 1s before — in window
+        Quote(1L, ts("2026-01-01 00:00:11"), 102L), // AFTER the trade — excluded
+        Quote(2L, ts("2026-01-01 00:00:09"), 200L)) // other key — excluded
+      trades.addData(Tick(1L, ts("2026-01-01 00:00:10"), 7L))
+      q.processAllAvailable()
+      // advance both watermarks far past the trade so inner-join results
+      // finalize — distinct keys so the sentinels can't match each other
+      quotes.addData(Quote(8L, ts("2026-01-01 00:10:00"), 0L))
+      trades.addData(Tick(9L, ts("2026-01-01 00:10:00"), 0L))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out").select("k", "v", "px")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows === Set((1L, 7L, 100L), (1L, 7L, 101L)))
     } finally q.stop()
   }
 
