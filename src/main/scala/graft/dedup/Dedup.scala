@@ -191,8 +191,14 @@ object Dedup {
     val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
-    var labels = und.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+    // seed with min(self, neighbors) — one aggregation over the edges we
+    // already have. Duplicate clusters are near-stars around their min
+    // id, so most components converge at round 0 and the loop's first
+    // iteration usually just proves the fixpoint
+    var labels = und.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("label"))
+      .select(col("u").as("node"), col("label"))
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
