@@ -117,9 +117,14 @@ object Dedup {
     * hashed shingle sets (long arrays — cheap set ops). `pairs` must have
     * (doc_a, doc_b); `docs` provides (id, text). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
-                    k: Int = 7): DataFrame = {
-    val sh = stagedShingles(docs, id, text, k)
-      .persist() // read twice (a-side and b-side joins)
+                    k: Int = 7): DataFrame =
+    jaccardOnStaged(pairs,
+      stagedShingles(docs, id, text, k)
+        .persist()) // read twice (a-side and b-side joins)
+
+  /** Exact Jaccard against an already-staged (_id, _sh) relation —
+    * callers persist `sh` since both pair sides join it. */
+  private def jaccardOnStaged(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairs
       .join(sh.select(col("_id").as("doc_a"), col("_sh").as("sh_a")), "doc_a")
       .join(sh.select(col("_id").as("doc_b"), col("_sh").as("sh_b")), "doc_b")
@@ -129,6 +134,30 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("_s"))
       .select(col("doc_a"), col("doc_b"),
         round(col("_i") / (col("_s") - col("_i")), 6).as("jaccard"))
+
+  /** Fused candidates + verification: normalize and shingle the corpus
+    * ONCE (the dominant narrow cost), derive the MinHash banding from
+    * that staged relation, and run the exact-Jaccard joins against the
+    * same persisted shingles — composing minhashCandidates and
+    * jaccardVerify separately shingles the corpus twice. Output:
+    * (doc_a, doc_b, jaccard) for every LSH candidate pair. */
+  def verifiedCandidates(docs: DataFrame, id: Column, text: Column,
+                         k: Int = 7, nHashes: Int = 12,
+                         bands: Int = 3, rows: Int = 4): DataFrame = {
+    val sh = stagedShingles(docs, id, text, k)
+      .persist() // read by the banding AND both verification joins
+    val banded = sh
+      .select(col("_id").as("doc_id"), minhashSignature(col("_sh"), nHashes).as("_sig"))
+      .select(col("doc_id"), explode(lshBands(col("_sig"), bands, rows)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+      .persist() // self-joined (thin: id + band key strings)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardOnStaged(cand, sh)
   }
 
   /** Lehmer-mixed word-bigram token hashes (unigram fallback for

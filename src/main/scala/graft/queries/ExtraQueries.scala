@@ -168,9 +168,10 @@ object ExtraQueries {
          |JOIN sh x ON x.doc_id = c.doc_a
          |JOIN sh y ON y.doc_id = c.doc_b
          |""".stripMargin) { (s, dir) =>
-      val corpus = tailDupCorpus(s, dir)
-      val cand = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"))
-      Dedup.jaccardVerify(cand, corpus, col("doc_id"), col("text"))
+      // fused form: one staged shingle pass feeds both the LSH banding
+      // and the exact-Jaccard joins (same results as composing
+      // minhashCandidates + jaccardVerify, which shingles twice)
+      Dedup.verifiedCandidates(tailDupCorpus(s, dir), col("doc_id"), col("text"))
     },
 
     // ----- near-dup clusters: LSH pairs → connected components → survivors

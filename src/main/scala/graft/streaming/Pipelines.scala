@@ -178,17 +178,22 @@ object Pipelines {
     * state-eviction horizon for each side: buffered state is bounded by
     * watermark + maxLag, never the stream's history. The two sides must
     * use disjoint column names (pass the right key as `rightKey`).
-    * Inner join: a left event emits only when a match exists; results
-    * finalize once the watermark proves no further match can arrive. */
+    * `joinType` "inner" emits a left event only when a match exists;
+    * "leftOuter" also emits unmatched left events with nulls — but only
+    * once the watermark proves no match can still arrive, which is why
+    * outer stream-stream joins REQUIRE the time bound: without it there
+    * is no point at which "no match" becomes a fact. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,
-                   maxLag: String, watermark: String): DataFrame =
+                   maxLag: String, watermark: String,
+                   joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxLag") &&
-          col(rightTs) <= col(leftTs))
+          col(rightTs) <= col(leftTs),
+        joinType)
 
   /** W7 streaming exact-dedup: drop redelivered events by key within the
     * watermark horizon (`dropDuplicatesWithinWatermark` — state per key

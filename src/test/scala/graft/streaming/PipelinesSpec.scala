@@ -278,6 +278,35 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched left events with nulls after the watermark closes") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val trades = MemoryStream[Tick]
+    val quotes = MemoryStream[Quote]
+    val joined = Pipelines.intervalJoin(trades.toDF(), quotes.toDF(),
+      leftKey = "k", rightKey = "qk", leftTs = "ts", rightTs = "qts",
+      maxLag = "10 seconds", watermark = "5 seconds", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("loj_out")
+      .outputMode("append").start()
+    try {
+      quotes.addData(Quote(1L, ts("2026-01-01 00:00:09"), 101L))
+      trades.addData(
+        Tick(1L, ts("2026-01-01 00:00:10"), 7L),  // matches the quote
+        Tick(2L, ts("2026-01-01 00:00:10"), 8L))  // no quote for key 2
+      q.processAllAvailable()
+      // push both watermarks far past the trades: the unmatched trade
+      // can now be proven matchless and must emit with a null px
+      quotes.addData(Quote(8L, ts("2026-01-01 00:10:00"), 0L))
+      trades.addData(Tick(9L, ts("2026-01-01 00:10:00"), 0L))
+      q.processAllAvailable()
+      val rows = spark.table("loj_out").select("k", "v", "px")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(rows === Set((1L, 7L, Some(101L)), (2L, 8L, None)))
+    } finally q.stop()
+  }
+
   test("W7: dropDuplicatesWithinWatermark drops redelivered keys across micro-batches") {
     val s = spark
     import s.implicits._
