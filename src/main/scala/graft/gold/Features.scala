@@ -80,13 +80,22 @@ object Features {
     * combinable aggregate). Deterministic everywhere: observations sort
     * totally on `ord`, the fold runs left-to-right seeded with the first
     * element (≡ DuckDB list_reduce), doubles only in the fixed-shape
-    * fold. Scale: the collect is per key — pre-filter `df` to the
-    * feature horizon (incremental D2-style) so per-key state is bounded;
-    * the trailing-`window` slice bounds the fold itself regardless. */
+    * fold. Scale: per-key state is BOUNDED inside the operator — rows are
+    * pre-truncated to the trailing `window` per key with a rank limit
+    * (map-side WindowGroupLimit below the exchange), so a hot key with
+    * unbounded history ships at most `window` rows into the collect; the
+    * collect buffer is then ≤ `window` elements by construction. `ord`
+    * must be a total order per key (e.g. (ts, event_id)) and null-free,
+    * or the trailing-row selection is nondeterministic. */
   def ewma(df: DataFrame, keys: Seq[Column], ord: Seq[Column], valueC: Column,
            window: Int = 20, alpha: Double = 0.2): DataFrame = {
     val obs = struct(ord :+ valueC.cast(DoubleType).as("_v"): _*)
-    df.groupBy(keys: _*)
+    // trailing `window` = top-`window` by DESCENDING order; the optimizer
+    // rewrites row_number + (<= k) to WindowGroupLimit with a partial pass
+    // below the shuffle, so each map task forwards at most `window` rows
+    // per key it sees
+    val trimmed = graft.ops.TopK.perGroup(df, keys, ord.map(_.desc), window)
+    trimmed.groupBy(keys: _*)
       .agg(transform(sort_array(collect_list(obs)), _.getField("_v")).as("_l"))
       .withColumn("_lw", slice(col("_l"),
         greatest(size(col("_l")) - (window - 1), lit(1)), lit(window)))

@@ -717,16 +717,43 @@ object ExtraQueries {
          |FROM (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events)
          |GROUP BY 1
          |""".stripMargin) { (s, dir) =>
-      // the exact percentile is the verified surface (interpolation at
-      // rank p·(n-1), same contract as quantile_cont; round(,4) absorbs
-      // the engines' different-but-equivalent interpolation rounding);
-      // the sketch side ships at scale and is gated like x12's HLL
-      Tables.events(s, dir)
+      // Exact interpolated percentile WITHOUT a per-group value buffer:
+      // Spark's percentile() is an ObjectHashAggregate holding every
+      // group value in memory — the whole corpus in 5 buffers at 100 TB.
+      // Instead: counts per DISTINCT value (map-side combinable hash
+      // aggregate), then a cumulative-count window over the ordered
+      // distinct values — a spillable sort, never an in-memory buffer.
+      // The value at 0-based rank i is the unique row whose occupied
+      // rank range [_cum - _c, _cum) contains i; quantile_cont's rank
+      // r = p·(n-1) interpolates between ranks floor(r) and ceil(r).
+      // The sketch side (percentile_approx, bounded GK state) ships at
+      // scale and is gated within 2% like x12's HLL.
+      import org.apache.spark.sql.expressions.Window
+      val vals = Tables.events(s, dir)
         .select(col("event_type"), graft.ops.Norms.cents(col("value")).as("vc"))
-        .groupBy("event_type")
-        .agg(percentile(col("vc"), lit(0.5)).as("_p50"),
-          percentile(col("vc"), lit(0.95)).as("_p95"),
-          percentile_approx(col("vc"), lit(0.5), lit(1000)).as("_a50"))
+      val cnt = vals.groupBy("event_type", "vc").agg(count(lit(1)).as("_c"))
+      val ranked = cnt
+        .withColumn("_cum", sum(col("_c"))
+          .over(Window.partitionBy(col("event_type")).orderBy(col("vc"))))
+        .withColumn("_n", sum(col("_c"))
+          .over(Window.partitionBy(col("event_type"))))
+      def interp(p: Double, out: String): Seq[org.apache.spark.sql.Column] = {
+        val r = lit(p) * (col("_n") - 1).cast(DoubleType)
+        def at(idx: org.apache.spark.sql.Column) = // the one row whose rank range contains idx
+          max(when(col("_cum") - col("_c") <= idx && idx < col("_cum"), col("vc")))
+        Seq(at(floor(r)).as(s"_lo$out"), at(ceil(r)).as(s"_hi$out"),
+          max(r - floor(r)).as(s"_f$out")) // constant per group
+      }
+      val approx = vals.groupBy("event_type")
+        .agg(percentile_approx(col("vc"), lit(0.5), lit(1000)).as("_a50"))
+      val aggs = interp(0.5, "50") ++ interp(0.95, "95")
+      ranked.groupBy("event_type")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("_p50", col("_lo50").cast(DoubleType)
+          + col("_f50") * (col("_hi50") - col("_lo50")).cast(DoubleType))
+        .withColumn("_p95", col("_lo95").cast(DoubleType)
+          + col("_f95") * (col("_hi95") - col("_lo95")).cast(DoubleType))
+        .join(broadcast(approx), Seq("event_type"))
         .select(col("event_type"),
           round(col("_p50"), 4).as("p50"),
           round(col("_p95"), 4).as("p95"),
