@@ -200,15 +200,25 @@ object Dedup {
 
   /** Near-dup CLUSTERS from candidate pairs: min-label propagation to a
     * fixpoint — each node repeatedly takes the smallest label among
-    * itself and its neighbors, converging in O(component diameter)
-    * rounds, each one join + one aggregation (all shuffles on node id,
-    * nothing quadratic). Near-dup graphs have tiny components by
-    * construction (duplicate clusters), so the diameter bound is small;
-    * for adversarial long-chain graphs swap in large-star/small-star
-    * (O(log n) rounds, same join shape). The driver loop holds only a
-    * convergence COUNT per round — no row data ever reaches the driver.
+    * itself and its neighbors, one join + one aggregation per round
+    * (all shuffles on node id, nothing quadratic). Near-dup graphs have
+    * tiny components by construction (duplicate clusters), so most
+    * converge within the first `starRounds` plain rounds; if the graph
+    * turns out adversarial (long chains — diameter > starRounds), the
+    * loop AUTOMATICALLY switches to the alternating form that also
+    * pointer-jumps each label to its label's label (the star-contraction
+    * idea from large-star/small-star): the distance to the component
+    * minimum at least halves per round, so convergence is O(log n)
+    * rounds total instead of O(diameter), at the cost of one extra
+    * equi-join per round — which is why the cheap form runs first.
+    * Invariant both phases preserve: a node's label only decreases and
+    * always names a node inside its own component, so the shared
+    * fixpoint (every edge label-equal + pointers stable) is exactly
+    * component = min doc_id. The driver loop holds only a convergence
+    * COUNT per round — no row data ever reaches the driver.
     * Output: (doc_id, component = min doc_id in cluster, is_survivor). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 60,
+                          starRounds: Int = 5): DataFrame = {
     // localCheckpoint (NOT persist): an iterative loop's logical plan
     // embeds the previous iteration's plan twice per round, so without
     // lineage TRUNCATION analysis cost grows ~2^rounds and the driver
@@ -234,13 +244,26 @@ object Dedup {
       val neigh = und
         .join(labels.select(col("node").as("v"), col("label").as("_nl")), "v")
         .groupBy(col("u").as("node")).agg(min(col("_nl")).as("_minNeigh"))
+      val base = labels.join(neigh, Seq("node"), "left")
+      // past the stall budget, also pointer-jump: label(label(node)).
+      // Every label value IS a node in `labels` (labels start as node
+      // ids and only ever copy other labels), so the lookup is a plain
+      // equi-join on the checkpointed relation; coalesce is belt-and-
+      // braces for an absent match, not an expected path
+      val jumped =
+        if (i < starRounds) base.withColumn("_ll", col("label"))
+        else base.join(
+          labels.select(col("node").as("_jn"), col("label").as("_jl")),
+          col("label") === col("_jn"), "left")
+          .withColumn("_ll", coalesce(col("_jl"), col("label")))
+          .drop("_jn", "_jl")
       // carry a moved-flag through the checkpoint so the convergence
       // check is a flat scan of already-materialized rows — folding it
       // here removes a whole labels⋈next join (and its shuffle) per round
-      val next = labels.join(neigh, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("_minNeigh"), col("label"))).as("label"),
-          (coalesce(col("_minNeigh"), col("label")) < col("label")).as("_moved"))
+      val cand = least(col("label"),
+        coalesce(col("_minNeigh"), col("label")), col("_ll"))
+      val next = jumped
+        .select(col("node"), cand.as("label"), (cand < col("label")).as("_moved"))
         .localCheckpoint(true)
       changed = next.filter(col("_moved")).count()
       labels.unpersist()
@@ -250,11 +273,14 @@ object Dedup {
     und.unpersist()
     // fail LOUDLY on non-convergence: silently returning partially
     // propagated labels would split one real cluster into several
-    // "components" each with its own survivor — wrong dedup downstream
+    // "components" each with its own survivor — wrong dedup downstream.
+    // With the pointer-jump phase the label distance to the component
+    // min at least halves per round, so maxIter = 60 covers any graph
+    // that fits in storage — reaching this require means a bug, not a
+    // big input
     require(changed == 0L,
       s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still moving) — raise maxIter (component " +
-        "diameter exceeds it) or switch to large-star/small-star")
+        s"($changed labels still moving)")
     labels.select(col("node").as("doc_id"), col("label").as("component"),
       (col("label") === col("node")).as("is_survivor"))
   }

@@ -28,11 +28,44 @@ final case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
                                checksum: Long, q1: Long, q2: Long, q3: Long)
 final case class FrameSample(media_id: Long, n_frames: Long, frame_checksum: Long)
 
-/** STUB codec — deterministic identity "decode". A real implementation
-  * decodes `content` per `meta.format` into pixel/sample buffers; the
-  * surrounding plumbing does not change. */
+/** Codec seam. PNG is decoded for real (pure-JVM `javax.imageio`, no
+  * native deps): a payload carrying the 8-byte PNG signature decodes to
+  * its raw row-major RGB byte buffer, which is what a libjpeg/ffmpeg
+  * binding would hand the feature stages. Payloads without the
+  * signature (the synthetic text-byte media table) and the audio/video
+  * formats (no pure-JVM codec in this container) pass through as the
+  * deterministic identity — still clearly a stub for those formats. */
 object FakeCodec {
-  def decode(content: Array[Byte], format: String): Array[Byte] = content
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def isPng(content: Array[Byte]): Boolean =
+    content.length >= PngSig.length &&
+      java.util.Arrays.equals(content, 0, PngSig.length, PngSig, 0, PngSig.length)
+
+  /** Raw RGB bytes (3 per pixel, row-major) of a decoded PNG. */
+  private def decodePng(content: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "PNG signature present but ImageIO could not decode")
+    val out = new Array[Byte](img.getWidth * img.getHeight * 3)
+    var i = 0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        out(i) = ((rgb >> 16) & 0xff).toByte
+        out(i + 1) = ((rgb >> 8) & 0xff).toByte
+        out(i + 2) = (rgb & 0xff).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def decode(content: Array[Byte], format: String): Array[Byte] =
+    if (format == "png" && isPng(content)) decodePng(content) else content
 }
 
 object Multimodal {

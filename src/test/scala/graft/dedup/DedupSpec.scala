@@ -84,6 +84,17 @@ class DedupSpec extends SparkSpec {
     assert((1L to 9L).forall(d => ok(d) == 1L))
   }
 
+  test("adversarial 100-node chain converges via the pointer-jump fallback") {
+    // diameter 100 ≫ starRounds: plain min-label propagation alone would
+    // need ~100 rounds; the pointer-jump phase must close it in O(log n)
+    val chain = (1L to 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size === 101)
+    assert(out.values.forall(_._1 == 1L)) // one component, min id 1
+    assert(out.collect { case (d, (_, true)) => d }.toSet === Set(1L))
+  }
+
   test("SimHash64: identical docs share all 4 bands; bands fit 16 bits; banded pairs found") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -42,6 +42,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f.frame_checksum === cs)
   }
 
+  test("PNG payloads decode to real RGB bytes through the codec seam") {
+    // synthesize a 2×1 PNG: red pixel, then blue pixel
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    // direct seam: decoded RGB is exactly the pixel bytes, not the file
+    val rgb = FakeCodec.decode(png, "png")
+    assert(rgb.toSeq === Seq(0xff, 0x00, 0x00, 0x00, 0x00, 0xff).map(_.toByte))
+    // through the Dataset pipeline: features run on DECODED bytes
+    val ds = Seq(MediaRow(0L, "image", png, MediaMeta("png", 2, 1))).toDS()
+    val f = Multimodal.features(ds).head()
+    assert(f.byte_len === 6L) // 2 px × 3 channels, not the PNG file size
+    var cs = 0L
+    rgb.foreach(b => cs = (cs * 31 + (b & 0xff)) % 1000000007L)
+    assert(f.checksum === cs)
+    // non-PNG bytes under the same format tag stay identity (x13/x14 path)
+    assert(FakeCodec.decode("abc".getBytes, "png").toSeq === "abc".getBytes.toSeq)
+  }
+
   test("empty payload yields zero frames and zero checksum, no crash") {
     val f = Multimodal.frameSample(Multimodal.media(mk((0L, ""))),
       frameBytes = 16, everyN = 2).head()
