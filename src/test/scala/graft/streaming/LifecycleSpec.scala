@@ -177,6 +177,92 @@ class LifecycleSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: state and pending timers survive kill → restart from checkpoint (RocksDB)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the crash happens BEFORE the close timer (due at end = now + 20 s)
+    // can fire: subscribe is emitted by the very first batch, so the
+    // pre-crash phase needs only startup latency, leaving ~15 s of
+    // margin before the timer becomes due. Post-restart the recovered
+    // store must fire that timer, then the short 300 ms poll delay
+    // drives the rest of the machine.
+    val timing = Timing(firstPollDelayMs = 300L, baseBackoffMs = 60000L,
+      maxBackoffMs = 60000L, maxAttempts = 20)
+    val in = MemoryStream[MarketMsg]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lc_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lc_out").toString + "/t"
+    // the memory sink refuses checkpoint recovery — land transitions in
+    // parquet via foreachBatch (recoverable) and poll the files instead
+    def transitions(): Seq[Transition] =
+      try spark.read.parquet(out).as[Transition].collect().toSeq
+      catch { case _: org.apache.spark.sql.AnalysisException => Nil }
+    def awaitFiles(timeoutMs: Long = 90000)(pred: Seq[Transition] => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!pred(transitions()) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      pred(transitions())
+    }
+    def startQ(name: String) = Lifecycle.runTws(in.toDS(), timing)
+      .writeStream.queryName(name)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Transition], _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    val q1 = startQ("lc_crash_a")
+    try {
+      val end = System.currentTimeMillis() + 20000L
+      in.addData(MarketMsg("mR", "discovered", 1L, Seq("t1"), end,
+        closed = false, "", 0, 0))
+      // the subscription is live and its close timer (due at `end`) is
+      // registered in the RocksDB store
+      assert(awaitFiles()(_.map(_.transition).contains("subscribe")),
+        "expected subscribe before the crash")
+      // let the batch's offsets commit so the restart genuinely resumes
+      // (an uncommitted batch would merely replay — the assertions below
+      // hold either way, but resume is the point)
+      Thread.sleep(600)
+    } finally q1.stop() // crash: the close timer is still pending
+    val crashWallMs = System.currentTimeMillis()
+    assert(!transitions().map(_.transition).contains("close"),
+      "test precondition: the close timer must not have fired pre-crash")
+    val q2 = startQ("lc_crash_b")
+    try {
+      // the recovered incarnation must fire the pre-crash timer: state
+      // (subscribed, with its close timer) survived RocksDB checkpoint
+      // restore. A lost store would leave this key silent forever.
+      // atMs ≥ crash time pins the emission to the restarted process;
+      // the 300 ms poll delay then yields poll_due from recovered state.
+      assert(awaitFiles()(_.exists(t =>
+        t.transition == "close" && t.atMs >= crashWallMs)),
+        "expected the pre-crash close timer to fire after restart")
+      assert(awaitFiles()(_.map(_.transition).contains("poll_due")),
+        "expected the first resolution poll after the recovered close")
+      // and the state machine continues: a resolved poll result against
+      // the RECOVERED state emits the winner and clears the market —
+      // impossible if the restart had dropped state (stale polls are
+      // ignored by onMessages)
+      in.addData(MarketMsg("mR", "poll_result", 2L, Nil, 0L,
+        closed = true, "resolved", 1.0, 0.0))
+      assert(awaitFiles()(_.exists(t =>
+        t.transition == "resolved" && t.detail == "Down")),
+        "expected resolution against the recovered state")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState wrapper: subscribe transitions flow through a MemoryStream") {
     val s = spark
     import s.implicits._
