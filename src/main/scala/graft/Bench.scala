@@ -47,7 +47,18 @@ object Bench {
       spark.catalog.clearCache()
       val (t2, ok2) = if (ok1) once() else (t1, ok1)
       spark.catalog.clearCache()
-      (name, math.min(t1, t2), ok1 && ok2)
+      // shared-host noise hygiene (r5→r6 evidence in PLANS.md): when the
+      // two reps disagree by >1.5× one of them was ambient load, not the
+      // query — take a tiebreaker rep so min() has two honest samples.
+      // Concordant queries stay at two reps, so total bench time barely
+      // moves. The inter-query System.gc() keeps one query's garbage
+      // from being charged to the next query's first rep.
+      val discordant = ok2 && math.max(t1, t2) > 1.5 * math.min(t1, t2)
+      val (t3, ok3) =
+        if (discordant) { val r = once(); spark.catalog.clearCache(); r }
+        else (math.min(t1, t2), ok1 && ok2)
+      System.gc()
+      (name, math.min(math.min(t1, t2), t3), ok1 && ok2 && ok3)
     }
     // The driver keeps only a ~2000-char tail of stdout; the JSON line must
     // fit inside it or it can never be parsed. 2-decimal per-query times
