@@ -176,13 +176,36 @@ object Similarity {
 
   /** Bucketed approximate top-k: candidates share the query's sign
     * bucket, so the cross product becomes an equi-join on bucket id.
-    * Queries are broadcast; recall trades off against 2^bits. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4): DataFrame = {
-    val c = corpus.withColumn("bucket", signBucket(col("embedding"), bits))
-    val q = queries.withColumn("bucket", signBucket(col("q_emb"), bits))
-    val scored = c.join(broadcast(q), "bucket")
-      .select(col("q_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+    * Queries are broadcast; recall trades off against 2^bits and back
+    * up against `tables` (independent hash tables unioned before the
+    * top-k — a candidate counts once however many tables it collides
+    * in). Sign-LSH misses a true neighbor at angle θ with probability
+    * (θ/π)ᵇ per hyperplane set, so recall on MODERATE-similarity
+    * neighbors needs several tables; see the sf0.1 recall report in
+    * PLANS.md for measured numbers behind the defaults. Candidate work
+    * scales with tables × bucket population — still an equi-join,
+    * never a cross product. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4,
+              tables: Int = 1): DataFrame = {
+    val scored =
+      if (tables == 1) {
+        val c = corpus.withColumn("bucket", signBucket(col("embedding"), bits))
+        val q = queries.withColumn("bucket", signBucket(col("q_emb"), bits))
+        c.join(broadcast(q), "bucket")
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("q_emb"), col("embedding")).as("cos"))
+      } else {
+        def banded(df: DataFrame, emb: String) = df.select(col("*"),
+            explode(array((0 until tables).map { s =>
+              struct(lit(s).as("seed"), signBucket(col(emb), bits, s).as("bucket"))
+            }: _*)).as("t"))
+          .select(col("*"), col("t.seed"), col("t.bucket")).drop("t")
+        banded(corpus, "embedding")
+          .join(broadcast(banded(queries, "q_emb")), Seq("seed", "bucket"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("q_emb"), col("embedding")).as("cos"))
+          .distinct() // a pair may collide in several tables
+      }
     TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
   }
 }
