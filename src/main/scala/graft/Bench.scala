@@ -50,13 +50,16 @@ object Bench {
       // shared-host noise hygiene (r5→r6 evidence in PLANS.md): when the
       // two reps disagree by >1.5× one of them was ambient load, not the
       // query — take a tiebreaker rep so min() has two honest samples.
-      // Concordant queries stay at two reps, so total bench time barely
-      // moves. The inter-query System.gc() keeps one query's garbage
-      // from being charged to the next query's first rep.
-      val discordant = ok2 && math.max(t1, t2) > 1.5 * math.min(t1, t2)
+      // Sub-second queries get the third rep unconditionally: they are
+      // the ones where a single descheduled thread doubles the reading
+      // (measured cross-run, PLANS.md), and an extra rep costs <1 s.
+      // The inter-query System.gc() keeps one query's garbage from
+      // being charged to the next query's first rep.
+      val discordant = math.max(t1, t2) > 1.5 * math.min(t1, t2)
       val (t3, ok3) =
-        if (discordant) { val r = once(); spark.catalog.clearCache(); r }
-        else (math.min(t1, t2), ok1 && ok2)
+        if (ok2 && (discordant || math.min(t1, t2) < 1.0)) {
+          val r = once(); spark.catalog.clearCache(); r
+        } else (math.min(t1, t2), ok1 && ok2)
       System.gc()
       (name, math.min(math.min(t1, t2), t3), ok1 && ok2 && ok3)
     }
