@@ -235,6 +235,16 @@ class LifecycleSpec extends SparkSpec {
       "test precondition: the close timer must not have fired pre-crash")
     val q2 = startQ("lc_crash_b")
     try {
+      // engine quirk (observed flake): when every checkpointed batch was
+      // COMMITTED, the restarted query resumes with committed ==
+      // available and constructs no batch at all — lastExecution stays
+      // null, so the stateful operator is never asked whether pending
+      // processing-time timers need a batch, and the query idles until
+      // NEW data arrives. Nudge it with a benign message for an
+      // unrelated key: timer sweeps are per-batch and global across
+      // keys, so the recovered mR timer fires in the nudged batch.
+      in.addData(MarketMsg("mNudge", "discovered", 3L, Seq("tn"),
+        System.currentTimeMillis() + 3600000L, closed = false, "", 0, 0))
       // the recovered incarnation must fire the pre-crash timer: state
       // (subscribed, with its close timer) survived RocksDB checkpoint
       // restore. A lost store would leave this key silent forever.
