@@ -327,6 +327,19 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S8: console debug sink executes (smoke)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Pipelines.consoleSink(in.toDF()).start()
+    try {
+      in.addData(Tick(1L, ts("2026-01-01 00:00:00"), 1L))
+      q.processAllAvailable() // the sink prints to stdout; executing
+                              // without error is the whole contract
+    } finally q.stop()
+  }
+
   test("progress listener counts rows without hot-path instrumentation (A9)") {
     val s = spark
     import s.implicits._
