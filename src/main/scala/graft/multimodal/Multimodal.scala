@@ -28,13 +28,15 @@ final case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
                                checksum: Long, q1: Long, q2: Long, q3: Long)
 final case class FrameSample(media_id: Long, n_frames: Long, frame_checksum: Long)
 
-/** Codec seam. PNG is decoded for real (pure-JVM `javax.imageio`, no
-  * native deps): a payload carrying the 8-byte PNG signature decodes to
-  * its raw row-major RGB byte buffer, which is what a libjpeg/ffmpeg
-  * binding would hand the feature stages. Payloads without the
-  * signature (the synthetic text-byte media table) and the audio/video
-  * formats (no pure-JVM codec in this container) pass through as the
-  * deterministic identity — still clearly a stub for those formats. */
+/** Codec seam. PNG and WAV are decoded for real (pure-JVM
+  * `javax.imageio` / `javax.sound.sampled`, no native deps): a payload
+  * carrying the PNG signature decodes to its raw row-major RGB byte
+  * buffer, and one carrying the RIFF/WAVE header decodes to its raw PCM
+  * sample bytes — exactly what a libjpeg/ffmpeg binding would hand the
+  * feature stages. Payloads without the magic bytes (the synthetic
+  * text-byte media table) and video formats (no pure-JVM mp4 codec)
+  * pass through as the deterministic identity — still clearly a stub
+  * for those. */
 object FakeCodec {
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
@@ -42,6 +44,18 @@ object FakeCodec {
   private def isPng(content: Array[Byte]): Boolean =
     content.length >= PngSig.length &&
       java.util.Arrays.equals(content, 0, PngSig.length, PngSig, 0, PngSig.length)
+
+  private def isWav(content: Array[Byte]): Boolean =
+    content.length >= 12 &&
+      content(0) == 'R' && content(1) == 'I' && content(2) == 'F' && content(3) == 'F' &&
+      content(8) == 'W' && content(9) == 'A' && content(10) == 'V' && content(11) == 'E'
+
+  /** Raw PCM sample bytes of a decoded WAV (header stripped). */
+  private def decodeWav(content: Array[Byte]): Array[Byte] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try in.readAllBytes() finally in.close()
+  }
 
   /** Raw RGB bytes (3 per pixel, row-major) of a decoded PNG. */
   private def decodePng(content: Array[Byte]): Array[Byte] = {
@@ -65,7 +79,9 @@ object FakeCodec {
   }
 
   def decode(content: Array[Byte], format: String): Array[Byte] =
-    if (format == "png" && isPng(content)) decodePng(content) else content
+    if (format == "png" && isPng(content)) decodePng(content)
+    else if (format == "wav" && isWav(content)) decodeWav(content)
+    else content
 }
 
 object Multimodal {

@@ -65,6 +65,27 @@ class MultimodalSpec extends SparkSpec {
     assert(FakeCodec.decode("abc".getBytes, "png").toSeq === "abc".getBytes.toSeq)
   }
 
+  test("WAV payloads decode to raw PCM bytes through the codec seam") {
+    // synthesize a 4-sample 8-bit mono PCM WAV with known sample bytes
+    val pcm = Array[Byte](0, 64, -128, 127)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    assert(wav.length > pcm.length) // RIFF header present
+    // direct seam: decode strips the container, returns the samples
+    assert(FakeCodec.decode(wav, "wav").toSeq === pcm.toSeq)
+    // through the Dataset pipeline: features run on DECODED samples
+    val ds = Seq(MediaRow(1L, "audio", wav, MediaMeta("wav", 0, 0))).toDS()
+    val f = Multimodal.features(ds).head()
+    assert(f.byte_len === 4L) // sample count, not the WAV file size
+    // non-WAV bytes under the same format tag stay identity (x13/x14 path)
+    assert(FakeCodec.decode("abc".getBytes, "wav").toSeq === "abc".getBytes.toSeq)
+  }
+
   test("empty payload yields zero frames and zero checksum, no crash") {
     val f = Multimodal.frameSample(Multimodal.media(mk((0L, ""))),
       frameBytes = 16, everyN = 2).head()
