@@ -682,6 +682,103 @@ object ExtraQueries {
           (col("n_overlap") >= 10).as("contaminated"))
     },
 
+    // ----- bloom-gated decontamination emitting the clean corpus
+    QueryDef("x28_bloom_decontam",
+      "clean-corpus sweep: Bloom pre-gate (Spark sketch expression) on corpus shingles, exact-join FP removal, docs under the overlap threshold survive with token budget")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |${shinglesKD(20)},
+         |bs AS (SELECT DISTINCT unnest(shingles) AS h FROM sh WHERE doc_id < 3),
+         |d AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         |o AS (SELECT d.doc_id, count(*) AS n_overlap
+         |      FROM d JOIN bs USING (h) GROUP BY 1)
+         |SELECT c.doc_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |       CAST(len(string_split_regex(trim(c.text), '\\s+')) AS BIGINT) AS n_tokens
+         |FROM corpus c LEFT JOIN o ON c.doc_id = o.doc_id
+         |WHERE coalesce(o.n_overlap, 0) < 10
+         |""".stripMargin) { (s, dir) =>
+      // the oracle has no bloom (it joins exactly) — the result is
+      // identical BY CONSTRUCTION because the bloom only pre-gates the
+      // exact join's input; any false positive is removed by the join
+      val docs = Tables.documents(s, dir)
+      graft.dedup.Decontam.cleanCorpus(
+        docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 3), col("doc_id"), col("text"))
+    },
+
+    // ----- duplicate-n-gram fraction (RefinedWeb/Gopher repetition filter)
+    QueryDef("x29_dup_ngrams",
+      "per-doc fraction of word 8-grams occurring >= 2x corpus-wide — hashes shuffle, text never does")(
+      s"""WITH n AS (SELECT doc_id, string_split($normD, ' ') AS ws FROM documents),
+         |w AS (SELECT doc_id, ws FROM n WHERE len(ws) >= 8),
+         |g AS (SELECT doc_id, unnest([
+         |    list_reduce([ord(substr(s, j, 1)) FOR j IN range(1, len(s)+1)]::BIGINT[],
+         |                (acc, x) -> (acc * 31 + x) % 1000000007)
+         |    FOR s IN [array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)]]) AS h
+         |  FROM w),
+         |c AS (SELECT h, count(*) AS ch FROM g GROUP BY 1),
+         |j AS (SELECT doc_id, ch FROM g JOIN c USING (h))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |       CAST(sum(CASE WHEN ch >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+         |       round(CAST(sum(CASE WHEN ch >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS dup_frac
+         |FROM j GROUP BY doc_id
+         |""".stripMargin) { (s, dir) =>
+      TextOps.dupNgramStats(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
+    // ----- Gopher document-quality rules (exact flags + conjunction)
+    QueryDef("x30_gopher_rules",
+      "Gopher quality rules per doc: word bounds, mean word length, symbol ratio, alpha-word fraction, >=2 stopwords, pass flag — pure narrow projection")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM n),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(length(t) - len(ws) + 1 AS DOUBLE) / len(ws) AS mwl,
+         |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |  CAST(length(t) - length(replace(t, '#', ''))
+         |     + (length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS sym,
+         |  CAST((CASE WHEN contains(' ' || t || ' ', ' the ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' a ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' of ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' and ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' to ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' in ') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+         |  FROM w),
+         |f AS (SELECT doc_id, n_words, mwl, alpha_words, stop_hits,
+         |  n_words BETWEEN 50 AND 100000 AS words_ok,
+         |  mwl BETWEEN 3.0 AND 10.0 AS mwl_ok,
+         |  CAST(sym AS DOUBLE) / n_words < 0.1 AS sym_ok,
+         |  CAST(alpha_words AS DOUBLE) / n_words > 0.8 AS alpha_ok,
+         |  stop_hits >= 2 AS stops_ok
+         |  FROM m)
+         |SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, alpha_words,
+         |       stop_hits, words_ok, mwl_ok, sym_ok, alpha_ok, stops_ok,
+         |       (words_ok AND mwl_ok AND sym_ok AND alpha_ok AND stops_ok) AS passes
+         |FROM f
+         |""".stripMargin) { (s, dir) =>
+      TextOps.gopherFlags(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
+    // ----- deterministic train/val/test split manifest
+    QueryDef("x31_split_assign",
+      "hash-based train/val/test assignment (fingerprint mod 100: 80/10/10) + per-(split, lang) doc and token budget — engine-portable, row-order immune")(
+      s"""WITH n AS (SELECT doc_id, lang, text, $normD AS t FROM documents),
+         |h AS (SELECT lang, text,
+         |  list_reduce([ord(substr(t, i, 1)) FOR i IN range(1, len(t)+1)]::BIGINT[],
+         |              (acc, x) -> (acc * 31 + x) % 1000000007) % 100 AS hb
+         |  FROM n),
+         |s AS (SELECT lang,
+         |  CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split,
+         |  len(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM h)
+         |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(tok) AS BIGINT) AS total_tokens
+         |FROM s GROUP BY 1, 2
+         |""".stripMargin) { (s, dir) =>
+      TextOps.splitAssign(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang"))
+    },
+
     // ----- deterministic stratified sampling (language-balanced quota)
     QueryDef("x21_stratified_sample",
       "language-balanced corpus sample: top-40 docs per lang by content-hash order — deterministic pseudo-random quota sampling, two-phase top-K")(

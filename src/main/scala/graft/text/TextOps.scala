@@ -180,6 +180,104 @@ object TextOps {
         round(col("_s") / col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** RefinedWeb/Gopher duplicate-n-gram signal: for each document, the
+    * fraction of its word n-gram positions whose n-gram occurs ≥ 2 times
+    * CORPUS-WIDE (within- or cross-document) — the "fraction of
+    * characters in duplicate n-grams" family of repetition filters,
+    * computed exactly.
+    *
+    * Scale design: each n-gram is reduced to its polynomial content hash
+    * BEFORE any shuffle, so the three exchanges (count-by-hash with
+    * map-side combine, the hash-keyed count join, the per-doc rollup)
+    * move only longs — document text never shuffles. Hash collisions are
+    * deterministic and engine-portable (the oracle hashes identically),
+    * so both engines agree bit-for-bit. Documents shorter than n words
+    * have no n-gram positions and are out of scope (no output row).
+    * Output: (doc_id, n_ngrams, dup_ngrams, dup_frac). */
+  def dupNgramStats(docs: DataFrame, id: Column, text: Column,
+                    n: Int = 8): DataFrame = {
+    require(n >= 2, "need n >= 2")
+    val grams = docs
+      .select(id.as("doc_id"), split(norm(text), " ").as("_ws"))
+      .filter(size(col("_ws")) >= n)
+      // explode positions first, hash per ROW after: the per-row
+      // fingerprint is a codegen'd native expression, where a
+      // transform() lambda over the same slices would be interpreted
+      .select(col("doc_id"), col("_ws"),
+        explode(sequence(lit(1), size(col("_ws")) - (n - 1))).as("_i"))
+      .select(col("doc_id"),
+        fingerprint(array_join(slice(col("_ws"), col("_i"), lit(n)), " ")).as("h"))
+      // read twice (global counts + the count join) — cache contract as
+      // on graft.dedup.Dedup
+      .persist()
+    val counts = grams.groupBy("h").agg(count(lit(1)).as("_ch"))
+    grams.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("_ch") >= 2, 1L).otherwise(0L)).as("dup_ngrams"))
+      .select(col("doc_id"), col("n_ngrams"), col("dup_ngrams"),
+        round(col("dup_ngrams").cast(DoubleType) / col("n_ngrams").cast(DoubleType), 6)
+          .as("dup_frac"))
+  }
+
+  /** Gopher-style document quality rules, computed exactly per document:
+    * word-count bounds, mean word length in [3, 10], symbol-to-word
+    * ratio (`#` and `...`), fraction of words containing an alphabetic
+    * character, and a ≥ 2-distinct-stopwords requirement — plus the
+    * conjunction (`passes`). Pure narrow projection over the normalized
+    * text: no shuffle, scales with input splits. */
+  def gopherFlags(docs: DataFrame, id: Column, text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stops = Seq(" the ", " a ", " of ", " and ", " to ", " in ")
+    val staged = docs
+      .select(id.as("doc_id"), norm(text).as("_t"))
+      .select(col("doc_id"), col("_t"), split(col("_t"), " ").as("_ws"))
+    staged
+      .select(col("doc_id"),
+        size(col("_ws")).cast(LongType).as("n_words"),
+        // normalized text is single-spaced: non-space chars = len − (words − 1)
+        ((length(col("_t")) - size(col("_ws")) + 1).cast(DoubleType)
+          / size(col("_ws")).cast(DoubleType)).as("_mwl"),
+        size(filter(col("_ws"), w => w.rlike("[a-z]"))).cast(LongType)
+          .as("alpha_words"),
+        (charClassCount(col("_t"), "#") + countOccurrences(col("_t"), "..."))
+          .as("_sym"),
+        stops.map(m => when(padded(col("_t")).contains(m), 1L).otherwise(0L))
+          .reduce(_ + _).as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("_mwl"), 6).as("mean_word_len"),
+        col("alpha_words"), col("stop_hits"),
+        col("n_words").between(minWords, maxWords).as("words_ok"),
+        col("_mwl").between(3.0, 10.0).as("mwl_ok"),
+        (col("_sym").cast(DoubleType) / col("n_words").cast(DoubleType) < 0.1)
+          .as("sym_ok"),
+        (col("alpha_words").cast(DoubleType) / col("n_words").cast(DoubleType) > 0.8)
+          .as("alpha_ok"),
+        (col("stop_hits") >= 2).as("stops_ok"))
+      .withColumn("passes",
+        col("words_ok") && col("mwl_ok") && col("sym_ok") &&
+          col("alpha_ok") && col("stops_ok"))
+  }
+
+  /** Deterministic train/val/test assignment + per-(split, lang) corpus
+    * budget: the content fingerprint mod 100 buckets each document
+    * (< 80 train, < 90 val, else test) — the hash-based split every
+    * engine and every run reproduces identically, immune to row order
+    * and engine RNG (the same idea as x21's quota sampling). One
+    * map-side-combinable aggregation; output is the split manifest
+    * (split, lang, n_docs, total_tokens) a training job consumes. */
+  def splitAssign(docs: DataFrame, id: Column, text: Column,
+                  lang: Column): DataFrame = {
+    val bucket = pmod(fingerprint(norm(text)), lit(100L))
+    docs
+      .select(lang.as("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"),
+        wsTokenCount(text).as("_tok"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("total_tokens"))
+  }
+
   /** Gopher/C4-style repetition signal: the share of all word-bigram
     * occurrences taken by the single most frequent bigram — high values
     * flag boilerplate/template text. Exact integer counts via a

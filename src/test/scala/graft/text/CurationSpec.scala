@@ -1,0 +1,140 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.dedup.Decontam
+import org.apache.spark.sql.functions._
+
+/** The round-8 curation family: duplicate-n-gram fraction, Gopher
+  * quality rules, hash-based split assignment, and the bloom-gated
+  * decontamination sweep. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dupNgramStats: planted verbatim span is flagged, unique text is not") {
+    // docs 1 and 2 share an 8-word span verbatim; doc 3 is disjoint
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$span iota kappa lambda mu nu xi omicron pi"),
+      (3L, "red orange yellow green blue indigo violet ultra infra x-ray"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dupNgramStats(docs, col("doc_id"), col("text"), n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 16 words → 9 8-gram positions; exactly position 1 (the planted
+    // span) duplicates across docs 1 and 2
+    assert(out(1L) === (9L, 1L))
+    assert(out(2L) === (9L, 1L))
+    assert(out(3L)._2 === 0L) // 10 words, 3 positions, no dups
+    // a doc shorter than n words emits no row
+    val short = TextOps.dupNgramStats(
+      Seq((9L, "too short")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(short.count() === 0L)
+  }
+
+  test("dupNgramStats: within-doc repetition also counts as duplication") {
+    val doc = Seq((1L, ("spam " * 20).trim)).toDF("doc_id", "text")
+    val out = TextOps.dupNgramStats(doc, col("doc_id"), col("text"), n = 8)
+      .collect().head
+    // every 8-gram is "spam x8" — all 13 positions duplicate each other
+    assert(out.getAs[Long]("n_ngrams") === 13L)
+    assert(out.getAs[Long]("dup_ngrams") === 13L)
+    assert(out.getAs[Double]("dup_frac") === 1.0)
+  }
+
+  test("gopherFlags: each rule fires on its designed violation") {
+    val goodText = (("the quick brown fox jumps over a lazy dog and " +
+      "every word here lands inside sane bounds for mean length ") * 5).trim
+    val docs = Seq(
+      (1L, goodText),                          // passes everything
+      (2L, "too few words to pass the count"), // words_ok = false
+      (3L, ("#### " * 60).trim),               // symbols + no alpha + no stops
+      (4L, (("internationalization disproportionately " * 30).trim))) // mwl > 10
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherFlags(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("words_ok"), r.getAs[Boolean]("mwl_ok"),
+          r.getAs[Boolean]("sym_ok"), r.getAs[Boolean]("alpha_ok"),
+          r.getAs[Boolean]("stops_ok"), r.getAs[Boolean]("passes"))).toMap
+    assert(out(1L) === ((true, true, true, true, true, true)))
+    assert(out(2L)._1 === false)
+    assert(out(2L)._6 === false)
+    assert(out(3L)._3 === false) // every "word" is a symbol run
+    assert(out(3L)._4 === false) // no alphabetic words
+    assert(out(3L)._5 === false) // no stopwords
+    assert(out(4L)._2 === false) // mean word length way above 10
+  }
+
+  test("splitAssign: buckets are deterministic, exhaustive, and row-order immune") {
+    val docs = (1L to 200L).map(i => (i, s"document number $i with content $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.splitAssign(docs, col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet.subsetOf(Set("train", "val", "test")))
+    assert(out.values.map(_._1).sum === 200L)
+    // hash split should be roughly 80/10/10 — allow wide slack, the
+    // point is determinism not exact proportions
+    assert(out("train")._1 > 100L)
+    // identical corpus in reversed row order → identical manifest
+    val rev = TextOps.splitAssign(docs.orderBy(col("doc_id").desc),
+        col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rev === out)
+  }
+
+  test("cleanCorpus: contaminated docs are dropped, clean docs keep exact overlap counts") {
+    val benchText = "the secret benchmark passage that must never leak into training data at all"
+    val docs = Seq(
+      (0L, benchText),                                      // the benchmark doc itself
+      (1L, s"prefix words then $benchText and a suffix"),   // near-verbatim copy
+      (2L, "completely unrelated text about weather patterns and ocean currents today"),
+      (3L, "more clean text that shares nothing with the protected evaluation set"))
+      .toDF("doc_id", "text")
+    val out = Decontam.cleanCorpus(
+      docs, col("doc_id"), col("text"),
+      docs.filter(col("doc_id") === 0L), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0 and 1 carry >= 10 benchmark 20-char shingles → dropped
+    assert(!out.contains(0L) && !out.contains(1L))
+    assert(out.keySet === Set(2L, 3L))
+    // clean docs may share a few incidental shingles, but few ("the" runs)
+    assert(out.values.forall(_ < 10L))
+    spark.catalog.clearCache()
+  }
+
+  test("cleanCorpus result is identical to the no-bloom exact sweep") {
+    // the bloom is a pre-gate only: false positives die in the exact
+    // join, so removing it must not change the output
+    val docs = (1L to 50L).map(i =>
+        (i, s"shared leading words for everyone then unique tail $i ${i * 31} ${i * 7}"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") <= 2)
+    val withBloom = Decontam.cleanCorpus(docs, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // exact reference: same joins without the gate
+    val sh = graft.dedup.Dedup.stagedShingles(docs, col("doc_id"), col("text"), k = 20)
+    val bs = graft.dedup.Dedup.stagedShingles(bench, col("doc_id"), col("text"), k = 20)
+      .select(explode(col("_sh")).as("h")).distinct()
+    val overlap = sh.select(col("_id").as("doc_id"), explode(col("_sh")).as("h"))
+      .join(bs, "h").groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    val exact = docs.select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .filter(col("n_overlap") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(withBloom.toSeq === exact.toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("mightContain: no false negatives; absent keys are overwhelmingly rejected") {
+    val present = (1L to 1000L).toDF("h")
+    val bloom = present.stat.bloomFilter("h", 1000L, 0.01)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+    val probes = (1L to 5000L).toDF("h")
+      .select(col("h"), Decontam.mightContain(bytes, col("h")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((1L to 1000L).forall(probes(_))) // bloom contract: zero false negatives
+    val fp = (1001L to 5000L).count(probes(_))
+    assert(fp < 200) // ~1% fpp on 4000 absent keys, wide slack
+  }
+}
