@@ -66,16 +66,21 @@ object Bench {
     // The driver keeps only a ~2000-char tail of stdout; the JSON line must
     // fit inside it or it can never be parsed. 2-decimal per-query times
     // (1 decimal loses all regression signal on the many sub-50 ms
-    // queries) + a capped failures list (normally empty) instead of a
-    // status map keep the ~70-query line under ~1900 chars; the length
-    // check below warns before the budget is actually blown.
+    // queries) stay, but with 74 queries the full names alone blew the
+    // budget — keys are now each query's UNIQUE short code (the prefix
+    // before the first '_': "x29_dup_ngrams" → "x29"), which prefix-maps
+    // back to SparkEntry.queries 1:1; the length check below warns
+    // before the budget is actually blown.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
+    def code(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(r => code(r._1)).distinct.size == results.size,
+      "query short codes must stay unique — rename the clashing query")
+    val qs = results.map { case (k, v, _) => "\"" + code(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // cap the list so a mass failure can't push the JSON line past the
     // 2000-char tail (rc=1 still signals the failure either way)
-    val failedAll = results.collect { case (k, _, false) => k }
+    val failedAll = results.collect { case (k, _, false) => code(k) }
     val failed = (failedAll.take(5).map("\"" + _ + "\"") ++
       (if (failedAll.size > 5) Seq("\"+" + (failedAll.size - 5) + " more\"") else Nil))
       .mkString("[", ",", "]")

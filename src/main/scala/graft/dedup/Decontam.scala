@@ -52,8 +52,12 @@ object Decontam {
                   bench: DataFrame, benchId: Column, benchText: Column,
                   k: Int = 20, maxOverlap: Long = 10,
                   fpp: Double = 0.01): DataFrame = {
+    // explode_outer + null filter (not plain explode): see the corpus-side
+    // note below — avoids the inferred size>0 filter re-running the
+    // shingle pass
     val bsh = Dedup.stagedShingles(bench, benchId, benchText, k)
-      .select(explode(col("_sh")).as("h")).distinct()
+      .select(explode_outer(col("_sh")).as("h"))
+      .filter(col("h").isNotNull).distinct()
       .persist()
     val nBench = bsh.count()
     val bloom = bsh.stat.bloomFilter("h", math.max(nBench, 1L), fpp)
@@ -63,9 +67,16 @@ object Decontam {
       bos.toByteArray
     }
     // shingle lists are distinct per doc, so the post-gate join count IS
-    // the per-document intersection size (same contract as x24)
+    // the per-document intersection size (same contract as x24).
+    // explode_OUTER on purpose: a plain explode lets the optimizer infer
+    // `size(child) > 0` and push it below the staging repartition, which
+    // re-runs the whole shingle pass inside the filter — doubling the
+    // query's dominant narrow cost (observed in the physical plan). The
+    // outer form infers nothing; a shingle-less doc yields h = null,
+    // which the bloom gate / inner join drop, and the final left join
+    // restores it with n_overlap = 0 — identical semantics.
     val overlap = Dedup.stagedShingles(corpus, id, text, k)
-      .select(col("_id").as("doc_id"), explode(col("_sh")).as("h"))
+      .select(col("_id").as("doc_id"), explode_outer(col("_sh")).as("h"))
       .filter(mightContain(bytes, col("h")))
       .join(broadcast(bsh), "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
