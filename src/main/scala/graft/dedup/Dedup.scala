@@ -59,11 +59,14 @@ object Dedup {
   /** MinHash signature over shingle hashes via an affine hash family:
     * g_h(x) = (x·(2h+1) + 12345·h) mod p. Derived hashes are integer
     * arithmetic on the one shingle hash — nHashes× cheaper than salted
-    * digests, same minwise-independence in practice. */
+    * digests, same minwise-independence in practice.
+    *
+    * Native one-pass expression (graft.plans.MinHashSig): the HOF form
+    * (`array_min(transform(...))` × nHashes) is CodegenFallback and
+    * walks an interpreted tree per element per hash — measured 12×-pass
+    * interpreted cost on the x02/x03/x23 shingle arrays. */
   def minhashSignature(hs: Column, nHashes: Int = 12): Column =
-    array((0 until nHashes).map { h =>
-      array_min(transform(hs, x => (x * (2 * h + 1) + 12345L * h) % P))
-    }: _*)
+    graft.plans.functions.minhash_sig(hs, nHashes)
 
   /** LSH banding: rows×bands decomposition of the signature. Emits one
     * (band_id, band_key) struct per band; docs agreeing on ANY full band

@@ -38,6 +38,8 @@ object GraftExtensions {
       a => PolyHash(a.head)),
     fn("shingle_hashes", classOf[ShingleHashes], 2, "shingle_hashes(str, k)")(
       a => ShingleHashes(a.head, intArg(a(1)))),
+    fn("minhash_sig", classOf[MinHashSig], 2, "minhash_sig(array<bigint>, nHashes)")(
+      a => MinHashSig(a.head, intArg(a(1)))),
     fn("bigram_token_hashes", classOf[BigramTokenHashes], 1, "bigram_token_hashes(str)")(
       a => BigramTokenHashes(a.head)),
     fn("simhash16", classOf[SimHash16], 1, "simhash16(array<bigint>)")(
@@ -61,6 +63,9 @@ object functions {
 
   def shingle_hashes(c: Column, k: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(c), k))
+
+  def minhash_sig(c: Column, nHashes: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), nHashes))
 
   def bigram_token_hashes(c: Column): Column =
     GraftBridge.column(BigramTokenHashes(GraftBridge.expression(c)))

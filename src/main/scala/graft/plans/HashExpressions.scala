@@ -128,6 +128,30 @@ object HashUtil {
     new GenericArrayData(out)
   }
 
+  /** One-pass MinHash signature over shingle hashes via the affine
+    * family g_h(x) = (x·(2h+1) + 12345·h) mod P — the h-th output is
+    * min over the input of g_h. Identical math to the HOF form
+    * `array_min(transform(hs, x -> ...))` repeated nHashes times, but a
+    * single tight loop touches each input element once for all hashes
+    * (the HOF form walks an interpreted expression tree per element PER
+    * HASH — nHashes× the work, ~100× the per-step cost). */
+  def minhashSig(hs: ArrayData, nHashes: Int): ArrayData = {
+    val n = hs.numElements()
+    val out = Array.fill(nHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = hs.getLong(i)
+      var h = 0
+      while (h < nHashes) {
+        val v = (x * (2 * h + 1) + 12345L * h) % P
+        if (v < out(h)) out(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct rolling k-shingle hashes over codepoints; one whole-string
     * hash when shorter than k. First-occurrence order (= array_distinct). */
   def shingleHashes(s: UTF8String, k: Int): ArrayData = {
@@ -218,6 +242,37 @@ case class SimHash64Bands(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64Bands =
     copy(child = newChild)
   override def prettyName: String = "simhash64_bands"
+}
+
+/** minhash_sig(array<long>, nHashes): ARRAY<LONG> — affine-family
+  * MinHash signature in one native pass over the shingle hashes. Input
+  * must be non-empty (shingle_hashes always emits ≥ 1 element); an empty
+  * input yields a null signature. */
+case class MinHashSig(child: Expression, nHashes: Int) extends UnaryExpression {
+  require(nHashes > 0, "signature length must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() == 0) null else HashUtil.minhashSig(a, nHashes)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.plans.HashUtil.minhashSig($c, $nHashes); }
+         |""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
 }
 
 /** shingle_hashes(str, k): ARRAY<LONG> — distinct rolling k-shingle

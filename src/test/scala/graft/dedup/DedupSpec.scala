@@ -27,6 +27,21 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("native minhash_sig equals the HOF affine-family formulation") {
+    val docs = (0 until 40).map(i => (i.toLong, s"text body number $i with words ${i * 7} and ${i % 9}"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.shingleHashes(graft.text.TextOps.norm(col("text"))).as("hs"))
+    val nHashes = 12
+    val hof = array((0 until nHashes).map { h =>
+      array_min(transform(col("hs"), x => (x * (2 * h + 1) + 12345L * h) % 1000000007L))
+    }: _*)
+    val both = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("hs"), nHashes).as("native"), hof.as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2)))
+  }
+
   test("LSH candidates find planted near-dups and never pair a doc with itself") {
     val base = (0 until 30).map(i => (i.toLong, s"document number $i talks about topic ${i % 5} in detail"))
     val dups = Seq((100L, base(3)._2 + " tail"), (101L, base(7)._2))
