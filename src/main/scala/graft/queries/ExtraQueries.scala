@@ -347,6 +347,42 @@ object ExtraQueries {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
     },
 
+    // ----- SemDeDup: cell-pruned semantic dedup over embeddings
+    QueryDef("x32_semantic_dedup",
+      "SemDeDup: corpus in nearest-of-8-centroid cells, exact-cosine >= 0.999 pairs WITHIN a cell only, higher id of each pair dropped — cluster-pruned candidate generation")(
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM corpus
+         |         ORDER BY vec_id LIMIT 8),
+         |sc AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      CASE WHEN ${sqNormD("e.embedding")} * ${sqNormD("c.c_emb")} = 0 THEN 0.0
+         |           ELSE list_reduce(list_transform(list_zip(e.embedding, c.c_emb),
+         |                  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+         |                / sqrt(${sqNormD("e.embedding")} * ${sqNormD("c.c_emb")}) END DESC,
+         |      c.cid) AS rn
+         |  FROM corpus e, cent c),
+         |asg AS (SELECT vec_id, embedding, cid AS cell FROM sc WHERE rn = 1),
+         |pr AS (
+         |  SELECT k.vec_id,
+         |    list_reduce(list_transform(list_zip(a.embedding, k.embedding),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x) AS dot,
+         |    ${sqNormD("a.embedding")} AS na, ${sqNormD("k.embedding")} AS nk
+         |  FROM asg a JOIN asg k ON a.cell = k.cell AND a.vec_id < k.vec_id),
+         |dr AS (SELECT DISTINCT vec_id FROM pr
+         |       WHERE (CASE WHEN na * nk = 0 THEN 0.0 ELSE dot / sqrt(na * nk) END) >= 0.999)
+         |SELECT asg.vec_id, asg.cell, dr.vec_id IS NULL AS kept
+         |FROM asg LEFT JOIN dr ON asg.vec_id = dr.vec_id
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = emb.unionAll(emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(corpus, nCells = 8, minCos = 0.999)
+    },
+
     // ----- end-to-end curation pipeline: dedup → quality gate → token count
     QueryDef("x17_curation_pipeline",
       "composed training-data curation: exact-dedup survivors → quality gate → token counting — one declarative plan")(

@@ -174,6 +174,42 @@ object Similarity {
     TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
   }
 
+  /** SemDeDup-style semantic dedup: partition the corpus into cells
+    * around deterministic centroids (first `nCells` vectors, optionally
+    * Lloyd-refined), generate candidate pairs only WITHIN a cell, gate
+    * on exact cosine ≥ `minCos`, and drop the higher-id member of each
+    * surviving pair — one representative per semantic-duplicate group.
+    * Output: (vec_id, cell, kept).
+    *
+    * Scale shape: assignment is one broadcast narrow pass (O(n·nCells));
+    * candidates are a cell-keyed equi self-join (O(Σ cell²)). Balancing
+    * the two means nCells grows with the corpus (√n̄-ish, the classic
+    * IVF/SemDeDup trade) — semantic locality then bounds each cell the
+    * way x16's hyperplane buckets do, but with data-adaptive boundaries
+    * (trained centroids follow density; hyperplanes cannot). For a
+    * strictly linear candidate bound at the cost of that locality, use
+    * [[neardupPairs]]; the two share the exact-cosine gate. */
+  def semanticDedup(corpus: DataFrame, nCells: Int = 8, minCos: Double = 0.999,
+                    kmeansIters: Int = 0): DataFrame = {
+    val init = corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val cents = if (kmeansIters > 0) kmeansRefine(corpus, init, kmeansIters) else init
+    val assigned = assignCells(corpus, "vec_id", "embedding", cents, 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .persist() // cell self-join reads both sides; cache contract as on Dedup
+    val dropped = assigned.as("a").join(assigned.as("k"),
+        col("a.cell") === col("k.cell") && col("a.vec_id") < col("k.vec_id"))
+      .select(col("k.vec_id").as("vec_id"),
+        cosine(col("a.embedding"), col("k.embedding")).as("_cos"))
+      // row-local gate before the distinct exchange — only true
+      // near-duplicates (a tiny fraction of candidates) shuffle
+      .filter(col("_cos") >= minCos)
+      .select("vec_id").distinct()
+    assigned.select("vec_id", "cell")
+      .join(dropped.withColumn("_d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("_d").isNull.as("kept"))
+  }
+
   /** Bucketed approximate top-k: candidates share the query's sign
     * bucket, so the cross product becomes an equi-join on bucket id.
     * Queries are broadcast; recall trades off against 2^bits and back

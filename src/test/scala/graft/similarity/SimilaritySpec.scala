@@ -94,6 +94,29 @@ class SimilaritySpec extends SparkSpec {
     a.values.foreach(c => assert(c.length === 64))
   }
 
+  test("semanticDedup drops exactly the planted copies, keeps one representative") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionAll(copies)
+    val out = Similarity.semanticDedup(corpus, nCells = 4, minCos = 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size === corpus.count())
+    // every planted copy is dropped; its original (lower id) is kept
+    val copyIds = out.keySet.filter(_ >= 10000L)
+    assert(copyIds.nonEmpty)
+    copyIds.foreach { c =>
+      assert(!out(c)._2, s"copy $c should be dropped")
+      assert(out(c - 10000L)._2, s"original ${c - 10000L} should be kept")
+      // identical vectors land in the same cell — the pruning premise
+      assert(out(c)._1 === out(c - 10000L)._1)
+    }
+    // nothing else gets dropped on this corpus (no organic pair >= 0.999)
+    assert(out.count(!_._2._2) === copyIds.size)
+    spark.catalog.clearCache()
+  }
+
   test("neardupPairs finds planted exact duplicates (recall 1.0 on true copies)") {
     val planted = corpus.filter(col("vec_id") < 2)
       .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
