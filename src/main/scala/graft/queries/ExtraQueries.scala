@@ -347,6 +347,21 @@ object ExtraQueries {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
     },
 
+    // ----- source-mixture reweighting manifest (DoReMi-lite)
+    QueryDef("x33_mixture_weights",
+      "per-source token share + equalizing sampling weight (uniform target / actual) — the domain-mixture manifest, exact arithmetic")(
+      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS toks
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(toks) AS BIGINT) AS total, count(*) AS n_src FROM s)
+         |SELECT source, n_docs, toks AS total_tokens,
+         |       round(CAST(toks AS DOUBLE) / total, 6) AS actual_share,
+         |       round((1.0 / n_src) / (CAST(toks AS DOUBLE) / total), 6) AS weight
+         |FROM s, t
+         |""".stripMargin) { (s, dir) =>
+      TextOps.mixtureWeights(Tables.documents(s, dir), col("source"), col("text"))
+    },
+
     // ----- SemDeDup: cell-pruned semantic dedup over embeddings
     QueryDef("x32_semantic_dedup",
       "SemDeDup: corpus in nearest-of-8-centroid cells, exact-cosine >= 0.999 pairs WITHIN a cell only, higher id of each pair dropped — cluster-pruned candidate generation")(

@@ -278,6 +278,27 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("total_tokens"))
   }
 
+  /** Source-mixture reweighting manifest: per-source token share of the
+    * corpus plus the sampling weight that would equalize the mixture
+    * (uniform target share / actual share — sources above their target
+    * get weight < 1, under-represented ones > 1). The DoReMi-style
+    * domain-mixture step reduced to exact arithmetic: one
+    * map-side-combinable aggregation + a broadcast 1-row total. Output:
+    * (source, n_docs, total_tokens, actual_share, weight). */
+  def mixtureWeights(docs: DataFrame, source: Column, text: Column): DataFrame = {
+    val per = docs.select(source.as("source"), wsTokenCount(text).as("_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("total_tokens"))
+    val tot = per.agg(sum(col("total_tokens")).as("_total"),
+      count(lit(1)).as("_nsrc"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast(DoubleType) / col("_total"), 6)
+          .as("actual_share"),
+        round((lit(1.0) / col("_nsrc"))
+          / (col("total_tokens").cast(DoubleType) / col("_total")), 6).as("weight"))
+  }
+
   /** Gopher/C4-style repetition signal: the share of all word-bigram
     * occurrences taken by the single most frequent bigram — high values
     * flag boilerplate/template text. Exact integer counts via a

@@ -126,6 +126,44 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("mixtureWeights: shares sum to 1, weights equalize the mixture") {
+    // source a: 3 docs x 4 tokens = 12; source b: 1 doc x 4 tokens = 4
+    val docs = Seq(
+      (1L, "one two three four", "a"), (2L, "one two three four", "a"),
+      (3L, "one two three four", "a"), (4L, "one two three four", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.mixtureWeights(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("a") === ((3L, 12L, 0.75, 0.666667))) // (1/2) / (3/4), round 6
+    assert(out("b") === ((1L, 4L, 0.25, 2.0)))       // (1/2) / (1/4)
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-9)
+    // token-weighted mixture under the weights is uniform:
+    // weight * actual_share = target share (up to the 6-decimal rounding)
+    out.values.foreach(v => assert(math.abs(v._4 * v._3 - 0.5) < 1e-5))
+  }
+
+  test("curation ops run unmodified inside a streaming query (batch fn = stream fn)") {
+    // gopherFlags and splitAssign's per-doc projection are stateless
+    // narrow transforms — the same DataFrame => DataFrame functions the
+    // batch oracle verifies run directly on an unbounded stream
+    implicit val sc = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val flags = TextOps.gopherFlags(
+      in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val q = flags.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      val good = ("the quick brown fox jumps over a lazy dog and " * 6).trim
+      in.addData((1L, good), (2L, "too short"))
+      q.processAllAvailable()
+      val out = spark.table("curation_stream")
+        .select("doc_id", "passes").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(out === Map(1L -> true, 2L -> false))
+    } finally q.stop()
+  }
+
   test("mightContain: no false negatives; absent keys are overwhelmingly rejected") {
     val present = (1L to 1000L).toDF("h")
     val bloom = present.stat.bloomFilter("h", 1000L, 0.01)
