@@ -163,6 +163,37 @@ object Dedup {
     jaccardOnStaged(cand, sh)
   }
 
+  /** Winnowing fingerprint (Schleimer/MOSS): distinct sliding-window
+    * minima of positional k-shingle hashes — native one-pass expression
+    * (graft.plans.WinnowHashes). Any shared substring of ≥ w+k−1 chars
+    * is GUARANTEED to contribute a common selected hash, which makes
+    * winnowing the partial-overlap detector: a document quoting a chunk
+    * of another shares fingerprints even when whole-document Jaccard is
+    * diluted below the MinHash-LSH detection threshold. */
+  def winnowFingerprints(normText: Column, k: Int = 20, w: Int = 8): Column =
+    graft.plans.functions.winnow_hashes(normText, k, w)
+
+  /** Partial-overlap pairs via winnowing: explode each document's
+    * selected fingerprints, equi-join on the hash, and keep pairs
+    * sharing ≥ `minShared` fingerprints (selected sets are distinct per
+    * doc, so the join count IS the intersection size). The join key
+    * cardinality grows with corpus content diversity — the same
+    * bounded-bucket banding contract as minhashCandidates, never an
+    * all-pairs scan. Output: (doc_a, doc_b, shared). */
+  def winnowOverlapPairs(docs: DataFrame, id: Column, text: Column,
+                         k: Int = 20, w: Int = 8,
+                         minShared: Long = 3L): DataFrame = {
+    val e = spread(docs)
+      .select(id.as("doc_id"), TextOps.norm(text).as("_t"))
+      .select(col("doc_id"), explode_outer(winnowFingerprints(col("_t"), k, w)).as("h"))
+      .persist() // self-joined; cache contract as on the class scaladoc
+    e.as("a").join(e.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Lehmer-mixed word-bigram token hashes (unigram fallback for
     * single-word docs) — native expression, one pass per row
     * (graft.plans.BigramTokenHashes). */

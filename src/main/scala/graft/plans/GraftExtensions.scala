@@ -38,6 +38,8 @@ object GraftExtensions {
       a => PolyHash(a.head)),
     fn("shingle_hashes", classOf[ShingleHashes], 2, "shingle_hashes(str, k)")(
       a => ShingleHashes(a.head, intArg(a(1)))),
+    fn("winnow_hashes", classOf[WinnowHashes], 3, "winnow_hashes(str, k, w)")(
+      a => WinnowHashes(a.head, intArg(a(1)), intArg(a(2)))),
     fn("minhash_sig", classOf[MinHashSig], 2, "minhash_sig(array<bigint>, nHashes)")(
       a => MinHashSig(a.head, intArg(a(1)))),
     fn("bigram_token_hashes", classOf[BigramTokenHashes], 1, "bigram_token_hashes(str)")(
@@ -63,6 +65,9 @@ object functions {
 
   def shingle_hashes(c: Column, k: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(c), k))
+
+  def winnow_hashes(c: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowHashes(GraftBridge.expression(c), k, w))
 
   def minhash_sig(c: Column, nHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), nHashes))

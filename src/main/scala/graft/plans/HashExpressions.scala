@@ -152,6 +152,45 @@ object HashUtil {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint selection (Schleimer/MOSS local algorithm):
+    * positional k-shingle hashes (NOT deduped — positions matter), then
+    * the minimum of every w-hash sliding window; the fingerprint is the
+    * distinct selected values, returned sorted ascending. Guarantees any
+    * shared substring of ≥ w+k−1 chars contributes a common selected
+    * hash — the partial-overlap detector whole-document MinHash lacks.
+    * Only selected VALUES are emitted (no positions), so min-tie
+    * handling cannot affect the result and any engine reproduces it. */
+  def winnowHashes(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = s.toString.codePoints.toArray
+    val n = math.max(cps.length - k + 1, 1)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var j = i
+      val end = math.min(i + k, cps.length)
+      while (j < end) { acc = (acc * 31 + cps(j)) % P; j += 1 }
+      hs(i) = acc
+      i += 1
+    }
+    val nw = math.max(n - w + 1, 1)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var t = 0
+    while (t < nw) {
+      var m = Long.MaxValue
+      var u = t
+      val end = math.min(t + w, n)
+      while (u < end) { if (hs(u) < m) m = hs(u); u += 1 }
+      sel.add(m)
+      t += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct rolling k-shingle hashes over codepoints; one whole-string
     * hash when shorter than k. First-occurrence order (= array_distinct). */
   def shingleHashes(s: UTF8String, k: Int): ArrayData = {
@@ -273,6 +312,26 @@ case class MinHashSig(child: Expression, nHashes: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
+}
+
+/** winnow_hashes(str, k, w): ARRAY<LONG> — winnowing fingerprint
+  * (distinct sliding-window minima of positional k-shingle hashes,
+  * sorted ascending) in one native pass per row. */
+case class WinnowHashes(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k > 0 && w > 0, "shingle length and window must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_hashes requires STRING, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.winnowHashes(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashUtil.winnowHashes($c, $k, $w);")
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_hashes"
 }
 
 /** shingle_hashes(str, k): ARRAY<LONG> — distinct rolling k-shingle

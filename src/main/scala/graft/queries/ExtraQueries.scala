@@ -347,6 +347,36 @@ object ExtraQueries {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
     },
 
+    // ----- winnowing partial-overlap pairs (MOSS local fingerprints)
+    QueryDef("x34_winnow_overlap",
+      "partial-overlap pairs via winnowing: sliding-window minima of positional 20-char shingle hashes, equi-join on selected fingerprints, >= 3 shared — catches quoted chunks whole-doc MinHash dilutes away")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id,
+         |         substr(text, 1, 120) || ' fresh tail content entirely new here' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |n AS (SELECT doc_id, $normD AS t FROM corpus),
+         |hl AS (SELECT doc_id, [
+         |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, 20)]::BIGINT[],
+         |                (acc, x) -> (acc * 31 + x) % 1000000007)
+         |    FOR i IN range(1, greatest(len(t) - 19, 1) + 1)] AS hs FROM n),
+         |sel AS (SELECT doc_id, list_distinct([
+         |    list_min(hs[i:i+7]) FOR i IN range(1, greatest(len(hs) - 7, 1) + 1)]) AS sel
+         |  FROM hl),
+         |e AS (SELECT doc_id, unnest(sel) AS h FROM sel),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+         |      FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared FROM p WHERE shared >= 3
+         |""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(substring(col("text"), 1, 120),
+            lit(" fresh tail content entirely new here")).as("text")))
+      Dedup.winnowOverlapPairs(corpus, col("doc_id"), col("text"))
+    },
+
     // ----- source-mixture reweighting manifest (DoReMi-lite)
     QueryDef("x33_mixture_weights",
       "per-source token share + equalizing sampling weight (uniform target / actual) — the domain-mixture manifest, exact arithmetic")(

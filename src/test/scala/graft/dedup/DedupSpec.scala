@@ -72,6 +72,38 @@ class DedupSpec extends SparkSpec {
     hs.values.foreach(h => assert(h >= 0L && h < 65536L))
   }
 
+  test("winnowing: shared >= w+k-1 char span guarantees common fingerprints; disjoint docs share none") {
+    val span = "this exact shared passage is long enough to guarantee selection"
+    val docs = Seq(
+      (1L, s"unique leading material before $span and unique trailing words"),
+      (2L, s"totally different start then $span plus another distinct ending"),
+      (3L, "no overlap with anything else here at all in this document body"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, col("doc_id"), col("text"),
+        k = 20, w = 8, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), "shared span must be detected")
+    assert(pairs((1L, 2L)) >= 3L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the guarantee: a shared span of s chars contributes at least
+    // floor((s - (k-1)) / w) shared window minima (one per full window)
+    val s = span.length
+    assert(pairs((1L, 2L)) >= (s - 19) / 8)
+    spark.catalog.clearCache()
+  }
+
+  test("winnowing fingerprint: identical texts select identical sets, selection is sorted distinct") {
+    val t = graft.text.TextOps.norm(col("text"))
+    val out = Seq((1L, "The Quick   Brown Fox Jumps Over The Lazy Dog Again"),
+        (2L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.winnowFingerprints(t, 20, 8).as("sel"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) === out(2L)) // normalization-equal → identical selection
+    assert(out(1L) === out(1L).sorted)
+    assert(out(1L).distinct === out(1L))
+  }
+
   test("connectedComponents: chains merge, min id wins, singleton edges isolate") {
     // components: {1,2,3,4} (a chain), {10,11}, {20,21} — plus a long
     // chain 30..36 exercising multi-round propagation
