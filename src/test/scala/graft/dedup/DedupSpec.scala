@@ -104,6 +104,29 @@ class DedupSpec extends SparkSpec {
     assert(out(1L).distinct === out(1L))
   }
 
+  test("winnowing guarantee holds on sampled random corpora with planted spans") {
+    // random word soup; every doc pair (2i, 2i+1) shares one random span
+    // of >= w+k-1 chars at random positions — the guarantee must detect
+    // every planted pair regardless of surrounding content
+    val rng = new scala.util.Random(8)
+    val words = org.scalacheck.Gen.listOfN(6,
+      org.scalacheck.Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa"))
+    def soup() = words.sample.get.mkString(" ") + " " + rng.nextInt(1 << 20)
+    val docs = (0 until 10).flatMap { i =>
+      val span = s"planted shared span number $i with enough characters to select ${i * 31}"
+      Seq((2L * i, s"${soup()} $span ${soup()}"),
+        (2L * i + 1, s"${soup()} $span ${soup()}"))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, col("doc_id"), col("text"),
+        k = 20, w = 8, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((2L * i, 2L * i + 1)), s"planted pair $i missed")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("connectedComponents: chains merge, min id wins, singleton edges isolate") {
     // components: {1,2,3,4} (a chain), {10,11}, {20,21} — plus a long
     // chain 30..36 exercising multi-round propagation

@@ -126,6 +126,26 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dupNgramStats invariants on sampled corpora: frac in [0,1], unique text scores 0") {
+    // small-vocab random docs (duplication likely) + guaranteed-unique docs
+    val gen = org.scalacheck.Gen.listOfN(30, org.scalacheck.Gen.listOfN(12,
+      org.scalacheck.Gen.oneOf("a", "b", "c", "d")))
+    val noisy = gen.sample.get.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val unique = (100 until 105).map(i =>
+      (i.toLong, (0 until 10).map(j => s"uniq${i}w$j").mkString(" ")))
+    val out = TextOps.dupNgramStats((noisy ++ unique).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.foreach { case (id, (n, d, f)) =>
+      assert(d >= 0L && d <= n, s"doc $id: dup $d outside [0, $n]")
+      assert(f >= 0.0 && f <= 1.0)
+      if (id >= 100L) assert(d === 0L, s"unique doc $id flagged")
+    }
+    // n_ngrams = words - 7 for every 12-word doc
+    out.filter(_._1 < 100L).foreach { case (_, (n, _, _)) => assert(n === 5L) }
+    spark.catalog.clearCache()
+  }
+
   test("mixtureWeights: shares sum to 1, weights equalize the mixture") {
     // source a: 3 docs x 4 tokens = 12; source b: 1 doc x 4 tokens = 4
     val docs = Seq(
