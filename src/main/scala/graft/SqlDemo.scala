@@ -25,6 +25,11 @@ object SqlDemo {
           |       sign_bucket_rh(array(1.0f, -2.0f, 3.0f, -4.0f), 4, 0),
           |       simhash64_bands(bigram_token_hashes('alpha beta gamma'))
           |""".stripMargin).head().toSeq.mkString(", "))
+    println("[sqldemo] minhash+winnow: " +
+      spark.sql(
+        """SELECT minhash_sig(shingle_hashes('the quick brown fox', 7), 12)[0],
+          |       size(winnow_hashes('the quick brown fox jumps over it', 20, 8))
+          |""".stripMargin).head().toSeq.mkString(", "))
     spark.sql(
       """SELECT count(DISTINCT poly_hash(lower(trim(text)))) AS distinct_fp,
         |       count(*) AS n

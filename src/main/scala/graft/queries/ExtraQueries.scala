@@ -946,9 +946,18 @@ object ExtraQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS sketch_ok
         |FROM events GROUP BY event_type
         |""".stripMargin) { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("exact_users"),
+      // pre-distinct the (event_type, user_id) pairs instead of mixing
+      // countDistinct with approx in one agg: the mixed form plans an
+      // Expand that DOUBLES every input row before the first partial
+      // aggregate; this form is two plain hash aggregates (both
+      // map-side combinable) with the same two shuffles and identical
+      // results — approx_count_distinct is multiplicity-insensitive, and
+      // the null filter mirrors count(DISTINCT)'s null exclusion
+      val pairs = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"))
+        .filter(col("user_id").isNotNull).distinct()
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users"))
