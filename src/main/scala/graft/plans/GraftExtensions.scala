@@ -38,6 +38,9 @@ object GraftExtensions {
       a => PolyHash(a.head)),
     fn("shingle_hashes", classOf[ShingleHashes], 2, "shingle_hashes(str, k)")(
       a => ShingleHashes(a.head, intArg(a(1)))),
+    fn("count_occurrences", classOf[CountOccurrences], 2, "count_occurrences(str, marker)")(
+      a => CountOccurrences(a.head,
+        a(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)),
     fn("winnow_hashes", classOf[WinnowHashes], 3, "winnow_hashes(str, k, w)")(
       a => WinnowHashes(a.head, intArg(a(1)), intArg(a(2)))),
     fn("minhash_sig", classOf[MinHashSig], 2, "minhash_sig(array<bigint>, nHashes)")(
@@ -65,6 +68,9 @@ object functions {
 
   def shingle_hashes(c: Column, k: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(c), k))
+
+  def count_occurrences(c: Column, marker: String): Column =
+    GraftBridge.column(CountOccurrences(GraftBridge.expression(c), marker))
 
   def winnow_hashes(c: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowHashes(GraftBridge.expression(c), k, w))

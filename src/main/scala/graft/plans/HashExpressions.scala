@@ -152,6 +152,19 @@ object HashUtil {
     new GenericArrayData(out)
   }
 
+  /** Non-overlapping left-to-right occurrence count of a literal marker
+    * — ≡ (len(s) − len(replace_all(s, marker, ''))) / len(marker), the
+    * portable SQL formulation the oracle uses, without materializing the
+    * replaced string or involving the regex engine. */
+  def countOccurrences(s: UTF8String, marker: UTF8String): Long = {
+    val mLen = marker.numChars()
+    if (mLen == 0) return 0L
+    var count = 0L
+    var idx = s.indexOf(marker, 0)
+    while (idx >= 0) { count += 1; idx = s.indexOf(marker, idx + mLen) }
+    count
+  }
+
   /** Winnowing fingerprint selection (Schleimer/MOSS local algorithm):
     * positional k-shingle hashes (NOT deduped — positions matter), then
     * the minimum of every w-hash sliding window; the fingerprint is the
@@ -312,6 +325,28 @@ case class MinHashSig(child: Expression, nHashes: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
+}
+
+/** count_occurrences(str, marker): LONG — non-overlapping literal
+  * occurrence count in one native scan (no regex, no rebuilt string). */
+case class CountOccurrences(child: Expression, marker: String) extends UnaryExpression {
+  require(marker.nonEmpty, "marker must be non-empty")
+  private val m = UTF8String.fromString(marker)
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"count_occurrences requires STRING, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.countOccurrences(input.asInstanceOf[UTF8String], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("marker", m)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashUtil.countOccurrences($c, $mRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountOccurrences =
+    copy(child = newChild)
+  override def prettyName: String = "count_occurrences"
 }
 
 /** winnow_hashes(str, k, w): ARRAY<LONG> — winnowing fingerprint

@@ -26,11 +26,13 @@ object TextOps {
     * string edges too. */
   def padded(text: Column): Column = concat(lit(" "), text, lit(" "))
 
-  /** Number of non-overlapping occurrences of literal `marker` —
-    * (len - len(remove(marker))) / len(marker), exact integer math. */
+  /** Number of non-overlapping occurrences of literal `marker` — same
+    * count as the oracle's (len − len(remove(marker))) / len(marker)
+    * formulation, computed by a native indexOf scan
+    * (graft.plans.CountOccurrences) instead of a regex replace that
+    * rebuilds the string per marker per row. */
   def countOccurrences(s: Column, marker: String): Column =
-    ((length(s) - length(regexp_replace(s, java.util.regex.Pattern.quote(marker), "")))
-      / marker.length).cast(LongType)
+    graft.plans.functions.count_occurrences(s, marker)
 
   /** Language-ID heuristic: count a marker token per candidate language
     * over the padded normalized text, pick the first language (in `markers`
