@@ -27,6 +27,8 @@ final case class MediaRow(media_id: Long, kind: String,
 final case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
                                checksum: Long, q1: Long, q2: Long, q3: Long)
 final case class FrameSample(media_id: Long, n_frames: Long, frame_checksum: Long)
+final case class ResizedMedia(media_id: Long, out_w: Int, out_h: Int,
+                              resize_checksum: Long)
 
 /** Codec seam. PNG and WAV are decoded for real (pure-JVM
   * `javax.imageio` / `javax.sound.sampled`, no native deps): a payload
@@ -128,6 +130,42 @@ object Multimodal {
           checksum, q(1), q(2), q(3))
       }
     }(Encoders.product[MediaFeatures])
+
+  /** Nearest-neighbor resize over the DECODED byte buffer, treated as a
+    * `srcW`-wide row-major single-channel grid (source height =
+    * ceil(len / srcW), zero-padded tail): output pixel (y, x) reads
+    * source byte (y·srcH ÷ outH)·srcW + (x·srcW ÷ outW) — the standard
+    * integer nearest-neighbor mapping, channel-agnostic so it applies
+    * to the real decoded PNG RGB buffer and the deterministic fake
+    * alike (a real deployment would take (w, h, channels) from the
+    * decoder's metadata; the partition-local shape is identical).
+    * Emits the output dims + a checksum of the resized buffer. One
+    * iterator pass, no shuffle. */
+  def resize(ds: Dataset[MediaRow], outW: Int, outH: Int,
+             srcW: Int = 16): Dataset[ResizedMedia] = {
+    require(outW > 0 && outH > 0 && srcW > 0, "dims must be positive")
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val bytes = FakeCodec.decode(m.content, m.meta.format)
+        val n = bytes.length
+        val srcH = (n + srcW - 1) / srcW
+        var checksum = 0L
+        var y = 0
+        while (y < outH) {
+          val sy = y * srcH / outH
+          var x = 0
+          while (x < outW) {
+            val idx = sy * srcW + x * srcW / outW
+            val b = if (idx < n) bytes(idx) & 0xff else 0
+            checksum = (checksum * 31 + b) % P
+            x += 1
+          }
+          y += 1
+        }
+        ResizedMedia(m.media_id, outW, outH, checksum)
+      }
+    }(Encoders.product[ResizedMedia])
+  }
 
   /** Frame sampling: slice the payload into `frameBytes` blocks and keep
     * every `everyN`-th (video keyframe-sampling shape). Emits the kept

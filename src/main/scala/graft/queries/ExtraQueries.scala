@@ -624,6 +624,28 @@ object ExtraQueries {
         frameBytes = 16, everyN = 2).toDF()
     },
 
+    // ----- multimodal: nearest-neighbor resize over the decoded payload
+    QueryDef("x35_media_resize",
+      "resize stage of the media pipeline: decoded payload as a 16-wide byte grid, integer nearest-neighbor to 8x8, checksum of the resized buffer — partition-local, no shuffle")(
+      """WITH c AS (SELECT doc_id,
+        |  [ord(substr(text, i, 1)) FOR i IN range(1, len(text)+1)]::BIGINT[] AS bs
+        |  FROM documents),
+        |d AS (SELECT doc_id, bs, len(bs) AS n, (len(bs) + 15) // 16 AS src_h FROM c),
+        |r AS (SELECT doc_id, [
+        |    CASE WHEN ((i // 8) * src_h // 8) * 16 + ((i % 8) * 16 // 8) < n
+        |         THEN bs[((i // 8) * src_h // 8) * 16 + ((i % 8) * 16 // 8) + 1]
+        |         ELSE 0 END
+        |    FOR i IN range(0, 64)] AS px FROM d)
+        |SELECT doc_id AS media_id, CAST(8 AS INTEGER) AS out_w,
+        |       CAST(8 AS INTEGER) AS out_h,
+        |       list_reduce(px, (acc, x) -> (acc * 31 + x) % 1000000007) AS resize_checksum
+        |FROM r
+        |""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.resize(
+        graft.multimodal.Multimodal.media(Tables.documents(s, dir)),
+        outW = 8, outH = 8).toDF()
+    },
+
     // ----- PII detection + C4-style scrub (emails/URLs → placeholder tokens)
     QueryDef("x19_pii_scrub",
       "count email/URL patterns per doc and fingerprint the scrubbed text — dialect-neutral regexes, planted PII rows")(

@@ -86,6 +86,34 @@ class MultimodalSpec extends SparkSpec {
     assert(FakeCodec.decode("abc".getBytes, "wav").toSeq === "abc".getBytes.toSeq)
   }
 
+  test("resize: nearest-neighbor mapping on a known grid") {
+    // 32 bytes = 2 source rows of 16; resize to 2x2 → picks
+    // (row 0, col 0), (row 0, col 8), (row 1, col 0), (row 1, col 8)
+    val text = ('a' to 'z').mkString + "012345" // 32 chars
+    val out = Multimodal.resize(Multimodal.media(mk((0L, text))),
+      outW = 2, outH = 2).head()
+    assert((out.out_w, out.out_h) === ((2, 2)))
+    val picks = Seq(text(0), text(8), text(16), text(24)).map(_.toLong)
+    var cs = 0L
+    picks.foreach(b => cs = (cs * 31 + b) % 1000000007L)
+    assert(out.resize_checksum === cs)
+  }
+
+  test("resize runs on REAL decoded PNG bytes through the codec seam") {
+    // 2×1 PNG (red, blue) decodes to 6 RGB bytes; as a 16-wide grid that
+    // is one source row; 1×2 output picks bytes 0 and 3 (255, 0)
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val ds = Seq(MediaRow(0L, "image", baos.toByteArray, MediaMeta("png", 2, 1))).toDS()
+    val out = Multimodal.resize(ds, outW = 2, outH = 1, srcW = 6).head()
+    // decoded RGB = [255,0,0, 0,0,255]; srcW=6 → 1 row; picks idx 0 and 3
+    assert(out.resize_checksum === (255L * 31 + 0L) % 1000000007L)
+  }
+
   test("empty payload yields zero frames and zero checksum, no crash") {
     val f = Multimodal.frameSample(Multimodal.media(mk((0L, ""))),
       frameBytes = 16, everyN = 2).head()
