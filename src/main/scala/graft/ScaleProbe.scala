@@ -1,0 +1,98 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence probe: times the heavy LLM-tier operators on 1×,
+  * 4×, and 8× corpora DERIVED from the driver testdata (word-rotated
+  * copies with shifted ids — new content, same distribution, so
+  * candidate volume stays proportional instead of exploding into
+  * artificial duplicate clusters) and prints the runtime ratios. A
+  * scale-safe plan shows t(k×)/t(1×) ≈ k (linear in corpus size, modulo
+  * fixed overhead); anything superlinear is a design bug the bench at a
+  * single SF cannot see. Results are recorded in PLANS.md per round. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+
+    /** k word-rotated copies: copy i rotates the word sequence by i —
+      * new shingle/n-gram content with the same length distribution. */
+    def docCorpus(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) docs
+        else docs.select((col("doc_id") + i * 1000000L).as("doc_id"),
+          array_join(concat(
+            slice(split(col("text"), " "), i + 1, 100000),
+            slice(split(col("text"), " "), 1, i)), " ").as("text"))
+      }.reduce(_ unionAll _)
+
+    /** k dimension-rotated embedding copies: copy i cyclically shifts
+      * every vector's dimensions by i — norm-preserving and
+      * direction-diverse (each copy's pairwise-cosine distribution
+      * matches the original corpus), so pair volume scales with content.
+      * An additive common-direction perturbation instead makes all
+      * copies mutually near-parallel — a corpus that IS one giant
+      * near-dup cluster, whose pair set is inherently quadratic (first
+      * probe version; kept as a cautionary note in PLANS.md). */
+    def embCorpus(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) emb
+        else emb.select((col("vec_id") + i * 1000000L).as("vec_id"),
+          concat(slice(col("embedding"), i + 1, 64),
+            slice(col("embedding"), 1, i)).as("embedding"))
+      }.reduce(_ unionAll _)
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    def run(df: DataFrame): Long = {
+      val n = df.queryExecution.toRdd.count()
+      spark.catalog.clearCache()
+      n
+    }
+
+    val probes: Seq[(String, Int => DataFrame)] = Seq(
+      "x01_exact_dedup" -> (k =>
+        Dedup.exact(docCorpus(k), col("doc_id"), col("text"))),
+      "x02_minhash_lsh" -> (k =>
+        Dedup.minhashCandidates(docCorpus(k), col("doc_id"), col("text"))),
+      "x29_dup_ngrams" -> (k =>
+        TextOps.dupNgramStats(docCorpus(k), col("doc_id"), col("text"))),
+      "x34_winnow_overlap" -> (k =>
+        Dedup.winnowOverlapPairs(docCorpus(k), col("doc_id"), col("text"))),
+      "x16_neardup_pairs" -> { k =>
+        val c = embCorpus(k)
+        Similarity.neardupPairs(c, c.count(), minCos = 0.999)
+      })
+
+    // warm-up so JIT/codegen is not charged to the 1× run
+    run(probes.head._2(1))
+
+    println(f"${"probe"}%-20s ${"t1x"}%8s ${"t4x"}%8s ${"t8x"}%8s  t8/t1")
+    probes.foreach { case (name, mk) =>
+      val t1 = time(run(mk(1)))
+      val t4 = time(run(mk(4)))
+      val t8 = time(run(mk(8)))
+      println(f"$name%-20s $t1%8.2f $t4%8.2f $t8%8.2f  ${t8 / t1}%5.1f")
+    }
+    spark.stop()
+  }
+}
