@@ -195,6 +195,44 @@ object Pipelines {
           col(rightTs) <= col(leftTs),
         joinType)
 
+  /** Streaming NEAR-dup candidates: the banded MinHash-LSH candidate
+    * join (graft.dedup.Dedup.minhashCandidates) as a watermarked
+    * stream-stream self-join — near-duplicate detection at ingestion
+    * time, before documents ever land. Fingerprinting (norm → native
+    * shingle hashes → native signature → band explode) is the same
+    * narrow, codegen'd pipeline the batch oracle verifies; candidates
+    * are an equi-join on (band_id, band_key) with a SYMMETRIC event-time
+    * bound of ±`maxLag`, so Spark derives a state-eviction horizon for
+    * both buffers — state is bounded by watermark + maxLag, never the
+    * stream's history (same contract as [[intervalJoin]]). A pair may
+    * surface once per agreeing band; collapse downstream with
+    * [[dedupWithinWatermark]] on (doc_a, doc_b) or an idempotent sink.
+    * Output: (doc_a, ts_a, doc_b, ts_b). */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                 tsCol: String, watermark: String, maxLag: String,
+                                 k: Int = 7, nHashes: Int = 12,
+                                 bands: Int = 3, rows: Int = 4): DataFrame = {
+    import graft.dedup.Dedup
+    def banded(suffix: String) = docs
+      .select(col(idCol).as(s"doc$suffix"), col(tsCol).as(s"ts$suffix"),
+        graft.text.TextOps.norm(col(textCol)).as("_t"))
+      .select(col(s"doc$suffix"), col(s"ts$suffix"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("_t"), k), nHashes).as("_sig"))
+      .select(col(s"doc$suffix"), col(s"ts$suffix"),
+        explode(Dedup.lshBands(col("_sig"), bands, rows)).as("b"))
+      .select(col(s"doc$suffix"), col(s"ts$suffix"),
+        col("b.band_id").as(s"band_id$suffix"),
+        col("b.band_key").as(s"band_key$suffix"))
+      .withWatermark(s"ts$suffix", watermark)
+    banded("_a").join(banded("_b"),
+        col("band_id_a") === col("band_id_b") &&
+          col("band_key_a") === col("band_key_b") &&
+          col("doc_a") < col("doc_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $maxLag") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $maxLag"))
+      .select(col("doc_a"), col("ts_a"), col("doc_b"), col("ts_b"))
+  }
+
   /** W7 streaming exact-dedup: drop redelivered events by key within the
     * watermark horizon (`dropDuplicatesWithinWatermark` — state per key
     * is evicted once the watermark passes, so memory is bounded by the

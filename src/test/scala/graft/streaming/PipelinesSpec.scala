@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 final case class Tick(k: Long, ts: Timestamp, v: Long)
+final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 final case class Quote(qk: Long, qts: Timestamp, px: Long)
 final case class KafkaRec(topic: String, value: String, timestamp: Timestamp)
 
@@ -275,6 +276,32 @@ class PipelinesSpec extends SparkSpec {
       val rows = spark.table("ij_out").select("k", "v", "px")
         .as[(Long, Long, Long)].collect().toSet
       assert(rows === Set((1L, 7L, 100L), (1L, 7L, 101L)))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup candidates: LSH self-join finds copies within the time bound only") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val docs = MemoryStream[Doc]
+    val pairs = Pipelines.streamingNearDupCandidates(docs.toDF(),
+      idCol = "doc_id", textCol = "text", tsCol = "ts",
+      watermark = "5 seconds", maxLag = "10 minutes")
+    val q = pairs.writeStream.format("memory").queryName("nd_out")
+      .outputMode("append").start()
+    try {
+      val body = "the polymarket order book streamed another fifteen minute bitcoin window"
+      docs.addData(
+        Doc(1L, ts("2026-01-01 00:00:01"), body),
+        Doc(2L, ts("2026-01-01 00:00:05"), body + " tail"), // near-dup, in window
+        Doc(3L, ts("2026-01-01 00:00:07"), "completely different content about nothing shared"),
+        Doc(4L, ts("2026-01-01 02:00:00"), body)) // exact copy, 2h late — outside maxLag
+      q.processAllAvailable()
+      val got = spark.table("nd_out").select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 2L)), "in-window near-dup must surface")
+      assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+      assert(!got.exists(p => p._2 == 4L), "copy outside the time bound must not pair")
     } finally q.stop()
   }
 
