@@ -20,6 +20,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // fail FAST on a short-code clash (before any query runs), not at
+    // report time after the whole suite's wall-clock has been spent
+    require(queries.map(q => q._1.takeWhile(_ != '_')).distinct.size == queries.size,
+      "query short codes must stay unique — rename the clashing query")
     // warm-up: exercise scan + shuffle + codegen paths once, untimed
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
@@ -74,8 +78,6 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def code(name: String): String = name.takeWhile(_ != '_')
-    require(results.map(r => code(r._1)).distinct.size == results.size,
-      "query short codes must stay unique — rename the clashing query")
     val qs = results.map { case (k, v, _) => "\"" + code(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // cap the list so a mass failure can't push the JSON line past the

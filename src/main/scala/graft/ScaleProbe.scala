@@ -31,16 +31,27 @@ object ScaleProbe {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
 
-    /** k word-rotated copies: copy i rotates the word sequence by i —
-      * new shingle/n-gram content with the same length distribution. */
-    def docCorpus(k: Int): DataFrame =
+    /** k isomorphic copies: copy i applies a per-copy alphabet rotation
+      * (a character BIJECTION via translate), so every copy has exactly
+      * the original corpus's internal sharing statistics — same word
+      * lengths, same cross-document shingle-collision distribution —
+      * while its shingle space is fully disjoint from every other
+      * copy's. This is the distribution-preserving scale-up; the two
+      * rejected alternatives both skew the measurement: word-ROTATED
+      * copies are near-dups of the original (measured shingle Jaccard
+      * ~0.9 → quadratic pair clique), and per-word TAGGED copies add
+      * aligned shared substrings that make each copy internally more
+      * self-similar than the original (observed as a spurious
+      * superlinear x34 ratio). */
+    def docCorpus(k: Int): DataFrame = {
+      val az = "abcdefghijklmnopqrstuvwxyz"
       (0 until k).map { i =>
         if (i == 0) docs
         else docs.select((col("doc_id") + i * 1000000L).as("doc_id"),
-          array_join(concat(
-            slice(split(col("text"), " "), i + 1, 100000),
-            slice(split(col("text"), " "), 1, i)), " ").as("text"))
+          translate(col("text"), az, az.drop(i % 25 + 1) + az.take(i % 25 + 1))
+            .as("text"))
       }.reduce(_ unionAll _)
+    }
 
     /** k dimension-rotated embedding copies: copy i cyclically shifts
       * every vector's dimensions by i — norm-preserving and
@@ -54,7 +65,9 @@ object ScaleProbe {
       (0 until k).map { i =>
         if (i == 0) emb
         else emb.select((col("vec_id") + i * 1000000L).as("vec_id"),
-          concat(slice(col("embedding"), i + 1, 64),
+          // length sentinel, not a hardcoded dim: slice caps at the
+          // array's actual size, so any embedding width rotates intact
+          concat(slice(col("embedding"), i + 1, 100000),
             slice(col("embedding"), 1, i)).as("embedding"))
       }.reduce(_ unionAll _)
 
@@ -83,11 +96,13 @@ object ScaleProbe {
         Similarity.neardupPairs(c, c.count(), minCos = 0.999)
       })
 
-    // warm-up so JIT/codegen is not charged to the 1× run
-    run(probes.head._2(1))
-
     println(f"${"probe"}%-20s ${"t1x"}%8s ${"t4x"}%8s ${"t8x"}%8s  t8/t1")
     probes.foreach { case (name, mk) =>
+      // per-probe warm-up: each probe compiles its OWN expression
+      // pipeline (whole-stage codegen); warming only the first probe
+      // would charge the other probes' compilation to their timed 1×
+      // run and deflate their reported ratios
+      run(mk(1))
       val t1 = time(run(mk(1)))
       val t4 = time(run(mk(4)))
       val t8 = time(run(mk(8)))

@@ -55,11 +55,15 @@ object ExtraQueries {
       concat(col("text"), lit(" zz qq xx yy")).as("text")))
   }
 
-  /** k-char shingle fragment (polynomial hashes) for the oracle. */
+  /** k-char shingle fragment (polynomial hashes) for the oracle. The
+    * window length is clamped to the remaining text (`least`) exactly
+    * like the native ShingleHashes loop — without the clamp a text
+    * shorter than k would fold DuckDB's ord('') = −1 for the padding
+    * positions and diverge from Spark. */
   private def shinglesKD(k: Int) =
     s"""n AS (SELECT doc_id, $normD AS t FROM corpus),
        |sh AS (SELECT doc_id, list_distinct([
-       |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, $k)]::BIGINT[],
+       |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, greatest(least($k, len(t) - i + 1), 1))]::BIGINT[],
        |                (acc, x) -> (acc * 31 + x) % 1000000007)
        |    FOR i IN range(1, greatest(len(t) - ${k - 1}, 1) + 1)]) AS shingles
        |  FROM n)""".stripMargin
@@ -358,7 +362,7 @@ object ExtraQueries {
          |  FROM documents WHERE doc_id % 10 = 0),
          |n AS (SELECT doc_id, $normD AS t FROM corpus),
          |hl AS (SELECT doc_id, [
-         |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, 20)]::BIGINT[],
+         |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, greatest(least(20, len(t) - i + 1), 1))]::BIGINT[],
          |                (acc, x) -> (acc * 31 + x) % 1000000007)
          |    FOR i IN range(1, greatest(len(t) - 19, 1) + 1)] AS hs FROM n),
          |sel AS (SELECT doc_id, list_distinct([
@@ -973,13 +977,14 @@ object ExtraQueries {
       // Expand that DOUBLES every input row before the first partial
       // aggregate; this form is two plain hash aggregates (both
       // map-side combinable) with the same two shuffles and identical
-      // results — approx_count_distinct is multiplicity-insensitive, and
-      // the null filter mirrors count(DISTINCT)'s null exclusion
+      // results — approx_count_distinct is multiplicity-insensitive.
+      // Nulls ride through the distinct (NOT a pre-filter, which would
+      // drop an all-null group entirely); count(user_id) then mirrors
+      // count(DISTINCT)'s null exclusion while keeping the group row
       val pairs = Tables.events(s, dir)
-        .select(col("event_type"), col("user_id"))
-        .filter(col("user_id").isNotNull).distinct()
+        .select(col("event_type"), col("user_id")).distinct()
       pairs.groupBy("event_type")
-        .agg(count(lit(1)).as("exact_users"),
+        .agg(count(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users"))

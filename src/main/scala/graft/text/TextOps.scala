@@ -288,9 +288,14 @@ object TextOps {
     * map-side-combinable aggregation + a broadcast 1-row total. Output:
     * (source, n_docs, total_tokens, actual_share, weight). */
   def mixtureWeights(docs: DataFrame, source: Column, text: Column): DataFrame = {
+    // persisted: the totals branch AND the crossJoin branch both read
+    // this aggregate, and without the persist the full corpus scan +
+    // token counting runs twice (no cross-plan CSE) — cache contract as
+    // on graft.dedup.Dedup
     val per = docs.select(source.as("source"), wsTokenCount(text).as("_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("total_tokens"))
+      .persist()
     val tot = per.agg(sum(col("total_tokens")).as("_total"),
       count(lit(1)).as("_nsrc"))
     per.crossJoin(broadcast(tot))
