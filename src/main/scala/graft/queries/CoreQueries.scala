@@ -234,7 +234,7 @@ object CoreQueries {
     QueryDef("p01_ticker_project",
       "type-gate filter + literal/cast/coalesce projection, pushed to the scan")(
       s"""SELECT event_id, 'BTC' AS symbol, ${centsSql("value")} AS price_c, ts,
-         |       coalesce(CAST(props->>'k' AS BIGINT), 0) AS k
+         |       coalesce(CASE WHEN json_valid(props) THEN CAST(props->>'k' AS BIGINT) END, 0) AS k
          |FROM events WHERE event_type = 'purchase'
          |""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
@@ -704,7 +704,8 @@ object CoreQueries {
     // ----- D1: silver typed projection from bronze JSON (models/silver/markets.sql)
     QueryDef("d01_silver_projection",
       "from_json typed extraction over bronze payload strings")(
-      """SELECT event_id, ts AS ingested_at, CAST(props->>'k' AS BIGINT) AS k
+      """SELECT event_id, ts AS ingested_at,
+        |       CASE WHEN json_valid(props) THEN CAST(props->>'k' AS BIGINT) END AS k
         |FROM events WHERE props IS NOT NULL
         |""".stripMargin) { (s, dir) =>
       Silver.project(Tables.events(s, dir), col("props"),

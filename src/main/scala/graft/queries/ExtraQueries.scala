@@ -961,9 +961,15 @@ object ExtraQueries {
         .select(col("event_type"),
           round(col("_p50"), 4).as("p50"),
           round(col("_p95"), 4).as("p95"),
-          // abs() on the tolerance side too: a negative median would
-          // otherwise make the gate unsatisfiable
-          (abs(col("_a50") - col("_p50")) <= abs(col("_p50")) * 0.02).as("sketch_ok"))
+          // abs() on the tolerance side too (a negative median would
+          // otherwise make the gate unsatisfiable), PLUS half the
+          // lo/hi rank gap: percentile_approx returns an actual data
+          // value, so on a coarse small group no data-valued answer can
+          // sit closer to the INTERPOLATED quantile than half the
+          // spacing between the straddling ranks — without this term
+          // the gate flags correct sketches on sparse groups
+          (abs(col("_a50") - col("_p50")) <= abs(col("_p50")) * 0.02
+            + (col("_hi50") - col("_lo50")).cast(DoubleType) / 2).as("sketch_ok"))
     },
 
     // ----- distinct-user sketch (HLL) with exactness tolerance gate
