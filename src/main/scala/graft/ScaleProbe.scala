@@ -94,6 +94,14 @@ object ScaleProbe {
       "x16_neardup_pairs" -> { k =>
         val c = embCorpus(k)
         Similarity.neardupPairs(c, c.count(), minCos = 0.999)
+      },
+      "x32_semantic_dedup" -> { k =>
+        // corpus-scaled cells (ceil(sqrt(n))): the probe exists to show the
+        // within-cell pair join stays ~linear once cells grow with the
+        // corpus — the fixed nCells=8 it replaced was quadratic here
+        val c = embCorpus(k)
+        Similarity.semanticDedup(c,
+          nCells = Similarity.scaledCells(c.count()), minCos = 0.999)
       })
 
     println(f"${"probe"}%-20s ${"t1x"}%8s ${"t4x"}%8s ${"t8x"}%8s  t8/t1")

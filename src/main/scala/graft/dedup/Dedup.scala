@@ -250,28 +250,38 @@ object Dedup {
     * fixpoint (every edge label-equal + pointers stable) is exactly
     * component = min doc_id. The driver loop holds only a convergence
     * COUNT per round — no row data ever reaches the driver.
-    * Output: (doc_id, component = min doc_id in cluster, is_survivor). */
+    * Output: (doc_id, component = min doc_id in cluster, is_survivor).
+    *
+    * `checkpointDir`: when set, each round is pinned with RELIABLE
+    * `checkpoint()` into that directory (set on the SparkContext) —
+    * survives executor loss, the right mode on a real cluster where a
+    * lost executor would otherwise have to recompute a truncated-lineage
+    * round from nothing. When None (default), `localCheckpoint()` —
+    * executor-local blocks, no filesystem round-trip, the right cost on
+    * local mode. Checkpoint files are left for Spark's context cleaner
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints`) or the job's
+    * own teardown to remove. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 60,
-                          starRounds: Int = 5): DataFrame = {
-    // localCheckpoint (NOT persist): an iterative loop's logical plan
+                          starRounds: Int = 5,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    // checkpoint, NOT persist: an iterative loop's logical plan
     // embeds the previous iteration's plan twice per round, so without
     // lineage TRUNCATION analysis cost grows ~2^rounds and the driver
     // hangs long before any task runs (persist only short-circuits
     // physical recompute). Checkpointing pins each round's result as a
-    // flat scan — every iteration analyzes an O(1)-size plan. On a real
-    // cluster prefer reliable checkpointing (survives executor loss);
-    // local checkpoints are the right cost here.
-    val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint(true)
+    // flat scan — every iteration analyzes an O(1)-size plan.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val und = pin(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
     // seed with min(self, neighbors) — one aggregation over the edges we
     // already have. Duplicate clusters are near-stars around their min
     // id, so most components converge at round 0 and the loop's first
     // iteration usually just proves the fixpoint
-    var labels = und.groupBy(col("u"))
+    var labels = pin(und.groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("label"))
-      .select(col("u").as("node"), col("label"))
-      .localCheckpoint(true)
+      .select(col("u").as("node"), col("label")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -296,9 +306,8 @@ object Dedup {
       // here removes a whole labels⋈next join (and its shuffle) per round
       val cand = least(col("label"),
         coalesce(col("_minNeigh"), col("label")), col("_ll"))
-      val next = jumped
-        .select(col("node"), cand.as("label"), (cand < col("label")).as("_moved"))
-        .localCheckpoint(true)
+      val next = pin(jumped
+        .select(col("node"), cand.as("label"), (cand < col("label")).as("_moved")))
       changed = next.filter(col("_moved")).count()
       labels.unpersist()
       labels = next.drop("_moved")

@@ -278,8 +278,13 @@ object ExtraQueries {
 
     // ----- IVF-style ANN: coarse-quantizer cells, nprobe=1
     QueryDef("x15_ann_ivf_cosine",
-      "IVF ANN: corpus in nearest-of-8-centroid cells, queries probe their top-2 cells (nprobe=2), top-3")(
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      "IVF ANN: corpus in corpus-scaled ceil(sqrt(n)) centroid cells (assignment O(n*cells) and cell-join O(n^2/cells) balance at sqrt), queries probe their top-2 cells (nprobe=2), top-3")(
+      s"""WITH p AS (SELECT greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8) AS nc
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
+         |           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS crn
+         |           FROM embeddings)
+         |         WHERE crn <= (SELECT nc FROM p)),
          |sc AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -310,7 +315,12 @@ object ExtraQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      Similarity.ivfTopK(emb, queries, 3, nCells = 8, nprobe = 2)
+      // one cheap driver-side count sizes the coarse quantizer to the
+      // corpus (same pattern as x16's scaledBits): cells = ceil(sqrt(n))
+      // keeps assignment and the within-cell search join balanced at
+      // O(n^1.5) instead of letting a fixed cell count go quadratic
+      val nCells = Similarity.scaledCells(emb.count())
+      Similarity.ivfTopK(emb, queries, 3, nCells = nCells, nprobe = 2)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
     },
 
@@ -398,13 +408,17 @@ object ExtraQueries {
 
     // ----- SemDeDup: cell-pruned semantic dedup over embeddings
     QueryDef("x32_semantic_dedup",
-      "SemDeDup: corpus in nearest-of-8-centroid cells, exact-cosine >= 0.999 pairs WITHIN a cell only, higher id of each pair dropped — cluster-pruned candidate generation")(
+      "SemDeDup: corpus in corpus-scaled ceil(sqrt(n)) centroid cells, exact-cosine >= 0.999 pairs WITHIN a cell only, higher id of each pair dropped — cluster-pruned candidate generation")(
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
-         |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM corpus
-         |         ORDER BY vec_id LIMIT 8),
+         |p AS (SELECT greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8) AS nc
+         |      FROM corpus),
+         |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
+         |           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS crn
+         |           FROM corpus)
+         |         WHERE crn <= (SELECT nc FROM p)),
          |sc AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -429,7 +443,10 @@ object ExtraQueries {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val corpus = emb.unionAll(emb.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      Similarity.semanticDedup(corpus, nCells = 8, minCos = 0.999)
+      // corpus-scaled quantizer, same rationale as x15/x16: a fixed cell
+      // count is the last quadratic-at-scale default in the repo
+      val nCells = Similarity.scaledCells(corpus.count())
+      Similarity.semanticDedup(corpus, nCells = nCells, minCos = 0.999)
     },
 
     // ----- end-to-end curation pipeline: dedup → quality gate → token count

@@ -77,6 +77,21 @@ object Similarity {
     math.max(64 - java.lang.Long.numberOfLeadingZeros(m - 1), 1)
   }
 
+  /** Corpus-scaled cell count for the IVF family (ivfTopK /
+    * semanticDedup): cells = ⌈√n⌉. A flat coarse quantizer pays twice —
+    * assignment is O(n·cells) (every vector scores every centroid) and
+    * the within-cell candidate self-join is O(n²/cells) (expected cell
+    * population n/cells, squared, times cells) — and the two balance at
+    * cells = √n, making BOTH sides O(n^1.5). Any FIXED cell count
+    * degenerates the pair join toward O(n²) as the corpus grows (the
+    * hyperplane analog is scaledBits, which keeps bucket population
+    * constant because hashing costs O(bits), not O(buckets), per row).
+    * Reproducible across engines: IEEE-754 sqrt is correctly rounded,
+    * so ⌈sqrt⌉ of an exact integer count is deterministic — DuckDB's
+    * `ceil(sqrt(count(*)))` lands on the same value. */
+  def scaledCells(n: Long, minCells: Int = 8): Int =
+    math.max(math.ceil(math.sqrt(n.toDouble)).toInt, minCells)
+
   /** Embedding near-dup pairs: sign-LSH bucket self-join per hash table
     * (bits scaled to the corpus via scaledBits), candidates unioned
     * across `tables` independent seeds for recall, then the exact cosine
@@ -156,7 +171,9 @@ object Similarity {
     * assignment is a broadcast cross join + per-vector argmax, so corpus
     * assignment is one narrow pass and the search is an equi-join on
     * cell id. Recall/latency trade: candidates shrink ~nCells/nprobe×;
-    * raise `nprobe` (or train centroids) for recall. */
+    * raise `nprobe` (or train centroids) for recall. Size `nCells` with
+    * [[scaledCells]] — a fixed count leaves each cell holding n/nCells
+    * vectors and the search join degenerates toward quadratic at scale. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8,
               nprobe: Int = 1, kmeansIters: Int = 0): DataFrame = {
     val init = corpus.orderBy(col("vec_id")).limit(nCells)
@@ -183,8 +200,9 @@ object Similarity {
     *
     * Scale shape: assignment is one broadcast narrow pass (O(n·nCells));
     * candidates are a cell-keyed equi self-join (O(Σ cell²)). Balancing
-    * the two means nCells grows with the corpus (√n̄-ish, the classic
-    * IVF/SemDeDup trade) — semantic locality then bounds each cell the
+    * the two means nCells grows with the corpus — size it with
+    * [[scaledCells]] (⌈√n⌉, the classic IVF/SemDeDup trade) — semantic
+    * locality then bounds each cell the
     * way x16's hyperplane buckets do, but with data-adaptive boundaries
     * (trained centroids follow density; hyperplanes cannot). For a
     * strictly linear candidate bound at the cost of that locality, use

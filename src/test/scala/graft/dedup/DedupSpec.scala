@@ -142,6 +142,27 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Set(1L, 10L, 20L, 30L))
   }
 
+  test("connectedComponents with reliable checkpointDir matches localCheckpoint mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      // multi-round graph (long chain) so several rounds actually hit the
+      // reliable checkpoint path, plus small stars for the common shape
+      val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+        (30L until 40L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+      val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val local = Dedup.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(reliable === local)
+      // the rounds really went through the reliable path: files on disk
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("connectedComponents fails loudly when the diameter exceeds maxIter") {
     val chain = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalArgumentException] {

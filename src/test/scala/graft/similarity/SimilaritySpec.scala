@@ -65,6 +65,21 @@ class SimilaritySpec extends SparkSpec {
     assert(bs === bs.sorted)
   }
 
+  test("scaledCells = ceil(sqrt(n)) floored at minCells — balances assignment vs cell join") {
+    assert(Similarity.scaledCells(10) === 8)      // floor kicks in
+    assert(Similarity.scaledCells(64) === 8)      // exact square
+    assert(Similarity.scaledCells(550) === 24)    // x32 sf0.01 corpus
+    assert(Similarity.scaledCells(2000) === 45)   // x15 sf0.1 corpus
+    assert(Similarity.scaledCells(1000000) === 1000)
+    // monotone non-decreasing, and cell POPULATION n/cells also grows only
+    // ~sqrt(n) — neither side of the n*cells vs n^2/cells trade blows up
+    val cs = Seq(100L, 1000L, 10000L, 100000L, 1000000L).map(Similarity.scaledCells(_))
+    assert(cs === cs.sorted)
+    cs.zip(Seq(100L, 1000L, 10000L, 100000L, 1000000L)).foreach { case (c, n) =>
+      assert(c.toLong * c >= n, s"cells^2 must cover n: c=$c n=$n")
+    }
+  }
+
   test("IVF with trained centroids + nprobe reaches recall@3 = 1.0 vs brute force on testdata") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
