@@ -31,3 +31,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+
+// One-command adversarial robustness gate: `sbt adversarial` regenerates
+// five pathological corpora (sub-shingle docs, dup cliques, null/malformed
+// events, zero/duplicate embeddings, skewed/dangling TPC keys) and runs
+// the full DuckDB-oracle compare against each (scripts/adversarial.py).
+// The task exports this build's classpath + JVM options so compare.py
+// runs graft.Verify via plain `java` — NO nested sbt (a child sbt would
+// deadlock on the project lock this task already holds), and no per-sweep
+// sbt startup tax. Fails the build on any oracle mismatch.
+lazy val adversarial = taskKey[Unit]("adversarial oracle sweeps over degenerate corpora")
+adversarial := {
+  val cp = (Runtime / fullClasspath).value.files
+    .map(_.getAbsolutePath).mkString(java.io.File.pathSeparator)
+  val opts = (run / javaOptions).value.mkString(" ")
+  val rc = scala.sys.process.Process(
+    Seq("python3", "scripts/adversarial.py"), baseDirectory.value,
+    "GRAFT_JAVA_CP" -> cp, "GRAFT_JAVA_OPTS" -> opts).!
+  if (rc != 0) sys.error(s"adversarial sweep failed (exit $rc) — see output above")
+}

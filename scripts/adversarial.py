@@ -62,6 +62,8 @@ def sweep_docs():
         docs.append("".join(random.choice("abcdefg ") for _ in range(n)).strip() or "x")
     for _ in range(10):  # whitespace-heavy: norm collapses hard
         docs.append("   ".join(random.choice(words) for _ in range(3)))
+    docs.append("   ")       # whitespace-ONLY: normalized text is empty —
+    docs.append(" \t\n\t ")  # the winnow/shingle hash-of-nothing edge
     for _ in range(10):  # punctuation/symbol heavy
         docs.append(" ".join(random.choice(["###", "...", "a.b", "x!?", ";;;", "1e9"])
                              for _ in range(8)))

@@ -20,9 +20,17 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 SKIP_SBT = os.environ.get("SKIP_SBT") == "1"
 
 if not SKIP_SBT:
-    r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
-        capture_output=True, text=True, cwd="/root/repo")
+    # When the caller (the `sbt adversarial` task) exports the build's
+    # classpath, run graft.Verify via plain `java`: a nested sbt would
+    # deadlock on the project lock the parent task holds, and each sweep
+    # would pay an sbt startup besides.
+    cp = os.environ.get("GRAFT_JAVA_CP")
+    if cp:
+        cmd = (["java"] + os.environ.get("GRAFT_JAVA_OPTS", "").split()
+               + ["-cp", cp, "graft.Verify", SF_DIR, OUT])
+    else:
+        cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}']
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     sys.stdout.write(r.stdout[-3000:] if len(r.stdout) > 3000 else r.stdout)
     if r.returncode != 0:
         print(r.stderr[-3000:])

@@ -27,6 +27,9 @@ object Bench {
     // warm-up: exercise scan + shuffle + codegen paths once, untimed
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // queries whose wall-clock is a sequence of driver-blocking rounds
+    // (iterative checkpoint+count loops) get the median-of-3 policy below
+    val iterative = Set("x23_neardup_clusters")
     val results = queries.map { case (name, fn) =>
       // toRdd.count() forces full evaluation of the physical plan —
       // df.count() would let Catalyst prune every projected column and
@@ -47,25 +50,39 @@ object Bench {
       // warm-cache time for every persist-using query. Intra-RUN reuse
       // (a self-join reading its own persist) is part of the query and
       // stays. This also bounds cross-query cache accumulation.
-      val (t1, ok1) = once()
-      spark.catalog.clearCache()
-      val (t2, ok2) = if (ok1) once() else (t1, ok1)
-      spark.catalog.clearCache()
-      // shared-host noise hygiene (r5→r6 evidence in PLANS.md): when the
-      // two reps disagree by >1.5× one of them was ambient load, not the
-      // query — take a tiebreaker rep so min() has two honest samples.
-      // Sub-second queries get the third rep unconditionally: they are
-      // the ones where a single descheduled thread doubles the reading
-      // (measured cross-run, PLANS.md), and an extra rep costs <1 s.
-      // The inter-query System.gc() keeps one query's garbage from
-      // being charged to the next query's first rep.
-      val discordant = math.max(t1, t2) > 1.5 * math.min(t1, t2)
-      val (t3, ok3) =
-        if (ok2 && (discordant || math.min(t1, t2) < 1.0)) {
+      if (iterative(name)) {
+        // median-of-3 for driver-blocking ITERATIVE queries: their many
+        // checkpoint+count rounds each sample ambient host load, so the
+        // per-rep spread is wide in BOTH directions (x23 measured
+        // 3.3–5.0 s across identical-code runs, PLANS.md) — min() would
+        // report an unrepresentative lucky run, a single rep a noisy
+        // one; the median pins the reported value to ~1.3× across runs
+        val reps = (1 to 3).map { _ =>
           val r = once(); spark.catalog.clearCache(); r
-        } else (math.min(t1, t2), ok1 && ok2)
-      System.gc()
-      (name, math.min(math.min(t1, t2), t3), ok1 && ok2 && ok3)
+        }
+        System.gc()
+        (name, reps.map(_._1).sorted.apply(1), reps.forall(_._2))
+      } else {
+        val (t1, ok1) = once()
+        spark.catalog.clearCache()
+        val (t2, ok2) = if (ok1) once() else (t1, ok1)
+        spark.catalog.clearCache()
+        // shared-host noise hygiene (r5→r6 evidence in PLANS.md): when the
+        // two reps disagree by >1.5× one of them was ambient load, not the
+        // query — take a tiebreaker rep so min() has two honest samples.
+        // Sub-second queries get the third rep unconditionally: they are
+        // the ones where a single descheduled thread doubles the reading
+        // (measured cross-run, PLANS.md), and an extra rep costs <1 s.
+        // The inter-query System.gc() keeps one query's garbage from
+        // being charged to the next query's first rep.
+        val discordant = math.max(t1, t2) > 1.5 * math.min(t1, t2)
+        val (t3, ok3) =
+          if (ok2 && (discordant || math.min(t1, t2) < 1.0)) {
+            val r = once(); spark.catalog.clearCache(); r
+          } else (math.min(t1, t2), ok1 && ok2)
+        System.gc()
+        (name, math.min(math.min(t1, t2), t3), ok1 && ok2 && ok3)
+      }
     }
     // The driver keeps only a ~2000-char tail of stdout; the JSON line must
     // fit inside it or it can never be parsed. 2-decimal per-query times

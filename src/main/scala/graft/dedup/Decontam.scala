@@ -43,10 +43,13 @@ object Decontam {
     * The bloom is a bounded sketch built with one distributed
     * aggregation (`stat.bloomFilter`) — the only driver-side data is the
     * filter's fixed-size bit array, mirroring the count-only discipline
-    * of `Dedup.connectedComponents`. Cache contract as on [[Dedup]]:
-    * the benchmark shingle set is persisted (sizing count + bloom build
-    * + exact join all read it); callers clear the cache after consuming
-    * the result.
+    * of `Dedup.connectedComponents`. The benchmark shingle set is
+    * persisted only WITHIN this call (the sizing count and the bloom
+    * build are both eager) and unpersisted before returning — no cache
+    * handle leaks to the caller; the returned plan's one remaining read
+    * (the broadcast exact join) recomputes the small bench-side shingle
+    * pipeline once at execution, which is cheaper than holding executor
+    * memory hostage across repeated invocations.
     */
   def cleanCorpus(corpus: DataFrame, id: Column, text: Column,
                   bench: DataFrame, benchId: Column, benchText: Column,
@@ -66,6 +69,11 @@ object Decontam {
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    // both eager readers (count + bloom) are done; release the cache now
+    // rather than leaking it to the caller — the broadcast join below
+    // recomputes the small bench-side shingles once when the returned
+    // plan executes
+    bsh.unpersist()
     // shingle lists are distinct per doc, so the post-gate join count IS
     // the per-document intersection size (same contract as x24).
     // explode_OUTER on purpose: a plain explode lets the optimizer infer

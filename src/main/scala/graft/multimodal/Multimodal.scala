@@ -35,10 +35,13 @@ final case class ResizedMedia(media_id: Long, out_w: Int, out_h: Int,
   * carrying the PNG signature decodes to its raw row-major RGB byte
   * buffer, and one carrying the RIFF/WAVE header decodes to its raw PCM
   * sample bytes — exactly what a libjpeg/ffmpeg binding would hand the
-  * feature stages. Payloads without the magic bytes (the synthetic
-  * text-byte media table) and video formats (no pure-JVM mp4 codec)
-  * pass through as the deterministic identity — still clearly a stub
-  * for those. */
+  * feature stages. An mp4 payload (ISO-BMFF, `ftyp` box first) goes
+  * through the DEMUXER half for real — a top-level box walk collecting
+  * the raw `mdat` media data a frame codec would consume; only the
+  * per-frame pixel decode itself would need a native codec. Payloads
+  * without any magic bytes (the synthetic text-byte media table) pass
+  * through as the deterministic identity — still clearly a stub for
+  * those. */
 object FakeCodec {
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
@@ -80,9 +83,49 @@ object FakeCodec {
     out
   }
 
+  private def isMp4(content: Array[Byte]): Boolean =
+    content.length >= 12 &&
+      content(4) == 'f' && content(5) == 't' && content(6) == 'y' && content(7) == 'p'
+
+  /** Concatenated `mdat` payloads of an ISO-BMFF (mp4) container — the
+    * demuxer half of a video decode. Boxes are a flat top-level
+    * sequence of [4-byte big-endian size | 4-byte type | payload];
+    * size == 1 means a 64-bit `largesize` follows the type, size == 0
+    * means the box runs to end-of-file (both from ISO/IEC 14496-12
+    * §4.2). Malformed structure (truncated header, size pointing past
+    * the buffer, size smaller than its own header) fails loudly rather
+    * than yielding garbage bytes to the feature stages. */
+  private def decodeMp4(content: Array[Byte]): Array[Byte] = {
+    val n = content.length
+    def u32(i: Int): Long =
+      ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
+        ((content(i + 2) & 0xffL) << 8) | (content(i + 3) & 0xffL)
+    def u64(i: Int): Long =
+      (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (content(i + k) & 0xffL))
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < n) {
+      require(n - off >= 8, s"mp4: truncated box header at offset $off")
+      val size32 = u32(off)
+      val tpe = new String(content, off + 4, 4, "ISO-8859-1")
+      val (size, hdr) =
+        if (size32 == 1L) {
+          require(n - off >= 16, s"mp4: truncated largesize header at offset $off")
+          (u64(off + 8), 16)
+        } else if (size32 == 0L) ((n - off).toLong, 8)
+        else (size32, 8)
+      require(size >= hdr && size <= n - off,
+        s"mp4: box '$tpe' size $size out of bounds at offset $off (file $n)")
+      if (tpe == "mdat") out.write(content, off + hdr, (size - hdr).toInt)
+      off += size.toInt
+    }
+    out.toByteArray
+  }
+
   def decode(content: Array[Byte], format: String): Array[Byte] =
     if (format == "png" && isPng(content)) decodePng(content)
     else if (format == "wav" && isWav(content)) decodeWav(content)
+    else if (format == "mp4" && isMp4(content)) decodeMp4(content)
     else content
 }
 

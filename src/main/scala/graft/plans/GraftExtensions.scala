@@ -17,11 +17,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.AnalysisException
+
+  /** Analysis-time rejection of a non-foldable parameter: the builders
+    * below eval() their constant arguments during resolution, so a
+    * column reference here would otherwise surface as an unbound-
+    * attribute internal error instead of a named, user-facing one. */
+  private def requireFoldable(fnName: String, param: String, tpe: String,
+                              e: Expression): Unit =
+    if (!e.foldable)
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> s"`$fnName`", "paramName" -> s"`$param`",
+        "paramType" -> s""""$tpe""""))
+
+  private def badArg(fnName: String, param: String, want: String): Nothing =
+    throw new AnalysisException("USER_RAISED_EXCEPTION", Map(
+      "errorMessage" -> s"$fnName: parameter '$param' must be $want"))
 
   /** Fold a constant argument (bits/seed/k parameters) to an Int. */
-  private def intArg(e: Expression): Int = e match {
+  private def intArg(fnName: String, param: String, e: Expression): Int = e match {
     case Literal(v: Int, _) => v
-    case other => other.eval().asInstanceOf[Number].intValue()
+    case other =>
+      requireFoldable(fnName, param, "INT", other)
+      other.eval() match {
+        case n: Number => n.intValue()
+        case _ => badArg(fnName, param, "a non-null integer literal")
+      }
+  }
+
+  /** Fold a constant argument to a non-empty String (analysis-time
+    * AnalysisException on column refs, nulls, non-strings, and empty
+    * markers — not a raw runtime require/ClassCastException). */
+  private def stringArg(fnName: String, param: String, e: Expression): String = {
+    requireFoldable(fnName, param, "STRING", e)
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String if s.numChars() > 0 =>
+        s.toString
+      case _ => badArg(fnName, param, "a non-empty string literal")
+    }
   }
 
   private def fn(name: String, cls: Class[_], arity: Int, usage: String)(
@@ -37,14 +70,15 @@ object GraftExtensions {
     fn("poly_hash", classOf[PolyHash], 1, "poly_hash(str)")(
       a => PolyHash(a.head)),
     fn("shingle_hashes", classOf[ShingleHashes], 2, "shingle_hashes(str, k)")(
-      a => ShingleHashes(a.head, intArg(a(1)))),
+      a => ShingleHashes(a.head, intArg("shingle_hashes", "k", a(1)))),
     fn("count_occurrences", classOf[CountOccurrences], 2, "count_occurrences(str, marker)")(
       a => CountOccurrences(a.head,
-        a(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)),
+        stringArg("count_occurrences", "marker", a(1)))),
     fn("winnow_hashes", classOf[WinnowHashes], 3, "winnow_hashes(str, k, w)")(
-      a => WinnowHashes(a.head, intArg(a(1)), intArg(a(2)))),
+      a => WinnowHashes(a.head, intArg("winnow_hashes", "k", a(1)),
+        intArg("winnow_hashes", "w", a(2)))),
     fn("minhash_sig", classOf[MinHashSig], 2, "minhash_sig(array<bigint>, nHashes)")(
-      a => MinHashSig(a.head, intArg(a(1)))),
+      a => MinHashSig(a.head, intArg("minhash_sig", "nHashes", a(1)))),
     fn("bigram_token_hashes", classOf[BigramTokenHashes], 1, "bigram_token_hashes(str)")(
       a => BigramTokenHashes(a.head)),
     fn("simhash16", classOf[SimHash16], 1, "simhash16(array<bigint>)")(
@@ -56,7 +90,8 @@ object GraftExtensions {
     fn("sqnorm_fold", classOf[SqNormFold], 1, "sqnorm_fold(array<float>)")(
       a => SqNormFold(a.head)),
     fn("sign_bucket_rh", classOf[SignBucketRH], 3, "sign_bucket_rh(array<float>, bits, seed)")(
-      a => SignBucketRH(a.head, intArg(a(1)), intArg(a(2)))))
+      a => SignBucketRH(a.head, intArg("sign_bucket_rh", "bits", a(1)),
+        intArg("sign_bucket_rh", "seed", a(2)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */

@@ -172,9 +172,14 @@ object HashUtil {
     * shared substring of ≥ w+k−1 chars contributes a common selected
     * hash — the partial-overlap detector whole-document MinHash lacks.
     * Only selected VALUES are emitted (no positions), so min-tie
-    * handling cannot affect the result and any engine reproduces it. */
+    * handling cannot affect the result and any engine reproduces it.
+    * Empty input yields an EMPTY fingerprint (no text shares nothing) —
+    * the one case where the sub-k clamp would otherwise manufacture a
+    * hash-of-nothing that engines disagree on (an acc-stays-0 value
+    * here vs a fold over ord('') = -1 in the SQL formulation). */
   def winnowHashes(s: UTF8String, k: Int, w: Int): ArrayData = {
     val cps = s.toString.codePoints.toArray
+    if (cps.length == 0) return new GenericArrayData(Array.emptyLongArray)
     val n = math.max(cps.length - k + 1, 1)
     val hs = new Array[Long](n)
     var i = 0

@@ -87,6 +87,15 @@ object ExtraQueries {
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Bigram token-hash chain shared by the SimHash oracles. */
+  /** Empty-safe per-char polynomial fold, ≡ HashUtil.polyHash (acc
+    * starts 0, so the empty string hashes to 0); DuckDB's list_reduce
+    * raises on an empty list instead, so the zero-length case must be
+    * folded by hand — whitespace-only documents normalize to "". */
+  private def charFoldD(src: String) =
+    s"""CASE WHEN len($src) = 0 THEN 0
+       |     ELSE list_reduce([ord(substr($src, i, 1)) FOR i IN range(1, len($src)+1)]::BIGINT[],
+       |                      (acc, x) -> (acc * 31 + x) % 1000000007) END""".stripMargin
+
   private def tokenHashesD(src: String) =
     s"""n AS (SELECT doc_id, $normD AS t FROM $src),
        |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n),
@@ -95,8 +104,7 @@ object ExtraQueries {
        |       THEN list_distinct([ws[i] || '_' || ws[i+1] FOR i IN range(1, len(ws))])
        |       ELSE ws END AS toks FROM w),
        |th AS (SELECT doc_id, [
-       |    (list_reduce([ord(substr(tk, i, 1)) FOR i IN range(1, len(tk)+1)]::BIGINT[],
-       |                 (acc, x) -> (acc * 31 + x) % 1000000007) * 48271) % 2147483647
+       |    (${charFoldD("tk")} * 48271) % 2147483647
        |    FOR tk IN toks] AS hx FROM tok)""".stripMargin
 
   /** Bigram-token SimHash fragment (16 bits) for the oracle. */
@@ -371,12 +379,12 @@ object ExtraQueries {
          |         substr(text, 1, 120) || ' fresh tail content entirely new here' AS text
          |  FROM documents WHERE doc_id % 10 = 0),
          |n AS (SELECT doc_id, $normD AS t FROM corpus),
-         |hl AS (SELECT doc_id, [
+         |hl AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN []::BIGINT[] ELSE [
          |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, greatest(least(20, len(t) - i + 1), 1))]::BIGINT[],
          |                (acc, x) -> (acc * 31 + x) % 1000000007)
-         |    FOR i IN range(1, greatest(len(t) - 19, 1) + 1)] AS hs FROM n),
-         |sel AS (SELECT doc_id, list_distinct([
-         |    list_min(hs[i:i+7]) FOR i IN range(1, greatest(len(hs) - 7, 1) + 1)]) AS sel
+         |    FOR i IN range(1, greatest(len(t) - 19, 1) + 1)] END AS hs FROM n),
+         |sel AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []::BIGINT[] ELSE list_distinct([
+         |    list_min(hs[i:i+7]) FOR i IN range(1, greatest(len(hs) - 7, 1) + 1)]) END AS sel
          |  FROM hl),
          |e AS (SELECT doc_id, unnest(sel) AS h FROM sel),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
@@ -600,8 +608,7 @@ object ExtraQueries {
       "rolling polynomial content hash (acc*31+cp mod 1e9+7) — engine-portable exact dedup key")(
       s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents)
          |SELECT doc_id,
-         |  list_reduce([ord(substr(t, i, 1)) FOR i IN range(1, len(t)+1)]::BIGINT[],
-         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         |  ${charFoldD("t")} AS fp
          |FROM n
          |""".stripMargin) { (s, dir) =>
       // staged: norm materialized once per row, then the per-char fold
@@ -728,8 +735,7 @@ object ExtraQueries {
          |c AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), 40)) AS st FROM n),
          |ch AS (SELECT doc_id, st // 40 AS chunk_id, ws[st+1 : st+50] AS chunk FROM c)
          |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
-         |  list_reduce([ord(substr(t, i, 1)) FOR i IN range(1, len(t)+1)]::BIGINT[],
-         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp
+         |  ${charFoldD("t")} AS chunk_fp
          |FROM (SELECT doc_id, chunk_id, array_to_string(chunk, ' ') AS t, chunk FROM ch)
          |""".stripMargin) { (s, dir) =>
       TextOps.chunk(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -888,8 +894,7 @@ object ExtraQueries {
       "hash-based train/val/test assignment (fingerprint mod 100: 80/10/10) + per-(split, lang) doc and token budget — engine-portable, row-order immune")(
       s"""WITH n AS (SELECT doc_id, lang, text, $normD AS t FROM documents),
          |h AS (SELECT lang, text,
-         |  list_reduce([ord(substr(t, i, 1)) FOR i IN range(1, len(t)+1)]::BIGINT[],
-         |              (acc, x) -> (acc * 31 + x) % 1000000007) % 100 AS hb
+         |  ${charFoldD("t")} % 100 AS hb
          |  FROM n),
          |s AS (SELECT lang,
          |  CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split,
@@ -908,8 +913,7 @@ object ExtraQueries {
       "language-balanced corpus sample: top-40 docs per lang by content-hash order — deterministic pseudo-random quota sampling, two-phase top-K")(
       s"""WITH n AS (SELECT doc_id, lang, $normD AS t FROM documents),
          |h AS (SELECT doc_id, lang,
-         |  list_reduce([ord(substr(t, i, 1)) FOR i IN range(1, len(t)+1)]::BIGINT[],
-         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS hk
+         |  ${charFoldD("t")} AS hk
          |  FROM n)
          |SELECT doc_id, lang, hk FROM (
          |  SELECT doc_id, lang, hk,

@@ -86,6 +86,64 @@ class MultimodalSpec extends SparkSpec {
     assert(FakeCodec.decode("abc".getBytes, "wav").toSeq === "abc".getBytes.toSeq)
   }
 
+  // -- ISO-BMFF synthesis helpers: [size|type|payload] boxes in the three
+  //    header encodings the spec defines (compact, largesize, to-EOF)
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1")).put(payload)
+    bb.array()
+  }
+  private def largeBox(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
+    bb.putInt(1).put(tpe.getBytes("ISO-8859-1"))
+      .putLong(16L + payload.length).put(payload)
+    bb.array()
+  }
+  private def eofBox(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(0).put(tpe.getBytes("ISO-8859-1")).put(payload)
+    bb.array()
+  }
+
+  test("mp4 payloads demux to concatenated mdat media data through the codec seam") {
+    // a minimal valid ISO-BMFF file: ftyp brand, an empty moov, one
+    // compact mdat, one largesize mdat, one to-EOF mdat (all three
+    // header encodings from ISO/IEC 14496-12 §4.2)
+    val mp4 = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0)) ++
+      box("moov", Array.emptyByteArray) ++
+      box("mdat", "frame0".getBytes) ++
+      largeBox("mdat", "frame1".getBytes) ++
+      eofBox("mdat", "frame2".getBytes)
+    // direct seam: decode walks the boxes and returns only the media data
+    assert(new String(FakeCodec.decode(mp4, "mp4"), "UTF-8")
+      === "frame0frame1frame2")
+    // through the Dataset pipeline: features run on DEMUXED bytes
+    val ds = Seq(MediaRow(2L, "video", mp4, MediaMeta("mp4", 0, 0))).toDS()
+    val f = Multimodal.features(ds).head()
+    assert(f.byte_len === 18L) // 3 × "frameN", not the container size
+    // frame sampling over the demuxed stream, not the raw container
+    val fs = Multimodal.frameSample(ds, frameBytes = 6, everyN = 2).head()
+    assert(fs.n_frames === 2L) // frame0, frame2
+    // non-mp4 bytes under the same format tag stay identity (x13/x14 path)
+    assert(FakeCodec.decode("abc".getBytes, "mp4").toSeq === "abc".getBytes.toSeq)
+  }
+
+  test("mp4 demux fails loudly on malformed box structure") {
+    val ftyp = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0))
+    // size points past the end of the buffer
+    val overrun = ftyp ++ { val b = box("mdat", "xy".getBytes); b(3) = 99; b }
+    val e1 = intercept[IllegalArgumentException](FakeCodec.decode(overrun, "mp4"))
+    assert(e1.getMessage.contains("out of bounds"))
+    // size smaller than its own header
+    val tiny = ftyp ++ { val b = box("mdat", "xy".getBytes); b(3) = 4; b }
+    val e2 = intercept[IllegalArgumentException](FakeCodec.decode(tiny, "mp4"))
+    assert(e2.getMessage.contains("out of bounds"))
+    // truncated header after a valid box
+    val trunc = ftyp ++ Array[Byte](0, 0, 0, 9, 'm')
+    val e3 = intercept[IllegalArgumentException](FakeCodec.decode(trunc, "mp4"))
+    assert(e3.getMessage.contains("truncated"))
+  }
+
   test("resize: nearest-neighbor mapping on a known grid") {
     // 32 bytes = 2 source rows of 16; resize to 2x2 → picks
     // (row 0, col 0), (row 0, col 8), (row 1, col 0), (row 1, col 8)

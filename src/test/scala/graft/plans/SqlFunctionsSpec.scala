@@ -34,4 +34,40 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sql.getLong(0) > 0L)                    // poly_hash computed
     assert(sql.getDouble(5) === sql.getDouble(6))  // dot(v,v) == sqnorm(v)
   }
+
+  test("constant-parameter misuse fails at ANALYSIS time with a named error") {
+    GraftBridge.registerFunctions(spark)
+    Seq(("abc", 3)).toDF("t", "n").createOrReplaceTempView("sqlargs")
+    def analysisError(q: String): String =
+      intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(q).head()).getMessage
+    // non-foldable marker (a column): named NON_FOLDABLE_ARGUMENT, not an
+    // unbound-attribute internal error
+    val e1 = analysisError("SELECT count_occurrences(t, t) FROM sqlargs")
+    assert(e1.contains("count_occurrences") && e1.contains("foldable"))
+    // null / non-string / empty markers: clean user-facing message, not a
+    // ClassCastException/NPE or a raw require failure
+    val e2 = analysisError("SELECT count_occurrences(t, CAST(NULL AS STRING)) FROM sqlargs")
+    assert(e2.contains("non-empty string literal"))
+    val e3 = analysisError("SELECT count_occurrences(t, 7) FROM sqlargs")
+    assert(e3.contains("non-empty string literal"))
+    val e4 = analysisError("SELECT count_occurrences(t, '') FROM sqlargs")
+    assert(e4.contains("non-empty string literal"))
+    // the int-parameter family gets the same guard (column as k)
+    val e5 = analysisError("SELECT shingle_hashes(t, n) FROM sqlargs")
+    assert(e5.contains("shingle_hashes") && e5.contains("foldable"))
+    // sanity: a valid literal still folds fine after the guards
+    assert(spark.sql("SELECT count_occurrences('aXbXc', 'X')").head().getLong(0) === 2L)
+  }
+
+  test("winnow_hashes on empty input yields an empty fingerprint (engine-agreed)") {
+    GraftBridge.registerFunctions(spark)
+    val rows = spark.sql(
+      "SELECT winnow_hashes('', 20, 8), winnow_hashes('ab', 20, 8)").head()
+    // empty text shares nothing — no manufactured hash-of-nothing that
+    // SQL engines would fold differently (ord('') divergence)
+    assert(rows.getSeq[Long](0) === Seq.empty[Long])
+    // sub-k but non-empty text still emits its single clamped shingle
+    assert(rows.getSeq[Long](1).length === 1)
+  }
 }

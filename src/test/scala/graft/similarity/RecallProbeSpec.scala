@@ -41,6 +41,39 @@ class RecallProbeSpec extends SparkSpec {
     } finally { emb.unpersist(); () }
   }
 
+  test("sf0.1 ivfTopK recall sweep at corpus-scaled cells: nprobe 1/2/4 (the x15 config)") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").persist()
+    try {
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = rs(Similarity.bruteForceTopK(emb, queries, 3))
+      // exactly the production x15 sizing: cells = scaledCells(n) = 45 at
+      // sf0.1, untrained deterministic centroids — the sweep measures how
+      // recall buys back with nprobe when cells grow with the corpus
+      val nCells = Similarity.scaledCells(emb.count())
+      val recalls = Seq(1, 2, 4).map { np =>
+        val ivf = rs(Similarity.ivfTopK(emb, queries, 3, nCells = nCells, nprobe = np))
+        val r = (exact intersect ivf).size.toDouble / exact.size
+        info(f"ivfTopK(cells=$nCells, nprobe=$np, untrained) recall@3 = $r%.3f")
+        np -> r
+      }.toMap
+      // more probes may never lose candidates (cells are disjoint and the
+      // probed set only grows), so recall is monotone in nprobe
+      assert(recalls(1) <= recalls(2) && recalls(2) <= recalls(4),
+        s"recall not monotone in nprobe: $recalls")
+      // measured (PLANS.md "ANN recall at sf0.1"): 0.983 / 1.000 / 1.000
+      // — scaled cells keep populations small, but cosine assignment puts
+      // true neighbors in the same cell, so even nprobe=1 is near-exact;
+      // gates one notch below the measurement (everything is seeded, so
+      // only a real regression can trip them)
+      assert(recalls(1) >= 0.90, s"nprobe=1 recall regressed: ${recalls(1)}")
+      assert(recalls(2) >= 0.95, s"x15-config (nprobe=2) recall regressed: ${recalls(2)}")
+      assert(recalls(4) >= 0.95, s"nprobe=4 recall regressed: ${recalls(4)}")
+    } finally { emb.unpersist(); () }
+  }
+
   test("sf0.1 neardupPairs recall: 1.0 on true copies, >= 0.9 at cos 0.95 with default tables") {
     assume(new java.io.File(sfDir).isDirectory)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
