@@ -1016,6 +1016,58 @@ object ExtraQueries {
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users"))
             <= col("exact_users") * 0.05).as("sketch_ok"))
+    },
+
+    // ----- CCNet-style line-level boilerplate removal
+    QueryDef("x36_boilerplate_lines",
+      "line-level boilerplate removal: normalized line hashes in >= 5 distinct docs (planted nav header + copyright footer on every 3rd doc) struck from all docs, survivors reassembled in order — the cross-doc furniture whole-doc dedup can't touch")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN 'nav menu home about contact' || chr(10) || text ||
+         |         chr(10) || 'copyright footer all rights reserved'
+         |    ELSE text END AS text FROM documents),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+         |lp AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM ls),
+         |ln AS (SELECT doc_id, pos, ls[pos] AS line,
+         |         lower(trim(regexp_replace(ls[pos], '\\s+', ' ', 'g'))) AS t
+         |       FROM lp),
+         |h AS (SELECT doc_id, pos, line, ${charFoldD("t")} AS lh FROM ln),
+         |bo AS (SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM h)
+         |       GROUP BY lh HAVING count(*) >= 5),
+         |o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |        CAST(count(*) FILTER (WHERE lh NOT IN (SELECT lh FROM bo)) AS BIGINT) AS n_kept,
+         |        coalesce(array_to_string(
+         |          list(line ORDER BY pos) FILTER (WHERE lh NOT IN (SELECT lh FROM bo)),
+         |          chr(10)), '') AS cleaned
+         |      FROM h GROUP BY doc_id)
+         |SELECT doc_id, n_lines, n_kept, cleaned,
+         |       ${charFoldD("cleaned")} AS cleaned_fp
+         |FROM o
+         |""".stripMargin) { (s, dir) =>
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("nav menu home about contact\n"), col("text"),
+            lit("\ncopyright footer all rights reserved")))
+          .otherwise(col("text")).as("text"))
+      TextOps.removeBoilerplateLines(corpus, col("doc_id"), col("text"))
+    },
+
+    // ----- deterministic token-budget sampling per source
+    QueryDef("x37_token_budget",
+      "token-budget sampling: per-source running token sum in content-hash order, docs admitted while the cumulative total stays <= 600 — reproducible 'N tokens per domain' selection, no RNG state")(
+      s"""WITH n AS (SELECT doc_id, source, text, $normD AS t FROM documents),
+         |h AS (SELECT doc_id, source AS stratum,
+         |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |        ${charFoldD("t")} AS hk
+         |      FROM n),
+         |c AS (SELECT doc_id, stratum, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hk, doc_id) AS cum_tokens
+         |      FROM h)
+         |SELECT doc_id, stratum, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 600
+         |""".stripMargin) { (s, dir) =>
+      TextOps.tokenBudgetSample(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("source"), budget = 600L)
     }
   )
 }

@@ -334,4 +334,63 @@ object TextOps {
         round(col("top_c").cast(DoubleType) / col("total_c").cast(DoubleType), 6)
           .as("rep_share"))
   }
+
+  /** CCNet-style line-level boilerplate removal: a line whose normalized
+    * hash appears in >= `minDocs` DISTINCT documents is boilerplate
+    * (nav bars, cookie banners, copyright footers — the cross-document
+    * repeated furniture whole-document dedup can't touch) and is struck
+    * from every document; survivors are reassembled in original line
+    * order. Output: (doc_id, n_lines, n_kept, cleaned, cleaned_fp) —
+    * a doc whose every line is boilerplate survives with cleaned = "".
+    *
+    * Scale shape: the document-frequency count shuffles (line_hash,
+    * doc_id) pairs — longs, never line text — with a distinct pass that
+    * map-side combines; the boilerplate set (by definition small: only
+    * hashes crossing the corpus-wide threshold) broadcasts back onto
+    * the line stream; reassembly is one doc_id-keyed aggregation whose
+    * collect_list carries only surviving lines. Nothing is quadratic
+    * and raw text crosses the wire exactly once (the reassembly
+    * shuffle), same discipline as dupNgramStats. */
+  def removeBoilerplateLines(docs: DataFrame, id: Column, text: Column,
+                             minDocs: Long = 5L): DataFrame = {
+    val lines = docs.select(id.as("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", fingerprint(norm(col("line"))))
+    val boiler = lines.select("lh", "doc_id").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs).select(col("lh"), lit(true).as("_b"))
+    // left join marks boilerplate lines; nulls in when() are skipped by
+    // collect_list, so the kept-line array falls out of one aggregation
+    lines.join(broadcast(boiler), Seq("lh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("_b").isNull, 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_b").isNull,
+            struct(col("pos"), col("line"))))),
+          _.getField("line")), "\n").as("cleaned"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"),
+        fingerprint(col("cleaned")).as("cleaned_fp"))
+  }
+
+  /** Deterministic token-budget sampling: within each stratum (source,
+    * language, ...) admit documents in content-hash order until the
+    * running token total crosses `budget` — the "give me ~N tokens per
+    * domain" selection step of mixture building, made reproducible by
+    * hashing (row-order immune, engine-portable) instead of RNG state.
+    * Output: (doc_id, stratum, n_tokens, cum_tokens), cum_tokens <=
+    * budget. One shuffle on stratum + a within-partition running sum —
+    * the window never sees more than a stratum, so skew equals the
+    * stratum size distribution, not the corpus. */
+  def tokenBudgetSample(docs: DataFrame, id: Column, text: Column,
+                        strata: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs.select(id.as("doc_id"), strata.as("stratum"),
+      wsTokenCount(text).as("n_tokens"),
+      fingerprint(norm(text)).as("_hk"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("_hk"), col("doc_id"))
+    h.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "stratum", "n_tokens", "cum_tokens")
+  }
 }

@@ -89,4 +89,58 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) === 1.0)
     assert(out(2L) < 0.5)
   }
+
+  test("removeBoilerplateLines strikes cross-doc repeated lines, keeps order, survives all-boilerplate docs") {
+    // 6 docs share a header and footer (df = 6 >= 5); unique bodies stay.
+    // doc 100 is ONLY boilerplate; doc 200 shares nothing (df = 1).
+    val docs = ((0L until 6L).map { i =>
+      (i, s"SHARED HEADER\nbody text number $i\nshared footer line")
+    } :+ (100L, "SHARED  header\nshared FOOTER line") // normalization collides
+      :+ (200L, "one of a kind line")).toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplateLines(docs, col("doc_id"), col("text"),
+        minDocs = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    (0L until 6L).foreach { i =>
+      assert(out(i) === ((3L, 1L, s"body text number $i")))
+    }
+    // whitespace/case variants hash to the same normalized line
+    assert(out(100L) === ((2L, 0L, "")))
+    assert(out(200L) === ((1L, 1L, "one of a kind line")))
+  }
+
+  test("removeBoilerplateLines keeps multi-line survivor order intact") {
+    val boiler = (0L until 5L).map(i => (i, "ad banner"))
+    val docs = (boiler :+ (9L, "first\nad banner\nsecond\nthird"))
+      .toDF("doc_id", "text")
+    val cleaned = TextOps.removeBoilerplateLines(docs, col("doc_id"), col("text"),
+        minDocs = 5L)
+      .filter(col("doc_id") === 9L).head().getString(3)
+    assert(cleaned === "first\nsecond\nthird")
+  }
+
+  test("tokenBudgetSample admits docs in hash order until the stratum budget, deterministically") {
+    val docs = Seq(
+      (1L, "a", "one two three"),        // 3 tokens each, stratum a
+      (2L, "a", "four five six"),
+      (3L, "a", "seven eight nine"),
+      (4L, "b", "ten eleven")            // stratum b alone, 2 tokens
+    ).toDF("doc_id", "source", "text")
+    def run() = TextOps.tokenBudgetSample(docs, col("doc_id"), col("text"),
+        col("source"), budget = 6L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val out = run()
+    // stratum a: exactly two of the three 3-token docs fit in budget 6 —
+    // WHICH two is fixed by content hash, not input order
+    assert(out.count(_._2 == "a") === 2)
+    assert(out.filter(_._2 == "a").map(_._3).toSeq.sorted === Seq(3L, 6L))
+    // stratum b: its one doc fits
+    assert(out.exists(p => p._1 == 4L && p._3 == 2L))
+    // deterministic across runs and input orders
+    assert(run() === out)
+    val shuffled = TextOps.tokenBudgetSample(docs.orderBy(rand(42)),
+        col("doc_id"), col("text"), col("source"), budget = 6L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(shuffled === out)
+  }
 }
