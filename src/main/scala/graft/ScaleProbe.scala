@@ -102,6 +102,17 @@ object ScaleProbe {
         val c = embCorpus(k)
         Similarity.semanticDedup(c,
           nCells = Similarity.scaledCells(c.count()), minCos = 0.999)
+      },
+      "x36_boilerplate" -> { k =>
+        // planted header/footer on every 3rd doc (the x36 corpus shape);
+        // the df count shuffles line hashes and the boilerplate set
+        // broadcasts, so the slope should track the line volume
+        val c = docCorpus(k).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("nav menu home about contact\n"), col("text"),
+              lit("\ncopyright footer all rights reserved")))
+            .otherwise(col("text")).as("text"))
+        TextOps.removeBoilerplateLines(c, col("doc_id"), col("text"))
       })
 
     println(f"${"probe"}%-20s ${"t1x"}%8s ${"t4x"}%8s ${"t8x"}%8s  t8/t1")
