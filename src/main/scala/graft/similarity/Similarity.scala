@@ -138,13 +138,21 @@ object Similarity {
     * the trained centroids (and hence cell assignment) are reproducible
     * run to run on any cluster. Each iteration is one narrow assignment
     * pass + one (cell, dim)-keyed aggregation; nothing quadratic. Empty
-    * cells keep their previous centroid (classic k-means convention). */
-  def kmeansRefine(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
-    // localCheckpoint per round: the iteration embeds the previous
+    * cells keep their previous centroid (classic k-means convention).
+    * `checkpointDir`: same contract as Dedup.connectedComponents — when
+    * set, rounds pin with RELIABLE checkpoint() (executor-loss-tolerant,
+    * the real-cluster mode); None = localCheckpoint, the right cost on
+    * local mode. */
+  def kmeansRefine(corpus: DataFrame, init: DataFrame, iters: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    // checkpoint per round: the iteration embeds the previous
     // round's plan twice (assignment + empty-cell fallback join), so
     // without lineage truncation analysis cost grows ~2^iters — the
     // same hang Dedup.connectedComponents documents
-    var cents = init.localCheckpoint(true)
+    checkpointDir.foreach(init.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    var cents = pin(init)
     for (_ <- 0 until iters) {
       val means = assignCells(corpus, "vec_id", "embedding", cents, 1)
         .select(col("cell").as("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -154,10 +162,9 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           _.getField("m")).as("c_emb"))
-      val next = cents.select(col("cid"), col("c_emb").as("_prev"))
+      val next = pin(cents.select(col("cid"), col("c_emb").as("_prev"))
         .join(means.withColumnRenamed("c_emb", "_new"), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("_new"), col("_prev")).as("c_emb"))
-        .localCheckpoint(true)
+        .select(col("cid"), coalesce(col("_new"), col("_prev")).as("c_emb")))
       cents.unpersist()
       cents = next
     }
@@ -175,10 +182,12 @@ object Similarity {
     * [[scaledCells]] — a fixed count leaves each cell holding n/nCells
     * vectors and the search join degenerates toward quadratic at scale. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8,
-              nprobe: Int = 1, kmeansIters: Int = 0): DataFrame = {
+              nprobe: Int = 1, kmeansIters: Int = 0,
+              checkpointDir: Option[String] = None): DataFrame = {
     val init = corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    val cents = (if (kmeansIters > 0) kmeansRefine(corpus, init, kmeansIters)
+    val cents = (if (kmeansIters > 0)
+                   kmeansRefine(corpus, init, kmeansIters, checkpointDir)
                  else init).persist()
     val c = assignCells(corpus, "vec_id", "embedding", cents, 1)
     val q = assignCells(queries, "q_id", "q_emb", cents, nprobe)
@@ -208,10 +217,12 @@ object Similarity {
     * strictly linear candidate bound at the cost of that locality, use
     * [[neardupPairs]]; the two share the exact-cosine gate. */
   def semanticDedup(corpus: DataFrame, nCells: Int = 8, minCos: Double = 0.999,
-                    kmeansIters: Int = 0): DataFrame = {
+                    kmeansIters: Int = 0,
+                    checkpointDir: Option[String] = None): DataFrame = {
     val init = corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    val cents = if (kmeansIters > 0) kmeansRefine(corpus, init, kmeansIters) else init
+    val cents = if (kmeansIters > 0)
+      kmeansRefine(corpus, init, kmeansIters, checkpointDir) else init
     val assigned = assignCells(corpus, "vec_id", "embedding", cents, 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .persist() // cell self-join reads both sides; cache contract as on Dedup

@@ -107,6 +107,16 @@ class SimilaritySpec extends SparkSpec {
     assert(a.keySet === Set(0L, 1L, 2L, 3L))
     assert(a === b) // exact decimal sums → identical floats run to run
     a.values.foreach(c => assert(c.length === 64))
+    // reliable-checkpoint mode (the real-cluster path) trains the SAME
+    // centroids — same contract as Dedup.connectedComponents
+    val dir = java.nio.file.Files.createTempDirectory("graft-km-ckpt").toString
+    try {
+      val c = Similarity.kmeansRefine(emb, init, 2, Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      assert(c === a)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("semanticDedup drops exactly the planted copies, keeps one representative") {
