@@ -57,11 +57,19 @@ object Bench {
         // 3.3–5.0 s across identical-code runs, PLANS.md) — min() would
         // report an unrepresentative lucky run, a single rep a noisy
         // one; the median pins the reported value to ~1.3× across runs
-        val reps = (1 to 3).map { _ =>
-          val r = once(); spark.catalog.clearCache(); r
+        // same fail-fast contract as the best-of-2 branch: a broken
+        // iterative query (the slowest in the suite) must not run its
+        // multi-minute failure three times before signaling
+        val reps = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+        var go = true
+        while (go && reps.size < 3) {
+          val r = once(); spark.catalog.clearCache()
+          reps += r
+          go = r._2
         }
         System.gc()
-        (name, reps.map(_._1).sorted.apply(1), reps.forall(_._2))
+        if (reps.exists(!_._2)) (name, reps.map(_._1).max, false)
+        else (name, reps.map(_._1).sorted.apply(1), true)
       } else {
         val (t1, ok1) = once()
         spark.catalog.clearCache()

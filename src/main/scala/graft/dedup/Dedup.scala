@@ -258,9 +258,14 @@ object Dedup {
     * lost executor would otherwise have to recompute a truncated-lineage
     * round from nothing. When None (default), `localCheckpoint()` —
     * executor-local blocks, no filesystem round-trip, the right cost on
-    * local mode. Checkpoint files are left for Spark's context cleaner
-    * (`spark.cleaner.referenceTracking.cleanCheckpoints`) or the job's
-    * own teardown to remove. */
+    * local mode. Two contracts the caller owns in reliable mode:
+    * (1) the checkpoint dir is SparkContext-GLOBAL state — concurrent
+    * invocations on one session must pass the same dir (each round is
+    * also persisted around its checkpoint write, so the write reads the
+    * cache, not a recomputed lineage); (2) round files accumulate in the
+    * dir for the run's lifetime — Spark's context cleaner does not
+    * remove them by default, so delete the directory after the returned
+    * DataFrame has been consumed. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 60,
                           starRounds: Int = 5,
                           checkpointDir: Option[String] = None): DataFrame = {
@@ -272,7 +277,13 @@ object Dedup {
     // flat scan — every iteration analyzes an O(1)-size plan.
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      if (checkpointDir.isDefined) {
+        // persist around the reliable checkpoint: checkpoint(true) runs
+        // the materializing job and THEN a separate checkpoint-write job
+        // that would otherwise recompute the round's full lineage
+        df.persist()
+        try df.checkpoint(true) finally { df.unpersist(); () }
+      } else df.localCheckpoint(true)
     val und = pin(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
     // seed with min(self, neighbors) — one aggregation over the edges we

@@ -142,7 +142,9 @@ object Similarity {
     * `checkpointDir`: same contract as Dedup.connectedComponents — when
     * set, rounds pin with RELIABLE checkpoint() (executor-loss-tolerant,
     * the real-cluster mode); None = localCheckpoint, the right cost on
-    * local mode. */
+    * local mode. The dir is SparkContext-global (concurrent callers must
+    * share one) and round files are the caller's to delete after the
+    * trained centroids are consumed. */
   def kmeansRefine(corpus: DataFrame, init: DataFrame, iters: Int,
                    checkpointDir: Option[String] = None): DataFrame = {
     // checkpoint per round: the iteration embeds the previous
@@ -151,7 +153,11 @@ object Similarity {
     // same hang Dedup.connectedComponents documents
     checkpointDir.foreach(init.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      if (checkpointDir.isDefined) {
+        // persist around the write job — see Dedup.connectedComponents
+        df.persist()
+        try df.checkpoint(true) finally { df.unpersist(); () }
+      } else df.localCheckpoint(true)
     var cents = pin(init)
     for (_ <- 0 until iters) {
       val means = assignCells(corpus, "vec_id", "embedding", cents, 1)

@@ -350,12 +350,19 @@ object TextOps {
     * the line stream; reassembly is one doc_id-keyed aggregation whose
     * collect_list carries only surviving lines. Nothing is quadratic
     * and raw text crosses the wire exactly once (the reassembly
-    * shuffle), same discipline as dupNgramStats. */
+    * shuffle), same discipline as dupNgramStats. The exploded+hashed
+    * line relation is persist()ed because BOTH branches (the df count
+    * and the join's probe side) read it — without the cache the
+    * dominant narrow cost (scan + split + per-line poly_hash) runs
+    * twice. CACHE LIFETIME CONTRACT as on graft.dedup.Dedup: the
+    * returned plan reads the cache, so callers clear it after
+    * consuming results (Verify/Bench do, per query). */
   def removeBoilerplateLines(docs: DataFrame, id: Column, text: Column,
                              minDocs: Long = 5L): DataFrame = {
     val lines = docs.select(id.as("doc_id"),
         posexplode(split(text, "\n")).as(Seq("pos", "line")))
       .withColumn("lh", fingerprint(norm(col("line"))))
+      .persist()
     val boiler = lines.select("lh", "doc_id").distinct()
       .groupBy("lh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDocs).select(col("lh"), lit(true).as("_b"))

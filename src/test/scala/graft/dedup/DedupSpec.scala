@@ -155,8 +155,11 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       assert(reliable === local)
       // the rounds really went through the reliable path: files on disk
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      // (Files.walk holds directory handles — must be closed)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val wrote =
+        try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
       assert(wrote > 0, "no reliable checkpoint files written")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
