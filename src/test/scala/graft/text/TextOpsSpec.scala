@@ -119,6 +119,22 @@ class TextOpsSpec extends SparkSpec {
     assert(cleaned === "first\nsecond\nthird")
   }
 
+  test("removeBoilerplateLines is idempotent: cleaning cleaned output removes nothing") {
+    // after the strike, surviving lines kept their document frequency
+    // (unique bodies stay unique), so a second pass is the identity
+    val docs = ((0L until 6L).map { i =>
+      (i, s"SHARED HEADER\nbody text number $i\nshared footer line")
+    } :+ (200L, "one of a kind line")).toDF("doc_id", "text")
+    val once = TextOps.removeBoilerplateLines(docs, col("doc_id"), col("text"),
+      minDocs = 5L).select(col("doc_id"), col("cleaned").as("text"))
+    val twice = TextOps.removeBoilerplateLines(once, col("doc_id"), col("text"),
+        minDocs = 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val first = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice === first)
+    spark.catalog.clearCache()
+  }
+
   test("tokenBudgetSample admits docs in hash order until the stratum budget, deterministically") {
     val docs = Seq(
       (1L, "a", "one two three"),        // 3 tokens each, stratum a
