@@ -107,6 +107,7 @@ class TextOpsSpec extends SparkSpec {
     // whitespace/case variants hash to the same normalized line
     assert(out(100L) === ((2L, 0L, "")))
     assert(out(200L) === ((1L, 1L, "one of a kind line")))
+    spark.catalog.clearCache() // the op persists its line relation
   }
 
   test("removeBoilerplateLines keeps multi-line survivor order intact") {
@@ -117,6 +118,7 @@ class TextOpsSpec extends SparkSpec {
         minDocs = 5L)
       .filter(col("doc_id") === 9L).head().getString(3)
     assert(cleaned === "first\nsecond\nthird")
+    spark.catalog.clearCache()
   }
 
   test("removeBoilerplateLines is idempotent: cleaning cleaned output removes nothing") {
