@@ -44,7 +44,9 @@ lazy val adversarial = taskKey[Unit]("adversarial oracle sweeps over degenerate 
 adversarial := {
   val cp = (Runtime / fullClasspath).value.files
     .map(_.getAbsolutePath).mkString(java.io.File.pathSeparator)
-  val opts = (run / javaOptions).value.mkString(" ")
+  // newline-delimited so an option containing a space (a quoted -D
+  // value) survives the round-trip; compare.py splits on newlines
+  val opts = (run / javaOptions).value.mkString("\n")
   val rc = scala.sys.process.Process(
     Seq("python3", "scripts/adversarial.py"), baseDirectory.value,
     "GRAFT_JAVA_CP" -> cp, "GRAFT_JAVA_OPTS" -> opts).!

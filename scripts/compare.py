@@ -26,8 +26,12 @@ if not SKIP_SBT:
     # would pay an sbt startup besides.
     cp = os.environ.get("GRAFT_JAVA_CP")
     if cp:
-        cmd = (["java"] + os.environ.get("GRAFT_JAVA_OPTS", "").split()
-               + ["-cp", cp, "graft.Verify", SF_DIR, OUT])
+        # newline-delimited by the sbt task (one option per line) so an
+        # option containing a space isn't mangled; whitespace-only lines
+        # are dropped, not passed as empty argv entries
+        opts = [o for o in os.environ.get("GRAFT_JAVA_OPTS", "").split("\n")
+                if o.strip()]
+        cmd = ["java"] + opts + ["-cp", cp, "graft.Verify", SF_DIR, OUT]
     else:
         cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}']
     r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")

@@ -112,7 +112,14 @@ object Bench {
       (if (failedAll.size > 5) Seq("\"+" + (failedAll.size - 5) + " more\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // name the statistic each number is (ADVICE r9): queries listed in
+    // "median3" report median-of-3; everything else reports min-of-reps.
+    // A compact policy map, not a per-query field — the JSON line must
+    // fit the driver's ~2000-char stdout tail
+    val policy = "{\"default\":\"min\",\"median3\":" +
+      results.collect { case (k, _, _) if iterative(k) => "\"" + code(k) + "\"" }
+        .mkString("[", ",", "]") + "}"
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"policy":$policy,"sf":"$sfDir"}"""
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
         "approaching the driver's 2000-char stdout tail; shorten names/precision")

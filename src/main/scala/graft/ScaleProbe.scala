@@ -103,20 +103,35 @@ object ScaleProbe {
         Similarity.semanticDedup(c,
           nCells = Similarity.scaledCells(c.count()), minCos = 0.999)
       },
-      "x36_boilerplate" -> { k =>
+      "x36_boilerplate_lines" -> { k =>
         // planted header/footer on every 3rd doc (the x36 corpus shape);
-        // the df count shuffles line hashes and the boilerplate set
-        // broadcasts, so the slope should track the line volume
+        // the df count shuffles line hashes and the boilerplate set's
+        // join strategy is stats-decided (AQE), so the slope should
+        // track the line volume
         val c = docCorpus(k).select(col("doc_id"),
           when(col("doc_id") % 3 === 0,
             concat(lit("nav menu home about contact\n"), col("text"),
               lit("\ncopyright footer all rights reserved")))
             .otherwise(col("text")).as("text"))
         TextOps.removeBoilerplateLines(c, col("doc_id"), col("text"))
+      },
+      "x37_token_budget" -> { k =>
+        // budget scaled with k so the admitted set (the rows the
+        // per-bucket windows actually sort) grows with the corpus —
+        // a fixed budget would measure only the offset phase's slope
+        TextOps.tokenBudgetSample(docCorpus(k), col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(13L)), budget = 60000L * k)
       })
 
+    // optional arg: comma-separated probe-name substrings to run a subset
+    val selected = args.headOption match {
+      case Some(f) =>
+        val pats = f.split(',').toSeq
+        probes.filter { case (n, _) => pats.exists(n.contains) }
+      case None => probes
+    }
     println(f"${"probe"}%-20s ${"t1x"}%8s ${"t4x"}%8s ${"t8x"}%8s  t8/t1")
-    probes.foreach { case (name, mk) =>
+    selected.foreach { case (name, mk) =>
       // per-probe warm-up: each probe compiles its OWN expression
       // pipeline (whole-stage codegen); warming only the first probe
       // would charge the other probes' compilation to their timed 1×

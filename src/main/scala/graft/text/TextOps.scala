@@ -345,9 +345,15 @@ object TextOps {
     *
     * Scale shape: the document-frequency count shuffles (line_hash,
     * doc_id) pairs — longs, never line text — with a distinct pass that
-    * map-side combines; the boilerplate set (by definition small: only
-    * hashes crossing the corpus-wide threshold) broadcasts back onto
-    * the line stream; reassembly is one doc_id-keyed aggregation whose
+    * map-side combines; the boilerplate set joins back onto the line
+    * stream with NO forced broadcast hint: its cardinality (distinct
+    * line hashes with df >= minDocs) grows with the corpus — every
+    * site's nav/footer furniture is distinct boilerplate — so at
+    * 100 TB it is plausibly billions of longs and a forced broadcast
+    * would OOM executors. AQE picks broadcast when the set is
+    * genuinely small (it is at test scale) and falls back to a
+    * shuffled hash join on the long key otherwise; reassembly is one
+    * doc_id-keyed aggregation whose
     * collect_list carries only surviving lines. Nothing is quadratic
     * and raw text crosses the wire exactly once (the reassembly
     * shuffle), same discipline as dupNgramStats. The exploded+hashed
@@ -368,7 +374,7 @@ object TextOps {
       .filter(col("_df") >= minDocs).select(col("lh"), lit(true).as("_b"))
     // left join marks boilerplate lines; nulls in when() are skipped by
     // collect_list, so the kept-line array falls out of one aggregation
-    lines.join(broadcast(boiler), Seq("lh"), "left")
+    lines.join(boiler, Seq("lh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         count(when(col("_b").isNull, 1)).as("n_kept"),
@@ -386,17 +392,59 @@ object TextOps {
     * domain" selection step of mixture building, made reproducible by
     * hashing (row-order immune, engine-portable) instead of RNG state.
     * Output: (doc_id, stratum, n_tokens, cum_tokens), cum_tokens <=
-    * budget. One shuffle on stratum + a within-partition running sum —
-    * the window never sees more than a stratum, so skew equals the
-    * stratum size distribution, not the corpus. */
+    * budget.
+    *
+    * Scale shape: a distributed two-phase prefix sum, NOT a
+    * per-stratum window. `Window.partitionBy(stratum)` puts an entire
+    * stratum into ONE task's sort — with realistic strata (tens of
+    * sources) that is a one-task sort of corpus/strata rows, the
+    * classic window scale-killer. Instead the ordering key `_hk` is
+    * range-bucketed (arithmetic shift keeps bucket order monotone in
+    * the signed hash, and equal hashes — the tie-broken-by-doc_id
+    * case — land in one bucket, so cross-bucket order equals the
+    * global (_hk, doc_id) order): phase 1 aggregates per-(stratum,
+    * bucket) token subtotals (tiny: strata x nBuckets rows); phase 2
+    * turns them into cumulative bucket offsets with a window whose
+    * partitions are <= nBuckets rows each; offsets already past the
+    * budget are dropped BEFORE the join back, so buckets that cannot
+    * admit a document are never sorted at all — the per-bucket running
+    * sum only ever touches ~budget worth of documents per stratum.
+    * The offsets frame is joined back without a forced hint (AQE
+    * broadcasts it; it is bounded by strata x nBuckets, not corpus
+    * size). Per-task work is corpus/(strata x nBuckets), deterministic
+    * and skew-free regardless of stratum size distribution. */
   def tokenBudgetSample(docs: DataFrame, id: Column, text: Column,
-                        strata: Column, budget: Long): DataFrame = {
+                        strata: Column, budget: Long,
+                        nBuckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
     val h = docs.select(id.as("doc_id"), strata.as("stratum"),
-      wsTokenCount(text).as("n_tokens"),
-      fingerprint(norm(text)).as("_hk"))
-    val w = Window.partitionBy(col("stratum")).orderBy(col("_hk"), col("doc_id"))
-    h.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        wsTokenCount(text).as("n_tokens"),
+        fingerprint(norm(text)).as("_hk"))
+      // null hashes (null text) sort first under the window version's
+      // nulls-first ordering; give them a dedicated bucket below the
+      // shift range (non-null, so the equi-join back doesn't drop them)
+      .withColumn("_bkt", coalesce(shiftright(col("_hk"), shift),
+        lit(-nBuckets.toLong)))
+    // phase 1: per-bucket subtotals (strata x nBuckets rows, longs only)
+    val wOff = Window.partitionBy(col("stratum")).orderBy(col("_bkt"))
+    val offsets = h.groupBy("stratum", "_bkt")
+      .agg(sum(col("n_tokens")).as("_sub"))
+      // exclusive prefix: tokens in all strictly-earlier buckets
+      .withColumn("_off", sum(col("_sub")).over(wOff) - col("_sub"))
+      // a bucket whose offset exceeds the budget cannot admit any doc
+      // (every cum_tokens in it is >= _off); drop it before the join
+      // so its documents are never shuffled into a sort
+      .filter(col("_off") <= budget)
+      .select("stratum", "_bkt", "_off")
+    // phase 2: running sum within (stratum, bucket) only — each window
+    // partition holds corpus/(strata x nBuckets) rows, not a stratum
+    val wIn = Window.partitionBy(col("stratum"), col("_bkt"))
+      .orderBy(col("_hk"), col("doc_id"))
+    h.join(offsets, Seq("stratum", "_bkt"))
+      .withColumn("cum_tokens", col("_off") + sum(col("n_tokens")).over(wIn))
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "stratum", "n_tokens", "cum_tokens")
   }

@@ -161,4 +161,50 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
     assert(shuffled === out)
   }
+
+  test("tokenBudgetSample bucketed prefix sum equals a single-window running sum") {
+    // 300 docs over 3 skewed strata, random-ish lengths; tiny bucket
+    // count (4) forces many stratum-spanning bucket boundaries so the
+    // offset phase is genuinely exercised, not a one-bucket degenerate
+    import org.apache.spark.sql.expressions.Window
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 300L).map { i =>
+      val n = 1 + ((i * 2654435761L) % 7L).toInt.abs
+      val text = (0 until n).map(j => words(((i + j * 13) % 6).toInt)).mkString(" ")
+      val stratum = if (i % 10 < 7) "big" else if (i % 10 < 9) "mid" else "small"
+      (i, stratum, text)
+    }.toDF("doc_id", "source", "text")
+    val budget = 120L
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val bucketed = collected(TextOps.tokenBudgetSample(docs, col("doc_id"),
+      col("text"), col("source"), budget, nBuckets = 4))
+    // the pre-rewrite formulation: one window over the whole stratum
+    val h = docs.select(col("doc_id"), col("source").as("stratum"),
+      TextOps.wsTokenCount(col("text")).as("n_tokens"),
+      TextOps.fingerprint(TextOps.norm(col("text"))).as("_hk"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("_hk"), col("doc_id"))
+    val reference = collected(h
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "stratum", "n_tokens", "cum_tokens"))
+    assert(bucketed === reference)
+    assert(bucketed.nonEmpty)
+    // every stratum stopped within budget
+    assert(bucketed.forall(_._4 <= budget))
+  }
+
+  test("tokenBudgetSample degenerate cases: zero budget, one stratum, empty input") {
+    val docs = Seq((1L, "only", "a b c"), (2L, "only", "d e"))
+      .toDF("doc_id", "source", "text")
+    assert(TextOps.tokenBudgetSample(docs, col("doc_id"), col("text"),
+      col("source"), budget = 0L).count() === 0L)
+    // a single stratum still splits across hash buckets without loss
+    val all = TextOps.tokenBudgetSample(docs, col("doc_id"), col("text"),
+        col("source"), budget = 100L)
+      .collect().map(_.getLong(3)).sorted.toSeq
+    assert(all.last === 5L && all.length === 2)
+    assert(TextOps.tokenBudgetSample(docs.filter(col("doc_id") < 0),
+      col("doc_id"), col("text"), col("source"), budget = 10L).count() === 0L)
+  }
 }
