@@ -1,0 +1,134 @@
+package graft
+
+/** Plan-SHAPE regression gate: ExplainAudit prints plans for a human to
+  * read, but nothing failed the build if a plan silently degraded — a
+  * lost PartitionFilter, a join decaying to CartesianProduct, a forced
+  * broadcast sneaking onto an unbounded side would all pass `sbt test`.
+  * This spec asserts the key scale invariants on the PLANS themselves
+  * (no data correctness — the oracle gate owns that):
+  *
+  *  - no query ever plans a CartesianProduct;
+  *  - BroadcastNestedLoopJoin appears ONLY in queries that deliberately
+  *    `crossJoin(broadcast(tiny))` a bounded side (whitelisted here, so
+  *    a new unbounded nested-loop join fails the build);
+  *  - forced broadcast HINTS exist only where a side is bounded by
+  *    construction (whitelist; x36's corpus-derived boilerplate set and
+  *    x37's offsets frame must stay hint-free / stats-decided);
+  *  - d05's scan actually prunes partitions;
+  *  - a07's per-group top-k stays a WindowGroupLimit, not a full sort;
+  *  - x37's running sum stays bucketed (an exchange on (stratum, _bkt)),
+  *    never one window partition per stratum.
+  *
+  * Queries are PLANNED at sf0.001, not executed — except the few whose
+  * construction itself runs jobs (d05's bronze write, x15/x32's sizing
+  * count, x23's iteration), which is why this spec clears the cache per
+  * query and runs at the smallest SF. */
+class PlanAuditSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def qe(name: String) =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+
+  /** Physical plan string (AdaptiveSparkPlan prints its initial plan —
+    * string checks below target operator names, which survive AQE). */
+  private def physical(name: String): String = {
+    val p = qe(name).executedPlan.toString
+    spark.catalog.clearCache()
+    p
+  }
+
+  private def analyzed(name: String): String = {
+    val p = qe(name).analyzed.toString
+    spark.catalog.clearCache()
+    p
+  }
+
+  private def scaleKillers(plan: String): Seq[String] =
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+
+  // queries that intentionally crossJoin(broadcast(<bounded side>)) and
+  // therefore plan a BroadcastNestedLoopJoin — each side bounded by
+  // construction, reviewed case by case
+  private val intendedNestedLoop: Set[String] = Set(
+    "a08_positions_fanout",       // 20-user set x distinct 15-min windows
+    "d02_incremental_watermark",  // singleton high-watermark max row
+    "p15_empty_snapshot",         // distinct windows (bounded time range)
+    "x06_cosine_topk",            // fixed query set (exact baseline)
+    "x15_ann_ivf_cosine",         // centroid set (scaledCells-capped)
+    "x18_tfidf_topterms",         // singleton doc-count row
+    "x32_semantic_dedup",         // centroid set
+    "x33_mixture_weights"         // singleton corpus-totals row
+  )
+
+  // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
+  // bounded side, or j04's merge hint that demonstrates the bucketed
+  // SMJ). x36/x37 must NOT appear here: their joined sides grow with the
+  // corpus, so strategy is AQE's call
+  private val intendedHints: Set[String] = Set(
+    "a08_positions_fanout",       // bounded user x window grid
+    "d02_incremental_watermark",  // singleton max
+    "j01_star_join",              // nation/region dims
+    "j04_bucketed_join",          // hint("merge"): bucketed SMJ on purpose
+    "p11_dim_lookup",             // token->outcome dim
+    "p15_empty_snapshot",         // distinct windows
+    "x06_cosine_topk",            // fixed query set
+    "x07_ann_lsh_cosine",         // fixed query set, banded
+    "x15_ann_ivf_cosine",         // centroid set (scaledCells-capped)
+    "x18_tfidf_topterms",         // singleton doc count
+    "x22_quantile_sketch",        // per-event-type thresholds
+    "x24_decontamination",        // benchmark contamination set
+    "x28_bloom_decontam",         // benchmark contamination set
+    "x32_semantic_dedup",         // centroid set
+    "x33_mixture_weights"         // singleton totals
+  )
+
+  test("no query plans a CartesianProduct; nested-loop joins only where intended") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      scaleKillers(physical(n)).map(op => (n, op))
+    }
+    val bad = offenders.filterNot { case (n, op) =>
+      op == "BroadcastNestedLoopJoin" && intendedNestedLoop(n)
+    }
+    assert(bad.isEmpty, s"scale-killer join in: $bad")
+    // the whitelist must not rot: every entry still plans its BNLJ
+    val withBnlj = offenders.collect {
+      case (n, "BroadcastNestedLoopJoin") => n }.toSet
+    assert(withBnlj == intendedNestedLoop,
+      s"stale intendedNestedLoop whitelist: planned=$withBnlj")
+  }
+
+  test("forced broadcast hints only on bounded sides (whitelist)") {
+    val hinted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => analyzed(n).contains("ResolvedHint")).toSet
+    assert(hinted == intendedHints,
+      s"hint whitelist drift: hinted=$hinted — a hint on a corpus-sized " +
+        "side is an executor OOM at scale; justify + whitelist or remove")
+  }
+
+  test("d05 scan prunes partitions (PartitionFilters on event_type)") {
+    val p = physical("d05_partition_prune")
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).nonEmpty,
+      s"partition pruning lost:\n$p")
+  }
+
+  test("a07 per-group top-k plans a WindowGroupLimit") {
+    assert(physical("a07_topk_positions").contains("WindowGroupLimit"))
+  }
+
+  test("x37 running sum is bucketed: exchange on (stratum, _bkt), two windows") {
+    val p = physical("x37_token_budget")
+    assert("hashpartitioning\\(stratum#\\d+, _bkt#\\d+".r.findFirstIn(p).nonEmpty,
+      s"per-bucket window partitioning lost — one-task-per-stratum sort?\n$p")
+    assert("(?m)^\\s*[+:]?-?\\s*Window ".r.findAllIn(p).size >= 2,
+      s"expected offset window + per-bucket window:\n$p")
+  }
+
+  test("the scale-killer detector itself still detects (negative control)") {
+    import spark.implicits._
+    val l = Seq(1, 2).toDF("a")
+    val r = Seq(3, 4).toDF("b")
+    val cross = l.crossJoin(r).queryExecution.executedPlan.toString
+    assert(scaleKillers(cross).nonEmpty,
+      "detector failed to flag a bare cross join")
+  }
+}

@@ -15,5 +15,8 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the driver testdata writes nanosecond timestamps; same setting as
+    // the Verify/Bench sessions so plan-audit specs can read it
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }
