@@ -127,6 +127,117 @@ object FakeCodec {
     else if (format == "wav" && isWav(content)) decodeWav(content)
     else if (format == "mp4" && isMp4(content)) decodeMp4(content)
     else content
+
+  /** Real sample (frame) boundaries from the mp4 sample tables — the
+    * moov/trak/mdia/minf/stbl walk a video pipeline does before
+    * touching any codec: `stsz` gives per-sample sizes, `stsc` maps
+    * samples onto chunks, `stco`/`co64` gives file-absolute chunk
+    * offsets; a sample's offset is its chunk's offset plus the sizes of
+    * the samples before it in that chunk (ISO/IEC 14496-12 §8.7).
+    * Returns (offset, size) per sample for the first track carrying a
+    * complete table, or None when the container has no usable sample
+    * table (empty moov, audio-only edge cases) — callers fall back to
+    * the demuxed-payload slicing. Structural damage (tables pointing
+    * outside the file, truncated entries) fails loudly, same contract
+    * as the demuxer. */
+  def mp4Samples(content: Array[Byte]): Option[IndexedSeq[(Long, Long)]] = {
+    if (!isMp4(content)) return None
+    val n = content.length
+    def u32(i: Int): Long = {
+      require(i >= 0 && i + 4 <= n, s"mp4: truncated u32 at offset $i")
+      ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
+        ((content(i + 2) & 0xffL) << 8) | (content(i + 3) & 0xffL)
+    }
+    def u64(i: Int): Long = {
+      require(i >= 0 && i + 8 <= n, s"mp4: truncated u64 at offset $i")
+      (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (content(i + k) & 0xffL))
+    }
+    /** Child boxes of [start, end) as (type, payloadStart, payloadEnd). */
+    def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = start
+      while (off < end) {
+        require(end - off >= 8, s"mp4: truncated box header at offset $off")
+        val size32 = u32(off)
+        val tpe = new String(content, off + 4, 4, "ISO-8859-1")
+        val (size, hdr) =
+          if (size32 == 1L) (u64(off + 8), 16)
+          else if (size32 == 0L) ((end - off).toLong, 8)
+          else (size32, 8)
+        require(size >= hdr && size <= end - off,
+          s"mp4: box '$tpe' size $size out of bounds at offset $off")
+        out += ((tpe, off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+      out.result()
+    }
+    /** stbl payload ranges under moov/trak/mdia/minf, document order. */
+    def stbls(moovStart: Int, moovEnd: Int): Seq[(Int, Int)] =
+      for {
+        (t, ts, te) <- boxes(moovStart, moovEnd) if t == "trak"
+        (m, ms, me) <- boxes(ts, te) if m == "mdia"
+        (f, fs, fe) <- boxes(ms, me) if f == "minf"
+        (s, ss, se) <- boxes(fs, fe) if s == "stbl"
+      } yield (ss, se)
+
+    def parseStbl(start: Int, end: Int): Option[IndexedSeq[(Long, Long)]] = {
+      val kids = boxes(start, end).map { case (t, s, e) => t -> ((s, e)) }.toMap
+      for {
+        (szS, _) <- kids.get("stsz")
+        (coS, coE) <- kids.get("stco").orElse(kids.get("co64"))
+      } yield {
+        val wide = kids.contains("co64") && !kids.contains("stco")
+        // stsz: fullbox header, then uniform size | per-sample sizes
+        val uniform = u32(szS + 4)
+        val count = u32(szS + 8).toInt
+        val sizes: Int => Long =
+          if (uniform != 0L) _ => uniform else i => u32(szS + 12 + 4 * i)
+        // stco/co64: fullbox header + entry count + offsets
+        val nChunks = u32(coS + 4).toInt
+        require(coS + 8 + nChunks * (if (wide) 8 else 4) <= coE,
+          "mp4: chunk offset table truncated")
+        val chunkOff: Int => Long =
+          if (wide) i => u64(coS + 8 + 8 * i) else i => u32(coS + 8 + 4 * i)
+        // stsc runs: (first_chunk 1-based, samples_per_chunk); a missing
+        // stsc degrades to one sample per chunk
+        val runs: IndexedSeq[(Long, Long)] = kids.get("stsc") match {
+          case Some((s, _)) =>
+            val m = u32(s + 4).toInt
+            (0 until m).map(i => (u32(s + 8 + 12 * i), u32(s + 12 + 12 * i)))
+          case None => IndexedSeq((1L, 1L))
+        }
+        def samplesInChunk(c: Int): Long = { // c is 0-based
+          val applicable = runs.takeWhile(_._1 <= c + 1)
+          if (applicable.isEmpty) 1L else applicable.last._2
+        }
+        val out = IndexedSeq.newBuilder[(Long, Long)]
+        var sample = 0
+        var chunk = 0
+        while (sample < count && chunk < nChunks) {
+          var pos = chunkOff(chunk)
+          var k = 0L
+          val inChunk = samplesInChunk(chunk)
+          while (k < inChunk && sample < count) {
+            val sz = sizes(sample)
+            require(pos >= 0 && pos + sz <= n,
+              s"mp4: sample $sample [$pos, ${pos + sz}) outside file ($n)")
+            out += ((pos, sz))
+            pos += sz; k += 1; sample += 1
+          }
+          chunk += 1
+        }
+        require(sample == count,
+          s"mp4: sample table claims $count samples but chunks hold $sample")
+        out.result()
+      }
+    }
+
+    boxes(0, n).collectFirst { case ("moov", s, e) => (s, e) }
+      .flatMap { case (s, e) =>
+        stbls(s, e).iterator.flatMap { case (ss, se) => parseStbl(ss, se) }
+          .find(_.nonEmpty)
+      }
+  }
 }
 
 object Multimodal {
@@ -210,15 +321,29 @@ object Multimodal {
     }(Encoders.product[ResizedMedia])
   }
 
-  /** Frame sampling: slice the payload into `frameBytes` blocks and keep
-    * every `everyN`-th (video keyframe-sampling shape). Emits the kept
-    * count and the first kept frame's checksum. */
+  /** Frame sampling: keep every `everyN`-th frame and emit the kept
+    * count plus the first kept frame's checksum. For an mp4 payload
+    * whose `moov` carries a complete sample table, "frame" means a REAL
+    * sample boundary (stsz/stsc/stco walk, [[FakeCodec.mp4Samples]]) —
+    * the offsets a video pipeline would hand its keyframe decoder.
+    * Everything else (the synthetic text-byte media table, sample-less
+    * containers) falls back to slicing the decoded payload into
+    * `frameBytes` blocks. */
   def frameSample(ds: Dataset[MediaRow], frameBytes: Int, everyN: Int): Dataset[FrameSample] =
     ds.mapPartitions { it =>
       it.map { m =>
-        val bytes = FakeCodec.decode(m.content, m.meta.format)
-        val frames = bytes.grouped(frameBytes).zipWithIndex
-          .filter(_._2 % everyN == 0).map(_._1).toSeq
+        val real =
+          if (m.meta.format == "mp4") FakeCodec.mp4Samples(m.content) else None
+        val frames: Seq[Array[Byte]] = real match {
+          case Some(samples) =>
+            samples.zipWithIndex.filter(_._2 % everyN == 0).map { case ((off, sz), _) =>
+              java.util.Arrays.copyOfRange(m.content, off.toInt, (off + sz).toInt)
+            }
+          case None =>
+            val bytes = FakeCodec.decode(m.content, m.meta.format)
+            bytes.grouped(frameBytes).zipWithIndex
+              .filter(_._2 % everyN == 0).map(_._1).toSeq
+        }
         val first = frames.headOption.getOrElse(Array.emptyByteArray)
         var checksum = 0L
         first.foreach(b => checksum = (checksum * 31 + (b & 0xff)) % P)

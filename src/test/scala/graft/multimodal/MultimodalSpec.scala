@@ -144,6 +144,88 @@ class MultimodalSpec extends SparkSpec {
     assert(e3.getMessage.contains("truncated"))
   }
 
+  /** u32 big-endian bytes. */
+  private def be32(vs: Long*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(v => bb.putInt(v.toInt))
+    bb.array()
+  }
+  private def be64(vs: Long*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * vs.length)
+    vs.foreach(bb.putLong)
+    bb.array()
+  }
+
+  /** A tiny VALID mp4 with a real sample table: three samples of sizes
+    * 4/5/6 split 2+1 across two chunks inside one mdat, and a full
+    * moov/trak/mdia/minf/stbl hierarchy whose stsz/stsc/stco describe
+    * them. `wide` swaps stco for co64 (64-bit chunk offsets). Layout:
+    * ftyp (16 B) then mdat header (8 B) → media data at offset 24. */
+  private def mp4WithSamples(wide: Boolean = false): (Array[Byte], Seq[(Long, Long)]) = {
+    val media = "f0f0" + "f1f1f" + "g2g2g2" // sizes 4, 5, 6
+    val chunk1 = 24L // after ftyp(16) + mdat header(8)
+    val chunk2 = chunk1 + 4 + 5 // sample 2 starts its own chunk
+    val stsz = box("stsz", be32(0, 0, 3, 4, 5, 6)) // per-sample sizes
+    val stsc = box("stsc", be32(0, 2, /*run1*/ 1, 2, 1, /*run2*/ 2, 1, 1))
+    val stco =
+      if (wide) box("co64", be32(0, 2) ++ be64(chunk1, chunk2))
+      else box("stco", be32(0, 2, chunk1, chunk2))
+    val stbl = box("stbl", stsz ++ stsc ++ stco)
+    val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
+    val mp4 = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0)) ++
+      box("mdat", media.getBytes) ++ moov
+    (mp4, Seq((chunk1, 4L), (chunk1 + 4, 5L), (chunk2, 6L)))
+  }
+
+  test("mp4 sample-table walk enumerates real sample boundaries (stsz/stsc/stco + co64)") {
+    for (wide <- Seq(false, true)) {
+      val (mp4, expected) = mp4WithSamples(wide)
+      assert(FakeCodec.mp4Samples(mp4) === Some(expected.toIndexedSeq), s"wide=$wide")
+      // the samples really are the planted frame payloads
+      val texts = expected.map { case (o, s) =>
+        new String(mp4, o.toInt, s.toInt, "UTF-8") }
+      assert(texts === Seq("f0f0", "f1f1f", "g2g2g2"))
+    }
+    // uniform-size stsz (sample_size != 0): 3 samples of 3 bytes in one chunk
+    val uStbl = box("stbl", box("stsz", be32(0, 3, 3)) ++
+      box("stsc", be32(0, 1, 1, 3, 1)) ++ box("stco", be32(0, 1, 24)))
+    val uni = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0)) ++
+      box("mdat", "aaabbbccc".getBytes) ++
+      box("moov", box("trak", box("mdia", box("minf", uStbl))))
+    assert(FakeCodec.mp4Samples(uni) ===
+      Some(IndexedSeq((24L, 3L), (27L, 3L), (30L, 3L))))
+    // sample-less container (empty moov) → None, callers fall back
+    val noTable = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0)) ++
+      box("moov", Array.emptyByteArray) ++ box("mdat", "xyz".getBytes)
+    assert(FakeCodec.mp4Samples(noTable) === None)
+  }
+
+  test("frameSample walks the sample table when present: real frames, not byte blocks") {
+    val (mp4, _) = mp4WithSamples()
+    val ds = Seq(MediaRow(5L, "video", mp4, MediaMeta("mp4", 0, 0))).toDS()
+    // everyN=2 keeps samples 0 and 2 — sizes 4 and 6, NOT frameBytes blocks
+    val fs = Multimodal.frameSample(ds, frameBytes = 1000, everyN = 2).head()
+    assert(fs.n_frames === 2L)
+    var cs = 0L
+    "f0f0".getBytes.foreach(b => cs = (cs * 31 + (b & 0xff)) % 1000000007L)
+    assert(fs.frame_checksum === cs)
+  }
+
+  test("mp4 sample table pointing outside the file fails loudly") {
+    val (mp4, _) = mp4WithSamples()
+    // corrupt the second stco entry to point past EOF: find the stco
+    // payload and overwrite its last 4 bytes with a huge offset
+    val idx = {
+      val pat = "stco".getBytes("ISO-8859-1")
+      (0 until mp4.length - 4).find(i => pat.indices.forall(j => mp4(i + j) == pat(j))).get
+    }
+    val bad = mp4.clone()
+    val lastEntry = idx + 4 + 8 // fullbox header + count, first entry
+    java.nio.ByteBuffer.wrap(bad, lastEntry + 4, 4).putInt(1 << 20)
+    val e = intercept[IllegalArgumentException](FakeCodec.mp4Samples(bad))
+    assert(e.getMessage.contains("outside file"))
+  }
+
   test("resize: nearest-neighbor mapping on a known grid") {
     // 32 bytes = 2 source rows of 16; resize to 2x2 → picks
     // (row 0, col 0), (row 0, col 8), (row 1, col 0), (row 1, col 8)
