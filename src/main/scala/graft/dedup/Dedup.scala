@@ -258,14 +258,18 @@ object Dedup {
     * lost executor would otherwise have to recompute a truncated-lineage
     * round from nothing. When None (default), `localCheckpoint()` —
     * executor-local blocks, no filesystem round-trip, the right cost on
-    * local mode. Two contracts the caller owns in reliable mode:
-    * (1) the checkpoint dir is SparkContext-GLOBAL state — concurrent
-    * invocations on one session must pass the same dir (each round is
-    * also persisted around its checkpoint write, so the write reads the
-    * cache, not a recomputed lineage); (2) round files accumulate in the
-    * dir for the run's lifetime — Spark's context cleaner does not
-    * remove them by default, so delete the directory after the returned
-    * DataFrame has been consumed. */
+    * local mode. Two contracts in reliable mode, both owned by
+    * [[ReliableCheckpoints]]: (1) the checkpoint dir is
+    * SparkContext-GLOBAL state — concurrent invocations on one session
+    * must pass the same dir, now ENFORCED (a conflicting in-flight dir
+    * throws instead of silently re-pointing; each round is also
+    * persisted around its checkpoint write, so the write reads the
+    * cache, not a recomputed lineage); (2) round files accumulate in
+    * the dir for the run's lifetime — Spark's context cleaner does not
+    * remove them by default, so either delete the dir after the
+    * returned DataFrame is consumed or consume it inside
+    * [[ReliableCheckpoints.withReliableCheckpoints]], which scopes the
+    * cleanup. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 60,
                           starRounds: Int = 5,
                           checkpointDir: Option[String] = None): DataFrame = {
@@ -275,9 +279,18 @@ object Dedup {
     // hangs long before any task runs (persist only short-circuits
     // physical recompute). Checkpointing pins each round's result as a
     // flat scan — every iteration analyzes an O(1)-size plan.
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // dir acquisition guards the SparkContext-GLOBAL checkpoint dir:
+    // a concurrent invocation on a different dir throws instead of
+    // silently re-pointing it mid-run (ReliableCheckpoints class doc)
+    checkpointDir.foreach(d => ReliableCheckpoints.acquire(pairs.sparkSession, d))
+    try ccLoop(pairs, maxIter, starRounds, reliable = checkpointDir.isDefined)
+    finally checkpointDir.foreach(_ => ReliableCheckpoints.release())
+  }
+
+  private def ccLoop(pairs: DataFrame, maxIter: Int, starRounds: Int,
+                     reliable: Boolean): DataFrame = {
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) {
+      if (reliable) {
         // persist around the reliable checkpoint: checkpoint(true) runs
         // the materializing job and THEN a separate checkpoint-write job
         // that would otherwise recompute the round's full lineage

@@ -151,9 +151,18 @@ object Similarity {
     // round's plan twice (assignment + empty-cell fallback join), so
     // without lineage truncation analysis cost grows ~2^iters — the
     // same hang Dedup.connectedComponents documents
-    checkpointDir.foreach(init.sparkSession.sparkContext.setCheckpointDir)
+    // guarded acquisition of the SparkContext-global dir — a concurrent
+    // invocation on a different dir throws (ReliableCheckpoints doc)
+    checkpointDir.foreach(d =>
+      graft.dedup.ReliableCheckpoints.acquire(init.sparkSession, d))
+    try kmeansLoop(corpus, init, iters, reliable = checkpointDir.isDefined)
+    finally checkpointDir.foreach(_ => graft.dedup.ReliableCheckpoints.release())
+  }
+
+  private def kmeansLoop(corpus: DataFrame, init: DataFrame, iters: Int,
+                         reliable: Boolean): DataFrame = {
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) {
+      if (reliable) {
         // persist around the write job — see Dedup.connectedComponents
         df.persist()
         try df.checkpoint(true) finally { df.unpersist(); () }

@@ -166,6 +166,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("withReliableCheckpoints deletes the round files after the scope consumes the output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-scope").toString
+    val pairs = (Seq((1L, 2L), (2L, 3L)) ++ (50L until 58L).map(i => (i, i + 1)))
+      .toDF("doc_a", "doc_b")
+    val out = ReliableCheckpoints.withReliableCheckpoints(spark, dir) { d =>
+      val frame = Dedup.connectedComponents(pairs, checkpointDir = Some(d))
+      // the contract: consume INSIDE the scope (the frame is a scan of
+      // the checkpoint files the scope is about to delete)
+      frame.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(out(3L) === 1L && out(57L) === 50L)
+    // the scope removed the accumulated round files, dir and all
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      s"checkpoint round files survived the scope at $dir")
+  }
+
+  test("a conflicting reliable checkpoint dir while one is in flight throws") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-cc-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-cc-b").toString
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    try {
+      val e = intercept[IllegalStateException] {
+        ReliableCheckpoints.withReliableCheckpoints(spark, dirA) { _ =>
+          // an invocation on dirA is active for the whole scope; pointing
+          // the global dir at dirB now would race its round files
+          Dedup.connectedComponents(pairs, checkpointDir = Some(dirB)).count()
+        }
+      }
+      assert(e.getMessage.contains("conflict"))
+      // and the same dir nests fine while active
+      val n = ReliableCheckpoints.withReliableCheckpoints(spark, dirA) { d =>
+        Dedup.connectedComponents(pairs, checkpointDir = Some(d)).count()
+      }
+      assert(n === 2L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirB))
+    }
+  }
+
   test("connectedComponents fails loudly when the diameter exceeds maxIter") {
     val chain = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalArgumentException] {
