@@ -287,7 +287,7 @@ object ExtraQueries {
     // ----- IVF-style ANN: coarse-quantizer cells, nprobe=1
     QueryDef("x15_ann_ivf_cosine",
       "IVF ANN: corpus in corpus-scaled ceil(sqrt(n)) centroid cells (assignment O(n*cells) and cell-join O(n^2/cells) balance at sqrt), queries probe their top-2 cells (nprobe=2), top-3")(
-      s"""WITH p AS (SELECT greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8) AS nc
+      s"""WITH p AS (SELECT least(greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8), 65536) AS nc
          |           FROM embeddings),
          |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
          |           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS crn
@@ -421,7 +421,7 @@ object ExtraQueries {
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
-         |p AS (SELECT greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8) AS nc
+         |p AS (SELECT least(greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8), 65536) AS nc
          |      FROM corpus),
          |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
          |           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS crn

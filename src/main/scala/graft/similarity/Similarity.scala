@@ -88,9 +88,23 @@ object Similarity {
     * constant because hashing costs O(bits), not O(buckets), per row).
     * Reproducible across engines: IEEE-754 sqrt is correctly rounded,
     * so ⌈sqrt⌉ of an exact integer count is deterministic — DuckDB's
-    * `ceil(sqrt(count(*)))` lands on the same value. */
-  def scaledCells(n: Long, minCells: Int = 8): Int =
-    math.max(math.ceil(math.sqrt(n.toDouble)).toInt, minCells)
+    * `ceil(sqrt(count(*)))` lands on the same value.
+    *
+    * `maxCells` caps the flat quantizer where its OWN costs take over:
+    * the centroid table broadcasts to every executor (√n centroids ×
+    * ~dim·4 B ≈ 64 MB at n = 10¹⁰, 256-dim floats) and assignment
+    * scores all of them per vector. 64 Ki cells holds the broadcast to
+    * ~tens of MB and assignment to ~65 K dots/vector; past the cap the
+    * pair join grows as n²/65536 — past roughly n ≈ 4·10⁹ (where √n
+    * crosses 64 Ki) the right structure is a TWO-LEVEL quantizer
+    * (√cells coarse cells, then √cells sub-cells within each: same
+    * O(n^1.5) totals with an O(n^0.25)-sized broadcast per level),
+    * which is the documented upgrade path, not this flat operator.
+    * The cap never binds below 4.3 B vectors, so small-scale results
+    * (and the DuckDB oracle, which mirrors the same least/greatest
+    * arithmetic) are unchanged. */
+  def scaledCells(n: Long, minCells: Int = 8, maxCells: Int = 65536): Int =
+    math.min(math.max(math.ceil(math.sqrt(n.toDouble)).toInt, minCells), maxCells)
 
   /** Embedding near-dup pairs: sign-LSH bucket self-join per hash table
     * (bits scaled to the corpus via scaledBits), candidates unioned
