@@ -92,6 +92,55 @@ def sweep_dups():
     return dst
 
 
+def write_docs_sources(dst, docs, sources):
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array([LANGS[i % 5] for i in range(len(docs))], pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64())})
+    pq.write_table(t, f"{dst}/documents.parquet")
+
+
+def sweep_boiler():
+    """x36/x37 degenerate corpus: docs whose EVERY line is boilerplate
+    (cleaned must be ''), shared lines at df exactly 4 (below minDocs=5,
+    kept) and exactly 5 (struck), ONE stratum for x37 so the whole
+    corpus is a single running sum, and docs fatter than the 600-token
+    budget so the stratum admits nothing past the first hash."""
+    random.seed(21)
+    dst = base_copy("boiler")
+    docs = []
+    # 10 docs that are ONLY furniture: identical nav + footer, nothing else
+    for _ in range(10):
+        docs.append("nav home about\ncopyright footer")
+    # a line shared by exactly 4 docs (df 4 < minDocs 5 → must SURVIVE)
+    for i in range(4):
+        docs.append(f"df-four shared line\nunique body {i}")
+    # a line shared by exactly 5 docs (df 5 == minDocs → must be struck)
+    for i in range(5):
+        docs.append(f"df-five shared line\nother body {i}")
+    # fat docs: each alone exceeds x37's 600-token budget
+    for i in range(3):
+        docs.append(" ".join(f"fat{i}w{j}" for j in range(700)))
+    # a handful of small normal docs so x37 admits SOMETHING if hash
+    # order puts one first
+    for i in range(8):
+        docs.append(" ".join(random.choice(["p", "q", "r", "s"]) for _ in range(5))
+                    + f" tiny{i}")
+    write_docs_sources(dst, docs, ["src0"] * len(docs))  # one stratum
+    return dst
+
+
+def sweep_onedoc():
+    """Single-document corpus: below x36's minDocs (nothing can be
+    boilerplate — everything survives), a one-doc stratum for x37, and
+    the 1-row edge for every dedup/clustering operator."""
+    dst = base_copy("onedoc")
+    write_docs_sources(dst, ["only doc line one\nonly doc line two"], ["src0"])
+    return dst
+
+
 def sweep_events():
     random.seed(5)
     dst = base_copy("events")
@@ -183,7 +232,8 @@ def sweep_tpc():
 
 def main():
     sweeps = {"docs": sweep_docs, "dups": sweep_dups, "events": sweep_events,
-              "emb": sweep_emb, "tpc": sweep_tpc}
+              "emb": sweep_emb, "tpc": sweep_tpc, "boiler": sweep_boiler,
+              "onedoc": sweep_onedoc}
     failed = []
     for name, gen in sweeps.items():
         d = gen()
