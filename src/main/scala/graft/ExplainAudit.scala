@@ -20,7 +20,8 @@ object ExplainAudit {
       else Seq("d05_partition_prune", "a07_topk_positions", "j02_asof_join",
         "x02_minhash_lsh", "x06_cosine_topk", "p11_dim_lookup",
         "x28_bloom_decontam", "x29_dup_ngrams", "x32_semantic_dedup",
-        "x34_winnow_overlap", "x36_boilerplate_lines", "x37_token_budget")
+        "x34_winnow_overlap", "x36_boilerplate_lines", "x37_token_budget",
+        "x38_fuzzy_decontam")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

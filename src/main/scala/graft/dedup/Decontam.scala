@@ -51,6 +51,65 @@ object Decontam {
     * pipeline once at execution, which is cheaper than holding executor
     * memory hostage across repeated invocations.
     */
+  /** Fuzzy decontamination: per-document word-n-gram overlap FRACTION
+    * against a benchmark set, plus the longest CONSECUTIVE matched run —
+    * the published contamination tests (a document is dirty when a large
+    * share of its n-grams collide with the eval set, or when a single
+    * verbatim span of many consecutive n-grams does) that the exact
+    * count-threshold sweeps (x24/x28) cannot express: ten scattered
+    * stopword collisions and a ten-gram verbatim quote both count 10
+    * there, but only the latter is contamination.
+    *
+    * Output per doc (>= n words): n_ngrams, n_hit, hit_frac, max_run,
+    * contaminated = hit_frac >= fracThreshold OR max_run >= runThreshold.
+    *
+    * Scale shape: the corpus side is one narrow explode (position +
+    * per-row codegen'd poly_hash — same staging as dupNgramStats) joined
+    * against the broadcast benchmark-gram set (bounded by eval-set
+    * bytes, like x24's). max_run is gaps-and-islands: matched positions
+    * only, island id = pos - row_number, then two hash aggregations —
+    * the ONLY window partitions by doc_id over MATCHED grams, bounded by
+    * document length (and in practice by the contaminated subset), never
+    * by corpus size. The gram relation is persist()ed because both the
+    * totals aggregation and the islands branch read it; CACHE LIFETIME
+    * CONTRACT as on graft.dedup.Dedup — callers clear after consuming. */
+  def fuzzyOverlap(corpus: DataFrame, id: Column, text: Column,
+                   bench: DataFrame, benchId: Column, benchText: Column,
+                   n: Int = 8, fracThreshold: Double = 0.7,
+                   runThreshold: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "need n >= 2")
+    def grams(df: DataFrame, gid: Column, gtext: Column): DataFrame = df
+      .select(gid.as("doc_id"), split(TextOps.norm(gtext), " ").as("_ws"))
+      .filter(size(col("_ws")) >= n)
+      .select(col("doc_id"), col("_ws"),
+        explode(sequence(lit(1), size(col("_ws")) - (n - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        TextOps.fingerprint(array_join(slice(col("_ws"), col("pos"), lit(n)), " "))
+          .as("h"))
+    val bset = grams(bench, benchId, benchText)
+      .select("h").distinct().withColumn("_b", lit(true))
+    val g = grams(corpus, id, text)
+      .join(broadcast(bset), Seq("h"), "left")
+      .persist()
+    val totals = g.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n_hit"))
+    // islands: consecutive matched positions share (pos - row_number)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = g.filter(col("_b"))
+      .select(col("doc_id"), (col("pos") - row_number().over(w)).as("_isl"))
+      .groupBy("doc_id", "_isl").agg(count(lit(1)).as("_run"))
+      .groupBy("doc_id").agg(max(col("_run")).as("max_run"))
+    val frac = col("n_hit").cast("double") / col("n_ngrams").cast("double")
+    totals.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+        round(frac, 6).as("hit_frac"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        (frac >= fracThreshold ||
+          coalesce(col("max_run"), lit(0L)) >= runThreshold).as("contaminated"))
+  }
+
   def cleanCorpus(corpus: DataFrame, id: Column, text: Column,
                   bench: DataFrame, benchId: Column, benchText: Column,
                   k: Int = 20, maxOverlap: Long = 10,

@@ -835,6 +835,43 @@ object ExtraQueries {
         docs.filter(col("doc_id") < 3), col("doc_id"), col("text"))
     },
 
+    // ----- fuzzy decontamination (overlap fraction + longest matched span)
+    QueryDef("x38_fuzzy_decontam",
+      "per-doc word-8-gram overlap FRACTION vs a benchmark set + longest consecutive matched run (gaps-and-islands) — the PaLM/Llama-style contamination test; corpus side explodes once, only matched grams reach the per-doc window")(
+      s"""WITH $tailDupCorpusD,
+         |n AS (SELECT doc_id, string_split($normD, ' ') AS ws FROM corpus),
+         |w AS (SELECT doc_id, ws FROM n WHERE len(ws) >= 8),
+         |p AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS pos FROM w),
+         |sg AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS gs FROM p),
+         |h AS (SELECT doc_id, pos, ${charFoldD("gs")} AS h FROM sg),
+         |bs AS (SELECT DISTINCT h, true AS b FROM h WHERE doc_id < 3),
+         |m AS (SELECT h.doc_id, h.pos, coalesce(bs.b, false) AS hit
+         |      FROM h LEFT JOIN bs USING (h)),
+         |t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |      FROM m GROUP BY 1),
+         |r AS (SELECT doc_id,
+         |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |      FROM m WHERE hit),
+         |c AS (SELECT doc_id, isl, count(*) AS run FROM r GROUP BY 1, 2),
+         |mr AS (SELECT doc_id, max(run) AS max_run FROM c GROUP BY 1)
+         |SELECT t.doc_id, t.n_ngrams, t.n_hit,
+         |       round(CAST(t.n_hit AS DOUBLE) / t.n_ngrams, 6) AS hit_frac,
+         |       CAST(coalesce(mr.max_run, 0) AS BIGINT) AS max_run,
+         |       (CAST(t.n_hit AS DOUBLE) / t.n_ngrams >= 0.7
+         |        OR coalesce(mr.max_run, 0) >= 20) AS contaminated
+         |FROM t LEFT JOIN mr USING (doc_id)
+         |""".stripMargin) { (s, dir) =>
+      // tail-dup corpus: the +10000 copies of the bench docs are the
+      // planted near-verbatim contamination (long matched runs, frac
+      // just under 1.0) that the exact count-threshold sweep can't
+      // distinguish from scattered collisions
+      val c = tailDupCorpus(s, dir)
+      graft.dedup.Decontam.fuzzyOverlap(
+        c, col("doc_id"), col("text"),
+        c.filter(col("doc_id") < 3), col("doc_id"), col("text"))
+    },
+
     // ----- duplicate-n-gram fraction (RefinedWeb/Gopher repetition filter)
     QueryDef("x29_dup_ngrams",
       "per-doc fraction of word 8-grams occurring >= 2x corpus-wide — hashes shuffle, text never does")(

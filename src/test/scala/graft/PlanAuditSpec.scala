@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkSpec {
     "x24_decontamination",        // benchmark contamination set
     "x28_bloom_decontam",         // benchmark contamination set
     "x32_semantic_dedup",         // centroid set
-    "x33_mixture_weights"         // singleton totals
+    "x33_mixture_weights",        // singleton totals
+    "x38_fuzzy_decontam"          // benchmark-gram set (eval-set bounded)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -184,6 +184,45 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fuzzyOverlap: verbatim span yields one long run, scattered hits yield runs of 1") {
+    val bw = (1 to 30).map(i => s"b$i") // 30 bench words → 23 8-grams
+    val bench = Seq((0L, bw.mkString(" "))).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, bw.mkString(" ")),                        // the bench doc itself
+      // 5 junk + bench[1..20] + 5 junk: matched grams start 6..18 → one
+      // run of 13 out of 23 grams
+      (1L, ((1 to 5).map(i => s"j$i") ++ bw.take(20) ++ (6 to 10).map(i => s"j$i")).mkString(" ")),
+      // bench[1..8] + junk + bench[13..20]: two isolated matched grams
+      // (positions 1 and 10), every gram between crosses the junk word
+      (2L, (bw.take(8) ++ Seq("zz") ++ bw.slice(12, 20)).mkString(" ")),
+      (3L, (1 to 12).map(i => s"clean$i").mkString(" ")), // no overlap
+      (4L, "below eight words total here"))              // < n → no row
+      .toDF("doc_id", "text")
+    val out = Decontam.fuzzyOverlap(docs, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"),
+        n = 8, fracThreshold = 0.5, runThreshold = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(0L) === ((23L, 23L, 23L, true)))
+    assert(out(1L) === ((23L, 13L, 13L, true)))  // 13/23 ≈ 0.565 ≥ 0.5, run 13 ≥ 10
+    assert(out(2L) === ((10L, 2L, 1L, false)))   // scattered: frac 0.2, max run 1
+    assert(out(3L) === ((5L, 0L, 0L, false)))
+    assert(!out.contains(4L))
+    spark.catalog.clearCache()
+  }
+
+  test("fuzzyOverlap: empty benchmark set marks nothing contaminated") {
+    val docs = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Decontam.fuzzyOverlap(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 0), col("doc_id"), col("text"))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(2) === 0L && r.getLong(4) === 0L && !r.getBoolean(5))
+    spark.catalog.clearCache()
+  }
+
   test("mightContain: no false negatives; absent keys are overwhelmingly rejected") {
     val present = (1L to 1000L).toDF("h")
     val bloom = present.stat.bloomFilter("h", 1000L, 0.01)
