@@ -893,6 +893,43 @@ object ExtraQueries {
       TextOps.dupNgramStats(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
 
+    // ----- DSIR importance weights (target-vs-raw hashed n-gram LLR)
+    QueryDef("x39_dsir_weights",
+      "DSIR data selection: per-doc log importance weight under hashed unigram+bigram bag models (target = lang 'en' docs vs the raw corpus), Laplace-smoothed, mean-LLR selection — bucket models bounded at m rows, ordered-fold double sum")(
+      s"""WITH n AS (SELECT doc_id, lang, string_split($normD, ' ') AS ws FROM documents),
+         |u AS (SELECT doc_id, lang, ws, unnest(range(1, len(ws)+1)) AS wp FROM n),
+         |uf AS (SELECT doc_id, lang, wp AS pos, ${charFoldD("ws[wp]")} % 1024 AS f FROM u),
+         |b AS (SELECT doc_id, lang, ws, len(ws) AS L, unnest(range(1, len(ws))) AS wp
+         |      FROM n WHERE len(ws) >= 2),
+         |bf AS (SELECT doc_id, lang, L + wp AS pos,
+         |       ${charFoldD("ws[wp] || '_' || ws[wp+1]")} % 1024 AS f FROM b),
+         |feats AS (SELECT doc_id, lang, pos, f FROM uf
+         |          UNION ALL SELECT doc_id, lang, pos, f FROM bf),
+         |q AS (SELECT f, count(*) AS qc FROM feats GROUP BY 1),
+         |p AS (SELECT f, count(*) AS pc FROM feats WHERE lang = 'en' GROUP BY 1),
+         |qt AS (SELECT count(*) AS qtot FROM feats),
+         |pt AS (SELECT count(*) AS ptot FROM feats WHERE lang = 'en'),
+         |lr AS (SELECT q.f,
+         |         ln(CAST(coalesce(p.pc, 0) + 1 AS DOUBLE) / (pt.ptot + 1024))
+         |       - ln(CAST(q.qc + 1 AS DOUBLE) / (qt.qtot + 1024)) AS lr
+         |       FROM q LEFT JOIN p USING (f), qt, pt),
+         |s AS (SELECT doc_id, pos, lr FROM feats JOIN lr USING (f)),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |             list_reduce(list(lr ORDER BY pos), (a, x) -> a + x) AS sm
+         |      FROM s GROUP BY doc_id)
+         |SELECT doc_id, n_feats, round(sm, 6) AS log_w,
+         |       round(sm / n_feats, 6) AS dsir_score,
+         |       (sm / n_feats >= 0.0) AS selected
+         |FROM a
+         |""".stripMargin) { (s, dir) =>
+      // target = the English slice of the same corpus: "select docs
+      // that look like the target distribution" with a verifiable
+      // ground truth (en docs should dominate selected = true)
+      val docs = Tables.documents(s, dir)
+      TextOps.dsirWeights(docs, col("doc_id"), col("text"),
+        docs.filter(col("lang") === "en"), col("text"))
+    },
+
     // ----- Gopher document-quality rules (exact flags + conjunction)
     QueryDef("x30_gopher_rules",
       "Gopher quality rules per doc: word bounds, mean word length, symbol ratio, alpha-word fraction, >=2 stopwords, pass flag — pure narrow projection")(

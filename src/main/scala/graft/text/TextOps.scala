@@ -182,6 +182,76 @@ object TextOps {
         round(col("_s") / col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-n-gram bag is under a
+    * TARGET corpus's feature distribution than under the raw corpus's
+    * own — log w(x) = Σ_positions [ln p̂(f) − ln q̂(f)] with Laplace
+    * smoothing over m hash buckets. Features are unigram and bigram
+    * content hashes bucketed mod m (the paper's hashed n-gram model);
+    * the deterministic selection rule emitted here is mean log-ratio
+    * ≥ 0 ("more target-like than raw-like", length-normalized).
+    *
+    * Scale shape: both bag-of-words models are ONE hash aggregation
+    * each over the exploded feature stream, bounded at m rows; the
+    * log-ratio table (≤ m rows, m a compile-time-ish constant) is
+    * broadcast into the scoring join, and the totals row is a
+    * singleton cross join — the same bounded-side discipline as
+    * x18/x33. The per-doc sum is the position-ordered left fold (x27's
+    * engine-portable double-sum pattern), so Spark and the oracle agree
+    * bit-for-bit. Raw features are persist()ed (scoring join + q model
+    * + totals read them); CACHE LIFETIME CONTRACT as on
+    * graft.dedup.Dedup — callers clear after consuming. */
+  def dsirWeights(raw: DataFrame, id: Column, text: Column,
+                  target: DataFrame, targetText: Column,
+                  m: Int = 1024): DataFrame = {
+    require(m > 0, s"need m > 0 hash buckets, got $m")
+    // (doc_id, pos, f): unigrams at their word position, bigrams after
+    // them — pos only orders the fold, so any fixed order both engines
+    // can reproduce works
+    def feats(df: DataFrame, fid: Column, ftext: Column): DataFrame = {
+      val toks = df.select(fid.as("doc_id"), split(norm(ftext), " ").as("_ws"))
+      val uni = toks
+        .select(col("doc_id"), posexplode(col("_ws")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos"),
+          pmod(fingerprint(col("w")), lit(m.toLong)).as("f"))
+      val big = toks.filter(size(col("_ws")) >= 2)
+        .select(col("doc_id"), size(col("_ws")).as("_L"), posexplode(
+          zip_with(slice(col("_ws"), lit(1), size(col("_ws")) - 1),
+            slice(col("_ws"), lit(2), size(col("_ws")) - 1),
+            (a, b) => concat(a, lit("_"), b))).as(Seq("pos", "bg")))
+        .select(col("doc_id"), (col("_L") + col("pos")).as("pos"),
+          pmod(fingerprint(col("bg")), lit(m.toLong)).as("f"))
+      uni.unionByName(big)
+    }
+    val rawF = feats(raw, id, text).persist()
+    val tgtF = feats(target, id, targetText)
+    val qc = rawF.groupBy("f").agg(count(lit(1)).as("_qc"))
+    val pc = tgtF.groupBy("f").agg(count(lit(1)).as("_pc"))
+    // count() aggregations (not sum over the bucket tables): an EMPTY
+    // target must yield ptot = 0, not null
+    val totals = rawF.agg(count(lit(1)).as("_qtot"))
+      .crossJoin(tgtF.agg(count(lit(1)).as("_ptot")))
+    // ln((c+1)/(tot+m)) kept as ONE division and ONE ln per side so the
+    // oracle's identical expression produces the identical double
+    val lrTab = qc.join(pc, Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("f"),
+        (log((coalesce(col("_pc"), lit(0L)) + 1).cast(DoubleType) /
+            (col("_ptot") + m)) -
+          log((col("_qc") + 1).cast(DoubleType) /
+            (col("_qtot") + m))).as("_lr"))
+    val s = rawF.join(broadcast(lrTab), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        aggregate(transform(array_sort(collect_list(struct(col("pos"), col("_lr")))),
+          _.getField("_lr")), lit(0.0), (acc, x) => acc + x).as("_s"))
+    s.select(col("doc_id"), col("n_feats"),
+      round(col("_s"), 6).as("log_w"),
+      round(col("_s") / col("n_feats"), 6).as("dsir_score"),
+      (col("_s") / col("n_feats") >= 0.0).as("selected"))
+  }
+
   /** RefinedWeb/Gopher duplicate-n-gram signal: for each document, the
     * fraction of its word n-gram positions whose n-gram occurs ≥ 2 times
     * CORPUS-WIDE (within- or cross-document) — the "fraction of

@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     "x15_ann_ivf_cosine",         // centroid set (scaledCells-capped)
     "x18_tfidf_topterms",         // singleton doc-count row
     "x32_semantic_dedup",         // centroid set
-    "x33_mixture_weights"         // singleton corpus-totals row
+    "x33_mixture_weights",        // singleton corpus-totals row
+    "x39_dsir_weights"            // singleton (qtot, ptot) totals row
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -80,7 +81,8 @@ class PlanAuditSpec extends SparkSpec {
     "x28_bloom_decontam",         // benchmark contamination set
     "x32_semantic_dedup",         // centroid set
     "x33_mixture_weights",        // singleton totals
-    "x38_fuzzy_decontam"          // benchmark-gram set (eval-set bounded)
+    "x38_fuzzy_decontam",         // benchmark-gram set (eval-set bounded)
+    "x39_dsir_weights"            // log-ratio table (<= m rows) + totals
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -223,6 +223,40 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dsirWeights: target-like docs score positive, off-target docs negative") {
+    // target vocabulary {alpha..epsilon}, off-target {zulu..xray}; the
+    // mixed doc shares half its words with the target
+    val tgtText = "alpha beta gamma delta epsilon alpha beta gamma"
+    val offText = "zulu yankee xray zulu yankee xray zulu yankee"
+    val docs = Seq(
+      (1L, tgtText), (2L, offText),
+      (3L, "alpha beta zulu yankee alpha beta zulu yankee"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, tgtText), (11L, "beta gamma delta alpha beta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(docs, col("doc_id"), col("text"),
+        target, col("text"), m = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))).toMap
+    // 8 words → 8 unigrams + 7 bigrams
+    assert(out.values.forall(_._1 === 15L))
+    assert(out(1L)._3 && out(1L)._2 > 0.0, s"target-like doc not selected: $out")
+    assert(!out(2L)._3 && out(2L)._2 < 0.0, s"off-target doc selected: $out")
+    // the mixed doc sits strictly between the two
+    assert(out(3L)._2 > out(2L)._2 && out(3L)._2 < out(1L)._2)
+    spark.catalog.clearCache()
+  }
+
+  test("dsirWeights: empty target degrades to uniform p, no crash, nothing positive-selected by vocabulary") {
+    val docs = Seq((1L, "some words here repeated words here"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 0), col("text"), m = 64)
+      .collect()
+    assert(out.length === 1) // still scores (p uniform via smoothing)
+    spark.catalog.clearCache()
+  }
+
   test("mightContain: no false negatives; absent keys are overwhelmingly rejected") {
     val present = (1L to 1000L).toDF("h")
     val bloom = present.stat.bloomFilter("h", 1000L, 0.01)
