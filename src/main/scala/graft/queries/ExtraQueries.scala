@@ -134,6 +134,13 @@ object ExtraQueries {
       |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
   private def sqNormD(c: String) =
     s"list_reduce(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)"
+  /** Guarded left-fold cosine ≡ Similarity.cosine (0.0 on a zero norm). */
+  private def cosD(a: String, b: String) =
+    s"""CASE WHEN ${sqNormD(a)} * ${sqNormD(b)} = 0 THEN 0.0
+       |     ELSE list_reduce(list_transform(list_zip($a, $b),
+       |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+       |          / sqrt(${sqNormD(a)} * ${sqNormD(b)}) END""".stripMargin
+
   /** Random-hyperplane sign-LSH bucket fragment ≡ graft.plans.SignBucketRH:
     * Rademacher sign = parity of a double-Lehmer mix of (d+1)(2i+1)+7919·seed;
     * per-bit projection is a left fold of ±emb[d] in dimension order.
@@ -329,6 +336,55 @@ object ExtraQueries {
       // O(n^1.5) instead of letting a fixed cell count go quadratic
       val nCells = Similarity.scaledCells(emb.count())
       Similarity.ivfTopK(emb, queries, 3, nCells = nCells, nprobe = 2)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    },
+
+    // ----- two-level IVF ANN (the past-10^9-vectors scale form of x15)
+    QueryDef("x40_ann_ivf2_cosine",
+      "two-level IVF: ceil(cbrt(n)) coarse cells (only broadcast that grows), each split into ceil(cbrt(n)) sub-cells assigned via an equi-join on the coarse cell — O(n^{4/3}) assignment+search vs flat's O(n^{1.5}); queries probe 2 coarse x 2 sub, top-3")(
+      s"""WITH p AS (SELECT count(*) AS n FROM embeddings),
+         |cc AS (SELECT greatest(CAST(min(r) AS BIGINT), 4) AS c
+         |       FROM range(1, 4097) t(r) WHERE r*r*r >= (SELECT n FROM p)),
+         |cent1 AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
+         |           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS crn
+         |           FROM embeddings)
+         |         WHERE crn <= (SELECT c FROM cc)),
+         |sc1 AS (SELECT e.vec_id, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           ${cosD("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+         |       FROM embeddings e, cent1 c),
+         |asg1 AS (SELECT vec_id, embedding, cid AS cell FROM sc1 WHERE rn = 1),
+         |cent2 AS (SELECT cell, vec_id AS sid, embedding AS s_emb FROM (
+         |           SELECT cell, vec_id, embedding,
+         |                  row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS srn
+         |           FROM asg1)
+         |         WHERE srn <= (SELECT c FROM cc)),
+         |sc2 AS (SELECT a.vec_id, a.embedding, a.cell, s.sid,
+         |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |           ${cosD("a.embedding", "s.s_emb")} DESC, s.sid) AS rn
+         |       FROM asg1 a JOIN cent2 s USING (cell)),
+         |asg2 AS (SELECT vec_id, embedding, cell, sid AS sub FROM sc2 WHERE rn = 1),
+         |q1 AS (SELECT vec_id AS q_id, embedding AS q_emb, cid AS cell
+         |       FROM sc1 WHERE vec_id < 5 AND rn <= 2),
+         |sq2 AS (SELECT q.q_id, q.q_emb, q.cell, s.sid,
+         |         row_number() OVER (PARTITION BY q.q_id, q.cell ORDER BY
+         |           ${cosD("q.q_emb", "s.s_emb")} DESC, s.sid) AS rn
+         |       FROM q1 q JOIN cent2 s USING (cell)),
+         |q2 AS (SELECT q_id, q_emb, cell, sid AS sub FROM sq2 WHERE rn <= 2),
+         |cs AS (SELECT q.q_id, a.vec_id,
+         |         ${cosD("q.q_emb", "a.embedding")} AS cos
+         |       FROM q2 q JOIN asg2 a USING (cell, sub))
+         |SELECT q_id, vec_id, round(cos, 6) AS cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cs)
+         |WHERE rn <= 3
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = Similarity.scaledCells2(emb.count())
+      Similarity.ivfTopK2(emb, queries, 3, nCoarse = c, nSub = c,
+          nprobeCoarse = 2, nprobeSub = 2)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
     },
 

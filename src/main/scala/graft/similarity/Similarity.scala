@@ -106,6 +106,22 @@ object Similarity {
   def scaledCells(n: Long, minCells: Int = 8, maxCells: Int = 65536): Int =
     math.min(math.max(math.ceil(math.sqrt(n.toDouble)).toInt, minCells), maxCells)
 
+  /** Two-level quantizer sizing: the smallest c with c³ ≥ n, by EXACT
+    * integer search — `Math.cbrt` is not guaranteed correctly rounded,
+    * so a double cube root could disagree with another engine's at cube
+    * boundaries, shifting every cell assignment. With c coarse cells
+    * and c sub-cells per coarse cell, total cells ≈ n^{2/3}: coarse
+    * assignment costs O(n·c) = O(n^{4/3}), sub-assignment O(n·c) again
+    * (each vector scores only its OWN coarse cell's c sub-centroids via
+    * the equi-join), and the within-cell search join O(n²/n^{2/3}) =
+    * O(n^{4/3}) — balanced, with only the c = ∛n coarse centroids
+    * broadcast (~2 MB at n = 10¹⁰ vs the flat quantizer's ~67 MB cap). */
+  def scaledCells2(n: Long, minCells: Int = 4): Int = {
+    var c = 1
+    while (c.toLong * c * c < n) c += 1
+    math.max(c, minCells)
+  }
+
   /** Embedding near-dup pairs: sign-LSH bucket self-join per hash table
     * (bits scaled to the corpus via scaledBits), candidates unioned
     * across `tables` independent seeds for recall, then the exact cosine
@@ -224,6 +240,55 @@ object Similarity {
     // corpus vectors live in exactly one cell, so probing nprobe disjoint
     // cells never duplicates a (q_id, vec_id) candidate
     val scored = c.join(broadcast(q), "cell")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
+  }
+
+  /** Two-level IVF ANN — the scale form of [[ivfTopK]] past ~10⁹
+    * vectors, where the flat quantizer's √n-centroid broadcast and
+    * O(n^1.5) assignment become the binding costs (see [[scaledCells]]).
+    * Level 1 partitions the corpus into `nCoarse` cells (broadcast
+    * argmax — the ONLY broadcast that grows with the corpus, at ∛n
+    * rows); level 2 splits each coarse cell into `nSub` sub-cells whose
+    * centroids are the cell's lowest-id members, assigned via an
+    * EQUI-JOIN on the coarse cell id — each vector scores only its own
+    * cell's nSub sub-centroids, and the sub-centroid table (n^{2/3}
+    * rows at scale) is never broadcast: AQE picks the join strategy.
+    * Queries probe their `nprobeCoarse` nearest coarse cells and, within
+    * each, `nprobeSub` nearest sub-cells; the search is an equi-join on
+    * (cell, sub). Sub-cell membership is unique per vector, so probed
+    * (cell, sub) pairs never duplicate a candidate. Size both levels
+    * with [[scaledCells2]]. Centroid picks and argmaxes tie-break by id,
+    * so assignment is deterministic and engine-reproducible; sub-centroid
+    * selection uses the salted two-phase TopK, never a one-task-per-cell
+    * sort. */
+  def ivfTopK2(corpus: DataFrame, queries: DataFrame, k: Int,
+               nCoarse: Int, nSub: Int,
+               nprobeCoarse: Int = 1, nprobeSub: Int = 1): DataFrame = {
+    val cents1 = corpus.orderBy(col("vec_id")).limit(nCoarse)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val asg1 = assignCells(corpus, "vec_id", "embedding", cents1, 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .persist() // read by sub-centroid pick + sub-assignment; cache
+                 // contract as on Dedup
+    val cents2 = TopK.perGroup(asg1, Seq(col("cell")), Seq(col("vec_id")), nSub)
+      .select(col("cell"), col("vec_id").as("sid"), col("embedding").as("s_emb"))
+    def subAssign(df: DataFrame, idCol: String, emb: String, np: Int,
+                  perCell: Boolean): DataFrame = {
+      val scored = df.join(cents2, "cell")
+        .withColumn("_scos", cosine(col(emb), col("s_emb"))).drop("s_emb")
+      val grp = if (perCell) Seq(col(idCol), col("cell")) else Seq(col(idCol))
+      TopK.perGroup(scored, grp, Seq(col("_scos").desc, col("sid")), np)
+        .withColumnRenamed("sid", "sub").drop("_scos")
+    }
+    val asg2 = subAssign(asg1, "vec_id", "embedding", 1, perCell = false)
+    val q2 = subAssign(
+      assignCells(queries, "q_id", "q_emb", cents1, nprobeCoarse)
+        .select("q_id", "q_emb", "cell"),
+      "q_id", "q_emb", nprobeSub, perCell = true)
+      .select("q_id", "q_emb", "cell", "sub")
+    val scored = asg2.join(broadcast(q2), Seq("cell", "sub"))
       .select(col("q_id"), col("vec_id"),
         cosine(col("q_emb"), col("embedding")).as("cos"))
     TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)

@@ -58,7 +58,8 @@ class PlanAuditSpec extends SparkSpec {
     "x18_tfidf_topterms",         // singleton doc-count row
     "x32_semantic_dedup",         // centroid set
     "x33_mixture_weights",        // singleton corpus-totals row
-    "x39_dsir_weights"            // singleton (qtot, ptot) totals row
+    "x39_dsir_weights",           // singleton (qtot, ptot) totals row
+    "x40_ann_ivf2_cosine"         // coarse-centroid set (cbrt-scaled)
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -82,7 +83,8 @@ class PlanAuditSpec extends SparkSpec {
     "x32_semantic_dedup",         // centroid set
     "x33_mixture_weights",        // singleton totals
     "x38_fuzzy_decontam",         // benchmark-gram set (eval-set bounded)
-    "x39_dsir_weights"            // log-ratio table (<= m rows) + totals
+    "x39_dsir_weights",           // log-ratio table (<= m rows) + totals
+    "x40_ann_ivf2_cosine"         // coarse centroids + probed query set
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -95,6 +95,49 @@ class SimilaritySpec extends SparkSpec {
     assert(recall === 1.0, s"recall@3 $recall; missing ${exact diff ivf}")
   }
 
+  test("scaledCells2 = exact integer ceil(cbrt(n)) floored at minCells") {
+    assert(Similarity.scaledCells2(1) === 4)       // floor kicks in
+    assert(Similarity.scaledCells2(64) === 4)      // exact cube = floor
+    assert(Similarity.scaledCells2(125) === 5)     // exact cube
+    assert(Similarity.scaledCells2(126) === 6)     // just past the cube
+    assert(Similarity.scaledCells2(500) === 8)     // sf0.01 corpus
+    assert(Similarity.scaledCells2(2000) === 13)   // sf0.1 corpus
+    assert(Similarity.scaledCells2(1000000000L) === 1000)
+    // two-level total cells ~ n^(2/3) always >= flat sqrt sizing's cells
+    // per broadcast row: the broadcast shrinks from sqrt(n) to cbrt(n)
+    Seq(10000L, 1000000L, 100000000L).foreach { n =>
+      val c = Similarity.scaledCells2(n)
+      assert(c.toLong * c * c >= n && (c - 1).toLong * (c - 1) * (c - 1) < n)
+    }
+  }
+
+  test("ivfTopK2: exact-copy queries always find their copies; recall vs brute force on testdata") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = Similarity.scaledCells2(emb.count())
+    val out = Similarity.ivfTopK2(emb, queries, 3, nCoarse = c, nSub = c,
+      nprobeCoarse = 2, nprobeSub = 2)
+    val got = resultSet(out)
+    // a corpus-member query lands in its own (cell, sub) — its exact
+    // copy (itself, cos 1.0) is structurally always a candidate
+    (0L until 5L).foreach(q => assert(got.contains((q, q)), s"query $q missed itself"))
+    // shape: exactly k rows per query
+    val counts = out.groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ === 3L))
+    // recall against the exact baseline — untrained two-level quantizer
+    // probing 2x2 cells on 200 vectors; gate generously, the oracle
+    // (x40) pins exactness, this pins usefulness
+    val exact = resultSet(Similarity.bruteForceTopK(emb, queries, 3))
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@3 $recall vs brute force")
+    spark.catalog.clearCache()
+  }
+
   test("kmeansRefine is deterministic and keeps one centroid per cell") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
