@@ -121,6 +121,31 @@ object ScaleProbe {
         // a fixed budget would measure only the offset phase's slope
         TextOps.tokenBudgetSample(docCorpus(k), col("doc_id"), col("text"),
           pmod(col("doc_id"), lit(13L)), budget = 60000L * k)
+      },
+      "x38_fuzzy_decontam" -> { k =>
+        // FIXED benchmark (the eval set doesn't grow with the corpus);
+        // the corpus-side gram explode + broadcast probe is the scaling
+        // surface, and only matched grams reach the per-doc window
+        val c = docCorpus(k)
+        graft.dedup.Decontam.fuzzyOverlap(c, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 3), col("doc_id"), col("text"))
+      },
+      "x39_dsir_weights" -> { k =>
+        // fixed target corpus, growing raw corpus: the q model and the
+        // scoring join scale with the corpus, the p model doesn't
+        TextOps.dsirWeights(docCorpus(k), col("doc_id"), col("text"),
+          docs.limit(50), col("text"))
+      },
+      "x40_ann_ivf2" -> { k =>
+        // corpus-scaled two-level sizing: both quantizer levels grow as
+        // cbrt(n), so assignment + search should stay ~linear the way
+        // the flat x15/x32 family does under scaledCells
+        val c = embCorpus(k)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cells = Similarity.scaledCells2(c.count())
+        Similarity.ivfTopK2(c, q, 3, nCoarse = cells, nSub = cells,
+          nprobeCoarse = 2, nprobeSub = 2)
       })
 
     // optional arg: comma-separated probe-name substrings to run a subset
