@@ -265,9 +265,17 @@ object Similarity {
     * sort. */
   def ivfTopK2(corpus: DataFrame, queries: DataFrame, k: Int,
                nCoarse: Int, nSub: Int,
-               nprobeCoarse: Int = 1, nprobeSub: Int = 1): DataFrame = {
-    val cents1 = corpus.orderBy(col("vec_id")).limit(nCoarse)
+               nprobeCoarse: Int = 1, nprobeSub: Int = 1,
+               kmeansIters: Int = 0,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val init = corpus.orderBy(col("vec_id")).limit(nCoarse)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    // Lloyd-refine LEVEL 1 only: coarse boundaries dominate recall (a
+    // neighbor in an unprobed coarse cell is unreachable at any
+    // nprobeSub); level-2 centroids stay the cell's lowest-id members
+    val cents1 = (if (kmeansIters > 0)
+                    kmeansRefine(corpus, init, kmeansIters, checkpointDir)
+                  else init).persist()
     val asg1 = assignCells(corpus, "vec_id", "embedding", cents1, 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .persist() // read by sub-centroid pick + sub-assignment; cache

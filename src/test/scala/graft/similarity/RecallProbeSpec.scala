@@ -74,6 +74,50 @@ class RecallProbeSpec extends SparkSpec {
     } finally { emb.unpersist(); () }
   }
 
+  test("sf0.1 ivfTopK2 recall sweep at cbrt-scaled sizing: probe grid (the x40 config)") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").persist()
+    try {
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = rs(Similarity.bruteForceTopK(emb, queries, 3))
+      // production x40 sizing: c = scaledCells2(n) = 13 at sf0.1 →
+      // 13 coarse × ≤13 sub ≈ as many total cells as flat's 45 but a
+      // 3.5× smaller broadcast; the grid measures how recall buys back
+      // with each probe axis
+      val c = Similarity.scaledCells2(emb.count())
+      def sweep(iters: Int) = Seq((1, 1), (2, 2), (2, 4), (4, 4)).map { case (pc, ps) =>
+        val got = rs(Similarity.ivfTopK2(emb, queries, 3,
+          nCoarse = c, nSub = c, nprobeCoarse = pc, nprobeSub = ps,
+          kmeansIters = iters))
+        spark.catalog.clearCache() // ivfTopK2 persists its assignment
+        val r = (exact intersect got).size.toDouble / exact.size
+        info(f"ivfTopK2(c=$c, probes=${pc}x$ps, iters=$iters) recall@3 = $r%.3f")
+        (pc, ps) -> r
+      }.toMap
+      val grid = sweep(0)
+      // the probed (cell, sub) set only grows along each axis → monotone
+      assert(grid((1, 1)) <= grid((2, 2)) && grid((2, 2)) <= grid((2, 4)),
+        s"recall not monotone in probes: $grid")
+      val trained = sweep(2)
+      // gates one notch below the measured values (deterministic
+      // seeding — only a real regression can trip them); measured
+      // numbers + the recall-vs-broadcast trade are recorded in
+      // PLANS.md "ANN recall at sf0.1". Level-1 training measurably
+      // LOWERS recall here (0.817 vs 0.883 at 2x2): Lloyd balances
+      // cell populations, which shrinks candidate volume at a fixed
+      // probe count, and on this weakly-similar corpus recall tracks
+      // candidate volume (the sign-LSH tuning story again) — so the
+      // trained gate sits below the untrained one on purpose, and the
+      // production x40 config stays untrained.
+      assert(grid((2, 2)) >= 0.85, s"x40-config (2x2) recall regressed: ${grid((2, 2))}")
+      assert(grid((4, 4)) >= 0.90, s"4x4 recall regressed: ${grid((4, 4))}")
+      assert(trained((2, 2)) >= 0.78, s"trained 2x2 recall regressed: ${trained((2, 2))}")
+      assert(trained((4, 4)) >= 0.83, s"trained 4x4 recall regressed: ${trained((4, 4))}")
+    } finally { emb.unpersist(); () }
+  }
+
   test("sf0.1 neardupPairs recall: 1.0 on true copies, >= 0.9 at cos 0.95 with default tables") {
     assume(new java.io.File(sfDir).isDirectory)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
