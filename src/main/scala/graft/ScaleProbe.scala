@@ -146,6 +146,13 @@ object ScaleProbe {
         val cells = Similarity.scaledCells2(c.count())
         Similarity.ivfTopK2(c, q, 3, nCoarse = cells, nSub = cells,
           nprobeCoarse = 2, nprobeSub = 2)
+      },
+      "x41_pq_topk" -> { k =>
+        // constant codebook/LUT, linear encode + code-scan: the slope is
+        // the whole point (the scan ranks codes, never raw embeddings)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        Similarity.pqTopK(embCorpus(k), q, 3, dim = 64)
       })
 
     // optional arg: comma-separated probe-name substrings to run a subset

@@ -134,6 +134,11 @@ object ExtraQueries {
       |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
   private def sqNormD(c: String) =
     s"list_reduce(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)"
+  /** Left-fold dot product ≡ graft.plans.DotFold. */
+  private def dotD(a: String, b: String) =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
+
   /** Guarded left-fold cosine ≡ Similarity.cosine (0.0 on a zero norm). */
   private def cosD(a: String, b: String) =
     s"""CASE WHEN ${sqNormD(a)} * ${sqNormD(b)} = 0 THEN 0.0
@@ -385,6 +390,54 @@ object ExtraQueries {
       val c = Similarity.scaledCells2(emb.count())
       Similarity.ivfTopK2(emb, queries, 3, nCoarse = c, nSub = c,
           nprobeCoarse = 2, nprobeSub = 2)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    },
+
+    // ----- product-quantization top-k with exact re-rank (FAISS PQ/ADC)
+    QueryDef("x41_pq_topk_cosine",
+      "PQ/ADC top-k: 4 subspaces x 16 L2-assigned codes per vector (64x smaller scan representation), query-codebook lookup-table scoring with exact norms, exact-cosine re-rank of the top-10 — the memory-bounded ANN scan")(
+      s"""WITH sd AS (SELECT unnest(range(0, 4)) AS s),
+         |seeds AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+         |          FROM embeddings ORDER BY vec_id LIMIT 16),
+         |cb AS (SELECT sd.s, seeds.code,
+         |         seeds.embedding[sd.s*16+1 : sd.s*16+16] AS c_sub
+         |       FROM seeds, sd),
+         |cs AS (SELECT e.vec_id, sd.s, e.embedding[sd.s*16+1 : sd.s*16+16] AS sub
+         |       FROM embeddings e, sd),
+         |enc0 AS (SELECT c.vec_id, c.s, b.code,
+         |          row_number() OVER (PARTITION BY c.vec_id, c.s ORDER BY
+         |            ${sqNormD("c.sub")} + ${sqNormD("b.c_sub")}
+         |              - 2 * ${dotD("c.sub", "b.c_sub")}, b.code) AS rn
+         |        FROM cs c JOIN cb b USING (s)),
+         |enc AS (SELECT vec_id, s, code FROM enc0 WHERE rn = 1),
+         |vn AS (SELECT vec_id, sqrt(${sqNormD("embedding")}) AS vnorm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |qs AS (SELECT q.q_id, sd.s, q.q_emb[sd.s*16+1 : sd.s*16+16] AS sub FROM q, sd),
+         |lut AS (SELECT qs.q_id, qs.s, b.code, ${dotD("qs.sub", "b.c_sub")} AS pd
+         |        FROM qs JOIN cb b USING (s)),
+         |qn AS (SELECT q_id, sqrt(${sqNormD("q_emb")}) AS qnorm FROM q),
+         |ad AS (SELECT l.q_id, e.vec_id,
+         |         list_reduce(list(l.pd ORDER BY l.s), (a, x) -> a + x) AS adot
+         |       FROM enc e JOIN lut l USING (s, code) GROUP BY 1, 2),
+         |ac AS (SELECT ad.q_id, ad.vec_id,
+         |         CASE WHEN qn.qnorm * vn.vnorm = 0 THEN 0.0
+         |              ELSE ad.adot / (qn.qnorm * vn.vnorm) END AS acos
+         |       FROM ad JOIN vn USING (vec_id) JOIN qn USING (q_id)),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY acos DESC, vec_id) AS rn FROM ac)
+         |         WHERE rn <= 10),
+         |ex AS (SELECT c.q_id, c.vec_id, ${cosD("q.q_emb", "e.embedding")} AS cos
+         |       FROM cand c JOIN embeddings e USING (vec_id) JOIN q USING (q_id))
+         |SELECT q_id, vec_id, round(cos, 6) AS cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM ex)
+         |WHERE rn <= 3
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.pqTopK(emb, queries, 3, dim = 64)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
     },
 

@@ -302,6 +302,81 @@ object Similarity {
     TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
   }
 
+  /** Product-quantization top-k (Jégou et al. 2011, the FAISS PQ/ADC
+    * scheme) with exact re-ranking: split each vector into `nSub`
+    * subspaces, quantize every subvector to its nearest of `nCodes`
+    * per-subspace centroids (codebook = the first nCodes vectors'
+    * subvectors, deterministic), and score queries against the CODES —
+    * approx dot(q, x) ≈ Σ_s LUT[s, code_s(x)] where the lookup table
+    * holds dot(q_s, centroid) for every (subspace, centroid) — then
+    * re-rank the top `rerank` candidates per query by exact cosine.
+    *
+    * Why it matters at 100 TB: the scored representation is nSub
+    * small ints + one norm per vector (4 codes ≈ 64× smaller than 64
+    * float dims), so the scan that ranks the whole corpus never
+    * touches raw embeddings — only the re-rank join reads the
+    * `rerank`·|queries| winning vectors. Codebook (nSub·nCodes rows)
+    * and LUT (|queries|·nSub·nCodes rows) are constant-bounded
+    * broadcasts; encoding assigns by exact L2 (d² as one fold-built
+    * expression, ties to the lowest code, so both engines agree);
+    * the per-candidate subspace sum is a position-ordered fold over
+    * nSub elements (engine-portable). Approximate cosine uses EXACT
+    * per-vector norms (kept alongside the codes — one scalar each).
+    * `dim` must be the embedding width, divisible by nSub. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             dim: Int, nSub: Int = 4, nCodes: Int = 16,
+             rerank: Int = 10): DataFrame = {
+    require(nSub > 0 && dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val subDim = dim / nSub
+    def subs(df: DataFrame, idc: String, emb: String): DataFrame = df
+      .select(col(idc), explode(array((0 until nSub).map { s =>
+        struct(lit(s).as("s"),
+          slice(col(emb), s * subDim + 1, subDim).as("sub"))
+      }: _*)).as("t"))
+      .select(col(idc), col("t.s"), col("t.sub"))
+    // codebook: code j in subspace s = the (j+1)-th lowest-id seed
+    // vector's subvector; the rank window spans <= nCodes rows
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val seeds = corpus.orderBy(col("vec_id")).limit(nCodes)
+      .select(col("vec_id"), col("embedding"),
+        (row_number().over(w) - 1).as("code"))
+    val codebook = subs(seeds.drop("vec_id"), "code", "embedding")
+      .select(col("s"), col("code"), col("sub").as("c_sub"))
+    // encode: argmin exact L2 per (vec, subspace); d2 built from the
+    // same three folds the oracle mirrors, ties to the lowest code
+    val d2 = sqNorm(col("sub")) + sqNorm(col("c_sub")) -
+      lit(2.0) * dot(col("sub"), col("c_sub"))
+    val encoded = TopK.perGroup(
+      subs(corpus, "vec_id", "embedding")
+        .join(broadcast(codebook), "s")
+        .select(col("vec_id"), col("s"), col("code"), d2.as("_d2")),
+      Seq(col("vec_id"), col("s")), Seq(col("_d2"), col("code")), 1)
+      .select("vec_id", "s", "code")
+    val norms = corpus.select(col("vec_id"),
+      sqrt(sqNorm(col("embedding"))).as("_vn"))
+    val lut = subs(queries, "q_id", "q_emb")
+      .join(broadcast(codebook), "s")
+      .select(col("q_id"), col("s"), col("code"),
+        dot(col("sub"), col("c_sub")).as("_pd"))
+    val qNorms = queries.select(col("q_id"), sqrt(sqNorm(col("q_emb"))).as("_qn"))
+    val adot = encoded.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(aggregate(transform(array_sort(collect_list(struct(col("s"), col("_pd")))),
+        _.getField("_pd")), lit(0.0), (acc, x) => acc + x).as("_adot"))
+    val approx = adot.join(norms, "vec_id").join(broadcast(qNorms), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        when(col("_qn") * col("_vn") === 0.0, 0.0)
+          .otherwise(col("_adot") / (col("_qn") * col("_vn"))).as("_acos"))
+    val cand = TopK.perGroup(approx, Seq(col("q_id")),
+      Seq(col("_acos").desc, col("vec_id")), rerank)
+    val exact = cand.select("q_id", "vec_id")
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perGroup(exact, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
+  }
+
   /** SemDeDup-style semantic dedup: partition the corpus into cells
     * around deterministic centroids (first `nCells` vectors, optionally
     * Lloyd-refined), generate candidate pairs only WITHIN a cell, gate

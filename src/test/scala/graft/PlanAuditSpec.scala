@@ -84,7 +84,8 @@ class PlanAuditSpec extends SparkSpec {
     "x33_mixture_weights",        // singleton totals
     "x38_fuzzy_decontam",         // benchmark-gram set (eval-set bounded)
     "x39_dsir_weights",           // log-ratio table (<= m rows) + totals
-    "x40_ann_ivf2_cosine"         // coarse centroids + probed query set
+    "x40_ann_ivf2_cosine",        // coarse centroids + probed query set
+    "x41_pq_topk_cosine"          // codebook/LUT/query sets (constant-bounded)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

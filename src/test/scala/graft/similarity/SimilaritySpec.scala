@@ -138,6 +138,37 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pqTopK: seed queries self-reconstruct exactly; output deterministic, k rows per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // queries drawn from the first-16 seed vectors: their subvectors ARE
+    // codebook centroids (d2 = 0), so approx self-cos is exactly 1.0 and
+    // each query must surface itself at rank 1 after re-rank
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def run() = Similarity.pqTopK(emb, queries, 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    val out = run()
+    assert(out.groupBy(_._1).forall(_._2.size === 3))
+    (0L until 5L).foreach { q =>
+      val top = out.filter(_._1 == q).maxBy(_._3)
+      assert(top._2 === q && math.abs(top._3 - 1.0) < 1e-9,
+        s"seed query $q did not self-reconstruct: $top")
+    }
+    assert(run() === out) // codebook + ties fully deterministic
+    // recall vs brute force at this crude 4x16 setting is reported, not
+    // gated hard: PQ trades recall for a 64x smaller scan and the exact
+    // re-rank bounds the damage
+    def rsx(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = rsx(Similarity.bruteForceTopK(emb, queries, 3))
+    val recall = (exact intersect out.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    info(f"pqTopK(4x16, rerank=10) recall@3 = $recall%.3f")
+    assert(recall >= 0.4, s"pq recall collapsed: $recall")
+    spark.catalog.clearCache()
+  }
+
   test("kmeansRefine is deterministic and keeps one centroid per cell") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
