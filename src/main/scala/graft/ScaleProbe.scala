@@ -147,6 +147,8 @@ object ScaleProbe {
         Similarity.ivfTopK2(c, q, 3, nCoarse = cells, nSub = cells,
           nprobeCoarse = 2, nprobeSub = 2)
       },
+      "x42_char_entropy" -> (k =>
+        TextOps.charEntropy(docCorpus(k), col("doc_id"), col("text"))),
       "x41_pq_topk" -> { k =>
         // constant codebook/LUT, linear encode + code-scan: the slope is
         // the whole point (the scan ranks codes, never raw embeddings)

@@ -1039,6 +1039,29 @@ object ExtraQueries {
         docs.filter(col("lang") === "en"), col("text"))
     },
 
+    // ----- character-entropy quality signal (gibberish / degenerate repetition)
+    QueryDef("x42_char_entropy",
+      "per-doc Shannon entropy of the normalized char distribution (exact counts, code-point-ordered term fold) + low-entropy flag — the gibberish/repetition detector; two hash aggs, no window")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |ix AS (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM n),
+         |ch AS (SELECT doc_id, substr(t, i, 1) AS ch FROM ix),
+         |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_norm,
+         |             CAST(count(*) AS BIGINT) AS n_distinct_chars
+         |      FROM c GROUP BY 1),
+         |tm AS (SELECT c.doc_id, c.ch,
+         |         -(CAST(c.c AS DOUBLE) / a.n_chars_norm
+         |           * ln(CAST(c.c AS DOUBLE) / a.n_chars_norm)) AS t
+         |       FROM c JOIN a USING (doc_id)),
+         |e AS (SELECT doc_id, list_reduce(list(t ORDER BY ch), (acc, x) -> acc + x) AS h
+         |      FROM tm GROUP BY 1)
+         |SELECT a.doc_id, a.n_chars_norm, a.n_distinct_chars,
+         |       round(e.h, 6) AS entropy, e.h < 2.0 AS low_entropy
+         |FROM a JOIN e USING (doc_id)
+         |""".stripMargin) { (s, dir) =>
+      TextOps.charEntropy(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
     // ----- Gopher document-quality rules (exact flags + conjunction)
     QueryDef("x30_gopher_rules",
       "Gopher quality rules per doc: word bounds, mean word length, symbol ratio, alpha-word fraction, >=2 stopwords, pass flag — pure narrow projection")(

@@ -252,6 +252,48 @@ object TextOps {
       (col("_s") / col("n_feats") >= 0.0).as("selected"))
   }
 
+  /** Per-document character-entropy quality signal: Shannon entropy of
+    * the normalized text's character distribution, H = −Σ p·ln p — the
+    * standard gibberish/degenerate-repetition detector (a doc of one
+    * repeated char has H = 0; natural language sits around 4 bits ≈
+    * 2.8 nats). Exact counts; the entropy sum is an ordered fold over
+    * characters sorted by code point, so any engine folds the same
+    * doubles in the same order. Shape: one narrow char explode
+    * (sequence + substring — no regex), two hash aggregations keyed by
+    * (doc, char) then doc; nothing is quadratic and no window appears
+    * anywhere. Docs whose normalized text is empty are out of scope
+    * (no char rows → no output row), matching the other per-char ops. */
+  def charEntropy(docs: DataFrame, id: Column, text: Column,
+                  lowBar: Double = 2.0): DataFrame = {
+    val chars = docs.select(id.as("doc_id"), norm(text).as("_t"))
+      // length guard, not just scope: Spark's sequence(1, 0) DESCENDS
+      // ([1, 0]) instead of returning an empty array, which would hand
+      // an empty-normalized doc two empty-string "chars"
+      .filter(length(col("_t")) >= 1)
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), length(col("_t")))).as("_i"))
+      .select(col("doc_id"), substring(col("_t"), col("_i"), lit(1)).as("ch"))
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("_c"))
+      .persist() // read twice: totals + terms; cache contract as on Dedup
+    // the char total is an exact INTEGER sum (order-free); only the
+    // entropy terms are doubles, folded in code-point order — terms are
+    // computed per (doc, char) ROW first (the x27 fold pattern: DuckDB's
+    // list_reduce seeds with the first element, and 0.0 + t1 ≡ t1)
+    val totals = counts.groupBy("doc_id")
+      .agg(sum(col("_c")).as("n_chars_norm"),
+        count(lit(1)).as("n_distinct_chars"))
+    val p = col("_c").cast(DoubleType) / col("n_chars_norm").cast(DoubleType)
+    val ent = counts.join(totals.select("doc_id", "n_chars_norm"), "doc_id")
+      .select(col("doc_id"), col("ch"), (-(p * log(p))).as("_t"))
+      .groupBy("doc_id")
+      .agg(aggregate(transform(array_sort(collect_list(struct(col("ch"), col("_t")))),
+        _.getField("_t")), lit(0.0), (acc, x) => acc + x).as("_h"))
+    totals.join(ent, "doc_id")
+      .select(col("doc_id"), col("n_chars_norm"), col("n_distinct_chars"),
+        round(col("_h"), 6).as("entropy"),
+        (col("_h") < lowBar).as("low_entropy"))
+  }
+
   /** RefinedWeb/Gopher duplicate-n-gram signal: for each document, the
     * fraction of its word n-gram positions whose n-gram occurs ≥ 2 times
     * CORPUS-WIDE (within- or cross-document) — the "fraction of

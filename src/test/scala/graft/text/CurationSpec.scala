@@ -257,6 +257,23 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("charEntropy: degenerate repetition scores 0, alternation ln2, prose above the bar") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),                                   // one char → H = 0
+      (2L, "abababab"),                                   // two equal chars → ln 2
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, " \t "))                                       // normalizes to "" → no row
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropy(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((8L, 1L, 0.0, true)))
+    assert(out(2L)._3 === 0.693147 && out(2L)._4) // round(ln 2, 6)
+    assert(out(3L)._3 > 2.0 && !out(3L)._4)
+    assert(!out.contains(4L))
+    spark.catalog.clearCache()
+  }
+
   test("mightContain: no false negatives; absent keys are overwhelmingly rejected") {
     val present = (1L to 1000L).toDF("h")
     val bloom = present.stat.bloomFilter("h", 1000L, 0.01)
