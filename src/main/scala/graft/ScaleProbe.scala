@@ -155,6 +155,15 @@ object ScaleProbe {
         val q = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         Similarity.pqTopK(embCorpus(k), q, 3, dim = 64)
+      },
+      "x43_ivfpq_topk" -> { k =>
+        // scaled cells + constant residual codebook: assignment and the
+        // probed-cell code scan should both track the corpus linearly
+        val c = embCorpus(k)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        Similarity.ivfPqTopK(c, q, 3, dim = 64,
+          nCells = Similarity.scaledCells(c.count()), nprobe = 2)
       })
 
     // optional arg: comma-separated probe-name substrings to run a subset

@@ -441,6 +441,76 @@ object ExtraQueries {
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
     },
 
+    // ----- IVF-PQ top-k (FAISS IVFADC: cells bound WHERE, codes bound WHAT)
+    QueryDef("x43_ivfpq_topk_cosine",
+      "IVF-PQ/ADC: scaled coarse cells + shared 4x16 residual codebook; probed-cell candidates scored as dot(q, cell-centroid) + LUT subspace sum over codes, exact-cosine re-rank of the top-10 — the billion-scale ANN composition")(
+      s"""WITH sd AS (SELECT unnest(range(0, 4)) AS s),
+         |p AS (SELECT least(greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8), 65536) AS nc
+         |      FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
+         |           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS crn
+         |           FROM embeddings)
+         |         WHERE crn <= (SELECT nc FROM p)),
+         |sc AS (SELECT e.vec_id, e.embedding, c.cid, c.c_emb,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           ${cosD("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+         |       FROM embeddings e, cent c),
+         |res AS (SELECT vec_id, cid AS cell,
+         |          list_transform(list_zip(embedding, c_emb),
+         |            z -> CAST(z[1] - z[2] AS FLOAT)) AS r
+         |        FROM sc WHERE rn = 1),
+         |seeds AS (SELECT r, rk - (SELECT nc FROM p) - 1 AS code FROM (
+         |           SELECT r, row_number() OVER (ORDER BY vec_id) AS rk FROM res)
+         |          WHERE rk > (SELECT nc FROM p)
+         |            AND rk <= (SELECT nc FROM p) + 16),
+         |cb AS (SELECT sd.s, seeds.code, seeds.r[sd.s*16+1 : sd.s*16+16] AS c_sub
+         |       FROM seeds, sd),
+         |rs AS (SELECT res.vec_id, sd.s, res.r[sd.s*16+1 : sd.s*16+16] AS sub
+         |       FROM res, sd),
+         |enc0 AS (SELECT c.vec_id, c.s, b.code,
+         |          row_number() OVER (PARTITION BY c.vec_id, c.s ORDER BY
+         |            ${sqNormD("c.sub")} + ${sqNormD("b.c_sub")}
+         |              - 2 * ${dotD("c.sub", "b.c_sub")}, b.code) AS rn
+         |        FROM rs c JOIN cb b USING (s)),
+         |enc AS (SELECT e0.vec_id, e0.s, e0.code, res.cell
+         |        FROM enc0 e0 JOIN res USING (vec_id) WHERE e0.rn = 1),
+         |vn AS (SELECT vec_id, sqrt(${sqNormD("embedding")}) AS vnorm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT s.vec_id AS q_id, s.cid AS cell,
+         |         ${dotD("s.embedding", "s.c_emb")} AS qcd
+         |       FROM sc s WHERE s.vec_id < 5 AND s.rn <= 2),
+         |qs AS (SELECT q.q_id, sd.s, q.q_emb[sd.s*16+1 : sd.s*16+16] AS sub FROM q, sd),
+         |lut AS (SELECT qs.q_id, qs.s, b.code, ${dotD("qs.sub", "b.c_sub")} AS pd
+         |        FROM qs JOIN cb b USING (s)),
+         |qn AS (SELECT q_id, sqrt(${sqNormD("q_emb")}) AS qnorm FROM q),
+         |ad AS (SELECT c.q_id, e.vec_id,
+         |         max(c.qcd) + list_reduce(list(l.pd ORDER BY l.s), (a, x) -> a + x) AS adot
+         |       FROM enc e JOIN qc c USING (cell)
+         |                  JOIN lut l ON l.q_id = c.q_id AND l.s = e.s AND l.code = e.code
+         |       GROUP BY 1, 2),
+         |ac AS (SELECT ad.q_id, ad.vec_id,
+         |         CASE WHEN qn.qnorm * vn.vnorm = 0 THEN 0.0
+         |              ELSE ad.adot / (qn.qnorm * vn.vnorm) END AS acos
+         |       FROM ad JOIN vn USING (vec_id) JOIN qn USING (q_id)),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY acos DESC, vec_id) AS rn FROM ac)
+         |         WHERE rn <= 10),
+         |ex AS (SELECT c.q_id, c.vec_id, ${cosD("q.q_emb", "e.embedding")} AS cos
+         |       FROM cand c JOIN embeddings e USING (vec_id) JOIN q USING (q_id))
+         |SELECT q_id, vec_id, round(cos, 6) AS cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM ex)
+         |WHERE rn <= 3
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfPqTopK(emb, queries, 3, dim = 64,
+          nCells = Similarity.scaledCells(emb.count()), nprobe = 2)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    },
+
     // ----- embedding-cosine near-dup (the vector member of the dedup family)
     QueryDef("x16_embedding_neardup",
       "near-dup pairs by embedding cosine >= 0.999 in corpus-scaled random-hyperplane LSH buckets, 2 hash tables for recall")(

@@ -377,6 +377,101 @@ object Similarity {
     TopK.perGroup(exact, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
   }
 
+  /** IVF-PQ top-k (the FAISS IVFADC composition): coarse cells bound
+    * WHERE to look ([[ivfTopK]]'s partition trade), a shared residual
+    * codebook bounds WHAT the scan reads ([[pqTopK]]'s compression
+    * trade) — together the standard billion-scale ANN architecture.
+    * Each vector stores its cell id, nSub residual codes, and one exact
+    * norm; dot(q, x) = dot(q, c_cell) + dot(q, r) is approximated as
+    * dot(q, c_cell) + Σ_s LUT[s, code_s], where the LUT holds
+    * dot(q_s, residual-centroid) and is SHARED across cells (classic
+    * IVFADC: one residual codebook, not per-cell). Queries probe
+    * `nprobe` cells, score only those cells' codes, and the top
+    * `rerank` candidates per query are re-ranked by exact cosine.
+    * Residuals are float subtractions (exact in IEEE, identical in any
+    * engine); every argmin ties to the lowest code and the scoring sum
+    * folds the cell term first then subspace terms in order, so the
+    * result is engine-reproducible. Size `nCells` with [[scaledCells]].
+    * `dim` must be the embedding width, divisible by nSub. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                dim: Int, nCells: Int, nprobe: Int = 2,
+                nSub: Int = 4, nCodes: Int = 16,
+                rerank: Int = 10): DataFrame = {
+    require(nSub > 0 && dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val subDim = dim / nSub
+    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val asg = assignCells(corpus, "vec_id", "embedding", cents, 1)
+      .join(broadcast(cents.withColumnRenamed("cid", "cell")), "cell")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        zip_with(col("embedding"), col("c_emb"), (a, b) => a - b).as("_res"))
+      .persist() // read by the residual codebook seeds + encoding
+    // shared residual codebook: the lowest-id NON-CENTROID vectors'
+    // residuals. The first nCells vectors ARE the coarse centroids —
+    // their residuals are identically zero, and seeding from them
+    // (first draft of this operator) produced an all-zero codebook
+    // that silently degenerated ADC to cell-centroid-only scoring
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val seeds = asg.orderBy(col("vec_id")).limit(nCells + nCodes)
+      .select(col("_res"), (row_number().over(w) - 1).as("_rk"))
+      .filter(col("_rk") >= nCells)
+      .select(col("_res"), (col("_rk") - nCells).as("code"))
+    def subs(df: DataFrame, idc: String, emb: String): DataFrame = df
+      .select(col(idc), explode(array((0 until nSub).map { s =>
+        struct(lit(s).as("s"),
+          slice(col(emb), s * subDim + 1, subDim).as("sub"))
+      }: _*)).as("t"))
+      .select(col(idc), col("t.s"), col("t.sub"))
+    val codebook = subs(seeds, "code", "_res")
+      .select(col("s"), col("code"), col("sub").as("c_sub"))
+    val d2 = sqNorm(col("sub")) + sqNorm(col("c_sub")) -
+      lit(2.0) * dot(col("sub"), col("c_sub"))
+    val encoded = TopK.perGroup(
+      subs(asg.select(col("vec_id"), col("_res")), "vec_id", "_res")
+        .join(broadcast(codebook), "s")
+        .select(col("vec_id"), col("s"), col("code"), d2.as("_d2")),
+      Seq(col("vec_id"), col("s")), Seq(col("_d2"), col("code")), 1)
+      .select("vec_id", "s", "code")
+      .join(asg.select("vec_id", "cell"), "vec_id")
+    val norms = corpus.select(col("vec_id"),
+      sqrt(sqNorm(col("embedding"))).as("_vn"))
+    // query side: probed cells with the cell term dot(q, c_cell), plus
+    // the shared LUT dot(q_s, residual-centroid)
+    val qCells = assignCells(queries, "q_id", "q_emb", cents, nprobe)
+      .join(broadcast(cents.withColumnRenamed("cid", "cell")), "cell")
+      .select(col("q_id"), col("cell"),
+        dot(col("q_emb"), col("c_emb")).as("_qc"))
+    val lut = subs(queries, "q_id", "q_emb")
+      .join(broadcast(codebook), "s")
+      .select(col("q_id"), col("s"), col("code"),
+        dot(col("sub"), col("c_sub")).as("_pd"))
+    val qNorms = queries.select(col("q_id"), sqrt(sqNorm(col("q_emb"))).as("_qn"))
+    // candidates = codes in probed cells; approx dot = cell term + the
+    // subspace terms folded in s order. The cell term is ADDED to the
+    // finished fold (one association both engines share) — using it as
+    // the fold's init would associate (((qc+t1)+t2)+…) where DuckDB's
+    // list_reduce gives qc+(((t1+t2)+…)), a genuinely different double
+    val adot = encoded.join(broadcast(qCells), "cell")
+      .join(broadcast(lut), Seq("q_id", "s", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg((max(col("_qc")) + // constant within the group (one cell per vec)
+        aggregate(transform(array_sort(collect_list(struct(col("s"), col("_pd")))),
+          _.getField("_pd")), lit(0.0), (acc, x) => acc + x))
+        .as("_adot"))
+    val approx = adot.join(norms, "vec_id").join(broadcast(qNorms), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        when(col("_qn") * col("_vn") === 0.0, 0.0)
+          .otherwise(col("_adot") / (col("_qn") * col("_vn"))).as("_acos"))
+    val cand = TopK.perGroup(approx, Seq(col("q_id")),
+      Seq(col("_acos").desc, col("vec_id")), rerank)
+    val exact = cand.select("q_id", "vec_id")
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perGroup(exact, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
+  }
+
   /** SemDeDup-style semantic dedup: partition the corpus into cells
     * around deterministic centroids (first `nCells` vectors, optionally
     * Lloyd-refined), generate candidate pairs only WITHIN a cell, gate

@@ -59,7 +59,8 @@ class PlanAuditSpec extends SparkSpec {
     "x32_semantic_dedup",         // centroid set
     "x33_mixture_weights",        // singleton corpus-totals row
     "x39_dsir_weights",           // singleton (qtot, ptot) totals row
-    "x40_ann_ivf2_cosine"         // coarse-centroid set (cbrt-scaled)
+    "x40_ann_ivf2_cosine",        // coarse-centroid set (cbrt-scaled)
+    "x43_ivfpq_topk_cosine"       // coarse-centroid set (scaledCells)
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -85,7 +86,8 @@ class PlanAuditSpec extends SparkSpec {
     "x38_fuzzy_decontam",         // benchmark-gram set (eval-set bounded)
     "x39_dsir_weights",           // log-ratio table (<= m rows) + totals
     "x40_ann_ivf2_cosine",        // coarse centroids + probed query set
-    "x41_pq_topk_cosine"          // codebook/LUT/query sets (constant-bounded)
+    "x41_pq_topk_cosine",         // codebook/LUT/query sets (constant-bounded)
+    "x43_ivfpq_topk_cosine"       // centroids + codebook/LUT/query sets
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -169,6 +169,39 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfPqTopK: seed queries self-reconstruct through residual codes; deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nCells = Similarity.scaledCells(emb.count())
+    // queries from the residual SEED range (ranks nCells..nCells+4 —
+    // the first nCells vectors are coarse centroids with zero
+    // residuals, deliberately excluded from the codebook): seed
+    // residuals ARE codebook centroids, so ADC reconstructs them
+    // exactly and the re-rank must surface each query itself at rank 1
+    val queries = emb
+      .filter(col("vec_id") >= nCells && col("vec_id") < nCells + 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def run() = Similarity.ivfPqTopK(emb, queries, 3, dim = 64,
+        nCells = nCells, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    val out = run()
+    assert(out.groupBy(_._1).forall(_._2.size === 3))
+    (nCells.toLong until nCells + 5L).foreach { q =>
+      val top = out.filter(_._1 == q).maxBy(_._3)
+      assert(top._2 === q && math.abs(top._3 - 1.0) < 1e-9,
+        s"seed query $q did not self-reconstruct: $top")
+    }
+    assert(run() === out)
+    def rsx(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = rsx(Similarity.bruteForceTopK(emb, queries, 3))
+    val recall = (exact intersect out.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    info(f"ivfPqTopK(cells=scaled, nprobe=2, 4x16, rerank=10) recall@3 = $recall%.3f")
+    assert(recall >= 0.4, s"ivfpq recall collapsed: $recall")
+    spark.catalog.clearCache()
+  }
+
   test("kmeansRefine is deterministic and keeps one centroid per cell") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
