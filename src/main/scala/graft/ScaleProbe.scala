@@ -149,6 +149,8 @@ object ScaleProbe {
       },
       "x42_char_entropy" -> (k =>
         TextOps.charEntropy(docCorpus(k), col("doc_id"), col("text"))),
+      "x44_train_order" -> (k =>
+        TextOps.trainOrder(docCorpus(k), col("doc_id"), col("text"))),
       "x41_pq_topk" -> { k =>
         // constant codebook/LUT, linear encode + code-scan: the slope is
         // the whole point (the scan ranks codes, never raw embeddings)

@@ -1132,6 +1132,18 @@ object ExtraQueries {
       TextOps.charEntropy(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
 
+    // ----- deterministic global training order (reproducible epoch shuffle)
+    QueryDef("x44_train_order",
+      "dense global permutation seq in (content-hash, doc_id) order — reproducible epoch shuffle, computed by bucketed two-phase ranking (offsets + within-bucket row_number), never a global one-task sort")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |h AS (SELECT doc_id, ${charFoldD("t")} AS hk FROM n)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (ORDER BY hk NULLS FIRST, doc_id) AS BIGINT) AS seq
+         |FROM h
+         |""".stripMargin) { (s, dir) =>
+      TextOps.trainOrder(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
     // ----- Gopher document-quality rules (exact flags + conjunction)
     QueryDef("x30_gopher_rules",
       "Gopher quality rules per doc: word bounds, mean word length, symbol ratio, alpha-word fraction, >=2 stopwords, pass flag — pure narrow projection")(

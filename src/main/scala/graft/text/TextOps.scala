@@ -182,6 +182,37 @@ object TextOps {
         round(col("_s") / col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** Deterministic global training order: a dense permutation
+    * seq ∈ [1, N] of the corpus in (content-hash, doc_id) order — the
+    * "shuffle the training set reproducibly" step (hash order is
+    * row-order immune, engine-portable, and free of RNG state; any
+    * engine derives the same epoch order). Computed WITHOUT a global
+    * sort: the hash's top bits bucket the corpus order-monotonically
+    * (arithmetic shift, same trick as tokenBudgetSample), per-bucket
+    * counts become cumulative offsets through a window over ≤ nBuckets
+    * rows, and each document's rank is offset + its row_number within
+    * its bucket only — a global row_number()'s one-task sort never
+    * appears. Null-normalized texts hash to a dedicated first bucket
+    * (Spark's nulls-first asc ≡ the oracle's NULLS FIRST). */
+  def trainOrder(docs: DataFrame, id: Column, text: Column,
+                 nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val h = docs.select(id.as("doc_id"), fingerprint(norm(text)).as("_hk"))
+      .withColumn("_bkt", coalesce(shiftright(col("_hk"), shift),
+        lit(-nBuckets.toLong)))
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("_bkt"))
+    val offsets = h.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", sum(col("_n")).over(wOff) - col("_n"))
+      .select("_bkt", "_off")
+    val wIn = Window.partitionBy(col("_bkt")).orderBy(col("_hk"), col("doc_id"))
+    h.join(offsets, Seq("_bkt"))
+      .select(col("doc_id"),
+        (col("_off") + row_number().over(wIn)).as("seq"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed-n-gram bag is under a

@@ -131,6 +131,12 @@ class PlanAuditSpec extends SparkSpec {
       s"expected offset window + per-bucket window:\n$p")
   }
 
+  test("x44 global rank is bucketed: the corpus-sized window partitions by _bkt") {
+    val p = physical("x44_train_order")
+    assert("hashpartitioning\\(_bkt#\\d+".r.findFirstIn(p).nonEmpty,
+      s"bucketed rank partitioning lost — global one-task sort?\n$p")
+  }
+
   test("the scale-killer detector itself still detects (negative control)") {
     import spark.implicits._
     val l = Seq(1, 2).toDF("a")

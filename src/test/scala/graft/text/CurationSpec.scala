@@ -274,6 +274,23 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("trainOrder: dense permutation 1..N, row-order immune, nulls first") {
+    val docs = ((1L to 200L).map(i => (i, s"document body $i ${i * 37}")) :+
+      (999L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.trainOrder(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSeq.sorted === (1L to 201L)) // dense, no gaps/dups
+    assert(out(999L) === 1L) // null hash sorts first (dedicated bucket)
+    val rev = TextOps.trainOrder(docs.orderBy(col("doc_id").desc),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev === out)
+    // the permutation actually scrambles id order (hash order, not input
+    // order): some doc must move far from its id rank
+    assert((1L to 200L).exists(i => math.abs(out(i) - i) > 20))
+  }
+
   test("mightContain: no false negatives; absent keys are overwhelmingly rejected") {
     val present = (1L to 1000L).toDF("h")
     val bloom = present.stat.bloomFilter("h", 1000L, 0.01)
