@@ -291,6 +291,48 @@ class CurationSpec extends SparkSpec {
     assert((1L to 200L).exists(i => math.abs(out(i) - i) > 20))
   }
 
+  test("curation invariants on sampled corpora: fuzzyOverlap bounds, entropy bounds, dsir finiteness") {
+    // small-vocab random docs: overlaps and repetition are likely, so
+    // the invariants are exercised on non-trivial values
+    val gen = org.scalacheck.Gen.listOfN(40, org.scalacheck.Gen.listOfN(
+      14, org.scalacheck.Gen.oneOf("aa", "bb", "cc", "dd", "ee")))
+    val docs = gen.sample.get.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 4)
+    val fo = Decontam.fuzzyOverlap(docs, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    fo.foreach { case (id, n, hit, frac, run) =>
+      assert(hit >= 0L && hit <= n, s"doc $id: n_hit $hit outside [0, $n]")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(run >= 0L && run <= hit,
+        s"doc $id: max_run $run exceeds n_hit $hit") // a run IS hits
+      assert(run > 0L || hit === 0L) // hits imply a run of >= 1
+    }
+    // bench docs are fully contaminated against themselves
+    fo.filter(_._1 < 4).foreach { case (id, n, hit, _, run) =>
+      assert(hit === n && run === n, s"bench doc $id not fully matched")
+    }
+    val ce = TextOps.charEntropy(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    ce.foreach { case (id, distinct, h) =>
+      assert(h >= 0.0, s"doc $id: negative entropy $h")
+      // H is maximized by the uniform distribution over distinct chars
+      assert(h <= math.log(distinct.toDouble) + 1e-9,
+        s"doc $id: H $h exceeds ln($distinct)")
+    }
+    val dw = TextOps.dsirWeights(docs, col("doc_id"), col("text"),
+        bench, col("text"), m = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    dw.foreach { case (id, lw, sc) =>
+      assert(!lw.isNaN && !lw.isInfinite, s"doc $id: log_w $lw")
+      assert(!sc.isNaN && !sc.isInfinite, s"doc $id: dsir_score $sc")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("mightContain: no false negatives; absent keys are overwhelmingly rejected") {
     val present = (1L to 1000L).toDF("h")
     val bloom = present.stat.bloomFilter("h", 1000L, 0.01)
