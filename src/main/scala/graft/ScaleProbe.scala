@@ -151,6 +151,15 @@ object ScaleProbe {
         TextOps.charEntropy(docCorpus(k), col("doc_id"), col("text"))),
       "x44_train_order" -> (k =>
         TextOps.trainOrder(docCorpus(k), col("doc_id"), col("text"))),
+      "x45_incremental" -> { k =>
+        // FIXED batch vs growing index: the slope isolates the
+        // corpus-side banding pass (the thing that must stay linear)
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" zz qq xx yy")).as("text"))
+        Dedup.incrementalNearDup(docCorpus(k), col("doc_id"), col("text"),
+          batch, col("doc_id"), col("text"))
+      },
       "x41_pq_topk" -> { k =>
         // constant codebook/LUT, linear encode + code-scan: the slope is
         // the whole point (the scan ranks codes, never raw embeddings)

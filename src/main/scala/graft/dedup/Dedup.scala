@@ -163,6 +163,47 @@ object Dedup {
     jaccardOnStaged(cand, sh)
   }
 
+  /** Incremental near-dup: LSH candidates between a NEW batch and the
+    * EXISTING corpus, verified by exact Jaccard — the appending-crawl
+    * workflow (daily batch vs accumulated index), where re-running the
+    * full self-join (x02) would redo O(corpus) banding work per batch
+    * for pairs that cannot involve the batch at all. Both sides band
+    * once; the join is ASYMMETRIC (corpus never self-joins), so the
+    * corpus-side cost is one linear banding pass — and on a real
+    * cluster the corpus bands are the thing to persist/bucket by
+    * (band_id, band_key) across batches, turning each day's run into
+    * an index probe. Batch-internal duplicates are x02's job; this
+    * emits only (batch_id, corpus_id, jaccard ≥ minJaccard) pairs. */
+  def incrementalNearDup(corpus: DataFrame, cid: Column, ctext: Column,
+                         batch: DataFrame, bid: Column, btext: Column,
+                         k: Int = 7, nHashes: Int = 12,
+                         bands: Int = 3, rows: Int = 4,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val csh = stagedShingles(corpus, cid, ctext, k)
+      .persist() // read by banding + the a-side verify join
+    val bsh = stagedShingles(batch, bid, btext, k)
+      .persist() // read by banding + the b-side verify join
+    def bandedOf(sh: DataFrame) = sh
+      .select(col("_id").as("doc_id"),
+        minhashSignature(col("_sh"), nHashes).as("_sig"))
+      .select(col("doc_id"), explode(lshBands(col("_sig"), bands, rows)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+    val cand = bandedOf(csh).as("c").join(bandedOf(bsh).as("n"),
+        col("c.band_id") === col("n.band_id") &&
+          col("c.band_key") === col("n.band_key"))
+      .select(col("c.doc_id").as("corpus_id"), col("n.doc_id").as("batch_id"))
+      .distinct()
+    cand
+      .join(csh.select(col("_id").as("corpus_id"), col("_sh").as("sh_a")), "corpus_id")
+      .join(bsh.select(col("_id").as("batch_id"), col("_sh").as("sh_b")), "batch_id")
+      .select(col("batch_id"), col("corpus_id"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType).as("_i"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("_s"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("_i") / (col("_s") - col("_i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Winnowing fingerprint (Schleimer/MOSS): distinct sliding-window
     * minima of positional k-shingle hashes — native one-pass expression
     * (graft.plans.WinnowHashes). Any shared substring of ≥ w+k−1 chars

@@ -198,6 +198,55 @@ object ExtraQueries {
       Dedup.verifiedCandidates(tailDupCorpus(s, dir), col("doc_id"), col("text"))
     },
 
+    // ----- incremental near-dup: NEW batch probed against the EXISTING corpus
+    QueryDef("x45_incremental_neardup",
+      "appending-crawl dedup: band the new batch and the existing corpus once each, join bands ASYMMETRICALLY (no corpus self-join), verify with exact Jaccard >= 0.5 — per-batch cost is one linear banding pass + an index probe")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |${shinglesKD(7)},
+         |bc AS (SELECT doc_id + 10000 AS doc_id, text || ' zz qq xx yy' AS text
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |bn AS (SELECT doc_id, $normD AS t FROM bc),
+         |bsh AS (SELECT doc_id, list_distinct([
+         |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, greatest(least(7, len(t) - i + 1), 1))]::BIGINT[],
+         |                (acc, x) -> (acc * 31 + x) % 1000000007)
+         |    FOR i IN range(1, greatest(len(t) - 6, 1) + 1)]) AS shingles
+         |  FROM bn),
+         |csig AS (SELECT doc_id,
+         |  [list_min([(h * (2 * q + 1) + 12345 * q) % 1000000007 FOR h IN shingles])
+         |   FOR q IN range(0, 12)] AS sig FROM sh),
+         |bsig AS (SELECT doc_id,
+         |  [list_min([(h * (2 * q + 1) + 12345 * q) % 1000000007 FOR h IN shingles])
+         |   FOR q IN range(0, 12)] AS sig FROM bsh),
+         |cbands AS (SELECT doc_id, b AS band_id,
+         |  sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4] AS band_key
+         |  FROM csig, range(0,3) r(b)),
+         |bbands AS (SELECT doc_id, b AS band_id,
+         |  sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4] AS band_key
+         |  FROM bsig, range(0,3) r(b)),
+         |cand AS (SELECT DISTINCT c.doc_id AS corpus_id, nb.doc_id AS batch_id
+         |  FROM cbands c JOIN bbands nb
+         |    ON c.band_id = nb.band_id AND c.band_key = nb.band_key)
+         |SELECT c.batch_id, c.corpus_id,
+         |  round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |        / CAST(len(x.shingles) + len(y.shingles)
+         |               - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE), 6) AS jaccard
+         |FROM cand c
+         |JOIN sh x ON x.doc_id = c.corpus_id
+         |JOIN bsh y ON y.doc_id = c.batch_id
+         |WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |        / CAST(len(x.shingles) + len(y.shingles)
+         |               - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE), 6) >= 0.5
+         |""".stripMargin) { (s, dir) =>
+      // batch = tail-mangled copies of every 10th doc: each is a
+      // near-dup (Jaccard ~0.9) of exactly one corpus doc
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zz qq xx yy")).as("text"))
+      Dedup.incrementalNearDup(docs, col("doc_id"), col("text"),
+        batch, col("doc_id"), col("text"))
+    },
+
     // ----- near-dup clusters: LSH pairs → connected components → survivors
     QueryDef("x23_neardup_clusters",
       "dedup clusters from MinHash-LSH pairs via min-label propagation (one survivor per cluster) — O(diameter) rounds of node-keyed joins")(

@@ -62,6 +62,27 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) > 0.0 && out((1L, 3L)) < 1.0)
   }
 
+  test("incrementalNearDup: batch near-dups pair with their originals only, never batch-internal") {
+    // disjoint per-doc vocabularies — cross-doc Jaccard is ~0 by design
+    def body(i: Long) = (1 to 12).map(j => s"w${i}q$j").mkString(" ")
+    val base = (1L to 30L).map(i => (i, body(i))).toDF("doc_id", "text")
+    // batch: tail-mangled copies of docs 1-3 (true near-dups) + one novel doc
+    val batch = (Seq(1L, 2L, 3L).map(i => (100L + i, body(i) + " zz")) :+
+      (104L, (1 to 12).map(j => s"novelv$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(base, col("doc_id"), col("text"),
+        batch, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // each mangled copy pairs with exactly its original, above threshold
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs === Set((101L, 1L), (102L, 2L), (103L, 3L)), s"got $out")
+    out.foreach(t => assert(t._3 >= 0.5 && t._3 < 1.0))
+    // asymmetry: output ids come from batch x corpus only (no 10x-10y,
+    // no 1-2) — the corpus self-join never ran
+    assert(out.forall(t => t._1 >= 101L && t._2 <= 30L))
+    spark.catalog.clearCache()
+  }
+
   test("SimHash: identical docs have Hamming distance 0, fingerprint fits 16 bits") {
     val df = Dedup.simhashFingerprints(
       Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
