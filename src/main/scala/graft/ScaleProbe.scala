@@ -175,6 +175,32 @@ object ScaleProbe {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         Similarity.ivfPqTopK(c, q, 3, dim = 64,
           nCells = Similarity.scaledCells(c.count()), nprobe = 2)
+      },
+      "x46_keep_best" -> { k =>
+        // the CC labeling dominates (x23's probe shape); the added
+        // struct-max aggregation + cluster join must not bend the slope
+        val c = docCorpus(k)
+        val cand = Dedup.minhashCandidates(c, col("doc_id"), col("text"))
+        Dedup.keepBest(
+          c.select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("quality")),
+          col("doc_id"), col("quality"), cand)
+      },
+      "x47_cell_sample" -> { k =>
+        // corpus-scaled cells keep the per-cell window partitions ~sqrt(n):
+        // the quota rank must track the assignment pass, not a sort bend
+        val c = embCorpus(k)
+        Similarity.cellBalancedSample(c, perCell = 10,
+          nCells = Similarity.scaledCells(c.count()))
+      },
+      "x48_line_dedup" -> { k =>
+        // same line volume as the x36 probe; the first-occurrence pick is
+        // a hash aggregation on the line hash, so the slope should match
+        val c = docCorpus(k).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("nav menu home about contact\n"), col("text"),
+              lit("\ncopyright footer all rights reserved")))
+            .otherwise(col("text")).as("text"))
+        TextOps.dedupLinesFirstWins(c, col("doc_id"), col("text"))
       })
 
     // optional arg: comma-separated probe-name substrings to run a subset

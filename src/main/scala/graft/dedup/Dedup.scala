@@ -393,6 +393,44 @@ object Dedup {
       (col("label") === col("node")).as("is_survivor"))
   }
 
+  /** The fuzzy-dedup ending: given near-dup candidate pairs, keep ONE
+    * representative per duplicate cluster — the member with the highest
+    * `quality` (ties → lowest id), the "keep the best copy" policy of
+    * production dedup, vs [[connectedComponents]]'s min-id survivor
+    * which is arbitrary (reference drops dups blindly on its unique
+    * market key, `consumers/db_writer.py` upserts). Docs in no pair are
+    * their own cluster and always kept. Output: (doc_id, cluster,
+    * quality, keep) for every input doc.
+    *
+    * Scale shape: cluster labels come from the pointer-jumping
+    * [[connectedComponents]] (O(log n) rounds, node-keyed shuffles
+    * only); the canonical pick is ONE cluster-keyed hash aggregation
+    * carrying a (quality, −id) struct max — map-side combinable, never
+    * a per-cluster window sort — joined back on the cluster id with no
+    * forced hint: the keeper table has one row per cluster
+    * (corpus-proportional), so AQE picks the join strategy. Raw text
+    * never moves: the caller computes `quality` upstream and only
+    * (id, quality, label) longs shuffle. */
+  def keepBest(docs: DataFrame, id: Column, quality: Column,
+               pairs: DataFrame,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(pairs, checkpointDir = checkpointDir)
+      .select(col("doc_id"), col("component"))
+    val labeled = docs.select(id.as("doc_id"), quality.as("quality"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"),
+        col("quality"))
+    // argmax by (quality, -doc_id): one struct max per cluster — the
+    // negated id turns "lowest id wins ties" into a plain max
+    val keeper = labeled.groupBy("cluster")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("_nid"))).as("_m"))
+      .select(col("cluster"), (-col("_m").getField("_nid")).as("_keep_id"))
+    labeled.join(keeper, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("quality"),
+        (col("doc_id") === col("_keep_id")).as("keep"))
+  }
+
   /** 64-bit SimHash as four 16-bit band values — native one-pass
     * expression (graft.plans.SimHash64Bands). */
   def simhash64Bands(tokenHs: Column): Column =

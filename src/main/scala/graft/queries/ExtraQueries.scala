@@ -1405,6 +1405,112 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       TextOps.tokenBudgetSample(Tables.documents(s, dir),
         col("doc_id"), col("text"), col("source"), budget = 600L)
+    },
+
+    // ----- fuzzy-dedup ending: clusters → keep the best-quality member
+    QueryDef("x46_keep_best",
+      "canonical-representative dedup: LSH near-dup clusters keep their highest-token-count member (ties -> lowest id) — the keep-the-best-copy policy, vs x23's arbitrary min-id survivor")(
+      s"""WITH RECURSIVE $tailDupCorpusD,
+         |$candidatesD,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |nodes AS (SELECT DISTINCT u AS node FROM und),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT und.u, reach.lab FROM und JOIN reach ON reach.node = und.v),
+         |comp AS (SELECT node AS doc_id, min(lab) AS component
+         |         FROM reach GROUP BY node),
+         |tq AS (SELECT doc_id,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS quality
+         |       FROM corpus),
+         |lab AS (SELECT tq.doc_id, coalesce(c.component, tq.doc_id) AS cluster,
+         |          tq.quality
+         |        FROM tq LEFT JOIN comp c ON tq.doc_id = c.doc_id),
+         |k AS (SELECT cluster, doc_id AS keep_id FROM (
+         |        SELECT cluster, doc_id,
+         |          row_number() OVER (PARTITION BY cluster
+         |                             ORDER BY quality DESC, doc_id) AS rn
+         |        FROM lab) WHERE rn = 1)
+         |SELECT l.doc_id, l.cluster, l.quality, l.doc_id = k.keep_id AS keep
+         |FROM lab l JOIN k ON l.cluster = k.cluster
+         |""".stripMargin) { (s, dir) =>
+      // tail-mangled copies carry 4 extra tokens, so "most tokens wins"
+      // deterministically picks the copy — the point is the policy is
+      // the caller's quality column, not which member it favors here
+      val corpus = tailDupCorpus(s, dir)
+      val cand = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"))
+      Dedup.keepBest(
+        corpus.select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("quality")),
+        col("doc_id"), col("quality"), cand)
+    },
+
+    // ----- cluster-balanced diversity sampling over embeddings
+    QueryDef("x47_cell_sample",
+      "cluster-balanced diversity sample: corpus-scaled IVF cells, at most 10 members kept per cell in deterministic affine-hash order — equal quota across embedding-space regions")(
+      s"""WITH p AS (SELECT least(greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8), 65536) AS nc
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
+         |           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS crn
+         |           FROM embeddings)
+         |         WHERE crn <= (SELECT nc FROM p)),
+         |sc AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      CASE WHEN ${sqNormD("e.embedding")} * ${sqNormD("c.c_emb")} = 0 THEN 0.0
+         |           ELSE list_reduce(list_transform(list_zip(e.embedding, c.c_emb),
+         |                  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+         |                / sqrt(${sqNormD("e.embedding")} * ${sqNormD("c.c_emb")}) END DESC,
+         |      c.cid) AS rn
+         |  FROM embeddings e, cent c),
+         |h AS (SELECT vec_id, cid AS cell,
+         |        ((vec_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS hk
+         |      FROM sc WHERE rn = 1)
+         |SELECT vec_id, cell, hk FROM (
+         |  SELECT vec_id, cell, hk,
+         |         row_number() OVER (PARTITION BY cell ORDER BY hk, vec_id) AS qr
+         |  FROM h)
+         |WHERE qr <= 10
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      // same one cheap count as x15 sizes the quantizer to the corpus
+      val nCells = Similarity.scaledCells(emb.count())
+      Similarity.cellBalancedSample(emb, perCell = 10, nCells = nCells)
+    },
+
+    // ----- corpus-global first-wins line dedup
+    QueryDef("x48_line_dedup",
+      "first-wins line dedup on the planted-furniture corpus: every normalized line survives only at its globally first (doc_id, pos) — one copy of repeated furniture remains, unlike x36 which strikes it everywhere")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN 'nav menu home about contact' || chr(10) || text ||
+         |         chr(10) || 'copyright footer all rights reserved'
+         |    ELSE text END AS text FROM documents),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+         |lp AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM ls),
+         |ln AS (SELECT doc_id, pos, ls[pos] AS line,
+         |         lower(trim(regexp_replace(ls[pos], '\\s+', ' ', 'g'))) AS t
+         |       FROM lp),
+         |h AS (SELECT doc_id, pos, line, ${charFoldD("t")} AS lh FROM ln),
+         |k AS (SELECT doc_id, pos, line,
+         |        row_number() OVER (PARTITION BY lh ORDER BY doc_id, pos) AS rn
+         |      FROM h),
+         |o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |        CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+         |        coalesce(array_to_string(
+         |          list(line ORDER BY pos) FILTER (WHERE rn = 1),
+         |          chr(10)), '') AS cleaned
+         |      FROM k GROUP BY doc_id)
+         |SELECT doc_id, n_lines, n_kept, cleaned,
+         |       ${charFoldD("cleaned")} AS cleaned_fp
+         |FROM o
+         |""".stripMargin) { (s, dir) =>
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("nav menu home about contact\n"), col("text"),
+            lit("\ncopyright footer all rights reserved")))
+          .otherwise(col("text")).as("text"))
+      TextOps.dedupLinesFirstWins(corpus, col("doc_id"), col("text"))
     }
   )
 }

@@ -162,6 +162,40 @@ object Similarity {
       .withColumnRenamed("cid", "cell").drop("_ccos")
   }
 
+  /** Cluster-balanced diversity sampling (the coreset-selection step of
+    * embedding-space curation): assign every vector to its nearest of
+    * `nCells` deterministic centroids, then keep at most `perCell`
+    * members per cell, chosen in a deterministic multiplicative-hash
+    * order of vec_id — an equal quota across embedding-space regions,
+    * so over-represented regions are cut to their quota while sparse
+    * regions keep everything. The hash (id mod p, affine, mod
+    * p = 1e9+7) is a reproducible stand-in for a random draw, the same
+    * convention as the x21 stratified sample; all arithmetic stays
+    * under 2^63 so every engine computes it exactly. Output:
+    * (vec_id, cell, hk) for kept members.
+    *
+    * Scale shape: assignment is the [[assignCells]] narrow
+    * broadcast-argmax pass (size `nCells` with [[scaledCells]] — the
+    * √n-broadcast trade of x15, with [[ivfTopK2]]'s two-level split as
+    * the past-10⁹ path); the quota rank is a per-CELL window whose
+    * partitions hold one cell's members, ~√n rows by construction —
+    * sublinear in the corpus, unlike the per-stratum window the x37
+    * ledger note rules out (tens of strata → corpus-sized partitions).
+    * Only (vec_id, cell, hk) longs reach that shuffle — embeddings are
+    * dropped after the assignment pass. */
+  def cellBalancedSample(corpus: DataFrame, perCell: Int,
+                         nCells: Int): DataFrame = {
+    val p = 1000000007L
+    val init = corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    assignCells(corpus, "vec_id", "embedding", init, 1)
+      .select(col("vec_id"), col("cell"),
+        (((col("vec_id") % p) * 1103515245L + 12345L) % p).as("hk"))
+      .transform(TopK.perGroup(_, Seq(col("cell")),
+        Seq(col("hk"), col("vec_id")), perCell))
+      .select("vec_id", "cell", "hk")
+  }
+
   /** Deterministic Lloyd refinement of IVF centroids: assign → per-cell
     * element-wise mean → repeat. The mean uses EXACT decimal sums per
     * (cell, dimension) — order-independent regardless of partitioning, so

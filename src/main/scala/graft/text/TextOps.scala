@@ -591,4 +591,50 @@ object TextOps {
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "stratum", "n_tokens", "cum_tokens")
   }
+
+  /** Corpus-global first-wins line dedup (the exact-substring-dedup
+    * policy of Lee et al. 2022 at line granularity): every normalized
+    * line is kept ONLY at its globally first occurrence — lowest
+    * (doc_id, pos) lexicographically — and struck everywhere else,
+    * including later repeats inside the same document. Complements
+    * [[removeBoilerplateLines]]: that removes high-document-frequency
+    * furniture from ALL docs; this keeps exactly one copy of every
+    * repeated line, the policy that preserves content while killing
+    * cross-crawl duplication. Normalization maps whitespace-only lines
+    * to one key, so only the corpus's first blank line survives —
+    * deliberate: repeated structural blanks are duplication too.
+    * Output: (doc_id, n_lines, n_kept, cleaned, cleaned_fp), same shape
+    * as [[removeBoilerplateLines]].
+    *
+    * Scale shape: the first-occurrence pick is ONE line-hash-keyed hash
+    * aggregation carrying a (doc_id, pos) struct min — map-side
+    * combinable, never a per-hash window sort — joined back on the long
+    * hash with no forced hint (the first-occurrence table has one row
+    * per DISTINCT line, corpus-proportional; AQE picks the strategy).
+    * Reassembly is the same single doc_id-keyed aggregation as
+    * removeBoilerplateLines; raw text crosses the wire exactly once.
+    * Same persist + CACHE LIFETIME CONTRACT as removeBoilerplateLines:
+    * both the min-pass and the probe side read the exploded+hashed line
+    * relation, and callers clear the cache after consuming results. */
+  def dedupLinesFirstWins(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val lines = docs.select(id.as("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", fingerprint(norm(col("line"))))
+      .persist()
+    val first = lines.groupBy("lh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_f"))
+      .select(col("lh"), col("_f").getField("doc_id").as("_fd"),
+        col("_f").getField("pos").as("_fp"))
+    val isFirst = col("doc_id") === col("_fd") && col("pos") === col("_fp")
+    lines.join(first, Seq("lh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(isFirst, 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(isFirst,
+            struct(col("pos"), col("line"))))),
+          _.getField("line")), "\n").as("cleaned"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"),
+        fingerprint(col("cleaned")).as("cleaned_fp"))
+  }
 }

@@ -163,6 +163,25 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Set(1L, 10L, 20L, 30L))
   }
 
+  test("keepBest keeps the highest-quality cluster member (ties -> lowest id), singletons always kept") {
+    // cluster {1,2,3}: qualities 5, 9, 9 -> doc 2 wins the tie with 3;
+    // cluster {10,11}: 11 strictly better; doc 20 is unpaired
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 7L), (20L, 1L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepBest(docs, col("doc_id"), col("quality"), pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 10L, 11L, 20L)) // every doc labeled
+    assert(out(1L) === ((1L, false)) && out(2L) === ((1L, true)) &&
+      out(3L) === ((1L, false)))
+    assert(out(10L) === ((10L, false)) && out(11L) === ((10L, true)))
+    assert(out(20L) === ((20L, true))) // own cluster, kept
+    // exactly one keeper per cluster
+    val perCluster = out.values.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.count(_._2) }
+    assert(perCluster.values.forall(_ == 1))
+  }
+
   test("connectedComponents with reliable checkpointDir matches localCheckpoint mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     try {

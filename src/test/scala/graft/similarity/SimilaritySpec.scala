@@ -249,6 +249,27 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("cellBalancedSample cuts dense cells to the quota, keeps sparse cells whole, deterministically") {
+    // centroids = first 2 by id: vec 0 ~ e1-region, vec 1 ~ e2-region.
+    // e1-region has 5 members (0,2,3,4,5), e2-region only vec 1.
+    val e1 = Array(1f, 0f, 0f)
+    val near = (i: Float) => Array(1f, i * 0.01f, 0f)
+    val rows = Seq(
+      (0L, e1), (1L, Array(0f, 1f, 0f)),
+      (2L, near(1)), (3L, near(2)), (4L, near(3)), (5L, near(4)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val out = Similarity.cellBalancedSample(corpus, perCell = 2, nCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val byCell = out.groupBy(_._2).map { case (c, m) => c -> m.map(_._1).toSet }
+    assert(byCell(0L).size === 2, "dense cell cut to its quota")
+    assert(byCell(0L).subsetOf(Set(0L, 2L, 3L, 4L, 5L)))
+    assert(byCell(1L) === Set(1L), "sparse cell kept whole")
+    // deterministic: a second run returns the identical selection
+    val again = Similarity.cellBalancedSample(corpus, perCell = 2, nCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("neardupPairs finds planted exact duplicates (recall 1.0 on true copies)") {
     val planted = corpus.filter(col("vec_id") < 2)
       .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))

@@ -137,6 +137,37 @@ class TextOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedupLinesFirstWins keeps each line only at its first (doc_id, pos), including within-doc repeats") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha"), // within-doc repeat: second alpha dies
+      (2L, "beta\ngamma"),        // beta first seen in doc 1
+      (3L, "beta"),               // whole doc already seen -> cleaned ""
+      (4L, "")).toDF("doc_id", "text") // corpus's first empty line survives
+    val out = TextOps.dedupLinesFirstWins(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 2L, "alpha\nbeta")))
+    assert(out(2L) === ((2L, 1L, "gamma")))
+    assert(out(3L) === ((1L, 0L, "")))
+    assert(out(4L) === ((1L, 1L, "")))
+    spark.catalog.clearCache()
+  }
+
+  test("dedupLinesFirstWins is idempotent and order-normalization-insensitive") {
+    val docs = Seq(
+      (1L, "alpha\nbeta"),
+      (2L, "ALPHA  \ngamma")). // normalizes to doc 1's alpha -> struck
+      toDF("doc_id", "text")
+    val once = TextOps.dedupLinesFirstWins(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("cleaned").as("text"))
+    val first = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first === Map(1L -> "alpha\nbeta", 2L -> "gamma"))
+    val twice = TextOps.dedupLinesFirstWins(once, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(twice === first)
+    spark.catalog.clearCache()
+  }
+
   test("tokenBudgetSample admits docs in hash order until the stratum budget, deterministically") {
     val docs = Seq(
       (1L, "a", "one two three"),        // 3 tokens each, stratum a
