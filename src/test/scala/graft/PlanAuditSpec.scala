@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "x33_mixture_weights",        // singleton corpus-totals row
     "x39_dsir_weights",           // singleton (qtot, ptot) totals row
     "x40_ann_ivf2_cosine",        // coarse-centroid set (cbrt-scaled)
-    "x43_ivfpq_topk_cosine"       // coarse-centroid set (scaledCells)
+    "x43_ivfpq_topk_cosine",      // coarse-centroid set (scaledCells)
+    "x47_cell_sample"             // centroid set (scaledCells-capped)
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -87,7 +88,8 @@ class PlanAuditSpec extends SparkSpec {
     "x39_dsir_weights",           // log-ratio table (<= m rows) + totals
     "x40_ann_ivf2_cosine",        // coarse centroids + probed query set
     "x41_pq_topk_cosine",         // codebook/LUT/query sets (constant-bounded)
-    "x43_ivfpq_topk_cosine"       // centroids + codebook/LUT/query sets
+    "x43_ivfpq_topk_cosine",      // centroids + codebook/LUT/query sets
+    "x47_cell_sample"             // centroid set (scaledCells-capped)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
