@@ -29,7 +29,7 @@ object Bench {
     catch { case _: Throwable => () }
     // queries whose wall-clock is a sequence of driver-blocking rounds
     // (iterative checkpoint+count loops) get the median-of-3 policy below
-    val iterative = Set("x23_neardup_clusters")
+    val iterative = Set("x23_neardup_clusters", "x46_keep_best")
     val results = queries.map { case (name, fn) =>
       // toRdd.count() forces full evaluation of the physical plan —
       // df.count() would let Catalyst prune every projected column and

@@ -181,8 +181,14 @@ object Similarity {
     * partitions hold one cell's members, ~√n rows by construction —
     * sublinear in the corpus, unlike the per-stratum window the x37
     * ledger note rules out (tens of strata → corpus-sized partitions).
-    * Only (vec_id, cell, hk) longs reach that shuffle — embeddings are
-    * dropped after the assignment pass. */
+    * Even under a degenerate assignment (every vector in one cell) the
+    * sort cannot become corpus-sized: Spark plans the row_number ≤ k
+    * filter as a WindowGroupLimit with a PARTIAL stage, so each map
+    * task pre-prunes to perCell rows per cell before the exchange and
+    * the final per-cell sort sees at most tasks × perCell rows
+    * (PlanAuditSpec pins the WindowGroupLimit). Only (vec_id, cell,
+    * hk) longs reach that shuffle — embeddings are dropped after the
+    * assignment pass. */
   def cellBalancedSample(corpus: DataFrame, perCell: Int,
                          nCells: Int): DataFrame = {
     val p = 1000000007L

@@ -602,7 +602,11 @@ object TextOps {
     * repeated line, the policy that preserves content while killing
     * cross-crawl duplication. Normalization maps whitespace-only lines
     * to one key, so only the corpus's first blank line survives —
-    * deliberate: repeated structural blanks are duplication too.
+    * deliberate: repeated structural blanks are duplication too. A
+    * corollary: the op is idempotent on docs that keep at least one
+    * line, but docs cleaned to "" re-enter a second pass as one shared
+    * empty line (only the lowest-id one keeps it) — filter out
+    * fully-emptied docs between passes, as any real pipeline does.
     * Output: (doc_id, n_lines, n_kept, cleaned, cleaned_fp), same shape
     * as [[removeBoilerplateLines]].
     *

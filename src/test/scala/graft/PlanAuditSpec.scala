@@ -125,6 +125,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(physical("a07_topk_positions").contains("WindowGroupLimit"))
   }
 
+  test("x47 quota rank plans a partial WindowGroupLimit (skew-bounded before the exchange)") {
+    // the Partial stage is what caps a degenerate cell at tasks x perCell
+    // rows in the final sort — losing it would make a hot cell a
+    // one-task corpus sort
+    val p = physical("x47_cell_sample")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).nonEmpty,
+      s"partial rank-limit pushdown lost on the quota rank:\n$p")
+  }
+
   test("x37 running sum is bucketed: exchange on (stratum, _bkt), two windows") {
     val p = physical("x37_token_budget")
     assert("hashpartitioning\\(stratum#\\d+, _bkt#\\d+".r.findFirstIn(p).nonEmpty,
