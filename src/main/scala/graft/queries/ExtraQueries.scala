@@ -1511,6 +1511,62 @@ object ExtraQueries {
             lit("\ncopyright footer all rights reserved")))
           .otherwise(col("text")).as("text"))
       TextOps.dedupLinesFirstWins(corpus, col("doc_id"), col("text"))
+    },
+
+    // ----- C4 line-and-page cleaning (Raffel et al. 2020 rules)
+    QueryDef("x49_c4_clean",
+      "C4 cleaning on a sentence-split corpus with planted violations: lines must end in terminal punctuation, carry >= 5 words, and not mention javascript; pages fail on lorem ipsum / curly braces / < 3 kept lines — the line-grain companion to x30's doc-grain Gopher gate")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN 'please enable javascript to view this site.' || chr(10) ELSE '' END
+         |    || replace(text, '. ', '.' || chr(10))
+         |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'menu home about' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0
+         |         THEN chr(10) || 'lorem ipsum dolor sit amet filler text here.' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN chr(10) || 'function f() { return 0; }' ELSE '' END AS text
+         |  FROM documents),
+         |f AS (SELECT doc_id, contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |        contains(text, '{') AS has_curly,
+         |        string_split(text, chr(10)) AS ls FROM corpus),
+         |lp AS (SELECT doc_id, has_lorem, has_curly, ls,
+         |         unnest(range(1, len(ls) + 1)) AS pos FROM f),
+         |ln AS (SELECT doc_id, has_lorem, has_curly, pos, ls[pos] AS line,
+         |         trim(ls[pos]) AS t FROM lp),
+         |k AS (SELECT doc_id, has_lorem, has_curly, pos, line,
+         |        regexp_matches(t, '[.!?"]$$')
+         |          AND (CASE WHEN t = '' THEN 0
+         |               ELSE len(string_split_regex(t, '\\s+')) END) >= 5
+         |          AND NOT contains(lower(t), 'javascript') AS keep
+         |      FROM ln),
+         |o AS (SELECT doc_id, has_lorem, has_curly,
+         |        CAST(count(*) AS BIGINT) AS n_lines,
+         |        CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |        coalesce(array_to_string(
+         |          list(line ORDER BY pos) FILTER (WHERE keep), chr(10)), '') AS cleaned
+         |      FROM k GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_lines, n_kept, has_lorem, has_curly,
+         |       (NOT has_lorem AND NOT has_curly AND n_kept >= 3) AS page_pass,
+         |       cleaned, ${charFoldD("cleaned")} AS cleaned_fp
+         |FROM o
+         |""".stripMargin) { (s, dir) =>
+      // planted lines exercise each rule: %3 docs get a javascript line
+      // (terminal punct + enough words — only the js rule strikes it),
+      // %4 a short unpunctuated nav line, %7 a lorem line that PASSES
+      // line rules but fails the page, %5 a curly-brace code line
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("please enable javascript to view this site.\n")).otherwise(lit("")),
+          regexp_replace(col("text"), "\\. ", ".\n"),
+          when(col("doc_id") % 4 === 0, lit("\nmenu home about")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nlorem ipsum dolor sit amet filler text here.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nfunction f() { return 0; }")).otherwise(lit(""))
+        ).as("text"))
+      TextOps.c4LineClean(corpus, col("doc_id"), col("text"))
     }
   )
 }

@@ -641,4 +641,48 @@ object TextOps {
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"),
         fingerprint(col("cleaned")).as("cleaned_fp"))
   }
+
+  /** C4-style line-and-page cleaning (Raffel et al. 2020 §2.2 — the
+    * rules behind the C4 corpus, the line-grain companion to the
+    * doc-grain [[gopherFlags]] gate): a line survives only if
+    * its trimmed form ends in terminal punctuation ('.', '!', '?', '"'),
+    * carries at least `minWords` whitespace tokens, and does not mention
+    * "javascript"; a page passes only if it contains no "lorem ipsum",
+    * no '{', and keeps at least `minKeptLines` lines. Survivor lines are
+    * reassembled in original order. Output: (doc_id, n_lines, n_kept,
+    * has_lorem, has_curly, page_pass, cleaned, cleaned_fp) — rejected
+    * pages keep their cleaned text so callers can audit what the gate
+    * dropped, and `page_pass` is the filter they apply.
+    *
+    * Scale shape: the page-level flags are computed on the un-exploded
+    * text (one narrow scan), every line-level predicate is a pure
+    * codegen'd projection on the exploded stream, and the only shuffle
+    * is the doc_id-keyed reassembly aggregation — text crosses the wire
+    * exactly once, no joins, no windows, nothing corpus-dependent to
+    * broadcast. The cheapest shape a line-grain rule can have. */
+  def c4LineClean(docs: DataFrame, id: Column, text: Column,
+                  minWords: Int = 5, minKeptLines: Long = 3L): DataFrame = {
+    val lines = docs.select(id.as("doc_id"),
+        lower(text).contains("lorem ipsum").as("has_lorem"),
+        text.contains("{").as("has_curly"),
+        posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .withColumn("_t", trim(col("line")))
+      // split("") yields [""], so guard the empty line to 0 words
+      .withColumn("_w", when(col("_t") === "", lit(0L))
+        .otherwise(size(split(col("_t"), "\\s+")).cast(LongType)))
+      .withColumn("_keep", col("_t").rlike("[.!?\"]$") &&
+        col("_w") >= minWords && !lower(col("_t")).contains("javascript"))
+    lines.groupBy("doc_id", "has_lorem", "has_curly")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("_keep"), 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("pos"), col("line"))))),
+          _.getField("line")), "\n").as("cleaned"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("has_lorem"), col("has_curly"),
+        (!col("has_lorem") && !col("has_curly") &&
+          col("n_kept") >= minKeptLines).as("page_pass"),
+        col("cleaned"), fingerprint(col("cleaned")).as("cleaned_fp"))
+  }
 }

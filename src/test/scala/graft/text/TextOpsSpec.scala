@@ -238,4 +238,56 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.tokenBudgetSample(docs.filter(col("doc_id") < 0),
       col("doc_id"), col("text"), col("source"), budget = 10L).count() === 0L)
   }
+
+  test("c4LineClean: each line rule and each page rule fires exactly where it should") {
+    val docs = Seq(
+      (1L, "this line has five good words.\nshort one.\n" +
+        "no punctuation here at all\nplease enable JavaScript for this site.\n" +
+        "another line with many proper words!\n" +
+        "he said \"it ends with a quote\""),
+      (2L, "lorem ipsum is in this document line.\n" +
+        "a perfectly fine sentence with words."),
+      (3L, "code { x }\na perfectly fine sentence with words.\n" +
+        "second fine sentence with enough words.\n" +
+        "third fine sentence with enough words."),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.c4LineClean(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getString(6)))).toMap
+    // doc 1: 6 lines; drops = 2-word line, unpunctuated line, javascript
+    // line (case-insensitive); keeps = terminal . ! and " lines
+    assert(out(1L) === ((6L, 3L, false, false, true,
+      "this line has five good words.\nanother line with many proper words!\n" +
+        "he said \"it ends with a quote\"")))
+    // doc 2: the lorem line PASSES line rules but fails the page
+    assert(out(2L)._2 === 2L && out(2L)._3 && !out(2L)._5)
+    // doc 3: three kept lines, but the curly-brace page rule fails it
+    assert(out(3L) === ((4L, 3L, false, true, false,
+      "a perfectly fine sentence with words.\n" +
+        "second fine sentence with enough words.\n" +
+        "third fine sentence with enough words.")))
+    // doc 4: one empty line, nothing kept
+    assert(out(4L)._1 === 1L && out(4L)._2 === 0L && !out(4L)._5)
+  }
+
+  test("c4LineClean is idempotent on cleaned text: every kept line still passes") {
+    // the keep predicate is intrinsic to a line, so re-cleaning cleaned
+    // output keeps exactly the same lines
+    val docs = Seq(
+      (1L, "this line has five good words.\nshort one.\n" +
+        "another line with many proper words!"),
+      (2L, "no punctuation here at all\ndrop me.\n" +
+        "a perfectly fine sentence with words.")).toDF("doc_id", "text")
+    val once = TextOps.c4LineClean(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("cleaned").as("text"))
+    val twice = TextOps.c4LineClean(once, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(6)))).toMap
+    val first = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    first.foreach { case (id, cleaned) =>
+      assert(twice(id)._2 === cleaned)
+      assert(twice(id)._1 === (if (cleaned.isEmpty) 0L
+        else cleaned.split("\n", -1).length.toLong))
+    }
+  }
 }
