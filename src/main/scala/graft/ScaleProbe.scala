@@ -201,7 +201,20 @@ object ScaleProbe {
               lit("\ncopyright footer all rights reserved")))
             .otherwise(col("text")).as("text"))
         TextOps.dedupLinesFirstWins(c, col("doc_id"), col("text"))
-      })
+      },
+      "x49_c4_clean" -> { k =>
+        // sentence-split corpus (the x49 oracle shape); every rule is a
+        // codegen'd per-line projection and the reassembly aggregation
+        // is the only shuffle, so the slope should track line volume
+        val c = docCorpus(k).select(col("doc_id"),
+          regexp_replace(col("text"), "\\. ", ".\n").as("text"))
+        TextOps.c4LineClean(c, col("doc_id"), col("text"))
+      },
+      "x50_shard_manifest" -> (k =>
+        // one narrow hash+count projection and a 64-row aggregation —
+        // the flattest probe in the set by construction
+        graft.silver.Export.shardManifest(docCorpus(k),
+          col("doc_id"), col("text"))))
 
     // optional arg: comma-separated probe-name substrings to run a subset
     val selected = args.headOption match {

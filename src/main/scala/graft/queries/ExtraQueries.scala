@@ -1567,6 +1567,25 @@ object ExtraQueries {
             lit("\nfunction f() { return 0; }")).otherwise(lit(""))
         ).as("text"))
       TextOps.c4LineClean(corpus, col("doc_id"), col("text"))
+    },
+
+    // ----- sharded-export integrity manifest
+    QueryDef("x50_shard_manifest",
+      "deterministic export manifest: content-hash shard assignment, per-shard doc/token counts + order-independent XOR checksum + id bounds — what a consumer verifies before training on an exported corpus; writeSharded's on-disk layout is spec-tested against this")(
+      s"""WITH n AS (SELECT doc_id, text, $normD AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |        coalesce(${charFoldD("t")}, 0) AS hk FROM n),
+         |s AS (SELECT doc_id, n_tokens, hk, (hk + doc_id) % 64 AS shard FROM h)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       bit_xor(hk) AS content_xor,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+         |       CAST(max(doc_id) AS BIGINT) AS max_doc
+         |FROM s GROUP BY shard
+         |""".stripMargin) { (s, dir) =>
+      graft.silver.Export.shardManifest(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
     }
   )
 }

@@ -1,0 +1,78 @@
+package graft.silver
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sharded corpus export with an integrity manifest —
+  * the hand-off artifact between a curation pipeline and a training
+  * run (reference analog: the bronze writer's idempotent-batch
+  * contract, `consumers/db_writer.py:44-73`, applied to the corpus
+  * tier). The shard of a document is a pure function of its content
+  * hash and id, so the same corpus always lands in the same shards
+  * regardless of input partitioning or row order, and the manifest
+  * (per-shard doc/token counts, an order-independent XOR content
+  * checksum, id bounds) lets the consumer verify an export without
+  * re-reading the data.
+  */
+object Export {
+
+  /** Per-shard manifest of a deterministic `(content_hash + doc_id) %
+    * nShards` assignment: (shard, n_docs, n_tokens, content_xor,
+    * min_doc, max_doc). `content_xor` is the XOR of the member
+    * documents' poly-hash fingerprints — order-independent and
+    * overflow-free where a SUM of 10^10 hashes would wrap, so two
+    * independently-produced exports of the same corpus compare equal
+    * checksum-by-checksum.
+    *
+    * Scale shape: one narrow projection (hash + token count, both
+    * codegen'd) and one `nShards`-row hash aggregation with map-side
+    * combine — the only shuffle moves nShards rows per map task. */
+  def shardManifest(docs: DataFrame, id: Column, text: Column,
+                    nShards: Int = 64): DataFrame =
+    sharded(docs, id, text, nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(hk)").as("content_xor"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+
+  /** The shard assignment both [[shardManifest]] and [[writeSharded]]
+    * share: null text hashes to 0 so every document gets a shard. */
+  private def sharded(docs: DataFrame, id: Column, text: Column,
+                      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    docs.select(id.as("doc_id"), text.as("text"),
+        TextOps.wsTokenCount(text).as("n_tokens"),
+        coalesce(TextOps.fingerprint(TextOps.norm(text)), lit(0L)).as("hk"))
+      .withColumn("shard", pmod(col("hk") + col("doc_id"), lit(nShards.toLong)))
+  }
+
+  /** Write the corpus as `outDir/shard=K/part-*.parquet` and return the
+    * manifest computed from the FILES JUST WRITTEN (not the input), so
+    * the returned frame certifies what is actually on disk; the caller
+    * compares it against [[shardManifest]] of the source to validate
+    * the export end-to-end.
+    *
+    * Scale shape: deliberately NO repartition before the write — each
+    * input task appends independently into the shard directories it
+    * sees (dynamic `partitionBy`), so write parallelism equals input
+    * parallelism and no task ever owns a whole shard; a
+    * `repartition(shard)` would make one task write corpus/nShards
+    * rows (~100 GB at 100 TB / 1024 shards). The cost is more, smaller
+    * files (≤ tasks × nShards, further split by `maxRecordsPerFile`),
+    * which is what compaction policies are for — a skewed-task write
+    * is not recoverable after the fact. */
+  def writeSharded(docs: DataFrame, id: Column, text: Column, outDir: String,
+                   nShards: Int = 64, maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    sharded(docs, id, text, nShards)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(outDir)
+    val back = docs.sparkSession.read.parquet(outDir)
+    shardManifest(back, col("doc_id"), col("text"), nShards)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.silver
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sharded-export contract: the on-disk layout writeSharded produces,
+  * the file-size cap, and the manifest's role as an integrity check —
+  * the read-back manifest must equal the source manifest bit-for-bit,
+  * and must CHANGE if the corpus changes. */
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, s"document number $i with some words"))
+      .toDF("doc_id", "text")
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("shard").collect().map(_.toSeq).toSeq
+
+  test("writeSharded lays out shard=K dirs, respects maxRecordsPerFile, and round-trips the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val docs = corpus(200)
+    val expected = Export.shardManifest(docs, col("doc_id"), col("text"), nShards = 8)
+    val got = Export.writeSharded(docs, col("doc_id"), col("text"), dir,
+      nShards = 8, maxRecordsPerFile = 10L)
+    assert(canon(got) === canon(expected))
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.getName.startsWith("shard=")))
+    // every data file honors the record cap
+    val files = shardDirs.flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val c = spark.read.parquet(f.getAbsolutePath).count()
+      assert(c <= 10L, s"${f.getName} has $c rows > maxRecordsPerFile")
+    }
+    // the stored shard partition column equals the recomputed assignment
+    val back = spark.read.parquet(dir)
+    val mismatch = back
+      .withColumn("_re", pmod(col("hk") + col("doc_id"), lit(8L)))
+      .filter(col("shard").cast("long") =!= col("_re")).count()
+    assert(mismatch === 0L)
+  }
+
+  test("shard assignment is a pure function of content: partitioning and row order do not matter") {
+    val docs = corpus(100)
+    val a = Export.shardManifest(docs, col("doc_id"), col("text"), nShards = 8)
+    val b = Export.shardManifest(docs.repartition(13).orderBy(desc("doc_id")),
+      col("doc_id"), col("text"), nShards = 8)
+    assert(canon(a) === canon(b))
+  }
+
+  test("the XOR checksum detects a single-document content change") {
+    val docs = corpus(100)
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 42L, lit("tampered content")).otherwise(col("text")))
+    val a = Export.shardManifest(docs, col("doc_id"), col("text"), nShards = 8)
+      .select("shard", "content_xor").as[(Long, Long)].collect().toMap
+    val b = Export.shardManifest(tampered, col("doc_id"), col("text"), nShards = 8)
+      .select("shard", "content_xor").as[(Long, Long)].collect().toMap
+    // doc 42 may also move shards; either way at least one checksum differs
+    assert(a !== b)
+  }
+
+  test("null text gets hash 0 and still lands in a shard") {
+    val docs = Seq((1L, "some real text here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val m = Export.shardManifest(docs, col("doc_id"), col("text"), nShards = 4)
+    assert(m.agg(sum("n_docs")).head().getLong(0) === 2L)
+  }
+}
