@@ -214,7 +214,13 @@ object ScaleProbe {
         // one narrow hash+count projection and a 64-row aggregation —
         // the flattest probe in the set by construction
         graft.silver.Export.shardManifest(docCorpus(k),
-          col("doc_id"), col("text"))))
+          col("doc_id"), col("text"))),
+      "x51_domain_cap" -> (k =>
+        // 13 strata regardless of k: the partial WindowGroupLimit must
+        // keep per-task work flat as each stratum grows 8x
+        TextOps.capPerStratum(docCorpus(k), col("doc_id"),
+          pmod(col("doc_id"), lit(13L)), TextOps.wsTokenCount(col("text")),
+          k = 25)))
 
     // optional arg: comma-separated probe-name substrings to run a subset
     val selected = args.headOption match {

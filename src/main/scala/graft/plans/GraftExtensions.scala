@@ -91,7 +91,9 @@ object GraftExtensions {
       a => SqNormFold(a.head)),
     fn("sign_bucket_rh", classOf[SignBucketRH], 3, "sign_bucket_rh(array<float>, bits, seed)")(
       a => SignBucketRH(a.head, intArg("sign_bucket_rh", "bits", a(1)),
-        intArg("sign_bucket_rh", "seed", a(2)))))
+        intArg("sign_bucket_rh", "seed", a(2)))),
+    fn("char_entropy_stats", classOf[CharEntropyStats], 1, "char_entropy_stats(str)")(
+      a => CharEntropyStats(a.head)))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -130,4 +132,7 @@ object functions {
 
   def sqnorm_fold(a: Column): Column =
     GraftBridge.column(SqNormFold(GraftBridge.expression(a)))
+
+  def char_entropy_stats(c: Column): Column =
+    GraftBridge.column(CharEntropyStats(GraftBridge.expression(c)))
 }

@@ -1586,6 +1586,24 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       graft.silver.Export.shardManifest(Tables.documents(s, dir),
         col("doc_id"), col("text"))
+    },
+
+    // ----- per-domain quota cap (top-k per source by quality)
+    QueryDef("x51_domain_cap",
+      "per-domain quota: keep the top 25 docs per source by token count (ties -> lowest id) — the no-domain-dominates cap, planned as a partial WindowGroupLimit so a hot domain never becomes a one-task sort")(
+      s"""WITH q AS (SELECT doc_id, source AS stratum,
+         |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS quality
+         |      FROM documents),
+         |r AS (SELECT doc_id, stratum, quality,
+         |        row_number() OVER (PARTITION BY stratum
+         |                           ORDER BY quality DESC, doc_id) AS rank
+         |      FROM q)
+         |SELECT doc_id, stratum, quality, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 25
+         |""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextOps.capPerStratum(docs, col("doc_id"), col("source"),
+        TextOps.wsTokenCount(col("text")), k = 25)
     }
   )
 }

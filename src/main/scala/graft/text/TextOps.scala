@@ -289,40 +289,28 @@ object TextOps {
     * repeated char has H = 0; natural language sits around 4 bits ≈
     * 2.8 nats). Exact counts; the entropy sum is an ordered fold over
     * characters sorted by code point, so any engine folds the same
-    * doubles in the same order. Shape: one narrow char explode
-    * (sequence + substring — no regex), two hash aggregations keyed by
-    * (doc, char) then doc; nothing is quadratic and no window appears
-    * anywhere. Docs whose normalized text is empty are out of scope
-    * (no char rows → no output row), matching the other per-char ops. */
+    * doubles in the same order (DuckDB's `list_reduce(list(t ORDER BY
+    * ch))` seeds with the first element, and 0.0 + t1 ≡ t1).
+    *
+    * Shape: ZERO shuffles — the codepoint histogram, distinct count,
+    * and ordered entropy fold all happen inside one native codegen'd
+    * expression per row (graft.plans.CharEntropyStats). The first
+    * version exploded one row per CHARACTER and hash-aggregated twice:
+    * a ~mean-doc-length× row amplification through an exchange, the
+    * heaviest constant in the tier (2.6 s of the sf0.1 bench; at
+    * 100 TB the exploded stream is ~30 PB of shuffle input). Docs
+    * whose normalized text is empty are out of scope (no output row),
+    * matching the other per-char ops. */
   def charEntropy(docs: DataFrame, id: Column, text: Column,
                   lowBar: Double = 2.0): DataFrame = {
-    val chars = docs.select(id.as("doc_id"), norm(text).as("_t"))
-      // length guard, not just scope: Spark's sequence(1, 0) DESCENDS
-      // ([1, 0]) instead of returning an empty array, which would hand
-      // an empty-normalized doc two empty-string "chars"
+    val stats = graft.plans.functions.char_entropy_stats(norm(text))
+    docs.select(id.as("doc_id"), norm(text).as("_t"), stats.as("_s"))
       .filter(length(col("_t")) >= 1)
-      .select(col("doc_id"), col("_t"),
-        explode(sequence(lit(1), length(col("_t")))).as("_i"))
-      .select(col("doc_id"), substring(col("_t"), col("_i"), lit(1)).as("ch"))
-    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("_c"))
-      .persist() // read twice: totals + terms; cache contract as on Dedup
-    // the char total is an exact INTEGER sum (order-free); only the
-    // entropy terms are doubles, folded in code-point order — terms are
-    // computed per (doc, char) ROW first (the x27 fold pattern: DuckDB's
-    // list_reduce seeds with the first element, and 0.0 + t1 ≡ t1)
-    val totals = counts.groupBy("doc_id")
-      .agg(sum(col("_c")).as("n_chars_norm"),
-        count(lit(1)).as("n_distinct_chars"))
-    val p = col("_c").cast(DoubleType) / col("n_chars_norm").cast(DoubleType)
-    val ent = counts.join(totals.select("doc_id", "n_chars_norm"), "doc_id")
-      .select(col("doc_id"), col("ch"), (-(p * log(p))).as("_t"))
-      .groupBy("doc_id")
-      .agg(aggregate(transform(array_sort(collect_list(struct(col("ch"), col("_t")))),
-        _.getField("_t")), lit(0.0), (acc, x) => acc + x).as("_h"))
-    totals.join(ent, "doc_id")
-      .select(col("doc_id"), col("n_chars_norm"), col("n_distinct_chars"),
-        round(col("_h"), 6).as("entropy"),
-        (col("_h") < lowBar).as("low_entropy"))
+      .select(col("doc_id"),
+        col("_s").getField("n_chars_norm").as("n_chars_norm"),
+        col("_s").getField("n_distinct_chars").as("n_distinct_chars"),
+        round(col("_s").getField("entropy"), 6).as("entropy"),
+        (col("_s").getField("entropy") < lowBar).as("low_entropy"))
   }
 
   /** RefinedWeb/Gopher duplicate-n-gram signal: for each document, the
@@ -590,6 +578,32 @@ object TextOps {
       .withColumn("cum_tokens", col("_off") + sum(col("n_tokens")).over(wIn))
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "stratum", "n_tokens", "cum_tokens")
+  }
+
+  /** Per-stratum quota cap: keep at most `k` documents per stratum
+    * (source domain, language, ...) ranked by quality descending with
+    * doc_id as the deterministic tie-break — the "no single domain
+    * dominates the corpus" cap every crawl-curation pipeline applies
+    * after scoring. Output: (doc_id, stratum, quality, rank), rank in
+    * [1, k].
+    *
+    * Scale shape: the `row_number <= k` predicate plans as a
+    * WindowGroupLimit with a PARTIAL stage (pinned in PlanAuditSpec):
+    * each map task pre-prunes to k rows per stratum BEFORE the
+    * exchange, so the final per-stratum sort sees at most tasks × k
+    * rows no matter how hot the domain — unlike a plain window rank,
+    * which would sort an entire stratum in one task (the x37 ledger's
+    * scale-killer class). Only (doc_id, stratum, quality) cross the
+    * wire. */
+  def capPerStratum(docs: DataFrame, id: Column, strata: Column,
+                    quality: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.select(id.as("doc_id"), strata.as("stratum"), quality.as("quality"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
   }
 
   /** Corpus-global first-wins line dedup (the exact-substring-dedup

@@ -134,6 +134,12 @@ class PlanAuditSpec extends SparkSpec {
       s"partial rank-limit pushdown lost on the quota rank:\n$p")
   }
 
+  test("x51 domain cap plans a partial WindowGroupLimit (hot domain never a one-task sort)") {
+    val p = physical("x51_domain_cap")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).nonEmpty,
+      s"partial rank-limit pushdown lost on the domain cap:\n$p")
+  }
+
   test("x37 running sum is bucketed: exchange on (stratum, _bkt), two windows") {
     val p = physical("x37_token_budget")
     assert("hashpartitioning\\(stratum#\\d+, _bkt#\\d+".r.findFirstIn(p).nonEmpty,

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class SqlFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("all 8 native expressions are callable from SQL and match the Column API") {
+  test("all 9 native expressions are callable from SQL and match the Column API") {
     GraftBridge.registerFunctions(spark)
     Seq(("hello world of spark", Seq(0.5f, -0.25f, 0.125f, 1.0f)))
       .toDF("t", "v").createOrReplaceTempView("sqlfns")
@@ -19,7 +19,8 @@ class SqlFunctionsSpec extends SparkSpec {
       """SELECT poly_hash(t), shingle_hashes(t, 7), bigram_token_hashes(t),
         |       simhash16(bigram_token_hashes(t)),
         |       simhash64_bands(bigram_token_hashes(t)),
-        |       dot_fold(v, v), sqnorm_fold(v), sign_bucket_rh(v, 4, 0)
+        |       dot_fold(v, v), sqnorm_fold(v), sign_bucket_rh(v, 4, 0),
+        |       char_entropy_stats(t)
         |FROM sqlfns""".stripMargin).head()
     val api = spark.table("sqlfns").select(
       functions.poly_hash(col("t")),
@@ -29,10 +30,48 @@ class SqlFunctionsSpec extends SparkSpec {
       functions.simhash64_bands(functions.bigram_token_hashes(col("t"))),
       functions.dot_fold(col("v"), col("v")),
       functions.sqnorm_fold(col("v")),
-      functions.sign_bucket_rh(col("v"), 4, 0)).head()
+      functions.sign_bucket_rh(col("v"), 4, 0),
+      functions.char_entropy_stats(col("t"))).head()
     assert(sql.toSeq === api.toSeq)
     assert(sql.getLong(0) > 0L)                    // poly_hash computed
     assert(sql.getDouble(5) === sql.getDouble(6))  // dot(v,v) == sqnorm(v)
+  }
+
+  test("char_entropy_stats matches the explode+fold formulation, counts codepoints not UTF-16 units") {
+    GraftBridge.registerFunctions(spark)
+    val docs = Seq((1L, "aabbbb"), (2L, "abcdef"), (3L, "zzzzzz"),
+      (4L, "naïve café"), (5L, "emoji 😀 pair"))
+      .toDF("doc_id", "t")
+    // reference formulation: one row per codepoint (substring is
+    // codepoint-based), two aggregations, code-point-ordered fold —
+    // exactly the plan the native expression replaced
+    val chars = docs
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("t")))).as("_i"),
+        col("t"))
+      .select(col("doc_id"), substring(col("t"), col("_i"), lit(1)).as("ch"))
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy("doc_id")
+      .agg(sum(col("_c")).as("n"), count(lit(1)).as("d"))
+    val p = col("_c").cast("double") / col("n").cast("double")
+    val ref = counts.join(totals, "doc_id")
+      .select(col("doc_id"), col("n"), col("d"), col("ch"), (-(p * log(p))).as("_t"))
+      .groupBy("doc_id", "n", "d")
+      .agg(aggregate(transform(array_sort(collect_list(struct(col("ch"), col("_t")))),
+        _.getField("_t")), lit(0.0), (a, x) => a + x).as("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val got = docs.select(col("doc_id"),
+        functions.char_entropy_stats(col("t")).as("s"))
+      .select(col("doc_id"), col("s.n_chars_norm"), col("s.n_distinct_chars"),
+        col("s.entropy"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === ref)
+    assert(got(3L) === ((6L, 1L, 0.0)))       // one repeated char: H = 0
+    // the emoji doc: length() counts the surrogate PAIR as one codepoint
+    // and so must the native histogram
+    assert(got(5L)._1 === 12L)
+    assert(spark.sql("SELECT char_entropy_stats('').n_chars_norm").head().getLong(0) === 0L)
   }
 
   test("constant-parameter misuse fails at ANALYSIS time with a named error") {

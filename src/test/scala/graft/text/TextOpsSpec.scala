@@ -271,6 +271,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L)._1 === 1L && out(4L)._2 === 0L && !out(4L)._5)
   }
 
+  test("capPerStratum keeps exactly top-k per stratum, quality desc, id tie-break") {
+    // stratum A: 5 docs, quality = doc_id; stratum B: 2 docs equal quality
+    val docs = ((1L to 5L).map(i => (i, "A", i * 10L)) ++
+      Seq((10L, "B", 7L), (11L, "B", 7L))).toDF("doc_id", "src", "q")
+    val out = TextOps.capPerStratum(docs, col("doc_id"), col("src"), col("q"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    // A keeps ids 5,4,3 (highest quality); B keeps both, tie -> lower id first
+    assert(out === Set((5L, "A", 1L), (4L, "A", 2L), (3L, "A", 3L),
+      (10L, "B", 1L), (11L, "B", 2L)))
+  }
+
   test("c4LineClean is idempotent on cleaned text: every kept line still passes") {
     // the keep predicate is intrinsic to a line, so re-cleaning cleaned
     // output keeps exactly the same lines
