@@ -220,7 +220,11 @@ object ScaleProbe {
         // keep per-task work flat as each stratum grows 8x
         TextOps.capPerStratum(docCorpus(k), col("doc_id"),
           pmod(col("doc_id"), lit(13L)), TextOps.wsTokenCount(col("text")),
-          k = 25)))
+          k = 25)),
+      "x52_mmr_rerank" -> (k =>
+        // the corpus-sized surface is the relevance scan + TakeOrdered;
+        // the greedy runs on a bounded 32-row array whatever k is
+        Similarity.mmrRerank(embCorpus(k), queryId = 0L)))
 
     // optional arg: comma-separated probe-name substrings to run a subset
     val selected = args.headOption match {

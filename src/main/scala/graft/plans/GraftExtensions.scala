@@ -45,6 +45,15 @@ object GraftExtensions {
       }
   }
 
+  /** Fold a constant argument (lambda/threshold parameters) to a Double. */
+  private def doubleArg(fnName: String, param: String, e: Expression): Double = {
+    requireFoldable(fnName, param, "DOUBLE", e)
+    e.eval() match {
+      case n: Number => n.doubleValue()
+      case _ => badArg(fnName, param, "a non-null numeric literal")
+    }
+  }
+
   /** Fold a constant argument to a non-empty String (analysis-time
     * AnalysisException on column refs, nulls, non-strings, and empty
     * markers — not a raw runtime require/ClassCastException). */
@@ -93,7 +102,10 @@ object GraftExtensions {
       a => SignBucketRH(a.head, intArg("sign_bucket_rh", "bits", a(1)),
         intArg("sign_bucket_rh", "seed", a(2)))),
     fn("char_entropy_stats", classOf[CharEntropyStats], 1, "char_entropy_stats(str)")(
-      a => CharEntropyStats(a.head)))
+      a => CharEntropyStats(a.head)),
+    fn("mmr_select", classOf[MmrSelect], 3, "mmr_select(array<struct>, k, lam)")(
+      a => MmrSelect(a.head, intArg("mmr_select", "k", a(1)),
+        doubleArg("mmr_select", "lam", a(2)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -135,4 +147,7 @@ object functions {
 
   def char_entropy_stats(c: Column): Column =
     GraftBridge.column(CharEntropyStats(GraftBridge.expression(c)))
+
+  def mmr_select(c: Column, k: Int, lam: Double): Column =
+    GraftBridge.column(MmrSelect(GraftBridge.expression(c), k, lam))
 }

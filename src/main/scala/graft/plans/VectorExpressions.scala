@@ -40,6 +40,76 @@ object VecUtil {
     acc
   }
 
+  /** Greedy MMR (maximal marginal relevance) selection over a BOUNDED
+    * candidate array: picks `k` elements maximizing `lam·rel − (1−lam)·
+    * max_cos_to_selected` (signed cosine — a negatively-correlated
+    * selection can raise a candidate above pure relevance, faithful to
+    * the formula), ties broken by lowest vec_id. Input elements are
+    * struct(vec_id LONG, rel DOUBLE, emb ARRAY<FLOAT>); output is
+    * struct(vec_id, score) in selection order. The scan keeps a running
+    * max-similarity per candidate, so the whole greedy is O(k·n·d) —
+    * equivalent to the oracle's recursive `list_max` over the selected
+    * set because max is order-free and every cosine is the same guarded
+    * left fold as [[dotFold]]/[[sqNormFold]]. Result is independent of
+    * the input array's order (collect_list is nondeterministic): each
+    * argmax compares the total order (score DESC, vec_id ASC). */
+  def mmrSelect(cands: ArrayData, k: Int, lam: Double): ArrayData = {
+    val n = cands.numElements()
+    val ids = new Array[Long](n)
+    val rel = new Array[Double](n)
+    val emb = new Array[ArrayData](n)
+    val sq = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = cands.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      rel(i) = row.getDouble(1)
+      emb(i) = row.getArray(2)
+      sq(i) = sqNormFold(emb(i))
+      i += 1
+    }
+    val taken = new Array[Boolean](n)
+    // true SIGNED max — a 0-clamped max would diverge from the oracle's
+    // list_max when every selected member is negatively correlated; the
+    // first pick has no penalty term (the oracle's base case), and from
+    // step 2 on every unpicked candidate has been updated at least once
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val kk = math.min(k, n)
+    val out = new Array[Any](kk)
+    var step = 0
+    while (step < kk) {
+      var best = -1
+      var bestScore = 0.0
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val penalty = if (step == 0) 0.0 else maxSim(j)
+          val score = lam * rel(j) - (1.0 - lam) * penalty
+          if (best < 0 || score > bestScore ||
+            (score == bestScore && ids(j) < ids(best))) {
+            best = j
+            bestScore = score
+          }
+        }
+        j += 1
+      }
+      taken(best) = true
+      out(step) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ids(best), bestScore))
+      var j2 = 0
+      while (j2 < n) {
+        if (!taken(j2)) {
+          val den = sq(j2) * sq(best)
+          val c = if (den == 0.0) 0.0 else dotFold(emb(j2), emb(best)) / math.sqrt(den)
+          if (c > maxSim(j2)) maxSim(j2) = c
+        }
+        j2 += 1
+      }
+      step += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private final val M31 = 2147483647L
 
   /** Deterministic Rademacher (±1) entry of random hyperplane `i` at
@@ -132,4 +202,39 @@ case class SqNormFold(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SqNormFold =
     copy(child = newChild)
   override def prettyName: String = "sqnorm_fold"
+}
+
+/** mmr_select(array<struct<vec_id, rel, emb>>, k, lam):
+  * ARRAY<STRUCT<vec_id, score>> — greedy maximal-marginal-relevance
+  * selection over a BOUNDED candidate array in one native pass (the
+  * composed-operator alternative is k driver-blocking argmax jobs, or
+  * a 2^k-node lineage of self-referencing unions). */
+case class MmrSelect(child: Expression, k: Int, lam: Double) extends UnaryExpression {
+  require(k >= 1, "mmr_select k must be >= 1")
+  require(lam >= 0.0 && lam <= 1.0, "mmr_select lam must be in [0, 1]")
+  override def dataType: DataType = MmrSelect.schema
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _),
+      StructField(_, DoubleType, _, _),
+      StructField(_, ArrayType(FloatType, _), _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "mmr_select requires ARRAY<STRUCT<BIGINT, DOUBLE, ARRAY<FLOAT>>>, " +
+        s"got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    VecUtil.mmrSelect(input.asInstanceOf[ArrayData], k, lam)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VecUtil.mmrSelect($c, $k, ${lam}D);")
+  override protected def withNewChildInternal(newChild: Expression): MmrSelect =
+    copy(child = newChild)
+  override def prettyName: String = "mmr_select"
+}
+
+object MmrSelect {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
 }

@@ -1604,6 +1604,33 @@ object ExtraQueries {
       val docs = Tables.documents(s, dir)
       TextOps.capPerStratum(docs, col("doc_id"), col("source"),
         TextOps.wsTokenCount(col("text")), k = 25)
+    },
+
+    // ----- MMR diversity re-rank (greedy, native expression over topN)
+    QueryDef("x52_mmr_rerank",
+      "maximal-marginal-relevance re-rank: top-32 by cosine to query vec 0, then greedy k=8 picks maximizing 0.5*rel - 0.5*max-cos-to-selected (ties -> lowest id) — one distributed relevance scan, the sequential greedy inside a native expression; oracle is a recursive CTE carrying the selected set")(
+      s"""WITH RECURSIVE
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT vec_id, embedding, ${cosD("embedding", "q_emb")} AS rel
+         |  FROM embeddings, qv WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 32),
+         |sel(step, picked, score, ids, vecs) AS (
+         |  (SELECT CAST(1 AS BIGINT), vec_id, 0.5 * rel - 0.5 * 0.0,
+         |          [vec_id], [embedding]
+         |   FROM cand ORDER BY 0.5 * rel DESC, vec_id LIMIT 1)
+         |  UNION ALL
+         |  SELECT s.step + 1, c.vec_id, c.score,
+         |         list_append(s.ids, c.vec_id), list_append(s.vecs, c.embedding)
+         |  FROM sel s, LATERAL (
+         |    SELECT vec_id, embedding,
+         |      0.5 * rel - 0.5 * list_max([${cosD("embedding", "v")} FOR v IN s.vecs]) AS score
+         |    FROM cand
+         |    WHERE NOT list_contains(s.ids, vec_id)
+         |    ORDER BY score DESC, vec_id LIMIT 1) c
+         |  WHERE s.step < 8)
+         |SELECT step, picked AS vec_id, round(score, 6) AS score FROM sel
+         |""".stripMargin) { (s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir), queryId = 0L)
     }
   )
 }

@@ -585,4 +585,44 @@ object Similarity {
       }
     TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
   }
+
+  /** MMR (maximal marginal relevance) diversity re-rank: from the
+    * `topN` most query-relevant vectors, greedily select `k` that
+    * maximize `lam·cos(q, v) − (1−lam)·max_{s∈selected} cos(v, s)` —
+    * the standard redundancy-penalized selection for retrieval
+    * results and demonstration sets. Ties break to the lowest vec_id;
+    * cosine is signed (a negatively-correlated candidate can score
+    * above pure relevance — faithful to the formula). Output:
+    * (step, vec_id, score) in selection order, step 1-based.
+    *
+    * Scale shape: the corpus-sized work is ONE distributed pass — the
+    * relevance scan against a broadcast single-row query, pruned to
+    * `topN` by a TakeOrderedAndProject (never a global sort). The
+    * greedy itself is inherently sequential (pick i depends on picks
+    * 1..i−1), so it runs where sequential work belongs: inside one
+    * native expression over the BOUNDED topN array (O(k·topN·d), a
+    * user-constant cost). The rejected alternatives both misplace the
+    * sequence: k driver-blocking argmax jobs (k scheduler round-trips
+    * for microseconds of math), or a self-referencing union lineage
+    * whose analyzed plan doubles per step (2^k nodes). collect_list's
+    * order-nondeterminism is immaterial — every argmax compares the
+    * total order (score DESC, vec_id ASC). */
+  def mmrRerank(corpus: DataFrame, queryId: Long, topN: Int = 32,
+                k: Int = 8, lam: Double = 0.5): DataFrame = {
+    val q = corpus.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("_qv"))
+    val cand = corpus.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        cosine(col("embedding"), col("_qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(topN)
+    cand
+      .agg(collect_list(struct(col("vec_id"), col("rel"), col("embedding")))
+        .as("_c"))
+      .select(posexplode(graft.plans.functions.mmr_select(col("_c"), k, lam))
+        .as(Seq("_p", "_s")))
+      .select((col("_p") + 1).cast(LongType).as("step"),
+        col("_s").getField("vec_id").as("vec_id"),
+        round(col("_s").getField("score"), 6).as("score"))
+  }
 }

@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "x39_dsir_weights",           // singleton (qtot, ptot) totals row
     "x40_ann_ivf2_cosine",        // coarse-centroid set (cbrt-scaled)
     "x43_ivfpq_topk_cosine",      // coarse-centroid set (scaledCells)
-    "x47_cell_sample"             // centroid set (scaledCells-capped)
+    "x47_cell_sample",            // centroid set (scaledCells-capped)
+    "x52_mmr_rerank"              // single-row query vector
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -89,7 +90,8 @@ class PlanAuditSpec extends SparkSpec {
     "x40_ann_ivf2_cosine",        // coarse centroids + probed query set
     "x41_pq_topk_cosine",         // codebook/LUT/query sets (constant-bounded)
     "x43_ivfpq_topk_cosine",      // centroids + codebook/LUT/query sets
-    "x47_cell_sample"             // centroid set (scaledCells-capped)
+    "x47_cell_sample",            // centroid set (scaledCells-capped)
+    "x52_mmr_rerank"              // single-row query vector
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -281,4 +281,26 @@ class SimilaritySpec extends SparkSpec {
     // orthogonal vectors never pass the cosine gate
     assert(!pairs.contains((0L, 1L)))
   }
+
+  test("mmrRerank skips a redundant near-duplicate in favor of a diverse candidate") {
+    // q = (1,0); v1 rel .8 (pick 1); v2 rel .78 but near-parallel to v1
+    // (penalty ~.999 -> score ~-0.11); v3 rel .6, orthogonal to v1
+    // (score .3) — MMR picks the diverse v3 second, the redundant v2 last
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.8f, 0.6f)),
+      (2L, Seq(0.78f, 0.625f)),
+      (3L, Seq(0.6f, -0.8f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(vecs, queryId = 0L, topN = 10, k = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).toSeq === Seq(1L, 3L, 2L))
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > 0.0 && out(2)._3 < 0.0)
+    // k > candidates: picks everything once, never repeats
+    val all = Similarity.mmrRerank(vecs, queryId = 0L, topN = 10, k = 99)
+      .collect().map(_.getLong(1))
+    assert(all.sorted.toSeq === Seq(1L, 2L, 3L))
+    // missing query id: no candidates, empty result, no crash
+    assert(Similarity.mmrRerank(vecs, queryId = 777L).count() === 0L)
+  }
 }
