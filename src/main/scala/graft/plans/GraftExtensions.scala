@@ -45,11 +45,14 @@ object GraftExtensions {
       }
   }
 
-  /** Fold a constant argument (lambda/threshold parameters) to a Double. */
+  /** Fold a constant argument (lambda/threshold parameters) to a Double.
+    * A bare SQL literal like `0.5` arrives as Decimal (not a
+    * java.lang.Number), so both shapes are accepted. */
   private def doubleArg(fnName: String, param: String, e: Expression): Double = {
     requireFoldable(fnName, param, "DOUBLE", e)
     e.eval() match {
       case n: Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
       case _ => badArg(fnName, param, "a non-null numeric literal")
     }
   }

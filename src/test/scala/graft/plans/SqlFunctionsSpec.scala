@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
 class SqlFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mmr_select is callable from SQL; analysis-time errors on bad k/lam") {
+    GraftBridge.registerFunctions(spark)
+    val sql = spark.sql(
+      """SELECT mmr_select(array(
+        |  struct(CAST(1 AS BIGINT), CAST(0.9 AS DOUBLE), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+        |  struct(CAST(2 AS BIGINT), CAST(0.8 AS DOUBLE), array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))),
+        |  2, 0.5) AS s""".stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(sql.map(_.getLong(0)) === Seq(1L, 2L))
+    // orthogonal second pick: score = .5*.8 - .5*0
+    assert(sql(1).getDouble(1) === 0.4)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT mmr_select(array(), CAST(NULL AS INT), 0.5)").head())
+    assert(e.getMessage.contains("mmr_select"))
+  }
+
   test("all 9 native expressions are callable from SQL and match the Column API") {
     GraftBridge.registerFunctions(spark)
     Seq(("hello world of spark", Seq(0.5f, -0.25f, 0.125f, 1.0f)))
