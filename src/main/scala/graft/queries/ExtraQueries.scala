@@ -1612,7 +1612,7 @@ object ExtraQueries {
       s"""WITH RECURSIVE
          |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |cand AS (SELECT vec_id, embedding, ${cosD("embedding", "q_emb")} AS rel
-         |  FROM embeddings, qv WHERE vec_id <> 0
+         |  FROM embeddings, qv WHERE vec_id <> 0 AND embedding IS NOT NULL
          |  ORDER BY rel DESC, vec_id LIMIT 32),
          |sel(step, picked, score, ids, vecs) AS (
          |  (SELECT CAST(1 AS BIGINT), vec_id, 0.5 * rel - 0.5 * 0.0,

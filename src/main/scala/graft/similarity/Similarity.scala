@@ -611,7 +611,11 @@ object Similarity {
                 k: Int = 8, lam: Double = 0.5): DataFrame = {
     val q = corpus.filter(col("vec_id") === queryId)
       .select(col("embedding").as("_qv"))
-    val cand = corpus.filter(col("vec_id") =!= queryId)
+    // null embeddings are excluded up front: a null would ride a NULL
+    // rel into the top-N boundary (nulls-last keeps it out only when
+    // candidates exceed topN) and the native greedy reads raw arrays
+    val cand = corpus.filter(col("vec_id") =!= queryId &&
+        col("embedding").isNotNull)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("embedding"),
         cosine(col("embedding"), col("_qv")).as("rel"))

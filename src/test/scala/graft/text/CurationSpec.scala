@@ -333,6 +333,52 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("round-10 invariants on sampled corpora: c4 line rules, shard totals, cap bounds") {
+    // multi-line docs with a mix of punctuated/unpunctuated short/long lines
+    val lineGen = org.scalacheck.Gen.oneOf(
+      "this is a proper sentence with words.",
+      "short one.",
+      "no terminal punctuation in this line",
+      "does javascript lurk inside this line.",
+      "another perfectly good line with enough words!")
+    val gen = org.scalacheck.Gen.listOfN(60, org.scalacheck.Gen.listOfN(6, lineGen))
+    val docs = gen.sample.get.zipWithIndex
+      .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+      .toDF("doc_id", "text")
+    // c4: counts bounded, and every surviving line re-passes the rules
+    val c4 = TextOps.c4LineClean(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(6)))
+    assert(c4.length === 60)
+    c4.foreach { case (id, nl, nk, cleaned) =>
+      assert(nl === 6L, s"doc $id: expected 6 lines, got $nl")
+      assert(nk >= 0L && nk <= nl)
+      val kept = if (cleaned.isEmpty) Array.empty[String] else cleaned.split("\n", -1)
+      assert(kept.length.toLong === nk, s"doc $id: cleaned lines != n_kept")
+      kept.foreach { l =>
+        assert(l.trim.matches(".*[.!?\"]$") &&
+          l.trim.split("\\s+").length >= 5 &&
+          !l.toLowerCase.contains("javascript"),
+          s"doc $id: surviving line violates a rule: '$l'")
+      }
+    }
+    // shard manifest: totals reconcile with the corpus, shards in range
+    val m = graft.silver.Export.shardManifest(docs, col("doc_id"), col("text"),
+        nShards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m.map(_._2).sum === 60L)
+    assert(m.forall { case (sh, _) => sh >= 0L && sh < 16L })
+    // cap: never more than k rows per stratum, ranks dense from 1
+    val capped = TextOps.capPerStratum(docs, col("doc_id"),
+        pmod(col("doc_id"), lit(5L)), length(col("text")).cast("long"), k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    capped.foreach { case (stratum, ranks) =>
+      assert(ranks.size <= 4, s"stratum $stratum over cap: $ranks")
+      assert(ranks === (1L to ranks.size.toLong), s"stratum $stratum ranks not dense: $ranks")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("mightContain: no false negatives; absent keys are overwhelmingly rejected") {
     val present = (1L to 1000L).toDF("h")
     val bloom = present.stat.bloomFilter("h", 1000L, 0.01)
