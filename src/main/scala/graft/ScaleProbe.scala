@@ -224,7 +224,30 @@ object ScaleProbe {
       "x52_mmr_rerank" -> (k =>
         // the corpus-sized surface is the relevance scan + TakeOrdered;
         // the greedy runs on a bounded 32-row array whatever k is
-        Similarity.mmrRerank(embCorpus(k), queryId = 0L)))
+        Similarity.mmrRerank(embCorpus(k), queryId = 0L)),
+      "x53_bm25_topk" -> { k =>
+        // the alphabet rotation renames words per copy, so probe with
+        // rotation-invariant terms is impossible — query copy 0's terms;
+        // the scaling surface (scan + explode + pre-shuffle term filter)
+        // is identical either way, postings just stay copy-0-sized
+        graft.text.Retrieval.bm25TopK(docCorpus(k), col("doc_id"),
+          col("text"), Seq("vector", "merge", "spark"), k = 20)
+      },
+      "x54_temp_sample" -> (k =>
+        // 13 strata; one per-source aggregation + a TakeOrdered top-n —
+        // should track x50's near-flat scan slope
+        TextOps.temperatureSample(docCorpus(k), col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(13L)), n = 200)),
+      "x55_semantic_decontam" -> { k =>
+        // FIXED benchmark vs growing corpus (the x38 shape in embedding
+        // space): corpus-side bucketing is the scaling surface; bits
+        // grow with n so bucket population — and the bipartite candidate
+        // volume per eval vector — stays ~constant
+        val c = embCorpus(k)
+        val eval = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
+        Similarity.semanticDecontam(c, eval, c.count(), minCos = 0.999)
+      })
 
     // optional arg: comma-separated probe-name substrings to run a subset
     val selected = args.headOption match {

@@ -1631,6 +1631,88 @@ object ExtraQueries {
          |SELECT step, picked AS vec_id, round(score, 6) AS score FROM sel
          |""".stripMargin) { (s, dir) =>
       Similarity.mmrRerank(Tables.embeddings(s, dir), queryId = 0L)
+    },
+
+    // ----- BM25 lexical retrieval (graded keyword relevance, top-k)
+    QueryDef("x53_bm25_topk",
+      "BM25 top-20 for a 3-term query: postings filtered to query terms pre-shuffle, exact-integer corpus stats, term-ordered score fold — the graded version of the reference's keyword filter")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(len(ws)) AS BIGINT) AS tot_dl FROM w),
+         |p AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM p
+         |       WHERE term IN ('vector', 'merge', 'spark') GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT t.doc_id, t.term,
+         |         ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+         |           * (t.tf * 2.2)
+         |           / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (CAST(st.tot_dl AS DOUBLE) / st.n_docs))) AS s
+         |       FROM tf t JOIN df d USING (term) CROSS JOIN st),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |          list_reduce(list(s ORDER BY term), (acc, x) -> acc + x) AS sc
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_terms, round(sc, 6) AS bm25
+         |FROM agg ORDER BY round(sc, 6) DESC, doc_id LIMIT 20
+         |""".stripMargin) { (s, dir) =>
+      graft.text.Retrieval.bm25TopK(Tables.documents(s, dir),
+        col("doc_id"), col("text"), Seq("vector", "merge", "spark"), k = 20)
+    },
+
+    // ----- temperature-balanced deterministic corpus sample (α = 0.5)
+    QueryDef("x54_temp_sample",
+      "Efraimidis-Spirakis weighted sample of 200 docs with source weight share^(alpha-1), alpha=0.5 — low-resource sources up-weighted, content-hash uniforms, ln*sqrt key (no pow)")(
+      s"""WITH n AS (SELECT doc_id, source, text, $normD AS t FROM documents),
+         |tok AS (SELECT doc_id, source,
+         |          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |          ${charFoldD("t")} AS hk FROM n),
+         |src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st FROM tok GROUP BY source),
+         |tot AS (SELECT CAST(sum(st) AS BIGINT) AS tt FROM src),
+         |sh AS (SELECT source, CAST(st AS DOUBLE) / tt AS share FROM src CROSS JOIN tot),
+         |k AS (SELECT t.doc_id, t.source, t.n_tokens,
+         |        round(ln(CAST((t.hk * 48271 + t.doc_id) % 1000000007 + 1 AS DOUBLE) / 1000000008.0)
+         |              * sqrt(s.share), 6) AS samp_key
+         |      FROM tok t JOIN sh s USING (source))
+         |SELECT doc_id, source, n_tokens, samp_key FROM k
+         |ORDER BY samp_key DESC, doc_id LIMIT 200
+         |""".stripMargin) { (s, dir) =>
+      TextOps.temperatureSample(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("source"), n = 200)
+    },
+
+    // ----- embedding-space decontamination (semantic test-set leakage)
+    QueryDef("x55_semantic_decontam",
+      "flag corpus vectors with cosine >= 0.999 to any benchmark vector (eval = vec_id % 20 = 0; planted exact leaks at +50000) via corpus-scaled sign-LSH buckets, argmax per corpus vector")(
+      s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS e_emb
+         |            FROM embeddings WHERE vec_id % 20 = 0),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + 50000 AS vec_id, embedding FROM embeddings WHERE vec_id % 40 = 0),
+         |p AS (SELECT greatest(len(bin(CAST((count(*) + 31) // 32 AS BIGINT) - 1)), 1) AS nbits FROM corpus),
+         |cb AS (SELECT s.seed, c.vec_id, c.embedding,
+         |         ${rhBucketD("c.embedding", "p.nbits", "s.seed")} AS bucket
+         |       FROM corpus c CROSS JOIN p CROSS JOIN (SELECT unnest([0, 1]) AS seed) s),
+         |eb AS (SELECT s.seed, e.eval_id, e.e_emb,
+         |         ${rhBucketD("e.e_emb", "p.nbits", "s.seed")} AS bucket
+         |       FROM ev e CROSS JOIN p CROSS JOIN (SELECT unnest([0, 1]) AS seed) s),
+         |cs AS (SELECT c.vec_id, e.eval_id,
+         |         ${cosD("c.embedding", "e.e_emb")} AS cos
+         |       FROM cb c JOIN eb e ON c.seed = e.seed AND c.bucket = e.bucket),
+         |g AS (SELECT vec_id, max(struct_pack(cos := cos, nid := -eval_id)) AS m
+         |      FROM cs WHERE cos >= 0.999 GROUP BY vec_id)
+         |SELECT vec_id, -(m.nid) AS eval_id, round(m.cos, 6) AS max_cos FROM g
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val eval = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
+      val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+        .unionAll(emb.filter(col("vec_id") % 40 === 0)
+          .select((col("vec_id") + 50000).as("vec_id"), col("embedding")))
+      // one cheap count sizes the hyperplane family to the corpus (same
+      // scale discipline as x16)
+      val n = corpus.count()
+      Similarity.semanticDecontam(corpus, eval, n, minCos = 0.999)
     }
   )
 }

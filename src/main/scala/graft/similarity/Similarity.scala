@@ -151,6 +151,54 @@ object Similarity {
       .distinct() // same pair can collide in several tables
   }
 
+  /** Embedding-space decontamination: flag every corpus vector whose
+    * cosine to SOME benchmark/eval vector reaches `minCos` — the
+    * semantic companion to the exact/Bloom (x24/x28) and fuzzy-n-gram
+    * (x38) decontamination ops: paraphrased test-set leakage that
+    * shares no n-grams still lands next to its source in embedding
+    * space. Candidates come from the same corpus-scaled sign-LSH
+    * buckets as [[neardupPairs]] (exact copies share every bucket —
+    * recall on true leaks is structurally 1.0; `tables` seeds union
+    * for the paraphrase band), but the join is BIPARTITE (corpus ×
+    * eval, never corpus × corpus) and the result is an argmax per
+    * corpus vector: max cosine, ties → lowest eval_id, via one struct
+    * max (cross-table duplicate candidates collapse in the same
+    * aggregation — no distinct pass needed). Output:
+    * (vec_id, eval_id, max_cos) for contaminated vectors only.
+    *
+    * Scale shape: corpus rows explode to `tables` bucket rows of
+    * (id, embedding, seed, bucket) — linear; the eval side is a
+    * benchmark (bounded by construction, thousands of rows) but the
+    * join takes NO forced hint: AQE broadcasts it when small and
+    * degrades to a hash join on (seed, bucket) if someone passes an
+    * eval set that isn't — the x36 lesson applied. The cosine gate is
+    * row-local BEFORE the argmax shuffle, so only contaminated
+    * candidates (a vanishing fraction) reach the aggregation, which is
+    * map-side combinable (struct max). */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame, n: Long,
+                       minCos: Double, targetBucket: Int = 32,
+                       tables: Int = 2): DataFrame = {
+    val bits = scaledBits(n, targetBucket)
+    def tableBuckets(emb: Column): Column =
+      explode(array((0 until tables).map { s =>
+        struct(lit(s).as("seed"), signBucket(emb, bits, s).as("bucket"))
+      }: _*))
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+        tableBuckets(col("embedding")).as("t"))
+      .select(col("vec_id"), col("embedding"), col("t.seed"), col("t.bucket"))
+    val eb = evalSet.select(col("eval_id"), col("e_emb"),
+        tableBuckets(col("e_emb")).as("t"))
+      .select(col("eval_id"), col("e_emb"), col("t.seed"), col("t.bucket"))
+    cb.join(eb, Seq("seed", "bucket"))
+      .select(col("vec_id"), col("eval_id"),
+        cosine(col("embedding"), col("e_emb")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("_nid"))).as("_m"))
+      .select(col("vec_id"), (-col("_m").getField("_nid")).as("eval_id"),
+        round(col("_m").getField("cos"), 6).as("max_cos"))
+  }
+
   /** Assign each row to its `nprobe` nearest centroids by cosine
     * (broadcast centroids + per-row top-nprobe argmax — one narrow pass
     * over the big side, no shuffle of embeddings). */

@@ -656,6 +656,54 @@ object TextOps {
         fingerprint(col("cleaned")).as("cleaned_fp"))
   }
 
+  /** Temperature-balanced corpus sampling (the multilingual-pretraining
+    * smoothing of Devlin et al. 2019 / Conneau & Lample 2019: sample
+    * sources with probability ∝ share^α, α < 1, so low-resource
+    * sources are up-weighted), made deterministic with the
+    * Efraimidis–Spirakis weighted-reservoir key: each document draws a
+    * content-hash uniform u ∈ (0, 1] and competes with key
+    * u^(1/w) where w = share^(α−1) is its source's per-document
+    * weight; the global top-n keys are the sample. α is fixed at 0.5 so
+    * the weight is exactly 1/√share and the key ln-transform is
+    * ln(u)·√share — `sqrt` and `ln` only, both correctly-rounded in
+    * every engine (a general `pow` is the one libm call with
+    * cross-engine ulp risk). The ln transform keeps the E–S order
+    * (u^(1/w) is monotone in ln(u)/w = ln(u)·√share), so top-n by the
+    * transformed key IS the E–S sample without replacement. Output:
+    * (doc_id, source, n_tokens, samp_key), the n highest keys, ties →
+    * lowest doc_id.
+    *
+    * Scale shape: one map-side-combinable per-source aggregation (rows
+    * = #sources), a single-row total broadcast onto it, a join back on
+    * source with NO forced hint (source cardinality is corpus-derived;
+    * AQE broadcasts the realistic tens-of-sources case and degrades to
+    * a shuffled join if someone feeds per-URL strata), and a global
+    * top-n that plans as TakeOrderedAndProject — no global sort, no
+    * windows, nothing corpus-sized on the driver. */
+  def temperatureSample(docs: DataFrame, id: Column, text: Column,
+                        source: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val p = 1000000007L
+    val base = docs.select(id.as("doc_id"), source.as("source"),
+      wsTokenCount(text).as("n_tokens"),
+      fingerprint(norm(text)).as("_hk"))
+    // per-source token mass; the totals row is genuinely 1 row → broadcast
+    val src = base.groupBy("source")
+      .agg(sum(col("n_tokens")).as("_src_tok"))
+    val tot = src.agg(sum(col("_src_tok")).as("_tot"))
+    val share = src.crossJoin(broadcast(tot))
+      .select(col("source"),
+        (col("_src_tok").cast(DoubleType) / col("_tot")).as("_share"))
+    // u ∈ (0,1]: Lehmer-mixed content hash + doc_id, exact integer mod
+    val u = (pmod(col("_hk") * 48271L + col("doc_id"), lit(p)) + 1L)
+      .cast(DoubleType) / lit(1000000008.0)
+    base.join(share, Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(log(u) * sqrt(col("_share")), 6).as("samp_key"))
+      .orderBy(col("samp_key").desc, col("doc_id"))
+      .limit(n)
+  }
+
   /** C4-style line-and-page cleaning (Raffel et al. 2020 §2.2 — the
     * rules behind the C4 corpus, the line-grain companion to the
     * doc-grain [[gopherFlags]] gate): a line survives only if

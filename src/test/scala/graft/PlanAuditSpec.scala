@@ -62,7 +62,9 @@ class PlanAuditSpec extends SparkSpec {
     "x40_ann_ivf2_cosine",        // coarse-centroid set (cbrt-scaled)
     "x43_ivfpq_topk_cosine",      // coarse-centroid set (scaledCells)
     "x47_cell_sample",            // centroid set (scaledCells-capped)
-    "x52_mmr_rerank"              // single-row query vector
+    "x52_mmr_rerank",             // single-row query vector
+    "x53_bm25_topk",              // singleton corpus-stats row
+    "x54_temp_sample"             // singleton token-totals row
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -91,7 +93,11 @@ class PlanAuditSpec extends SparkSpec {
     "x41_pq_topk_cosine",         // codebook/LUT/query sets (constant-bounded)
     "x43_ivfpq_topk_cosine",      // centroids + codebook/LUT/query sets
     "x47_cell_sample",            // centroid set (scaledCells-capped)
-    "x52_mmr_rerank"              // single-row query vector
+    "x52_mmr_rerank",             // single-row query vector
+    "x53_bm25_topk",              // per-term df (query-bounded) + stats row
+    "x54_temp_sample"             // singleton token-totals row
+    // x55 stays hint-free: the eval side is small in practice but the
+    // join strategy is AQE's call — the x36 discipline
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

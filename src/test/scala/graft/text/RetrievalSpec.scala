@@ -1,0 +1,75 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval and the temperature-balanced deterministic
+  * sample — the round-10 retrieval/selection pair. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "banana banana banana banana"),
+    (4L, "date fig grape")).toDF("doc_id", "text")
+
+  test("bm25TopK: hand-computed scores, ranking, and exclusion of non-matching docs") {
+    val out = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+        Seq("apple", "banana"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    // doc 4 contains no query term: it must never leave the scan
+    assert(!out.map(_._1).contains(4L))
+    // N = 4, Σdl = 12, avgdl = 3.0; df(apple) = df(banana) = 2 → idf = ln 2
+    def s(tf: Long, dl: Long): Double =
+      math.log(2.0) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    val expected = Map(
+      1L -> (2L, s(2, 3) + s(1, 3)), // apple tf=2 + banana tf=1, dl=3
+      2L -> (1L, s(1, 2)),           // apple tf=1, dl=2
+      3L -> (1L, s(4, 4)))           // banana tf=4, dl=4
+    assert(out.length === 3)
+    out.foreach { case (id, (nTerms, bm25)) =>
+      assert(nTerms === expected(id)._1)
+      assert(math.abs(bm25 - expected(id)._2) < 1e-6, s"doc $id")
+    }
+    // descending score order (doc 1 matches both terms → highest)
+    assert(out.map(_._1).head === 1L)
+    assert(out.map(_._2._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("bm25TopK: query terms are case-normalized and k truncates with id tie-break") {
+    val top1 = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+      Seq("APPLE", "Banana"), k = 1).collect()
+    assert(top1.length === 1 && top1.head.getLong(0) === 1L)
+    // identical docs score identically → boundary resolved by doc_id
+    val ties = Seq((10L, "apple pie"), (11L, "apple pie"), (12L, "apple pie"))
+      .toDF("doc_id", "text")
+    val picked = Retrieval.bm25TopK(ties, col("doc_id"), col("text"),
+      Seq("apple"), k = 2).collect().map(_.getLong(0)).toSeq
+    assert(picked === Seq(10L, 11L))
+  }
+
+  test("temperatureSample: deterministic, row-order immune, and rare-source up-weighted") {
+    // big source: 90 docs × 40 tokens; rare source: 10 docs × 4 tokens
+    // → token share(rare) ≈ 1.1%, weight ratio √(share_b/share_r) ≈ 9.5×
+    val docs = ((1L to 90L).map(i => (i, ("w" + i + " ") * 40, "big")) ++
+      (101L to 110L).map(i => (i, ("r" + i + " ") * 4, "rare")))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.temperatureSample(docs, col("doc_id"), col("text"),
+      col("source"), n = 40).collect()
+    assert(out.length === 40)
+    assert(out.map(_.getLong(0)).distinct.length === 40)
+    // keys are emitted in descending order, ties by id
+    val keys = out.map(_.getDouble(3)).toSeq
+    assert(keys.sliding(2).forall(p => p.head >= p.last))
+    // α = 0.5 up-weights the rare source: at uniform its 10/100 docs
+    // would land ~4 of 40 picks; the √share weighting must beat that
+    val rare = out.count(_.getString(1) == "rare")
+    assert(rare > 4, s"rare-source picks = $rare, expected up-weighting")
+    // determinism and row-order immunity: shuffled input, same result
+    val again = TextOps.temperatureSample(docs.orderBy(rand(7)), col("doc_id"),
+      col("text"), col("source"), n = 40).collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(3))).toSeq ===
+      again.map(r => (r.getLong(0), r.getDouble(3))).toSeq)
+  }
+}
