@@ -140,7 +140,23 @@ object FakeCodec {
     * the demuxed-payload slicing. Structural damage (tables pointing
     * outside the file, truncated entries) fails loudly, same contract
     * as the demuxer. */
-  def mp4Samples(content: Array[Byte]): Option[IndexedSeq[(Long, Long)]] = {
+  def mp4Samples(content: Array[Byte]): Option[IndexedSeq[(Long, Long)]] =
+    mp4Timeline(content).map(_._2.map { case (off, sz, _) => (off, sz) })
+
+  /** Sample timeline: [[mp4Samples]] plus DECODE TIMESTAMPS — the
+    * `stts` (time-to-sample, ISO/IEC 14496-12 §8.6.1.2) walk that turns
+    * "sample N" into "the frame at t seconds", which is what a
+    * frame-at-timestamp sampler actually seeks by. Returns
+    * (timescale, samples as (offset, size, dtTicks)): `timescale` is
+    * the track's mdhd ticks-per-second (1 when absent), dtTicks is the
+    * cumulative decode time of the sample (the sum of all earlier
+    * samples' stts deltas), so seconds = dtTicks / timescale. A missing
+    * stts degrades to one tick per sample (offsets stay exact; only
+    * timing is synthetic); an stts whose run-lengths disagree with the
+    * stsz sample count fails loudly, same contract as the rest of the
+    * table walk. */
+  def mp4Timeline(content: Array[Byte])
+      : Option[(Long, IndexedSeq[(Long, Long, Long)])] = {
     if (!isMp4(content)) return None
     val n = content.length
     def u32(i: Int): Long = {
@@ -171,16 +187,19 @@ object FakeCodec {
       }
       out.result()
     }
-    /** stbl payload ranges under moov/trak/mdia/minf, document order. */
-    def stbls(moovStart: Int, moovEnd: Int): Seq[(Int, Int)] =
+    /** (mdia, stbl) payload ranges under moov/trak/mdia/minf, document
+      * order — the mdia range rides along so parseStbl can find the
+      * track's mdhd timescale next to its sample tables. */
+    def stbls(moovStart: Int, moovEnd: Int): Seq[(Int, Int, Int, Int)] =
       for {
         (t, ts, te) <- boxes(moovStart, moovEnd) if t == "trak"
         (m, ms, me) <- boxes(ts, te) if m == "mdia"
         (f, fs, fe) <- boxes(ms, me) if f == "minf"
         (s, ss, se) <- boxes(fs, fe) if s == "stbl"
-      } yield (ss, se)
+      } yield (ms, me, ss, se)
 
-    def parseStbl(start: Int, end: Int): Option[IndexedSeq[(Long, Long)]] = {
+    def parseStbl(mdiaS: Int, mdiaE: Int, start: Int, end: Int)
+        : Option[(Long, IndexedSeq[(Long, Long, Long)])] = {
       val kids = boxes(start, end).map { case (t, s, e) => t -> ((s, e)) }.toMap
       for {
         (szS, _) <- kids.get("stsz")
@@ -210,7 +229,27 @@ object FakeCodec {
           val applicable = runs.takeWhile(_._1 <= c + 1)
           if (applicable.isEmpty) 1L else applicable.last._2
         }
-        val out = IndexedSeq.newBuilder[(Long, Long)]
+        // stts runs (count, delta) → cumulative decode time per sample;
+        // a missing stts degrades to one synthetic tick per sample
+        val deltas: IndexedSeq[Long] = kids.get("stts") match {
+          case Some((s, _)) =>
+            val m = u32(s + 4).toInt
+            val ttsRuns =
+              (0 until m).map(i => (u32(s + 8 + 8 * i), u32(s + 12 + 8 * i)))
+            val total = ttsRuns.map(_._1).sum
+            require(total == count,
+              s"mp4: stts covers $total samples but stsz claims $count")
+            ttsRuns.flatMap { case (c, d) => IndexedSeq.fill(c.toInt)(d) }
+          case None => IndexedSeq.fill(count)(1L)
+        }
+        val dts = deltas.scanLeft(0L)(_ + _)
+        // mdhd (version 0: timescale at +12; version 1: 64-bit times
+        // push it to +20); a timescale of 1 means "ticks" when absent
+        val timescale = boxes(mdiaS, mdiaE).collectFirst {
+          case ("mdhd", hs, _) =>
+            if ((content(hs) & 0xff) == 1) u32(hs + 20) else u32(hs + 12)
+        }.getOrElse(1L)
+        val out = IndexedSeq.newBuilder[(Long, Long, Long)]
         var sample = 0
         var chunk = 0
         while (sample < count && chunk < nChunks) {
@@ -221,21 +260,22 @@ object FakeCodec {
             val sz = sizes(sample)
             require(pos >= 0 && pos + sz <= n,
               s"mp4: sample $sample [$pos, ${pos + sz}) outside file ($n)")
-            out += ((pos, sz))
+            out += ((pos, sz, dts(sample)))
             pos += sz; k += 1; sample += 1
           }
           chunk += 1
         }
         require(sample == count,
           s"mp4: sample table claims $count samples but chunks hold $sample")
-        out.result()
+        (timescale, out.result())
       }
     }
 
     boxes(0, n).collectFirst { case ("moov", s, e) => (s, e) }
       .flatMap { case (s, e) =>
-        stbls(s, e).iterator.flatMap { case (ss, se) => parseStbl(ss, se) }
-          .find(_.nonEmpty)
+        stbls(s, e).iterator
+          .flatMap { case (ms, me, ss, se) => parseStbl(ms, me, ss, se) }
+          .find(_._2.nonEmpty)
       }
   }
 }

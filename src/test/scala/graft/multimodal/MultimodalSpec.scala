@@ -200,6 +200,41 @@ class MultimodalSpec extends SparkSpec {
     assert(FakeCodec.mp4Samples(noTable) === None)
   }
 
+  test("mp4Timeline: stts decode timestamps + mdhd timescale (v0 and v1)") {
+    // same three samples as mp4WithSamples, plus timing: stts runs
+    // (2 × delta 100, 1 × delta 200) → DT = 0, 100, 200 @ 1000 ticks/s
+    val media = "f0f0" + "f1f1f" + "g2g2g2"
+    val stsz = box("stsz", be32(0, 0, 3, 4, 5, 6))
+    val stsc = box("stsc", be32(0, 2, 1, 2, 1, 2, 1, 1))
+    val stco = box("stco", be32(0, 2, 24, 33))
+    val stts = box("stts", be32(0, 2, /*run1*/ 2, 100, /*run2*/ 1, 200))
+    def mp4(mdhd: Array[Byte]) =
+      box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0)) ++
+        box("mdat", media.getBytes) ++
+        box("moov", box("trak", box("mdia", mdhd ++
+          box("minf", box("stbl", stsz ++ stsc ++ stco ++ stts)))))
+    val expected = IndexedSeq((24L, 4L, 0L), (28L, 5L, 100L), (33L, 6L, 200L))
+    // version-0 mdhd: timescale at payload +12
+    val v0 = box("mdhd", be32(0, 0, 0, 1000, 400))
+    assert(FakeCodec.mp4Timeline(mp4(v0)) === Some((1000L, expected)))
+    // version-1 mdhd: 64-bit creation/modification push timescale to +20
+    val v1 = box("mdhd", be32(0x01000000L) ++ be64(0L, 0L) ++ be32(1000, 0, 400))
+    assert(FakeCodec.mp4Timeline(mp4(v1)) === Some((1000L, expected)))
+    // no stts/mdhd (the mp4WithSamples container): synthetic 1-tick
+    // spacing at timescale 1 — offsets stay exact, timing degrades
+    val (plain, offs) = mp4WithSamples()
+    assert(FakeCodec.mp4Timeline(plain) === Some((1L,
+      offs.zipWithIndex.map { case ((o, s), i) => (o, s, i.toLong) }.toIndexedSeq)))
+    // stts that disagrees with stsz fails loudly
+    val badStts = box("stts", be32(0, 1, 2, 100)) // covers 2 of 3 samples
+    val bad = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0)) ++
+      box("mdat", media.getBytes) ++
+      box("moov", box("trak", box("mdia",
+        box("minf", box("stbl", stsz ++ stsc ++ stco ++ badStts)))))
+    val e = intercept[IllegalArgumentException](FakeCodec.mp4Timeline(bad))
+    assert(e.getMessage.contains("stts covers 2 samples but stsz claims 3"))
+  }
+
   test("frameSample walks the sample table when present: real frames, not byte blocks") {
     val (mp4, _) = mp4WithSamples()
     val ds = Seq(MediaRow(5L, "video", mp4, MediaMeta("mp4", 0, 0))).toDS()
