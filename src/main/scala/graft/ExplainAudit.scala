@@ -26,7 +26,8 @@ object ExplainAudit {
         "x46_keep_best", "x47_cell_sample", "x48_line_dedup",
         "x49_c4_clean", "x50_shard_manifest", "x51_domain_cap",
         "x52_mmr_rerank", "x53_bm25_topk", "x54_temp_sample",
-        "x55_semantic_decontam")
+        "x55_semantic_decontam", "x56_vocab_build", "x57_oov_stats",
+        "x58_domain_filter")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -238,6 +238,30 @@ object ScaleProbe {
         // should track x50's near-flat scan slope
         TextOps.temperatureSample(docCorpus(k), col("doc_id"), col("text"),
           pmod(col("doc_id"), lit(13L)), n = 200)),
+      "x56_vocab_build" -> (k =>
+        // the term-keyed tf/df aggregation is the scaling surface; the
+        // id window only ever sees the bounded top-V set
+        TextOps.buildVocab(docCorpus(k), col("doc_id"), col("text"),
+          vocabSize = 1024)),
+      "x57_oov_stats" -> { k =>
+        // FIXED vocab (copy 0's top terms) vs growing corpus: the
+        // broadcast join + doc-keyed count must track token volume
+        val vocab = TextOps.buildVocab(docs, col("doc_id"), col("text"),
+          vocabSize = 1024).select("term")
+        TextOps.oovStats(docCorpus(k), col("doc_id"), col("text"), vocab)
+      },
+      "x58_domain_filter" -> { k =>
+        // planted URL tail on each doc (the x58 corpus shape): regexp
+        // extraction + isin predicate + one host-keyed count — should
+        // sit with x50 at the flat end of the probe set
+        val c = docCorpus(k).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, " via https://spam.example/x link")
+              .when(col("doc_id") % 3 === 1, " see https://www.good.org/p here")
+              .otherwise("")).as("text"))
+        TextOps.domainManifest(c, col("doc_id"), col("text"),
+          blocklist = Seq("spam.example"))
+      },
       "x55_semantic_decontam" -> { k =>
         // FIXED benchmark vs growing corpus (the x38 shape in embedding
         // space): corpus-side bucketing is the scaling surface; bits

@@ -1713,6 +1713,75 @@ object ExtraQueries {
       // scale discipline as x16)
       val n = corpus.count()
       Similarity.semanticDecontam(corpus, eval, n, minCos = 0.999)
+    },
+
+    // ----- truncated vocabulary manifest (tokenizer-training prep)
+    QueryDef("x56_vocab_build",
+      "top-16 vocabulary by global term frequency with doc frequencies and dense (freq desc, term) token ids — one term-keyed aggregation, TakeOrdered cut, id window only over the bounded top-V")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM tok GROUP BY term),
+         |top AS (SELECT * FROM tf ORDER BY tf DESC, term LIMIT 16)
+         |SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS token_id,
+         |       term, tf, df
+         |FROM top
+         |""".stripMargin) { (s, dir) =>
+      TextOps.buildVocab(Tables.documents(s, dir), col("doc_id"), col("text"),
+        vocabSize = 16)
+    },
+
+    // ----- out-of-vocabulary coverage stats against the built vocab
+    QueryDef("x57_oov_stats",
+      "per-doc token count, OOV count, and OOV fraction against the top-16 vocab — broadcast vocab join (bounded by the V constant), one doc-keyed aggregation")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term),
+         |voc AS (SELECT term FROM tf ORDER BY tf DESC, term LIMIT 16),
+         |j AS (SELECT t.doc_id, t.term, v.term IS NOT NULL AS in_v
+         |      FROM tok t LEFT JOIN voc v USING (term))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(CASE WHEN NOT in_v THEN 1 END) AS BIGINT) AS oov_tokens,
+         |       round(CAST(count(CASE WHEN NOT in_v THEN 1 END) AS DOUBLE)
+         |             / count(*), 6) AS oov_frac
+         |FROM j GROUP BY doc_id
+         |""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = TextOps.buildVocab(docs, col("doc_id"), col("text"),
+        vocabSize = 16).select("term")
+      TextOps.oovStats(docs, col("doc_id"), col("text"), vocab)
+    },
+
+    // ----- URL-domain manifest + blocklist gate (planted URL corpus)
+    QueryDef("x58_domain_filter",
+      "per-domain doc counts + literal-blocklist verdict over each doc's first URL host (www-stripped) — codegen'd regexp extraction, isin predicate (no join), one host-keyed count")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 7
+         |      WHEN 0 THEN ' via https://spam.example/offer?x=1 link'
+         |      WHEN 1 THEN ' see https://www.good.org/page for details'
+         |      WHEN 2 THEN ' src http://ads.tracker.net/pixel.gif end'
+         |      WHEN 3 THEN ' read https://good.org/other article'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |        regexp_replace(regexp_extract(text, 'https?://([^/ ]+)', 1),
+         |                       '^www\\.', '') AS host
+         |      FROM corpus)
+         |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         |       host IN ('spam.example', 'ads.tracker.net') AS blocked
+         |FROM h WHERE host <> '' GROUP BY host
+         |""".stripMargin) { (s, dir) =>
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, " via https://spam.example/offer?x=1 link")
+            .when(col("doc_id") % 7 === 1, " see https://www.good.org/page for details")
+            .when(col("doc_id") % 7 === 2, " src http://ads.tracker.net/pixel.gif end")
+            .when(col("doc_id") % 7 === 3, " read https://good.org/other article")
+            .otherwise("")).as("text"))
+      TextOps.domainManifest(corpus, col("doc_id"), col("text"),
+        blocklist = Seq("spam.example", "ads.tracker.net"))
     }
   )
 }

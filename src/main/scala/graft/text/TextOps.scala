@@ -606,6 +606,88 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Word-level vocabulary manifest: the `vocabSize` most frequent
+    * terms with global term and document frequencies and contiguous
+    * ids in (frequency desc, term) order — the truncated-vocab
+    * construction step of tokenizer training (the word-level analog of
+    * a BPE vocab pass), and the input contract for [[oovStats]].
+    * Output: (token_id, term, tf, df), token_id 1-based dense.
+    *
+    * Scale shape: one (term)-keyed hash aggregation computes tf and df
+    * together (map-side combinable — the shuffle carries one row per
+    * distinct term per mapper, not per token); the top-V cut is a
+    * TakeOrderedAndProject, and only THEN does the id-assigning global
+    * window run — over a set bounded by the user constant V (one task
+    * sorting ≤V rows, the same bounded-sequential-tail discipline as
+    * x52's greedy). Nothing corpus-sized is ever globally sorted. */
+  def buildVocab(docs: DataFrame, id: Column, text: Column,
+                 vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val tf = docs.select(id.as("doc_id"), explode(split(norm(text), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term")).limit(vocabSize)
+    tf.withColumn("token_id",
+        row_number().over(Window.orderBy(col("tf").desc, col("term")))
+          .cast(LongType))
+      .select(col("token_id"), col("term"), col("tf"), col("df"))
+  }
+
+  /** Vocabulary-coverage stats: per document, the token count, how many
+    * tokens fall outside `vocab`, and the out-of-vocabulary fraction —
+    * the coverage eval every tokenizer/vocab choice is scored by
+    * (high OOV = the vocab can't represent the corpus). `vocab` is one
+    * `term` column, e.g. [[buildVocab]]'s output. Output:
+    * (doc_id, n_tokens, oov_tokens, oov_frac).
+    *
+    * Scale shape: the token stream joins the vocab with a FORCED
+    * broadcast — justified because a vocabulary is bounded by the user
+    * constant V (32–100 K terms, a few MB), not by the corpus: the
+    * bounded-side rule that x36's corpus-derived set failed. The only
+    * shuffle is the doc-keyed count aggregation, map-side combinable,
+    * carrying three longs per doc. */
+  def oovStats(docs: DataFrame, id: Column, text: Column,
+               vocab: DataFrame): DataFrame =
+    docs.select(id.as("doc_id"), explode(split(norm(text), " ")).as("term"))
+      .join(broadcast(vocab.select(col("term"), lit(true).as("_v"))),
+        Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_v").isNull, 1)).as("oov_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("oov_tokens"),
+        round(col("oov_tokens").cast(DoubleType)
+          / col("n_tokens").cast(DoubleType), 6).as("oov_frac"))
+
+  /** URL-domain manifest + blocklist gate: extract the host of each
+    * document's FIRST http(s) URL (www-stripped), and aggregate the
+    * per-domain document count with its blocklist verdict — the URL
+    * filtering step every crawl-curation pipeline runs before content
+    * heuristics (C4 §2.2's blocklist, RefinedWeb's URL scoring).
+    * Documents without a URL are excluded (no host to attribute).
+    * Output: (host, n_docs, blocked).
+    *
+    * Scale shape: host extraction is a codegen'd regexp projection; the
+    * blocklist is a LITERAL `isin` predicate — compiled into the row
+    * filter, not even a broadcast join, the cheapest possible form for
+    * the list sizes real blocklists have (thousands of literals; past
+    * ~100 K entries a broadcast join would take over). The only shuffle
+    * is the host-keyed count, map-side combinable. The regex is
+    * dialect-neutral (no lookarounds), so DuckDB's RE2 and Java's
+    * engine agree on every capture. */
+  def domainManifest(docs: DataFrame, id: Column, text: Column,
+                     blocklist: Seq[String]): DataFrame = {
+    val host = regexp_replace(
+      regexp_extract(text, "https?://([^/ ]+)", 1), "^www\\.", "")
+    docs.select(id.as("doc_id"), host.as("host"))
+      .filter(col("host") =!= "")
+      .withColumn("blocked",
+        if (blocklist.isEmpty) lit(false) else col("host").isin(blocklist: _*))
+      .groupBy("host", "blocked")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("host"), col("n_docs"), col("blocked"))
+  }
+
   /** Corpus-global first-wins line dedup (the exact-substring-dedup
     * policy of Lee et al. 2022 at line granularity): every normalized
     * line is kept ONLY at its globally first occurrence — lowest

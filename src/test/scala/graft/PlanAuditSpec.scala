@@ -95,9 +95,10 @@ class PlanAuditSpec extends SparkSpec {
     "x47_cell_sample",            // centroid set (scaledCells-capped)
     "x52_mmr_rerank",             // single-row query vector
     "x53_bm25_topk",              // per-term df (query-bounded) + stats row
-    "x54_temp_sample"             // singleton token-totals row
+    "x54_temp_sample",            // singleton token-totals row
     // x55 stays hint-free: the eval side is small in practice but the
     // join strategy is AQE's call — the x36 discipline
+    "x57_oov_stats"               // vocab (bounded by the V constant)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

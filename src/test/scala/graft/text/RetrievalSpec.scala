@@ -49,6 +49,52 @@ class RetrievalSpec extends SparkSpec {
     assert(picked === Seq(10L, 11L))
   }
 
+  test("buildVocab: frequency-ordered dense ids, truncation, tf/df both exact") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "aa bb dd"),
+      (3L, "aa ee")).toDF("doc_id", "text")
+    val out = TextOps.buildVocab(docs, col("doc_id"), col("text"), vocabSize = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // aa: tf 4 df 3; bb: tf 2 df 2; cc/dd/ee tie at tf 1 → term order cuts
+    assert(out.toSeq === Seq((1L, "aa", 4L, 3L), (2L, "bb", 2L, 2L), (3L, "cc", 1L, 1L)))
+    // V larger than the vocabulary returns everything, ids stay dense
+    val full = TextOps.buildVocab(docs, col("doc_id"), col("text"), vocabSize = 100)
+    assert(full.count() === 5L)
+    assert(full.agg(max(col("token_id"))).head().getLong(0) === 5L)
+  }
+
+  test("oovStats: counts against a fixed vocab, all-OOV and all-covered docs") {
+    val docs = Seq(
+      (1L, "aa bb xx"),   // 1 of 3 OOV
+      (2L, "aa bb"),      // fully covered
+      (3L, "zz yy")).toDF("doc_id", "text") // fully OOV
+    val vocab = Seq("aa", "bb").toDF("term")
+    val out = TextOps.oovStats(docs, col("doc_id"), col("text"), vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((3L, 1L, 0.333333)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 2L, 1.0)))
+  }
+
+  test("domainManifest: first-URL host extraction, www-strip, blocklist verdict") {
+    val docs = Seq(
+      (1L, "x https://www.good.org/a and later https://spam.example/b"),
+      (2L, "y http://spam.example/offer z"),
+      (3L, "plain text, no url"),
+      (4L, "w https://good.org/other")).toDF("doc_id", "text")
+    val out = TextOps.domainManifest(docs, col("doc_id"), col("text"),
+        Seq("spam.example"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // doc 1's FIRST url wins (good.org), and www. is stripped → merges with doc 4
+    assert(out === Map("good.org" -> (2L, false), "spam.example" -> (1L, true)))
+    // empty blocklist: nothing blocked, hosts still counted
+    val none = TextOps.domainManifest(docs, col("doc_id"), col("text"), Nil)
+      .collect().map(r => r.getBoolean(2))
+    assert(none.forall(_ == false))
+  }
+
   test("temperatureSample: deterministic, row-order immune, and rare-source up-weighted") {
     // big source: 90 docs × 40 tokens; rare source: 10 docs × 4 tokens
     // → token share(rare) ≈ 1.1%, weight ratio √(share_b/share_r) ≈ 9.5×
