@@ -233,6 +233,74 @@ object Pipelines {
       .select(col("doc_a"), col("ts_a"), col("doc_b"), col("ts_b"))
   }
 
+  /** Streaming incremental near-dup: each arriving document is banded
+    * and checked against a STATIC already-ingested corpus — the
+    * continuous form of the x45 appending-crawl workflow ("is this new
+    * page a near-copy of anything we already hold?"), run as the crawl
+    * lands instead of in nightly batches. Emits
+    * (batch_id, corpus_id, jaccard) for stream docs whose exact
+    * shingle-Jaccard against a banding candidate reaches `minJaccard`.
+    * A pair may surface once per agreeing band (the stateless-join
+    * price; same contract as [[streamingNearDupCandidates]]) —
+    * collapse downstream with [[dedupWithinWatermark]] on
+    * (batch_id, corpus_id) or an idempotent sink.
+    *
+    * Scale shape: every stream-side op is a stateless narrow
+    * projection (norm → shingle hashes → minhash bands), and both
+    * joins are stream-STATIC equi-joins — no streaming state at all,
+    * so memory is bounded by the micro-batch, not the stream history.
+    * The stream row carries its shingle array through the band explode
+    * (bands× duplication of one long array, bounded per doc) so the
+    * verify step needs no second pass over the stream; the corpus side
+    * is banded ONCE into `corpusIndex` (call it at setup, persist the
+    * result — the cache contract is the caller's, since a static plan
+    * inside a streaming query re-executes per micro-batch otherwise).
+    * On a real cluster the corpus index is the thing to bucket by
+    * band_key so each micro-batch's probe co-locates. */
+  def streamingIncrementalNearDup(batch: DataFrame, idCol: String,
+                                  textCol: String, corpusIndex: DataFrame,
+                                  k: Int = 7, nHashes: Int = 12,
+                                  bands: Int = 3, rows: Int = 4,
+                                  minJaccard: Double = 0.5): DataFrame = {
+    import graft.dedup.Dedup
+    val b = batch
+      .select(col(idCol).as("batch_id"),
+        graft.text.TextOps.norm(col(textCol)).as("_t"))
+      .select(col("batch_id"), Dedup.shingleHashes(col("_t"), k).as("sh_b"))
+      .select(col("batch_id"), col("sh_b"),
+        explode(Dedup.lshBands(
+          Dedup.minhashSignature(col("sh_b"), nHashes), bands, rows)).as("bd"))
+      .select(col("batch_id"), col("sh_b"),
+        col("bd.band_id"), col("bd.band_key"))
+    b.join(corpusIndex, Seq("band_id", "band_key"))
+      .select(col("batch_id"), col("corpus_id"),
+        size(array_intersect(col("sh_b"), col("sh_a"))).cast("double").as("_i"),
+        (size(col("sh_b")) + size(col("sh_a"))).cast("double").as("_s"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("_i") / (col("_s") - col("_i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The static side of [[streamingIncrementalNearDup]]: the corpus
+    * banded once — (band_id, band_key, corpus_id, sh_a). Persist the
+    * returned frame before starting the query (a static sub-plan
+    * re-executes per micro-batch; the cache contract is the caller's,
+    * as on graft.dedup.Dedup). */
+  def corpusNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                         k: Int = 7, nHashes: Int = 12,
+                         bands: Int = 3, rows: Int = 4): DataFrame = {
+    import graft.dedup.Dedup
+    corpus
+      .select(col(idCol).as("corpus_id"),
+        graft.text.TextOps.norm(col(textCol)).as("_t"))
+      .select(col("corpus_id"), Dedup.shingleHashes(col("_t"), k).as("sh_a"))
+      .select(col("corpus_id"), col("sh_a"),
+        explode(Dedup.lshBands(
+          Dedup.minhashSignature(col("sh_a"), nHashes), bands, rows)).as("bd"))
+      .select(col("bd.band_id"), col("bd.band_key"),
+        col("corpus_id"), col("sh_a"))
+  }
+
   /** W7 streaming exact-dedup: drop redelivered events by key within the
     * watermark horizon (`dropDuplicatesWithinWatermark` — state per key
     * is evicted once the watermark passes, so memory is bounded by the

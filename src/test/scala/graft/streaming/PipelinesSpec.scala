@@ -99,6 +99,46 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/data").count() === 4)
   }
 
+  test("streaming incremental near-dup: arriving docs checked against the static corpus index") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different corpus text about spark physical planning rules"))
+      .toDF("doc_id", "text")
+    // 6 bands × 2 rows: at tail-dup Jaccard ≈ 0.85 the default 3×4
+    // banding has a real (deterministic-per-string) miss chance
+    // (0.85⁴ per band); 2-row bands push recall to ~0.999
+    val idx = Pipelines.corpusNearDupIndex(corpus, "doc_id", "text",
+      bands = 6, rows = 2).persist()
+    val in = MemoryStream[(Long, String)]
+    val out = Pipelines.streamingIncrementalNearDup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+      bands = 6, rows = 2)
+    val q = out.writeStream.format("memory").queryName("inc_nd").start()
+    try {
+      in.addData(
+        // near-copy of corpus doc 1 (tail-appended)
+        (100L, "the quick brown fox jumps over the lazy dog again and again today more words"),
+        // shares nothing with the corpus
+        (101L, "totally unrelated fresh crawl content nothing here overlaps at all"))
+      q.processAllAvailable()
+      val rows = spark.table("inc_nd")
+        .select("batch_id", "corpus_id", "jaccard").collect()
+      // doc 100 flags against corpus doc 1 only (possibly once per band);
+      // doc 101 and corpus doc 2 never surface
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+      assert(pairs === Set((100L, 1L)))
+      assert(rows.map(_.getDouble(2)).forall(_ >= 0.5))
+      // a second micro-batch re-probes the SAME static index (no state
+      // carried): a redelivered doc flags again — idempotent-sink contract
+      in.addData((100L, "the quick brown fox jumps over the lazy dog again and again today more words"))
+      q.processAllAvailable()
+      assert(spark.table("inc_nd").select("batch_id").distinct().count() === 1)
+    } finally { q.stop(); idx.unpersist() }
+  }
+
   test("the flagship batch operator (Book.summarize) runs unchanged in a streaming query") {
     val s = spark
     import s.implicits._
