@@ -1782,6 +1782,21 @@ object ExtraQueries {
             .otherwise("")).as("text"))
       TextOps.domainManifest(corpus, col("doc_id"), col("text"),
         blocklist = Seq("spam.example", "ads.tracker.net"))
+    },
+
+    // ----- per-source quality percentile (threshold calibration)
+    QueryDef("x59_quality_pct",
+      "percent_rank of token-count quality within each source — computed by counting strictly-smaller values (windows only over DISTINCT values per stratum), never by sorting documents")(
+      s"""WITH q AS (SELECT doc_id, source AS stratum,
+         |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS quality
+         |      FROM documents)
+         |SELECT doc_id, stratum, quality,
+         |       round(percent_rank() OVER (PARTITION BY stratum ORDER BY quality), 6)
+         |         AS pct_rank
+         |FROM q
+         |""".stripMargin) { (s, dir) =>
+      TextOps.qualityPercentiles(Tables.documents(s, dir), col("doc_id"),
+        col("source"), TextOps.wsTokenCount(col("text")))
     }
   )
 }

@@ -688,6 +688,42 @@ object TextOps {
       .select(col("host"), col("n_docs"), col("blocked"))
   }
 
+  /** Per-stratum quality percentile (SQL `percent_rank` semantics:
+    * (rank − 1)/(n − 1), ties share a rank, a 1-row stratum scores
+    * 0.0) — the per-source calibration step behind "keep the top 30%
+    * of each source": absolute quality thresholds mean different
+    * things per domain, percentiles don't. Output:
+    * (doc_id, stratum, quality, pct_rank).
+    *
+    * Scale shape: NOT a per-stratum window over documents (the x37
+    * one-task-sort killer). rank − 1 = the count of strictly-smaller
+    * quality values, so: aggregate per-(stratum, quality) counts
+    * (map-side combinable), turn them into exclusive running counts
+    * with a window whose partitions hold one stratum's DISTINCT
+    * quality values — corpus-INDEPENDENT for integer-valued signals
+    * (token counts, rule hits; quantize real-valued scores first, as
+    * any percentile calibration does anyway) — then join the small
+    * rank table back on (stratum, quality) with no forced hint. The
+    * per-stratum totals are a second tiny aggregate. Documents are
+    * never sorted; only counted. */
+  def qualityPercentiles(docs: DataFrame, id: Column, strata: Column,
+                         quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = docs.select(id.as("doc_id"), strata.as("stratum"),
+      quality.as("quality"))
+    val counts = q.groupBy("stratum", "quality").agg(count(lit(1)).as("_c"))
+    val below = counts.withColumn("_below",
+      sum(col("_c")).over(
+        Window.partitionBy(col("stratum")).orderBy(col("quality"))) - col("_c"))
+    val totals = q.groupBy("stratum").agg(count(lit(1)).as("_n"))
+    q.join(below.select("stratum", "quality", "_below"), Seq("stratum", "quality"))
+      .join(totals, Seq("stratum"))
+      .select(col("doc_id"), col("stratum"), col("quality"),
+        round(when(col("_n") === 1, 0.0)
+          .otherwise(col("_below").cast(DoubleType) / (col("_n") - 1)), 6)
+          .as("pct_rank"))
+  }
+
   /** Corpus-global first-wins line dedup (the exact-substring-dedup
     * policy of Lee et al. 2022 at line granularity): every normalized
     * line is kept ONLY at its globally first occurrence — lowest
