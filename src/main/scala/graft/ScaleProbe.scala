@@ -262,6 +262,14 @@ object ScaleProbe {
         TextOps.domainManifest(c, col("doc_id"), col("text"),
           blocklist = Seq("spam.example"))
       },
+      "x59_quality_pct" -> (k =>
+        // 13 strata; the windows run over DISTINCT (stratum, quality)
+        // values, not documents — the probe asserts exactly that claim:
+        // quality is a token count so its distinct-value set grows far
+        // slower than the corpus, and the slope must track the
+        // aggregation scan, not a per-stratum document sort
+        TextOps.qualityPercentiles(docCorpus(k), col("doc_id"),
+          pmod(col("doc_id"), lit(13L)), TextOps.wsTokenCount(col("text")))),
       "x55_semantic_decontam" -> { k =>
         // FIXED benchmark vs growing corpus (the x38 shape in embedding
         // space): corpus-side bucketing is the scaling surface; bits

@@ -202,13 +202,15 @@ object FakeCodec {
         : Option[(Long, IndexedSeq[(Long, Long, Long)])] = {
       val kids = boxes(start, end).map { case (t, s, e) => t -> ((s, e)) }.toMap
       for {
-        (szS, _) <- kids.get("stsz")
+        (szS, szE) <- kids.get("stsz")
         (coS, coE) <- kids.get("stco").orElse(kids.get("co64"))
       } yield {
         val wide = kids.contains("co64") && !kids.contains("stco")
         // stsz: fullbox header, then uniform size | per-sample sizes
         val uniform = u32(szS + 4)
         val count = u32(szS + 8).toInt
+        require(uniform != 0L || szS + 12 + 4L * count <= szE,
+          s"mp4: stsz claims $count samples but box holds ${(szE - szS - 12) / 4}")
         val sizes: Int => Long =
           if (uniform != 0L) _ => uniform else i => u32(szS + 12 + 4 * i)
         // stco/co64: fullbox header + entry count + offsets
@@ -220,8 +222,10 @@ object FakeCodec {
         // stsc runs: (first_chunk 1-based, samples_per_chunk); a missing
         // stsc degrades to one sample per chunk
         val runs: IndexedSeq[(Long, Long)] = kids.get("stsc") match {
-          case Some((s, _)) =>
+          case Some((s, e)) =>
             val m = u32(s + 4).toInt
+            require(s + 8 + 12L * m <= e,
+              s"mp4: stsc claims $m runs but box holds ${(e - s - 8) / 12}")
             (0 until m).map(i => (u32(s + 8 + 12 * i), u32(s + 12 + 12 * i)))
           case None => IndexedSeq((1L, 1L))
         }
@@ -232,8 +236,10 @@ object FakeCodec {
         // stts runs (count, delta) → cumulative decode time per sample;
         // a missing stts degrades to one synthetic tick per sample
         val deltas: IndexedSeq[Long] = kids.get("stts") match {
-          case Some((s, _)) =>
+          case Some((s, e)) =>
             val m = u32(s + 4).toInt
+            require(s + 8 + 8L * m <= e,
+              s"mp4: stts claims $m runs but box holds ${(e - s - 8) / 8}")
             val ttsRuns =
               (0 until m).map(i => (u32(s + 8 + 8 * i), u32(s + 12 + 8 * i)))
             val total = ttsRuns.map(_._1).sum
@@ -246,8 +252,14 @@ object FakeCodec {
         // mdhd (version 0: timescale at +12; version 1: 64-bit times
         // push it to +20); a timescale of 1 means "ticks" when absent
         val timescale = boxes(mdiaS, mdiaE).collectFirst {
-          case ("mdhd", hs, _) =>
-            if ((content(hs) & 0xff) == 1) u32(hs + 20) else u32(hs + 12)
+          case ("mdhd", hs, he) =>
+            if ((content(hs) & 0xff) == 1) {
+              require(hs + 24 <= he, "mp4: truncated v1 mdhd")
+              u32(hs + 20)
+            } else {
+              require(hs + 16 <= he, "mp4: truncated v0 mdhd")
+              u32(hs + 12)
+            }
         }.getOrElse(1L)
         val out = IndexedSeq.newBuilder[(Long, Long, Long)]
         var sample = 0

