@@ -1797,6 +1797,39 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       TextOps.qualityPercentiles(Tables.documents(s, dir), col("doc_id"),
         col("source"), TextOps.wsTokenCount(col("text")))
+    },
+
+    // ----- packed-sequence training artifact (pack → sharded export → manifest)
+    QueryDef("x60_packed_export",
+      "curation→training hand-off: pack the corpus into 128-token sequences in 8 hash shards, export shard=K parquet (replay-ordered within files), manifest the files JUST WRITTEN — per-shard doc/seq/span/token counts + order-independent mod-P span checksum; the result certifies the on-disk artifact, not the input")(
+      s"""WITH n AS (SELECT doc_id, doc_id % 8 AS shard,
+         |                  len(string_split($normD, ' ')) AS n_tok FROM documents),
+         |o AS (SELECT doc_id, shard, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS e FROM n),
+         |s AS (SELECT doc_id, shard, CAST(e - n_tok AS BIGINT) AS st,
+         |             CAST(e AS BIGINT) AS e FROM o WHERE n_tok > 0),
+         |x AS (SELECT doc_id, shard, st, e,
+         |             unnest(range(st // 128, (e - 1) // 128 + 1)) AS seq_id FROM s),
+         |sp AS (SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |              CAST(seq_id AS BIGINT) AS seq_id,
+         |              CAST(least(e, (seq_id + 1) * 128) - greatest(st, seq_id * 128)
+         |                AS BIGINT) AS n_tok_in_seq FROM x)
+         |SELECT shard, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+         |       CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(sum(n_tok_in_seq) AS BIGINT) AS n_tokens,
+         |       bit_xor((((doc_id % 1000000007) * 31 + seq_id) % 1000000007 * 31
+         |                + n_tok_in_seq) % 1000000007) AS span_xor,
+         |       CAST(min(seq_id) AS BIGINT) AS min_seq,
+         |       CAST(max(seq_id) AS BIGINT) AS max_seq
+         |FROM sp GROUP BY shard
+         |""".stripMargin) { (s, dir) =>
+      // the export target is scratch space: the QUERY OUTPUT is the
+      // manifest of what landed on disk, which is what the oracle checks
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_x60_packed").getAbsolutePath
+      graft.silver.Export.packedExport(Tables.documents(s, dir),
+        col("doc_id"), col("text"), out)
     }
   )
 }

@@ -75,4 +75,54 @@ object Export {
     val back = docs.sparkSession.read.parquet(outDir)
     shardManifest(back, col("doc_id"), col("text"), nShards)
   }
+
+  /** Manifest of a packed-sequence table (`TextOps.pack` output or its
+    * parquet read-back): per shard, distinct doc/sequence counts, span
+    * rows, total tokens, an order-independent XOR checksum over the
+    * span triples, and the sequence-id bounds. The checksum folds each
+    * (doc_id, seq_id, n_tok_in_seq) span through the same mod-P
+    * polynomial the corpus fingerprints use — every operand is reduced
+    * mod 1e9+7 before multiplying, so the arithmetic stays far inside
+    * 64 bits for any doc id (DuckDB raises on BIGINT overflow where
+    * Spark would wrap silently; bounded math keeps both engines equal).
+    *
+    * Scale shape: one nShards-row hash aggregation with map-side
+    * combine — the same profile as [[shardManifest]]. */
+  def packedManifest(packed: DataFrame): DataFrame =
+    packed.groupBy(col("shard").cast(LongType).as("shard"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_spans"),
+        sum(col("n_tok_in_seq")).as("n_tokens"),
+        expr("bit_xor((((doc_id % 1000000007) * 31 + seq_id) % 1000000007 * 31" +
+          " + n_tok_in_seq) % 1000000007)").as("span_xor"),
+        min(col("seq_id")).as("min_seq"),
+        max(col("seq_id")).as("max_seq"))
+
+  /** x60 — the packed-sequence training artifact: curated documents →
+    * fixed-`seqLen`-token sequence spans (`TextOps.pack`) → sharded
+    * parquet at `outDir/shard=K/` → manifest computed from the FILES
+    * JUST WRITTEN, certifying what is actually on disk. This is the
+    * hand-off between the curation tier and a training run: a trainer
+    * points one data-loader at each shard directory, replays spans in
+    * (seq_id, doc_id) order, and verifies the export against the
+    * manifest without re-reading the corpus.
+    *
+    * Scale shape: pack's cumsum is windowed WITHIN a shard (never
+    * global — see `TextOps.pack`); the write keeps input parallelism
+    * via dynamic `partitionBy` exactly like [[writeSharded]], with
+    * `sortWithinPartitions(shard, seq_id)` so each written file is
+    * training-replay-ordered at zero extra shuffle (sort is per-task);
+    * the manifest is an nShards-row aggregation. */
+  def packedExport(docs: DataFrame, id: Column, text: Column, outDir: String,
+                   seqLen: Int = 128, nShards: Int = 8,
+                   maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    TextOps.pack(docs, id, text, seqLen, nShards)
+      .sortWithinPartitions("shard", "seq_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(outDir)
+    packedManifest(docs.sparkSession.read.parquet(outDir))
+  }
 }

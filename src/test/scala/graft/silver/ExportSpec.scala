@@ -68,4 +68,44 @@ class ExportSpec extends SparkSpec {
     val m = Export.shardManifest(docs, col("doc_id"), col("text"), nShards = 4)
     assert(m.agg(sum("n_docs")).head().getLong(0) === 2L)
   }
+
+  test("packedExport lays out shard=K dirs, files replay-ordered by seq_id, manifest certifies disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_packed").toString
+    val docs = corpus(200)
+    val got = Export.packedExport(docs, col("doc_id"), col("text"), dir,
+      seqLen = 16, nShards = 4)
+    // manifest of the files on disk == manifest of the pack computed in memory
+    val expected = Export.packedManifest(
+      graft.text.TextOps.pack(docs, col("doc_id"), col("text"), 16, 4))
+    assert(canon(got) === canon(expected))
+    // layout: shard=K directories only
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(shardDirs.length === 4 && shardDirs.forall(_.getName.startsWith("shard=")))
+    // every written file is replay-ordered: seq_id non-decreasing within the file
+    val files = shardDirs.flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val seqs = spark.read.parquet(f.getAbsolutePath)
+        .select("seq_id").collect().map(_.getLong(0))
+      assert(seqs.sameElements(seqs.sorted), s"${f.getName} not seq-ordered")
+    }
+    // token conservation: manifest total == corpus token count (no spans lost)
+    val corpusTok = docs
+      .select(graft.text.TextOps.wsTokenCount(
+        graft.text.TextOps.norm(col("text"))).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(got.agg(sum("n_tokens")).head().getLong(0) === corpusTok)
+  }
+
+  test("packed span checksum detects a single lost span") {
+    val docs = corpus(60)
+    val packed = graft.text.TextOps.pack(docs, col("doc_id"), col("text"), 16, 4)
+    val a = Export.packedManifest(packed)
+      .select("shard", "span_xor").as[(Long, Long)].collect().toMap
+    val victim = packed.orderBy("shard", "seq_id", "doc_id").limit(1)
+    val b = Export.packedManifest(packed.exceptAll(victim))
+      .select("shard", "span_xor").as[(Long, Long)].collect().toMap
+    assert(a !== b)
+  }
 }
