@@ -1830,6 +1830,57 @@ object ExtraQueries {
         "graft_x60_packed").getAbsolutePath
       graft.silver.Export.packedExport(Tables.documents(s, dir),
         col("doc_id"), col("text"), out)
+    },
+
+    // ----- BPE merge-pair vocabulary (iterative tokenizer training)
+    QueryDef("x61_bpe_merges",
+      "BPE tokenizer training: 12 rounds of most-frequent-adjacent-symbol-pair merging over the distinct-word inventory (chars + </w> start state, frequency-weighted counts, lexicographic tie-break) — corpus read once, every round a vocab-bounded pair aggregation; oracle replays each round as a materialized CTE with the same greedy leftmost fold")(
+      bpeOracleD(12)) { (s, dir) =>
+      TextOps.bpeMerges(Tables.documents(s, dir), col("doc_id"), col("text"),
+        nMerges = 12)
     }
   )
+
+  /** Oracle for [[TextOps.bpeMerges]]: one (pair-count, argmax, rewrite)
+    * CTE triple per round, chained w0 → wN. MATERIALIZED is load-bearing:
+    * each round references its predecessor twice (pair counts + rewrite),
+    * so inlining would expand w0 2^N times. The rewrite mirrors
+    * `bpeMergeStep`'s greedy leftmost fold with the accumulator list
+    * encoded as a chr(31)-joined string (DuckDB's list_reduce accumulator
+    * must have the element type; 0x1f is not regex \\s, but it cannot
+    * appear in real text, and the Spark side never encodes at all). */
+  private def bpeOracleD(nMerges: Int): String = {
+    val sep = "chr(31)"
+    val rounds = (1 to nMerges).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT syms[i] AS lft, syms[i+1] AS rgt, sum(wc) AS c
+         |  FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i
+         |        FROM $prev WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT lft, rgt, lft || rgt AS m, c FROM p$r
+         |  ORDER BY c DESC, lft, rgt LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT w, wc,
+         |  CASE WHEN len(syms) < 2 THEN syms ELSE
+         |    string_split(list_reduce(syms, (acc, x) ->
+         |      CASE WHEN string_split(acc, $sep)[-1] = b.lft AND x = b.rgt
+         |           THEN array_to_string(list_append(
+         |                  list_slice(string_split(acc, $sep), 1,
+         |                             len(string_split(acc, $sep)) - 1), b.m), $sep)
+         |           ELSE acc || $sep || x END), $sep)
+         |  END AS syms
+         |  FROM $prev, b$r b)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to nMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, lft, rgt, m AS merged," +
+        s" CAST(c AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH nw AS (SELECT $normD AS t FROM documents),
+       |tok AS (SELECT unnest(string_split(t, ' ')) AS w FROM nw),
+       |w0 AS MATERIALIZED (SELECT w, count(*) AS wc,
+       |  list_append([substr(w, i, 1) FOR i IN range(1, len(w) + 1)], '</w>') AS syms
+       |  FROM tok WHERE w <> '' GROUP BY w),
+       |$rounds
+       |$sel
+       |""".stripMargin
+  }
 }

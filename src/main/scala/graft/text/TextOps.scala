@@ -672,6 +672,83 @@ object TextOps {
         round(col("oov_tokens").cast(DoubleType)
           / col("n_tokens").cast(DoubleType), 6).as("oov_frac"))
 
+  /** The one BPE merge step both [[bpeMerges]] rounds and its spec
+    * share: greedy leftmost non-overlapping replacement of the adjacent
+    * symbol pair (l, r) by `m` — a LEFT FOLD over the symbol array
+    * (acc starts as the first symbol; each next symbol either fuses
+    * with acc's last element or appends), so "aaaa" under (a,a)→aa
+    * becomes [aa, aa], never [aa, a, a]. Arrays of < 2 symbols pass
+    * through untouched. */
+  private[text] def bpeMergeStep(syms: Column, l: String, r: String,
+                                 m: String): Column =
+    when(size(syms) < 2, syms)
+      .otherwise(aggregate(
+        slice(syms, lit(2), size(syms) - 1),
+        slice(syms, lit(1), lit(1)),
+        (acc, x) => when(element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x)))))
+
+  /** Byte-pair-encoding merge-pair vocabulary (x61): the iterative
+    * tokenizer-training pass [[buildVocab]] stops short of. Each word
+    * starts as its character sequence plus a `</w>` end-of-word marker;
+    * each round counts adjacent symbol pairs across the word inventory
+    * (weighted by word frequency), merges the globally most frequent
+    * pair (ties → lexicographic on the pair), and repeats — the merge
+    * list IS the tokenizer artifact (apply merges in rank order to
+    * encode any text; character fallback makes OOV structurally zero,
+    * vs the word-level vocab's truncation OOV). Output: one row per
+    * merge, (merge_rank, lft, rgt, merged, pair_count).
+    *
+    * Scale shape — why this survives 100 TB: the corpus is read ONCE,
+    * into a distinct-word inventory (vocabulary-bounded — ~1e6 rows
+    * regardless of corpus size, Heaps' law); all `nMerges` iterations
+    * run on that inventory. Pair counting is a (lft, rgt)-keyed hash
+    * aggregation with map-side combine; the per-round driver action
+    * collects exactly ONE row (the argmax pair — same
+    * bounded-driver-loop discipline as the CC round counts); the merge
+    * rewrite is a narrow per-row fold. Each round's inventory is
+    * persisted and the parent unpersisted, so lineage never recomputes
+    * across rounds. */
+  def bpeMerges(docs: DataFrame, id: Column, text: Column,
+                nMerges: Int = 12): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.select(explode(split(norm(text), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("syms", concat(split(col("w"), ""), array(lit("</w>"))))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("lft"), b.as("rgt")))).as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("wc")).as("c"))
+        .orderBy(col("c").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rt, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, rt, l + rt, c))
+        val prev = words
+        words = prev.withColumn("syms", bpeMergeStep(col("syms"), l, rt, l + rt))
+          .persist()
+        words.count() // materialize before releasing the parent round
+        prev.unpersist()
+        r += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
+  }
+
   /** URL-domain manifest + blocklist gate: extract the host of each
     * document's FIRST http(s) URL (www-stripped), and aggregate the
     * per-domain document count with its blocklist verdict — the URL

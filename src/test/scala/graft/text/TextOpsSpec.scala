@@ -301,4 +301,76 @@ class TextOpsSpec extends SparkSpec {
         else cleaned.split("\n", -1).length.toLong))
     }
   }
+
+  test("bpeMergeStep is greedy leftmost non-overlapping: aaaa -> [aa, aa]") {
+    val df = Seq(Tuple1(Seq("a", "a", "a", "a")), Tuple1(Seq("a", "a", "a")),
+      Tuple1(Seq("b", "a", "a")), Tuple1(Seq("a")), Tuple1(Seq.empty[String]))
+      .toDF("syms")
+    val out = df.select(TextOps.bpeMergeStep(col("syms"), "a", "a", "aa").as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out.toList === List(List("aa", "aa"), List("aa", "a"),
+      List("b", "aa"), List("a"), Nil))
+  }
+
+  test("bpeMerges learns the dominant pair first, frequency-weighted, ties lexicographic") {
+    // "ab" appears in 3 distinct words with total weight 5; end-marker
+    // pairs are each <= 3 -> (a,b) must be merge 1 with count 5
+    val docs = Seq((1L, "abc abd ab abc abc"), (2L, "xy xy xz"))
+      .toDF("doc_id", "text")
+    val m = TextOps.bpeMerges(docs, col("doc_id"), col("text"), nMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.head === ((1L, "a", "b", "ab", 5L)))
+    // the merged symbol participates in later rounds as a unit
+    assert(m.map(_._4).distinct.length === 3)
+  }
+
+  test("bpeMerges stops early when the inventory is fully merged") {
+    val docs = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    // word "aa" = [a, a, </w>]: 2 merges collapse it to one symbol;
+    // requesting 10 must return exactly the feasible merges
+    val m = TextOps.bpeMerges(docs, col("doc_id"), col("text"), nMerges = 10)
+    assert(m.count() === 2L)
+  }
+
+  test("BPE vocab reading: char fallback drops OOV to zero where the word vocab truncates; merges compress") {
+    // fixture: skewed word frequencies so a small word vocab truncates
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 2 == 0) "the cat sat on the mat" else s"rare${i}word unique${i}term")
+    }.toDF("doc_id", "text")
+    // word-level vocab of 6 terms: every odd doc is fully OOV
+    val wordVocab = TextOps.buildVocab(docs, col("doc_id"), col("text"), vocabSize = 6)
+    val wordOov = TextOps.oovStats(docs, col("doc_id"), col("text"), wordVocab)
+      .agg(sum("oov_tokens").cast("double") / sum("n_tokens")).head().getDouble(0)
+    assert(wordOov > 0.2, s"fixture should truncate hard, got $wordOov")
+    // BPE: apply the learned merges in rank order to the word inventory;
+    // every surviving symbol is in (merges ∪ single chars ∪ </w>) -> OOV 0.
+    // Encoding runs driver-side on the COLLECTED inventory: 12 chained
+    // bpeMergeStep columns would nest aggregate() HOFs 12 deep, and each
+    // level references syms several times — an exponentially-expanding
+    // expression tree the optimizer chokes on (the operator itself
+    // persists between rounds, so Catalyst only ever sees one level).
+    val merges = TextOps.bpeMerges(docs, col("doc_id"), col("text"), nMerges = 12)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    def mergeOnce(syms: List[String], l: String, r: String, m: String): List[String] =
+      syms.drop(1).foldLeft(List(syms.head)) { (acc, x) =>
+        if (acc.last == l && x == r) acc.init :+ m else acc :+ x
+      }
+    val inventory = docs.select(explode(split(TextOps.norm(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
+    val encoded = inventory.map { w =>
+      w -> merges.foldLeft(w.split("").toList :+ "</w>") { case (syms, (l, r, m)) =>
+        if (syms.length < 2) syms else mergeOnce(syms, l, r, m)
+      }
+    }
+    val known = merges.map(_._3).toSet + "</w>"
+    val oov = encoded.flatMap(_._2).filter(s => s.length > 1 && !known.contains(s))
+    assert(oov.isEmpty, s"multi-char symbols outside the merge vocab: ${oov.take(5).toList}")
+    // compression: total symbols/word after merges < chars+1 baseline
+    val before = encoded.map(_._1.length + 1).sum.toDouble
+    val after = encoded.map(_._2.length).sum.toDouble
+    assert(after < before * 0.8,
+      s"12 merges should compress the inventory >20%: $after vs $before")
+  }
 }
