@@ -281,6 +281,73 @@ object Pipelines {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** The full curation gate chain over ONE micro-batch — the streaming
+    * composition of the batch-verified curation tier (x49 C4 line/page
+    * rules → x36 cross-doc boilerplate strike → x30 Gopher document
+    * rules → x45 incremental near-dup against the already-ingested
+    * corpus). Order matters: line-grain cleaning first so the document
+    * gates score the text a trainer would actually see, near-dup last
+    * so fingerprints are computed on fully cleaned text (a boilerplate
+    * footer shared by every page would otherwise dominate the shingle
+    * set and glue unrelated docs into near-dups). Returns the surviving
+    * documents as (doc_id, text, n_tokens).
+    *
+    * Scale shape: every stage is the already-audited batch operator —
+    * C4 and Gopher are narrow projections + one doc-keyed reassembly;
+    * boilerplate runs UNCACHED (its duplicate line-hash scan is bounded
+    * by the micro-batch; a per-batch persist would leak across batches
+    * and clearCache would evict the caller's corpus index); the
+    * near-dup probe is a stream-static equi-join on band keys, so the
+    * only per-batch state anywhere is the micro-batch itself. The
+    * corpus index is the caller's: band it once with
+    * [[corpusNearDupIndex]], persist it, and hand it in. */
+  def curateBatch(batch: DataFrame, idCol: String, textCol: String,
+                  corpusIndex: DataFrame,
+                  gopherMinWords: Int = 50, c4MinWords: Int = 5,
+                  c4MinKeptLines: Long = 3L, boilerMinDocs: Long = 5L,
+                  minJaccard: Double = 0.5): DataFrame = {
+    import graft.text.TextOps
+    val c4 = TextOps.c4LineClean(batch, col(idCol), col(textCol),
+        c4MinWords, c4MinKeptLines)
+      .filter(col("page_pass"))
+      .select(col("doc_id"), col("cleaned").as("text"))
+    val boiled = TextOps.removeBoilerplateLines(c4, col("doc_id"), col("text"),
+        boilerMinDocs, cache = false)
+      .filter(col("cleaned") =!= "")
+      .select(col("doc_id"), col("cleaned").as("text"))
+    val gophered = boiled.join(
+      TextOps.gopherFlags(boiled, col("doc_id"), col("text"), gopherMinWords)
+        .filter(col("passes")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val dupHits = streamingIncrementalNearDup(gophered, "doc_id", "text",
+        corpusIndex, minJaccard = minJaccard)
+      .select(col("batch_id").as("doc_id"))
+    gophered.join(dupHits, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"),
+        TextOps.wsTokenCount(col("text")).as("n_tokens"))
+  }
+
+  /** The curation chain as a streaming sink: [[curateBatch]] inside
+    * foreachBatch, landing batch_id-partitioned parquet with DYNAMIC
+    * partition overwrite — a replayed micro-batch replaces its own
+    * partition, so the curated corpus stays exactly-once under
+    * redelivery (same idempotence contract as [[bronzeSink]]). */
+  def curationSink(stream: DataFrame, idCol: String, textCol: String,
+                   corpusIndex: DataFrame, outPath: String, checkpoint: String,
+                   gopherMinWords: Int = 50, c4MinWords: Int = 5,
+                   c4MinKeptLines: Long = 3L, boilerMinDocs: Long = 5L,
+                   minJaccard: Double = 0.5): DataStreamWriter[Row] =
+    stream.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        curateBatch(batch, idCol, textCol, corpusIndex, gopherMinWords,
+            c4MinWords, c4MinKeptLines, boilerMinDocs, minJaccard)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+      }
+
   /** The static side of [[streamingIncrementalNearDup]]: the corpus
     * banded once — (band_id, band_key, corpus_id, sh_a). Persist the
     * returned frame before starting the query (a static sub-plan

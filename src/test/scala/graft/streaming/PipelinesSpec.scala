@@ -431,4 +431,85 @@ class PipelinesSpec extends SparkSpec {
       spark.streams.removeListener(counters)
     }
   }
+
+  test("curation pipeline end-to-end: C4 + boilerplate + Gopher + incremental near-dup over multiple micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+
+    val footer = "subscribe to our newsletter for daily updates."
+    val contentA = Seq( // = corpus doc 1: batch doc 104 is its near-copy
+      "the market closed higher after steady morning trading today.",
+      "investors watched a rally of technology shares with caution.",
+      "volume stayed strong through the afternoon session yesterday.",
+      "analysts expect further gains in the coming quarter ahead.",
+      "the closing numbers showed a broad based advance overall.")
+    val contentB = Seq( // doc 101: unique, should survive everything
+      "heavy rain fell across the northern valley during early evening.",
+      "rivers rose quickly and a flood warning was issued locally.",
+      "emergency crews moved residents of low areas to higher ground.",
+      "the storm weakened before midnight according to the forecast office.",
+      "damage assessments will continue through the weekend in every district.")
+    val contentC = Seq( // = corpus doc 2: batch-2 doc 202 is its near-copy
+      "the committee approved a new budget for the public library.",
+      "several members praised the plan during a long open meeting.",
+      "funding of local programs will increase slightly next year.",
+      "the vote passed with a clear majority after debate ended.",
+      "residents can read the full proposal at the town office.")
+    val contentD = Seq( // doc 201: unique, should survive in batch 2
+      "a small bakery opened near the old station this spring.",
+      "locals line up early for fresh bread and warm pastry.",
+      "the owner trained abroad and returned home with new recipes.",
+      "weekend mornings bring the longest queues of the whole week.",
+      "reviews in the paper called it the best shop around.")
+
+    val corpus = Seq((1L, contentA.mkString("\n")), (2L, contentC.mkString("\n")))
+      .toDF("doc_id", "text")
+    val index = Pipelines.corpusNearDupIndex(corpus, "doc_id", "text").persist()
+
+    val dir = Files.createTempDirectory("graft_curated").toString
+    val ckpt = Files.createTempDirectory("graft_cur_ckpt").toString
+    val in = MemoryStream[Doc]
+    val q = Pipelines.curationSink(in.toDF(), "doc_id", "text", index,
+      s"$dir/data", ckpt, gopherMinWords = 20, boilerMinDocs = 2).start()
+    try {
+      // batch 0: 101 survives; 102 fails C4 (curly); 103 fails Gopher
+      // (15 words < 20); 104 passes the gates but near-dups corpus doc 1
+      in.addData(
+        Doc(101L, ts("2026-01-01 00:00:00"), (contentB :+ footer).mkString("\n")),
+        Doc(102L, ts("2026-01-01 00:00:01"),
+          "function f() { return 0; }\nthis page is mostly code content here."),
+        Doc(103L, ts("2026-01-01 00:00:02"),
+          Seq("the quick brown fox runs.", "a lazy dog sleeps nearby.",
+            "birds fly over the field.", footer).mkString("\n")),
+        Doc(104L, ts("2026-01-01 00:00:03"), (contentA :+ footer).mkString("\n")))
+      q.processAllAvailable()
+      // batch 1: 201 survives; 202 near-dups corpus doc 2
+      in.addData(
+        Doc(201L, ts("2026-01-01 00:01:00"), contentD.mkString("\n")),
+        Doc(202L, ts("2026-01-01 00:01:01"), contentC.mkString("\n")))
+      q.processAllAvailable()
+
+      val out = spark.read.parquet(s"$dir/data")
+      val byBatch = out.select(col("batch_id").cast("long"), col("doc_id"),
+          col("text"), col("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      assert(byBatch.map(_._2).toSet === Set(101L, 201L),
+        s"exactly the clean unique docs survive, got ${byBatch.toList}")
+      // batch isolation: each survivor sits in its own batch partition
+      assert(byBatch.collect { case (b, 101L, _, _) => b }.head === 0L)
+      assert(byBatch.collect { case (b, 201L, _, _) => b }.head === 1L)
+      // the shared footer was struck BEFORE fingerprinting/counting
+      val (_, _, text101, tok101) = byBatch.find(_._2 == 101L).get
+      assert(text101 === contentB.mkString("\n"), "kept lines in order, footer gone")
+      assert(tok101 === contentB.map(_.split(" ").length).sum.toLong)
+      // the whole chain is stream-static: ZERO streaming state rows
+      val state = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      assert(state.forall(_.numRowsTotal == 0L),
+        s"curation must hold no streaming state, got $state")
+    } finally {
+      q.stop()
+      index.unpersist()
+    }
+  }
 }
