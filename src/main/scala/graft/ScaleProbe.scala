@@ -176,6 +176,15 @@ object ScaleProbe {
         Similarity.ivfPqTopK(c, q, 3, dim = 64,
           nCells = Similarity.scaledCells(c.count()), nprobe = 2)
       },
+      "x23_cc_clusters" -> { k =>
+        // the CC loop alone (x46 adds the survivor agg on top): O(log n)
+        // rounds of node-keyed joins over (node, label) longs; the slope
+        // must track candidate volume, with the extra 32x tier watching
+        // for round-count growth bending it
+        val c = docCorpus(k)
+        Dedup.connectedComponents(
+          Dedup.minhashCandidates(c, col("doc_id"), col("text")))
+      },
       "x46_keep_best" -> { k =>
         // the CC labeling dominates (x23's probe shape); the added
         // struct-max aggregation + cluster join must not bend the slope
@@ -288,17 +297,23 @@ object ScaleProbe {
         probes.filter { case (n, _) => pats.exists(n.contains) }
       case None => probes
     }
-    println(f"${"probe"}%-20s ${"t1x"}%8s ${"t4x"}%8s ${"t8x"}%8s  t8/t1")
+    // tier list is env-configurable (SPARK_GRAFT_PROBE_TIERS="1,8,32"):
+    // the heavy iterative probes get an occasional 32x reading without
+    // making every routine 1/4/8 sweep pay for it
+    val tiers = sys.env.getOrElse("SPARK_GRAFT_PROBE_TIERS", "1,4,8")
+      .split(',').map(_.trim.toInt).toSeq
+    require(tiers.nonEmpty && tiers.forall(_ >= 1), s"bad tiers $tiers")
+    println(f"${"probe"}%-20s " +
+      tiers.map(k => f"${s"t${k}x"}%8s").mkString(" ") + "  tmax/t1")
     selected.foreach { case (name, mk) =>
       // per-probe warm-up: each probe compiles its OWN expression
       // pipeline (whole-stage codegen); warming only the first probe
       // would charge the other probes' compilation to their timed 1×
       // run and deflate their reported ratios
       run(mk(1))
-      val t1 = time(run(mk(1)))
-      val t4 = time(run(mk(4)))
-      val t8 = time(run(mk(8)))
-      println(f"$name%-20s $t1%8.2f $t4%8.2f $t8%8.2f  ${t8 / t1}%5.1f")
+      val ts = tiers.map(k => time(run(mk(k))))
+      println(f"$name%-20s " + ts.map(t => f"$t%8.2f").mkString(" ") +
+        f"  ${ts.last / ts.head}%5.1f")
     }
     spark.stop()
   }

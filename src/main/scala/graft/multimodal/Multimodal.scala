@@ -285,9 +285,15 @@ object FakeCodec {
 
     boxes(0, n).collectFirst { case ("moov", s, e) => (s, e) }
       .flatMap { case (s, e) =>
-        stbls(s, e).iterator
+        // prefer the first track whose table holds samples (skips empty
+        // hint/metadata tracks ahead of the media track), but a
+        // container whose every table is VALIDLY EMPTY means "zero
+        // frames" — returning None instead would make callers fabricate
+        // frames by byte-slicing leftover mdat bytes
+        val parsed = stbls(s, e).iterator
           .flatMap { case (ms, me, ss, se) => parseStbl(ms, me, ss, se) }
-          .find(_._2.nonEmpty)
+          .toSeq
+        parsed.find(_._2.nonEmpty).orElse(parsed.headOption)
       }
   }
 }

@@ -277,6 +277,48 @@ object Similarity {
     finally checkpointDir.foreach(_ => graft.dedup.ReliableCheckpoints.release())
   }
 
+  /** Cell-local Lloyd for level-2 sub-centroids: assign each vector to
+    * its nearest sub-centroid WITHIN its own coarse cell (equi-join on
+    * the cell id — the sub-centroid table is never broadcast, same
+    * contract as [[ivfTopK2]]'s assignment), then per-(cell, sub)
+    * element-wise exact-decimal means; empty sub-cells keep their
+    * previous centroid. Each iteration is one equi-join + one
+    * (cell, sub, dim)-keyed aggregation — nothing quadratic, nothing
+    * corpus-sized on the driver; rounds are lineage-pinned exactly like
+    * [[kmeansLoop]]. `asg1` is (vec_id, embedding, cell); `init2` is
+    * (cell, sid, s_emb). */
+  private def kmeansLocalLoop(asg1: DataFrame, init2: DataFrame, iters: Int,
+                              reliable: Boolean): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) {
+        df.persist()
+        try df.checkpoint(true) finally { df.unpersist(); () }
+      } else df.localCheckpoint(true)
+    var cents = pin(init2)
+    for (_ <- 0 until iters) {
+      val assigned = TopK.perGroup(
+        asg1.join(cents, "cell")
+          .withColumn("_scos", cosine(col("embedding"), col("s_emb")))
+          .drop("s_emb"),
+        Seq(col("vec_id")), Seq(col("_scos").desc, col("sid")), 1)
+      val means = assigned
+        .select(col("cell"), col("sid"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "sid", "pos")
+        .agg((sum(col("x").cast(DecimalType(38, 12))) / count(lit(1)))
+          .cast(FloatType).as("m"))
+        .groupBy("cell", "sid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("_new"))
+      val next = pin(cents.join(means, Seq("cell", "sid"), "left")
+        .select(col("cell"), col("sid"),
+          coalesce(col("_new"), col("s_emb")).as("s_emb")))
+      cents.unpersist()
+      cents = next
+    }
+    cents
+  }
+
   private def kmeansLoop(corpus: DataFrame, init: DataFrame, iters: Int,
                          reliable: Boolean): DataFrame = {
     def pin(df: DataFrame): DataFrame =
@@ -354,13 +396,18 @@ object Similarity {
   def ivfTopK2(corpus: DataFrame, queries: DataFrame, k: Int,
                nCoarse: Int, nSub: Int,
                nprobeCoarse: Int = 1, nprobeSub: Int = 1,
-               kmeansIters: Int = 0,
+               kmeansIters: Int = 0, kmeansItersSub: Int = 0,
                checkpointDir: Option[String] = None): DataFrame = {
     val init = corpus.orderBy(col("vec_id")).limit(nCoarse)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    // Lloyd-refine LEVEL 1 only: coarse boundaries dominate recall (a
-    // neighbor in an unprobed coarse cell is unreachable at any
-    // nprobeSub); level-2 centroids stay the cell's lowest-id members
+    // Level-1 Lloyd (`kmeansIters`) and level-2 CELL-LOCAL Lloyd
+    // (`kmeansItersSub`) are independent knobs: coarse boundaries
+    // dominate reachability (a neighbor in an unprobed coarse cell is
+    // lost at any nprobeSub), but once the coarse cell is probed,
+    // sub-centroid placement decides whether a planted cluster sits in
+    // ONE sub-cell or straddles several — the case where lowest-id
+    // seeding measurably loses recall and local Lloyd wins it back
+    // (RecallProbeSpec planted-cluster fixture; PLANS.md "ANN recall").
     val cents1 = (if (kmeansIters > 0)
                     kmeansRefine(corpus, init, kmeansIters, checkpointDir)
                   else init).persist()
@@ -368,8 +415,16 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
       .persist() // read by sub-centroid pick + sub-assignment; cache
                  // contract as on Dedup
-    val cents2 = TopK.perGroup(asg1, Seq(col("cell")), Seq(col("vec_id")), nSub)
+    val cents2init = TopK.perGroup(asg1, Seq(col("cell")), Seq(col("vec_id")), nSub)
       .select(col("cell"), col("vec_id").as("sid"), col("embedding").as("s_emb"))
+    val cents2 = if (kmeansItersSub > 0) {
+      checkpointDir.foreach(d =>
+        graft.dedup.ReliableCheckpoints.acquire(corpus.sparkSession, d))
+      try kmeansLocalLoop(asg1, cents2init, kmeansItersSub,
+        reliable = checkpointDir.isDefined)
+      finally checkpointDir.foreach(_ =>
+        graft.dedup.ReliableCheckpoints.release())
+    } else cents2init
     def subAssign(df: DataFrame, idCol: String, emb: String, np: Int,
                   perCell: Boolean): DataFrame = {
       val scored = df.join(cents2, "cell")

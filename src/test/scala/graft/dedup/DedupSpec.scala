@@ -83,6 +83,17 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incrementalNearDup: a batch fully disjoint from the corpus emits nothing") {
+    // adversarial: no shingle overlap anywhere — the band join must
+    // find zero candidates and the verify stage must not run on air
+    def body(p: String, i: Long) = (1 to 12).map(j => s"$p${i}x$j").mkString(" ")
+    val base = (1L to 20L).map(i => (i, body("corp", i))).toDF("doc_id", "text")
+    val batch = (1L to 5L).map(i => (100L + i, body("newz", i))).toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDup(base, col("doc_id"), col("text"),
+      batch, col("doc_id"), col("text")).count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("SimHash: identical docs have Hamming distance 0, fingerprint fits 16 bits") {
     val df = Dedup.simhashFingerprints(
       Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

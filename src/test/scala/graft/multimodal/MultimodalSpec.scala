@@ -261,6 +261,22 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("outside file"))
   }
 
+  test("mp4 with a zero-sample stsz yields an empty sample table and zero frames") {
+    // adversarial: a structurally valid container holding no samples —
+    // the walk must emit Some(empty), not None (no fallback to byte
+    // slicing) and not a crash in the bounds checks
+    val stbl = box("stbl", box("stsz", be32(0, 0, 0)) ++
+      box("stsc", be32(0, 0)) ++ box("stco", be32(0, 0)))
+    val empty = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0)) ++
+      box("mdat", "leftover".getBytes) ++
+      box("moov", box("trak", box("mdia", box("minf", stbl))))
+    assert(FakeCodec.mp4Samples(empty) === Some(IndexedSeq.empty[(Long, Long)]))
+    val fs = Multimodal.frameSample(
+      Seq(MediaRow(9L, "video", empty, MediaMeta("mp4", 0, 0))).toDS(),
+      frameBytes = 4, everyN = 1).head()
+    assert(fs.n_frames === 0L && fs.frame_checksum === 0L)
+  }
+
   test("resize: nearest-neighbor mapping on a known grid") {
     // 32 bytes = 2 source rows of 16; resize to 2x2 → picks
     // (row 0, col 0), (row 0, col 8), (row 1, col 0), (row 1, col 8)

@@ -118,6 +118,74 @@ class RecallProbeSpec extends SparkSpec {
     } finally { emb.unpersist(); () }
   }
 
+  test("planted-cluster fixture: cell-local level-2 Lloyd recovers recall that lowest-id sub-seeding loses") {
+    val s = spark
+    import s.implicits._
+    // Geometry (dim 8, all in the +e1 coarse hemisphere except filler):
+    // clusters A = e1+.5e2, B = e1-.5e2, C = e1+.5e3. C is EQUIDISTANT
+    // from A and B, so with sub-centroids seeded from the 3 lowest ids
+    // (two A members, one B member) each C member's tiny e2 jitter
+    // decides which seed it lands on — the planted cluster C straddles
+    // sub-cells and nprobeSub=1 queries from C lose their neighbors.
+    // Cell-local Lloyd must pull a centroid into C and make it whole.
+    def member(id: Long, base: Seq[Double], jitterDim: Int): (Long, Seq[Float]) = {
+      val j = (((id * 2654435761L) % 1000L) / 1000.0 - 0.5) * 0.1
+      val v = base.zipWithIndex.map { case (x, i) => if (i == jitterDim) x + j else x }
+      (id, v.map(_.toFloat))
+    }
+    // C members get TWO jitters built to DECORRELATE neighborhoods from
+    // the straddle: the e4 component (±0.4, linear hash with period ~4
+    // in id) decides who the TRUE nearest neighbors are — id±4 — while
+    // the tiny e2 straddle component's SIGN alternates with (id/4) % 2,
+    // so a query's nearest neighbors always sit on the opposite side of
+    // the A/B seed boundary and nprobeSub=1 cannot reach them untrained
+    def cMember(id: Long, base: Seq[Double]): (Long, Seq[Float]) = {
+      val sgn = if ((id / 4) % 2 == 0) -1.0 else 1.0
+      val straddle = sgn * (0.02 + ((id * 761L) % 1000L) / 1000.0 * 0.02)
+      val local = (((id * 1103515245L + 12345L) % 1000L) / 1000.0 - 0.5) * 0.8
+      val v = base.zipWithIndex.map { case (x, i) =>
+        if (i == 1) x + straddle else if (i == 3) x + local else x
+      }
+      (id, v.map(_.toFloat))
+    }
+    val a = Seq(1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val b = Seq(1.0, -0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val c = Seq(1.0, 0.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val d = Seq(-1.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0, 0.0) // other hemisphere
+    val rows =
+      // ids 0, 1 ∈ A and 2 ∈ B on purpose: the degenerate seeding
+      Seq(member(0L, a, 4), member(1L, a, 5), member(2L, b, 4)) ++
+        (3L to 40L).map(i => member(i, a, 4 + (i % 4).toInt)) ++
+        (41L to 80L).map(i => member(i, b, 4 + (i % 4).toInt)) ++
+        (81L to 120L).map(i => cMember(i, c)) ++
+        (121L to 160L).map(i => member(i, d, 4))
+    val corpus = rows.toDF("vec_id", "embedding").persist()
+    try {
+      val queries = corpus.filter(col("vec_id").between(81L, 90L))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = rs(Similarity.bruteForceTopK(corpus, queries, 3))
+      def recall(itersSub: Int): Double = {
+        val got = rs(Similarity.ivfTopK2(corpus, queries, 3,
+          nCoarse = 2, nSub = 3, nprobeCoarse = 1, nprobeSub = 1,
+          kmeansItersSub = itersSub))
+        spark.catalog.clearCache() // ivfTopK2 persists its assignment
+        (exact intersect got).size.toDouble / exact.size
+      }
+      val untrained = recall(0)
+      val trained = recall(3)
+      info(f"ivfTopK2 planted-cluster recall@3, probes 1x1: untrained $untrained%.3f, subLloyd(3) $trained%.3f")
+      // the fixture is fully deterministic — these are exact replays.
+      // Untrained loses C's neighbors across the straddled sub-cells;
+      // trained must recover them at the SAME probe budget
+      // measured: untrained 0.833 (boundary ids keep one same-side
+      // neighbor, so the floor is above the naive 1/3), subLloyd 1.000
+      assert(trained >= untrained,
+        s"cell-local Lloyd regressed recall: $trained < $untrained")
+      assert(untrained <= 0.85, s"fixture no longer straddles: $untrained")
+      assert(trained >= 0.95, s"trained recall regressed: $trained")
+    } finally { corpus.unpersist(); () }
+  }
+
   test("sf0.1 neardupPairs recall: 1.0 on true copies, >= 0.9 at cos 0.95 with default tables") {
     assume(new java.io.File(sfDir).isDirectory)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -303,4 +303,20 @@ class SimilaritySpec extends SparkSpec {
     // missing query id: no candidates, empty result, no crash
     assert(Similarity.mmrRerank(vecs, queryId = 777L).count() === 0L)
   }
+
+  test("mmrRerank with fewer NON-NULL candidates than k emits each exactly once") {
+    // 5 candidate rows but only 2 usable: nulls must neither crash the
+    // native greedy nor ride a NULL relevance into the top-N boundary
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, null.asInstanceOf[Seq[Float]]),
+      (3L, Seq(0.1f, 0.9f)),
+      (4L, null.asInstanceOf[Seq[Float]]),
+      (5L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(vecs, queryId = 0L, topN = 32, k = 8)
+      .orderBy("step").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._2).sorted.toSeq === Seq(1L, 3L), s"got ${out.toList}")
+    assert(out.map(_._1).toSeq === Seq(1L, 2L), "steps stay dense")
+  }
 }

@@ -118,4 +118,19 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getDouble(3))).toSeq ===
       again.map(r => (r.getLong(0), r.getDouble(3))).toSeq)
   }
+
+  test("bm25TopK: query terms absent corpus-wide rank nothing and never divide by zero") {
+    // adversarial: zero postings — the df aggregation is empty, the idf
+    // expression never evaluates on a 0-df row, and the result is empty
+    // rather than k rows of NaN
+    val out = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+      Seq("zzzzunseen", "qqqqmissing"), k = 5)
+    assert(out.count() === 0L)
+    // mixed present/absent terms: absent ones contribute nothing, the
+    // present term still ranks its postings
+    val mixed = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+      Seq("cherry", "zzzzunseen"), k = 5).collect()
+    assert(mixed.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(!mixed.head.getDouble(2).isNaN)
+  }
 }

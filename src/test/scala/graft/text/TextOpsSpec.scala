@@ -302,6 +302,23 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("buildVocab with vocabSize above the distinct-term count returns every term, ids dense") {
+    // adversarial: the top-V cut must not pad, and the id window must
+    // stay dense 1..n over the short set
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val v = TextOps.buildVocab(docs, col("doc_id"), col("text"), vocabSize = 10000)
+      .orderBy("token_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(v.map(_._2).toSet === Set("alpha", "beta", "gamma"))
+    assert(v.map(_._1).toSeq === Seq(1L, 2L, 3L), "token ids dense from 1")
+    assert(v.head._2 === "alpha" && v.head._3 === 2L, "freq desc, term tie-break")
+    // and a vocab that covers everything yields zero OOV
+    val oov = TextOps.oovStats(docs, col("doc_id"), col("text"),
+      TextOps.buildVocab(docs, col("doc_id"), col("text"), 10000).select("term"))
+      .agg(sum("oov_tokens")).head().getLong(0)
+    assert(oov === 0L)
+  }
+
   test("bpeMergeStep is greedy leftmost non-overlapping: aaaa -> [aa, aa]") {
     val df = Seq(Tuple1(Seq("a", "a", "a", "a")), Tuple1(Seq("a", "a", "a")),
       Tuple1(Seq("b", "a", "a")), Tuple1(Seq("a")), Tuple1(Seq.empty[String]))
