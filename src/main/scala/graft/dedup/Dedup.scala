@@ -410,7 +410,20 @@ object Dedup {
     * forced hint: the keeper table has one row per cluster
     * (corpus-proportional), so AQE picks the join strategy. Raw text
     * never moves: the caller computes `quality` upstream and only
-    * (id, quality, label) longs shuffle. */
+    * (id, quality, label) longs shuffle.
+    *
+    * Composition contract — `pairs` is a plain candidate-pair frame,
+    * deliberately NOT derived in here: a dedup run computes
+    * [[minhashCandidates]] ONCE (the expensive banding pass over the
+    * corpus), persists it, and feeds the SAME frame to whatever endings
+    * it needs — [[connectedComponents]] for the cluster map (x23),
+    * keepBest for the canonical pick (x46), [[jaccardVerify]] for pair
+    * audit (x03). The two iterative consumers then agree by
+    * construction: keepBest's cluster ids ARE connectedComponents'
+    * labels over those pairs (DedupSpec "shared candidate pairs" pins
+    * this). At 100 TB the banding pass reads the corpus; everything
+    * downstream of `pairs` moves longs only — so share it, never
+    * recompute it per ending. */
   def keepBest(docs: DataFrame, id: Column, quality: Column,
                pairs: DataFrame,
                checkpointDir: Option[String] = None): DataFrame = {

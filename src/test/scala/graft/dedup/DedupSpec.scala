@@ -174,6 +174,44 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Set(1L, 10L, 20L, 30L))
   }
 
+  test("shared candidate pairs: one banding pass feeds CC, keepBest, and jaccardVerify consistently") {
+    // the composition contract on keepBest: compute minhashCandidates
+    // ONCE, persist, and derive every ending from the SAME pairs frame
+    val docs = (1L to 20L).map(i =>
+        (i, (1 to 12).map(j => s"w${i}q$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dup = docs.filter(col("doc_id") <= 4L)
+      .select((col("doc_id") + 100L).as("doc_id"),
+        concat(col("text"), lit(" zz qq")).as("text"))
+    val corpus = docs.unionAll(dup)
+    val pairs = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"))
+      .persist() // ONE banding pass, three consumers
+    try {
+      val cc = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kb = Dedup.keepBest(
+        corpus.select(col("doc_id"),
+          graft.text.TextOps.wsTokenCount(col("text")).as("quality")),
+        col("doc_id"), col("quality"), pairs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+      val verified = Dedup.jaccardVerify(pairs, corpus, col("doc_id"), col("text"))
+        .collect()
+      // the two iterative endings agree: keepBest's cluster ids ARE the
+      // CC labels over the shared pairs (unpaired docs self-label)
+      kb.foreach { case (d, (cluster, _)) =>
+        assert(cluster === cc.getOrElse(d, d), s"doc $d cluster mismatch")
+      }
+      // the duplicates clustered with their originals, keeper = the
+      // longer (tail-appended) copy by token-count quality
+      (1L to 4L).foreach { i =>
+        assert(kb(i + 100L)._1 === kb(i)._1)
+        assert(kb(i + 100L)._2 && !kb(i)._2, s"copy of $i should win on quality")
+      }
+      // verify stage scored exactly the shared candidate pairs
+      assert(verified.length > 0)
+    } finally { pairs.unpersist(); spark.catalog.clearCache(); () }
+  }
+
   test("keepBest keeps the highest-quality cluster member (ties -> lowest id), singletons always kept") {
     // cluster {1,2,3}: qualities 5, 9, 9 -> doc 2 wins the tie with 3;
     // cluster {10,11}: 11 strictly better; doc 20 is unpaired
