@@ -176,6 +176,14 @@ object ScaleProbe {
         Similarity.ivfPqTopK(c, q, 3, dim = 64,
           nCells = Similarity.scaledCells(c.count()), nprobe = 2)
       },
+      "x61_bpe_merges" -> (k =>
+        // the alphabet rotation makes every copy's words distinct, so
+        // the word inventory grows ~k× — the worst case for BPE (real
+        // corpora share words across shards); the slope measures the
+        // one corpus pass + per-round inventory-keyed pair aggregations.
+        // 4 merges keep probe wall-clock proportional to the per-round
+        // cost being measured, not the round count
+        TextOps.bpeMerges(docCorpus(k), col("doc_id"), col("text"), nMerges = 4)),
       "x23_cc_clusters" -> { k =>
         // the CC loop alone (x46 adds the survivor agg on top): O(log n)
         // rounds of node-keyed joins over (node, label) longs; the slope

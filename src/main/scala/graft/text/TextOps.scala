@@ -730,6 +730,12 @@ object TextOps {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false
+    // the parent round's cache is released one round LATE: the argmax
+    // collect below reads the current round through its cache (orderBy
+    // scans every partition), so by the time round r's collect returns,
+    // round r's inventory is fully materialized and round r−1 is safe
+    // to drop — no extra count() job per round just to pin the cache
+    var release: Option[DataFrame] = None
     while (r <= nMerges && !exhausted) {
       val best = words.filter(size(col("syms")) >= 2)
         .select(col("wc"), explode(zip_with(
@@ -740,6 +746,8 @@ object TextOps {
         .agg(sum(col("wc")).as("c"))
         .orderBy(col("c").desc, col("lft"), col("rgt"))
         .limit(1).collect()
+      release.foreach(_.unpersist())
+      release = None
       if (best.isEmpty) exhausted = true
       else {
         val (l, rt, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -747,12 +755,12 @@ object TextOps {
         val prev = words
         words = prev.withColumn("syms", bpeMergeStep(col("syms"), l, rt, l + rt))
           .persist()
-        words.count() // materialize before releasing the parent round
-        prev.unpersist()
+        release = Some(prev)
         r += 1
       }
     }
     words.unpersist()
+    release.foreach(_.unpersist())
     merges.toSeq.toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
   }
 
