@@ -1832,6 +1832,27 @@ object ExtraQueries {
         col("doc_id"), col("text"), out)
     },
 
+    // ----- multimodal: REAL per-frame pixel decode of image-coded mp4
+    QueryDef("x62_frame_pixels",
+      "MJPEG-style per-frame pixel decode: synthesize an image-coded mp4 per doc (3 one-pixel PNG frames with arithmetic-planted RGB), walk the real sample table, ImageIO-decode every frame — the oracle recomputes the planted pixels without any image library, so a green row proves the full encode→demux→decode pipeline reproduces them exactly")(
+      """SELECT doc_id AS media_id, CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(3 AS BIGINT) AS n_decoded,
+        |  CAST(1 AS BIGINT) AS width, CAST(1 AS BIGINT) AS height,
+        |  CAST((((doc_id * 7) % 256) * 31 + (doc_id * 11) % 256) * 31
+        |       + (doc_id * 3) % 256 AS BIGINT) % 1000000007 AS pixel_checksum
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          MediaRow(id, "video", FakeCodec.mjpegAsset(id, 3), MediaMeta("mp4", 1, 1))))
+      Multimodal.framePixelDecode(media, everyN = 1)
+        .toDF().withColumnRenamed("media_id", "media_id")
+        .select(col("media_id"), col("n_frames"), col("n_decoded"),
+          col("width"), col("height"), col("pixel_checksum"))
+    },
+
     // ----- BPE merge-pair vocabulary (iterative tokenizer training)
     QueryDef("x61_bpe_merges",
       "BPE tokenizer training: 12 rounds of most-frequent-adjacent-symbol-pair merging over the distinct-word inventory (chars + </w> start state, frequency-weighted counts, lexicographic tie-break) — corpus read once, every round a vocab-bounded pair aggregation; oracle replays each round as a materialized CTE with the same greedy leftmost fold")(

@@ -246,6 +246,53 @@ class MultimodalSpec extends SparkSpec {
     assert(fs.frame_checksum === cs)
   }
 
+  test("framePixelDecode: MJPEG-style image-coded samples decode to REAL pixels; opaque samples are counted, not faked") {
+    // build an mp4 whose mdat carries three samples: two genuine PNGs
+    // (2x1 red|blue and 1x1 green) and one non-image byte blob — the
+    // image-coded-track layout Motion JPEG uses
+    def png(pixels: Seq[(Int, Int, Int)], w: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, pixels.length / w,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      pixels.zipWithIndex.foreach { case ((r, g, b), i) =>
+        img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b) }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val f0 = png(Seq((255, 0, 0), (0, 0, 255)), w = 2) // red | blue
+    val f1 = "not an image frame".getBytes
+    val f2 = png(Seq((0, 255, 0)), w = 1)              // green
+    val media = f0 ++ f1 ++ f2
+    val off0 = 24L // ftyp(16) + mdat header(8)
+    val stbl = box("stbl",
+      box("stsz", be32(0, 0, 3, f0.length, f1.length, f2.length)) ++
+        box("stsc", be32(0, 1, 1, 3, 1)) ++ // one chunk, 3 samples
+        box("stco", be32(0, 1, off0)))
+    val mp4 = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0)) ++
+      box("mdat", media) ++
+      box("moov", box("trak", box("mdia", box("minf", stbl))))
+    val out = Multimodal.framePixelDecode(
+      Seq(MediaRow(7L, "video", mp4, MediaMeta("mp4", 0, 0))).toDS(),
+      everyN = 1).head()
+    assert(out.n_frames === 3L)
+    assert(out.n_decoded === 2L, "the byte blob must not fake-decode")
+    assert((out.width, out.height) === ((2L, 1L)), "first decoded frame dims")
+    // pixel checksum over the REAL decoded RGB: [255,0,0, 0,0,255]
+    var cs = 0L
+    Seq(255, 0, 0, 0, 0, 255).foreach(b => cs = (cs * 31 + b) % 1000000007L)
+    assert(out.pixel_checksum === cs)
+    // everyN=2 keeps samples 0 and 2 — both images, first still the 2x1
+    val sampled = Multimodal.framePixelDecode(
+      Seq(MediaRow(8L, "video", mp4, MediaMeta("mp4", 0, 0))).toDS(),
+      everyN = 2).head()
+    assert(sampled.n_frames === 2L && sampled.n_decoded === 2L)
+    // non-mp4 payloads have no sample table: zero frames, zero decoded
+    val none = Multimodal.framePixelDecode(
+      Seq(MediaRow(9L, "image", f0, MediaMeta("png", 2, 1))).toDS(),
+      everyN = 1).head()
+    assert(none.n_frames === 0L && none.n_decoded === 0L)
+  }
+
   test("mp4 sample table pointing outside the file fails loudly") {
     val (mp4, _) = mp4WithSamples()
     // corrupt the second stco entry to point past EOF: find the stco
