@@ -507,6 +507,21 @@ class PipelinesSpec extends SparkSpec {
       val state = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
       assert(state.forall(_.numRowsTotal == 0L),
         s"curation must hold no streaming state, got $state")
+
+      // ---- the full hand-off: curated corpus → packed training export.
+      // The curationSink output IS the packedExport input — this is the
+      // complete ingestion→curation→training-artifact path in one run
+      val packDir = Files.createTempDirectory("graft_cur_packed").toString
+      val manifest = graft.silver.Export.packedExport(
+        out.select("doc_id", "text"), col("doc_id"), col("text"),
+        packDir, seqLen = 16, nShards = 2)
+      // every curated token lands in exactly one packed span
+      val curatedTok = out.agg(sum("n_tokens")).head().getLong(0)
+      assert(manifest.agg(sum("n_tokens")).head().getLong(0) === curatedTok)
+      // both survivors present in the packed artifact
+      val packedDocs = spark.read.parquet(packDir)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(packedDocs === Set(101L, 201L))
     } finally {
       q.stop()
       index.unpersist()
