@@ -1856,21 +1856,32 @@ object ExtraQueries {
     // ----- BPE merge-pair vocabulary (iterative tokenizer training)
     QueryDef("x61_bpe_merges",
       "BPE tokenizer training: 12 rounds of most-frequent-adjacent-symbol-pair merging over the distinct-word inventory (chars + </w> start state, frequency-weighted counts, lexicographic tie-break) — corpus read once, every round a vocab-bounded pair aggregation; oracle replays each round as a materialized CTE with the same greedy leftmost fold")(
-      bpeOracleD(12)) { (s, dir) =>
+      bpeMergesOracleD(12)) { (s, dir) =>
       TextOps.bpeMerges(Tables.documents(s, dir), col("doc_id"), col("text"),
+        nMerges = 12)
+    },
+
+    // ----- corpus BPE tokenization (applying the trained merges)
+    QueryDef("x63_bpe_encode",
+      "corpus tokenization with the trained BPE: segment the word inventory through the learned merge rounds, dictionary-join the doc word stream against it, per-doc BPE token counts + a mod-P segmentation-fingerprint sum — a green row certifies EVERY word's segmentation, not just counts")(
+      bpeEncodeOracleD(12)) { (s, dir) =>
+      TextOps.bpeEncode(Tables.documents(s, dir), col("doc_id"), col("text"),
         nMerges = 12)
     }
   )
 
-  /** Oracle for [[TextOps.bpeMerges]]: one (pair-count, argmax, rewrite)
-    * CTE triple per round, chained w0 → wN. MATERIALIZED is load-bearing:
-    * each round references its predecessor twice (pair counts + rewrite),
-    * so inlining would expand w0 2^N times. The rewrite mirrors
-    * `bpeMergeStep`'s greedy leftmost fold with the accumulator list
-    * encoded as a chr(31)-joined string (DuckDB's list_reduce accumulator
-    * must have the element type; 0x1f is not regex \\s, but it cannot
-    * appear in real text, and the Spark side never encodes at all). */
-  private def bpeOracleD(nMerges: Int): String = {
+  /** Shared BPE-round CTE chain for the x61/x63 oracles: one
+    * (pair-count, argmax, rewrite) triple per round, chained w0 → wN.
+    * MATERIALIZED is load-bearing: each round references its
+    * predecessor twice (pair counts + rewrite), so inlining would
+    * expand w0 2^N times. The rewrite mirrors `bpeMergeStep`'s greedy
+    * leftmost fold with the accumulator list encoded as a
+    * chr(31)-joined string (DuckDB's list_reduce accumulator must have
+    * the element type; 0x1f is not regex \\s, but it cannot appear in
+    * real text, and the Spark side never encodes at all). `tok`
+    * carries doc_id so the x63 final select can dictionary-join the
+    * word stream back against the segmented inventory. */
+  private def bpeRoundsD(nMerges: Int): String = {
     val sep = "chr(31)"
     val rounds = (1 to nMerges).map { r =>
       val prev = s"w${r - 1}"
@@ -1891,17 +1902,33 @@ object ExtraQueries {
          |  END AS syms
          |  FROM $prev, b$r b)""".stripMargin
     }.mkString(",\n")
+    s"""WITH nw AS (SELECT doc_id, $normD AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM nw),
+       |w0 AS MATERIALIZED (SELECT w, count(*) AS wc,
+       |  list_append([substr(w, i, 1) FOR i IN range(1, len(w) + 1)], '</w>') AS syms
+       |  FROM tok WHERE w <> '' GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeMergesOracleD(nMerges: Int): String = {
     val sel = (1 to nMerges).map(r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, lft, rgt, m AS merged," +
         s" CAST(c AS BIGINT) AS pair_count FROM b$r")
       .mkString("\nUNION ALL\n")
-    s"""WITH nw AS (SELECT $normD AS t FROM documents),
-       |tok AS (SELECT unnest(string_split(t, ' ')) AS w FROM nw),
-       |w0 AS MATERIALIZED (SELECT w, count(*) AS wc,
-       |  list_append([substr(w, i, 1) FOR i IN range(1, len(w) + 1)], '</w>') AS syms
-       |  FROM tok WHERE w <> '' GROUP BY w),
-       |$rounds
+    s"""${bpeRoundsD(nMerges)}
        |$sel
+       |""".stripMargin
+  }
+
+  private def bpeEncodeOracleD(nMerges: Int): String = {
+    val joined = "array_to_string(syms, ' ')"
+    s"""${bpeRoundsD(nMerges)},
+       |seg AS (SELECT t.doc_id, len(syms) AS n, ${charFoldD(joined)} AS fp
+       |        FROM tok t JOIN w$nMerges USING (w) WHERE t.w <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(fp) % 1000000007 AS BIGINT) AS sym_sum
+       |FROM seg GROUP BY doc_id
        |""".stripMargin
   }
 }

@@ -719,9 +719,20 @@ object TextOps {
     * across rounds. */
   def bpeMerges(docs: DataFrame, id: Column, text: Column,
                 nMerges: Int = 12): DataFrame = {
-    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, words) = bpeTrain(docs, text, nMerges)
+    words.unpersist()
+    merges.toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
+  }
+
+  /** The BPE training loop shared by [[bpeMerges]] (which keeps the
+    * merge list) and [[bpeEncode]] (which keeps the tokenized
+    * inventory). Returns (merges, final inventory (w, wc, syms)); the
+    * inventory is PERSISTED — the caller owns releasing it. */
+  private def bpeTrain(docs: DataFrame, text: Column, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     var words = docs.select(explode(split(norm(text), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wc"))
@@ -759,9 +770,41 @@ object TextOps {
         r += 1
       }
     }
-    words.unpersist()
     release.foreach(_.unpersist())
-    merges.toSeq.toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
+    (merges.toSeq, words)
+  }
+
+  /** Corpus BPE tokenization (x63) — APPLYING the tokenizer [[bpeMerges]]
+    * trains: every document's words are segmented by the learned merge
+    * sequence and the per-document BPE statistics come back:
+    * (doc_id, n_words, n_bpe_tokens, sym_sum) where `sym_sum` is the
+    * mod-P sum over word occurrences of the poly-fingerprint of the
+    * word's space-joined segmentation — any word segmented differently
+    * anywhere changes the sum, so the oracle's agreement certifies
+    * every segmentation, not just the counts.
+    *
+    * Scale shape: segmentation happens ON THE INVENTORY (vocab-bounded,
+    * the same rounds [[bpeMerges]] already runs — never per token), and
+    * the corpus is tokenized by ONE equi-join of the word stream
+    * against the segmented inventory (strategy left to AQE: a ~1e6-row
+    * inventory broadcasts, a larger one shuffle-joins on the word key)
+    * followed by one doc-keyed aggregation, map-side combinable. Per
+    * token only (doc_id, word) cross the wire — the classic
+    * dictionary-encode join shape. */
+  def bpeEncode(docs: DataFrame, id: Column, text: Column,
+                nMerges: Int = 12): DataFrame = {
+    val (_, inventory) = bpeTrain(docs, text, nMerges)
+    val p = 1000000007L
+    val segmented = inventory
+      .select(col("w"), size(col("syms")).cast(LongType).as("_n"),
+        fingerprint(array_join(col("syms"), " ")).as("_fp"))
+    docs.select(id.as("doc_id"), explode(split(norm(text), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(segmented, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_n")).as("n_bpe_tokens"),
+        (sum(col("_fp")) % p).as("sym_sum"))
   }
 
   /** URL-domain manifest + blocklist gate: extract the host of each

@@ -350,6 +350,26 @@ class TextOpsSpec extends SparkSpec {
     assert(m.count() === 2L)
   }
 
+  test("bpeEncode: fully-merged words collapse to one token; counts bounded by chars+1") {
+    // "aa" collapses to a single symbol after its 2 feasible merges
+    val tiny = Seq((1L, "aa aa aa"), (2L, "aa")).toDF("doc_id", "text")
+    val enc = TextOps.bpeEncode(tiny, col("doc_id"), col("text"), nMerges = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(enc(1L) === ((3L, 3L)), "3 words, 1 BPE token each")
+    assert(enc(2L) === ((1L, 1L)))
+    spark.catalog.clearCache()
+    // on a mixed corpus: per-word token count stays within [1, chars+1]
+    val docs = Seq((1L, "alpha beta alpha gamma"), (2L, "beta beta delta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpeEncode(docs, col("doc_id"), col("text"), nMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (_, nWords, nBpe) =>
+      assert(nBpe >= nWords, "every word is at least one token")
+    }
+    assert(out.map(_._2).sum === 7L, "every word occurrence encoded")
+    spark.catalog.clearCache()
+  }
+
   test("BPE vocab reading: char fallback drops OOV to zero where the word vocab truncates; merges compress") {
     // fixture: skewed word frequencies so a small word vocab truncates
     val docs = (1L to 40L).map { i =>
