@@ -29,7 +29,8 @@ object Bench {
     catch { case _: Throwable => () }
     // queries whose wall-clock is a sequence of driver-blocking rounds
     // (iterative checkpoint+count loops) get the median-of-reps policy
-    val iterative = Set("x23_neardup_clusters", "x46_keep_best", "x61_bpe_merges")
+    val iterative = Set("x23_neardup_clusters", "x46_keep_best",
+      "x61_bpe_merges", "x63_bpe_encode")
     // Adaptive-reps measurement (r11 verdict: fixed best-of-2 could not
     // suppress this host's ambient load — identical code measured 67/104/87 s
     // across three runs). Policy: keep sampling until the reading is

@@ -184,6 +184,12 @@ object ScaleProbe {
         // 4 merges keep probe wall-clock proportional to the per-round
         // cost being measured, not the round count
         TextOps.bpeMerges(docCorpus(k), col("doc_id"), col("text"), nMerges = 4)),
+      "x63_bpe_encode" -> (k =>
+        // x61's loop + the dictionary-encode join: the corpus-sized
+        // surface is one equi-join on the word key + a doc-keyed agg,
+        // so the slope over x61's should be the classic linear
+        // dictionary-join increment
+        TextOps.bpeEncode(docCorpus(k), col("doc_id"), col("text"), nMerges = 4)),
       "x23_cc_clusters" -> { k =>
         // the CC loop alone (x46 adds the survivor agg on top): O(log n)
         // rounds of node-keyed joins over (node, label) longs; the slope
