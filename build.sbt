@@ -14,6 +14,11 @@ Test / fork := true
 // keep suites serial so sessions/sinks don't interleave.
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked program's stdout straight through instead of routing
+// it via sbt's logger: the bench/verify mains print one machine-read
+// JSON line, and the logger's "[info] " prefix breaks the driver's
+// line-anchored parse (BENCH_r11.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

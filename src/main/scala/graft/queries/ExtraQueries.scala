@@ -685,6 +685,35 @@ object ExtraQueries {
       Similarity.semanticDedup(corpus, nCells = nCells, minCos = 0.999)
     },
 
+    // ----- SemDeDup, strictly-linear candidate path (the x32 32x-probe
+    // prescription): sign-LSH buckets instead of sqrt(n) centroid cells
+    QueryDef("x64_semdedup_banded",
+      "SemDeDup via corpus-scaled sign-LSH buckets (2 hash tables): exact-cosine >= 0.999 within-bucket pairs, higher id dropped — linear candidate volume where x32's cell route is O(n^1.5)")(
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |p AS (SELECT greatest(len(bin(CAST((count(*) + 31) // 32 AS BIGINT) - 1)), 1) AS nbits FROM corpus),
+         |b AS (SELECT s.seed, c.vec_id, c.embedding,
+         |        ${rhBucketD("c.embedding", "p.nbits", "s.seed")} AS bucket
+         |      FROM corpus c CROSS JOIN p CROSS JOIN (SELECT unnest([0, 1]) AS seed) s),
+         |pr AS (SELECT a.vec_id AS va, k.vec_id AS vb,
+         |         ${cosD("a.embedding", "k.embedding")} AS cos
+         |       FROM b a JOIN b k
+         |         ON a.seed = k.seed AND a.bucket = k.bucket AND a.vec_id < k.vec_id),
+         |dr AS (SELECT DISTINCT vb AS vec_id FROM pr WHERE cos >= 0.999)
+         |SELECT c.vec_id, dr.vec_id IS NULL AS kept
+         |FROM corpus c LEFT JOIN dr ON c.vec_id = dr.vec_id
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = emb.unionAll(emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      // same one-count sizing as x16: bits grow with n, bucket
+      // population stays ~constant, candidate volume stays linear
+      val n = corpus.count()
+      Similarity.semanticDedupBanded(corpus, n, minCos = 0.999)
+    },
+
     // ----- end-to-end curation pipeline: dedup → quality gate → token count
     QueryDef("x17_curation_pipeline",
       "composed training-data curation: exact-dedup survivors → quality gate → token counting — one declarative plan")(
@@ -1511,6 +1540,52 @@ object ExtraQueries {
             lit("\ncopyright footer all rights reserved")))
           .otherwise(col("text")).as("text"))
       TextOps.dedupLinesFirstWins(corpus, col("doc_id"), col("text"))
+    },
+
+    // ----- cross-document repeated-span removal (Lee et al. 2022
+    // ExactSubstr, token-granular): first occurrence of a duplicated
+    // 8-token window survives, every other occurrence is cut out.
+    // Corpus plants certain cross-doc spans (a unique-prefixed copy of
+    // every tenth document's first 16 tokens) on top of the corpus's
+    // natural repeats.
+    QueryDef("x65_span_dedup",
+      "exact-substring span dedup: 8-token windows repeated across documents are removed everywhere but their first (doc_id, start) occurrence; documents keep their unique remainder — window explode + window-text-keyed agg, no suffix array, no corpus-wide sort")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id,
+         |         'zq' || doc_id || ' wq' || doc_id || ' ' ||
+         |         array_to_string(string_split($normD, ' ')[1:16], ' ') AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |n AS (SELECT doc_id, string_split($normD, ' ') AS ws FROM corpus),
+         |wl AS (SELECT doc_id, ws,
+         |  CASE WHEN len(ws) >= 8
+         |       THEN [struct_pack(s := i, w := array_to_string(ws[i+1:i+8], ' '))
+         |             FOR i IN range(0, len(ws) - 7)]
+         |       ELSE []::STRUCT(s BIGINT, w VARCHAR)[] END AS wins FROM n),
+         |win AS (SELECT doc_id, u.s AS s, u.w AS w, doc_id * 1048576 + u.s AS ok
+         |        FROM (SELECT doc_id, unnest(wins) AS u FROM wl)),
+         |dup AS (SELECT w, min(ok) AS fk FROM win
+         |        GROUP BY w HAVING count(DISTINCT doc_id) > 1),
+         |cv AS (SELECT DISTINCT doc_id, s + j AS p
+         |       FROM win JOIN dup USING (w), range(0, 8) r(j)
+         |       WHERE ok <> fk),
+         |cov AS (SELECT doc_id, list(p) AS cps FROM cv GROUP BY doc_id)
+         |SELECT n.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(len(cps), 0) AS BIGINT) AS n_dup_tokens,
+         |       coalesce(array_to_string(list_transform(
+         |         list_filter(range(0, len(ws)),
+         |           i -> cps IS NULL OR NOT list_contains(cps, i)),
+         |         i -> ws[i+1]), ' '), '') AS kept_text
+         |FROM n LEFT JOIN cov USING (doc_id)
+         |""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val injected = d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(lit("zq"), col("doc_id"), lit(" wq"), col("doc_id"), lit(" "),
+          concat_ws(" ", slice(split(TextOps.norm(col("text")), " "), 1, 16)))
+          .as("text"))
+      TextOps.spanDedup(d.unionAll(injected), col("doc_id"), col("text"), k = 8)
     },
 
     // ----- C4 line-and-page cleaning (Raffel et al. 2020 rules)

@@ -670,6 +670,33 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("_d").isNull.as("kept"))
   }
 
+  /** The strictly-linear scale path for [[semanticDedup]] (the
+    * "bit-bucketing route" the x32 32×-probe note prescribes once a
+    * corpus outgrows the ⌈√n⌉-cell O(n^1.5) pair bound): candidates
+    * come from [[neardupPairs]]'s corpus-scaled sign-LSH buckets
+    * (bits grow with n, bucket population stays ~constant, so the
+    * within-bucket self-join is O(n · tables) candidate rows), the
+    * exact-cosine gate is unchanged, and the higher-id member of each
+    * surviving pair is dropped exactly as in [[semanticDedup]].
+    * Output: (vec_id, kept).
+    *
+    * The trade vs the cell route: hyperplane buckets are oblivious to
+    * data density (a near-boundary pair can land in different buckets
+    * in every table — recall < 1 on MODERATE-similarity pairs, while
+    * exact copies share every bucket and are never missed), but the
+    * candidate volume is linear by construction instead of relying on
+    * semantic locality to bound cell populations. At 100 TB run THIS
+    * form; at ≤ n^1.5-affordable scale the cell form catches more
+    * near-boundary paraphrases per probe. */
+  def semanticDedupBanded(corpus: DataFrame, n: Long, minCos: Double = 0.999,
+                          targetBucket: Int = 32, tables: Int = 2): DataFrame = {
+    val dropped = neardupPairs(corpus, n, minCos, targetBucket, tables)
+      .select(col("vec_b").as("vec_id")).distinct()
+    corpus.select("vec_id")
+      .join(dropped.withColumn("_d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("_d").isNull.as("kept"))
+  }
+
   /** Bucketed approximate top-k: candidates share the query's sign
     * bucket, so the cross product becomes an equi-join on bucket id.
     * Queries are broadcast; recall trades off against 2^bits and back

@@ -922,6 +922,64 @@ object TextOps {
         fingerprint(col("cleaned")).as("cleaned_fp"))
   }
 
+  /** Cross-document repeated-span removal — token-granular exact-substring
+    * deduplication in the style of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * variant): any k-token window whose exact text occurs in more than
+    * one document is a duplicated span; its FIRST occurrence (lowest
+    * (doc_id, start)) survives and every other occurrence's tokens are
+    * cut from their documents. Complements [[dedupLinesFirstWins]]
+    * (line-granular — misses spans that cross or sit inside lines) and
+    * the x29 dup-n-gram gate (within-doc, score-only): this is the op
+    * that removes verbatim boilerplate/licence blocks REPEATED ACROSS
+    * the corpus while keeping each document's unique remainder, where
+    * doc-level dedup would either keep both copies or drop whole
+    * documents. Output: (doc_id, n_tokens, n_dup_tokens, kept_text).
+    *
+    * Scale shape: windows are a row-local explode (k tokens of overlap
+    * per row — no self-join, no suffix array; the classic distributed
+    * reformulation of the paper's suffix-array pass); the duplicated-
+    * window test is one window-text-keyed hash aggregation (map-side
+    * combinable min/count-distinct pair), coverage is an equi-join back
+    * on that key followed by a doc-keyed position-set aggregation, and
+    * the rebuild is a narrow per-row filter. Nothing is ever windowed
+    * or sorted corpus-wide. The shuffle key is the window STRING here
+    * because the DuckDB oracle must reproduce it exactly; at 100 TB
+    * swap the key for xxhash64(w) (the join/agg shapes are unchanged,
+    * the wire bytes drop ~k×) and accept the 2⁻⁶⁴ collision odds the
+    * MinHash tier already lives with. */
+  def spanDedup(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val n = docs.select(id.as("doc_id"), split(norm(text), " ").as("ws"))
+    // windows [s, s+k) as (start, text) structs; the greatest() guard
+    // keeps sequence() non-decreasing for docs shorter than k, and the
+    // filter drops the one spurious window those docs would emit
+    val winArr = filter(
+      transform(sequence(lit(0), greatest(size(col("ws")) - k, lit(0))),
+        i => struct(i.as("s"), concat_ws(" ", slice(col("ws"), i + 1, lit(k))).as("w"))),
+      x => x.getField("s") <= size(col("ws")) - k)
+    val win = n.select(col("doc_id"), explode(winArr).as("x"))
+      .select(col("doc_id"), col("x.s").as("s"), col("x.w").as("w"))
+      // occurrence key: doc lengths stay far under 2^20, so this packs
+      // (doc_id, start) into one orderable long for the first-wins argmin
+      .withColumn("ok", col("doc_id") * lit(1048576L) + col("s"))
+      .persist() // read twice: dup-window agg + coverage join
+    val dup = win.groupBy("w")
+      .agg(countDistinct(col("doc_id")).as("_nd"), min(col("ok")).as("fk"))
+      .filter(col("_nd") > 1)
+      .select("w", "fk")
+    val cov = win.join(dup, "w").filter(col("ok") =!= col("fk"))
+      .select(col("doc_id"), explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("cps"))
+    n.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_tokens"),
+        coalesce(size(col("cps")), lit(0)).cast(LongType).as("n_dup_tokens"),
+        concat_ws(" ", filter(col("ws"),
+          (t, i) => !coalesce(array_contains(col("cps"), i), lit(false))))
+          .as("kept_text"))
+  }
+
   /** Temperature-balanced corpus sampling (the multilingual-pretraining
     * smoothing of Devlin et al. 2019 / Conneau & Lample 2019: sample
     * sources with probability ∝ share^α, α < 1, so low-resource

@@ -249,6 +249,34 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semanticDedupBanded agrees with the cell route on planted exact copies") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionAll(copies)
+    val n = corpus.count()
+    val out = Similarity.semanticDedupBanded(corpus, n, minCos = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size === n)
+    // exact copies share every sign bucket — structural recall 1.0:
+    // every planted copy dropped, its lower-id original kept
+    val copyIds = out.keySet.filter(_ >= 10000L)
+    assert(copyIds.nonEmpty)
+    copyIds.foreach { c =>
+      assert(!out(c), s"copy $c should be dropped")
+      assert(out(c - 10000L), s"original ${c - 10000L} should be kept")
+    }
+    // no organic pair reaches 0.999 on this corpus, so the two routes
+    // agree exactly here (they may differ on near-boundary pairs by
+    // construction — that is the documented recall trade)
+    val cells = Similarity.semanticDedup(corpus,
+        nCells = Similarity.scaledCells(n), minCos = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === cells)
+    spark.catalog.clearCache()
+  }
+
   test("cellBalancedSample cuts dense cells to the quota, keeps sparse cells whole, deterministically") {
     // centroids = first 2 by id: vec 0 ~ e1-region, vec 1 ~ e2-region.
     // e1-region has 5 members (0,2,3,4,5), e2-region only vec 1.

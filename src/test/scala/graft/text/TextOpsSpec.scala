@@ -168,6 +168,39 @@ class TextOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("spanDedup cuts a repeated 8-token span everywhere but its first (doc_id, start) occurrence") {
+    val span = ('a' to 'h').map(_.toString).mkString(" ") // 8 tokens
+    val docs = Seq(
+      (1L, s"u1 u2 $span u3"),        // first occurrence (start 2) — keeps
+      (2L, s"v1 $span v2 v3"),        // later occurrence — loses the span
+      (3L, s"$span $span"),           // twice, both later — loses all 16
+      (4L, "short doc")               // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(docs, col("doc_id"), col("text"), k = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L) === ((11L, 0L, s"u1 u2 $span u3")))
+    assert(out(2L) === ((11L, 8L, "v1 v2 v3")))
+    assert(out(3L) === ((16L, 16L, "")), "fully-duplicated doc reduces to empty")
+    assert(out(4L) === ((2L, 0L, "short doc")))
+    spark.catalog.clearCache()
+  }
+
+  test("spanDedup is idempotent: a second pass over kept_text removes nothing") {
+    val span = ('a' to 'h').map(_.toString).mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $span u3"), (2L, s"v1 $span v2 v3"),
+      (3L, s"$span $span"), (4L, s"w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    ).toDF("doc_id", "text")
+    val first = TextOps.spanDedup(docs, col("doc_id"), col("text"), k = 8)
+    val second = TextOps.spanDedup(first, col("doc_id"), col("kept_text"), k = 8)
+      .collect()
+    assert(second.forall(_.getAs[Long]("n_dup_tokens") == 0L),
+      "surviving spans are unique by construction — nothing left to cut")
+    spark.catalog.clearCache()
+  }
+
   test("tokenBudgetSample admits docs in hash order until the stratum budget, deterministically") {
     val docs = Seq(
       (1L, "a", "one two three"),        // 3 tokens each, stratum a
