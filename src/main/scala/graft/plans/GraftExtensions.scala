@@ -106,6 +106,8 @@ object GraftExtensions {
         intArg("sign_bucket_rh", "seed", a(2)))),
     fn("char_entropy_stats", classOf[CharEntropyStats], 1, "char_entropy_stats(str)")(
       a => CharEntropyStats(a.head)),
+    fn("nfc_normalize", classOf[NfcNormalize], 1, "nfc_normalize(str)")(
+      a => NfcNormalize(a.head)),
     fn("mmr_select", classOf[MmrSelect], 3, "mmr_select(array<struct>, k, lam)")(
       a => MmrSelect(a.head, intArg("mmr_select", "k", a(1)),
         doubleArg("mmr_select", "lam", a(2)))))
@@ -150,6 +152,9 @@ object functions {
 
   def char_entropy_stats(c: Column): Column =
     GraftBridge.column(CharEntropyStats(GraftBridge.expression(c)))
+
+  def nfc_normalize(c: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
 
   def mmr_select(c: Column, k: Int, lam: Double): Column =
     GraftBridge.column(MmrSelect(GraftBridge.expression(c), k, lam))

@@ -1588,6 +1588,40 @@ object ExtraQueries {
       TextOps.spanDedup(d.unionAll(injected), col("doc_id"), col("text"), k = 8)
     },
 
+    // ----- encoding-hygiene gate + NFC fixer on a corpus with planted
+    // decomposed sequences, replacement chars, mojibake, and controls;
+    // NFC runs through the native NfcNormalize expression (Spark has no
+    // builtin normalizer) and the oracle's nfc_normalize certifies it
+    QueryDef("x66_unicode_gate",
+      "utf8-hygiene gate: NFC-changed flag (fixable, never rejects), U+FFFD / control-char / mojibake counters (reject), and the NFC-composed text — one narrow codegen'd projection via the native nfc_normalize expression")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' cafe' || chr(101) || chr(769) ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' ' || chr(65533) ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN ' ' || chr(195) || chr(169) ELSE '' END ||
+         |    CASE WHEN doc_id % 17 = 0 THEN ' x' || chr(7) || 'x' ELSE '' END AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id, text,
+         |  CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS n_repl,
+         |  CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) AS BIGINT) AS n_ctrl,
+         |  CAST(length(text) - length(replace(replace(text, chr(195), ''), chr(194), '')) AS BIGINT) AS n_moji
+         |  FROM corpus)
+         |SELECT doc_id, nfc_normalize(text) <> text AS nfc_changed,
+         |       n_repl, n_ctrl, n_moji,
+         |       (n_repl = 0 AND n_ctrl = 0 AND n_moji = 0) AS keep,
+         |       nfc_normalize(text) AS nfc_text
+         |FROM m
+         |""".stripMargin) { (s, dir) =>
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" cafe\u0065\u0301")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" \uFFFD")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" \u00c3\u00a9")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit(" x\u0007x")).otherwise(lit("")))
+          .as("text"))
+      TextOps.unicodeGate(corpus, col("doc_id"), col("text"))
+    },
+
     // ----- C4 line-and-page cleaning (Raffel et al. 2020 rules)
     QueryDef("x49_c4_clean",
       "C4 cleaning on a sentence-split corpus with planted violations: lines must end in terminal punctuation, carry >= 5 words, and not mention javascript; pages fail on lorem ipsum / curly braces / < 3 kept lines — the line-grain companion to x30's doc-grain Gopher gate")(

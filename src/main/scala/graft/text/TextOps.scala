@@ -980,6 +980,41 @@ object TextOps {
           .as("kept_text"))
   }
 
+  /** Encoding-quality gate + fixer (the ftfy/utf8-hygiene step every
+    * web-scraped corpus runs before tokenization): per document,
+    *  - `nfc_changed` — Unicode NFC composition alters the text
+    *    (decomposed combining sequences; fixable, so it never rejects),
+    *  - `n_repl` — U+FFFD replacement characters (an upstream decoder
+    *    already destroyed bytes; unfixable),
+    *  - `n_ctrl` — C0 control characters other than tab/newline/CR,
+    *    plus DEL (binary junk in a text field),
+    *  - `n_moji` — U+00C3/U+00C2 occurrences, the signature of UTF-8
+    *    bytes re-decoded as Latin-1 ("Ã©" for "é"); repairable in
+    *    principle but flagged for rejection like the rest,
+    *  - `keep` — no replacement, control, or mojibake characters,
+    *  - `nfc_text` — the NFC-composed text (the fix applied).
+    * NFC runs through the native [[graft.plans.NfcNormalize]] expression
+    * (Spark has no builtin normalizer; a UDF would break codegen); the
+    * counters are builtin length/translate/regexp arithmetic. Output:
+    * (doc_id, nfc_changed, n_repl, n_ctrl, n_moji, keep, nfc_text).
+    *
+    * Scale shape: one narrow codegen'd projection — zero shuffles,
+    * zero corpus-derived state; scales with input splits like every
+    * other per-document gate. */
+  def unicodeGate(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val nRepl = (length(text) - length(replace(text, lit("\uFFFD"), lit(""))))
+      .cast(LongType)
+    val nCtrl = size(regexp_extract_all(text,
+      lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"), lit(0))).cast(LongType)
+    val nMoji = (length(text) - length(translate(text, "\u00c3\u00c2", "")))
+      .cast(LongType)
+    docs.select(id.as("doc_id"),
+      (graft.plans.functions.nfc_normalize(text) =!= text).as("nfc_changed"),
+      nRepl.as("n_repl"), nCtrl.as("n_ctrl"), nMoji.as("n_moji"),
+      (nRepl === 0L && nCtrl === 0L && nMoji === 0L).as("keep"),
+      graft.plans.functions.nfc_normalize(text).as("nfc_text"))
+  }
+
   /** Temperature-balanced corpus sampling (the multilingual-pretraining
     * smoothing of Devlin et al. 2019 / Conneau & Lample 2019: sample
     * sources with probability ∝ share^α, α < 1, so low-resource

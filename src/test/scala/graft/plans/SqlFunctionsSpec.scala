@@ -26,6 +26,24 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("mmr_select"))
   }
 
+  test("nfc_normalize composes from SQL, matches the Column API, and is identity on NFC text") {
+    GraftBridge.registerFunctions(spark)
+    Seq(("cafe\u0301", "plain ascii")).toDF("dec", "asc")
+      .createOrReplaceTempView("nfcfix")
+    val r = spark.sql(
+      "SELECT nfc_normalize(dec), nfc_normalize(asc), nfc_normalize(CAST(NULL AS STRING)) FROM nfcfix"
+    ).head()
+    assert(r.getString(0) === "caf\u00e9", "e + combining acute composes")
+    assert(r.getString(1) === "plain ascii")
+    assert(r.isNullAt(2))
+    val api = spark.table("nfcfix")
+      .select(functions.nfc_normalize(col("dec"))).head().getString(0)
+    assert(api === r.getString(0))
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT nfc_normalize(42)").head())
+    assert(e.getMessage.contains("nfc_normalize"))
+  }
+
   test("all 9 native expressions are callable from SQL and match the Column API") {
     GraftBridge.registerFunctions(spark)
     Seq(("hello world of spark", Seq(0.5f, -0.25f, 0.125f, 1.0f)))

@@ -201,6 +201,28 @@ class TextOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("unicodeGate: each artifact class counted; NFC change alone never rejects; fix applied") {
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "accent cafe\u0301 here"),   // decomposed combining sequence
+      (3L, "broken \uFFFD decode"),     // replacement char
+      (4L, "moji \u00c3\u00a9 here"),   // UTF-8-as-Latin-1 signature
+      (5L, "ctrlchar"),           // C0 control
+      (6L, "tabs\tand\nnewlines fine")
+    ).toDF("doc_id", "text")
+    val out = TextOps.unicodeGate(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getBoolean(1) && out(1L).getBoolean(5))
+    assert(out(2L).getBoolean(1) && out(2L).getBoolean(5),
+      "NFC-changed is fixable — gate keeps the doc")
+    assert(out(2L).getString(6) === "accent caf\u00e9 here", "fix applied")
+    assert(out(3L).getLong(2) === 1L && !out(3L).getBoolean(5))
+    assert(out(4L).getLong(4) === 1L && !out(4L).getBoolean(5))
+    assert(out(5L).getLong(3) === 1L && !out(5L).getBoolean(5))
+    assert(out(6L).getBoolean(5), "tab/newline/CR are not control junk")
+    spark.catalog.clearCache()
+  }
+
   test("tokenBudgetSample admits docs in hash order until the stratum budget, deterministically") {
     val docs = Seq(
       (1L, "a", "one two three"),        // 3 tokens each, stratum a
