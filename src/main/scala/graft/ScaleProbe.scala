@@ -103,6 +103,23 @@ object ScaleProbe {
         Similarity.semanticDedup(c,
           nCells = Similarity.scaledCells(c.count()), minCos = 0.999)
       },
+      "x64_semdedup_banded" -> { k =>
+        // the strictly-linear SemDeDup route: candidates from corpus-
+        // scaled sign-LSH buckets (bits grow with n, population stays
+        // ~constant) — the probe exists to show this family's slope
+        // staying ~linear at the tier where x32's designed n^1.5
+        // signature surfaces (t32/t8 = 8 for the cell route)
+        val c = embCorpus(k)
+        Similarity.semanticDedupBanded(c, c.count(), minCos = 0.999)
+      },
+      "x65_span_dedup" -> { k =>
+        // cross-doc repeated spans: window explode is linear in tokens;
+        // the dup-window agg + coverage join scale with window volume.
+        // Copies are alphabet-rotated (disjoint shingle spaces), so the
+        // duplicated-span mass per copy matches the original corpus's
+        // natural repetition — candidate volume grows linearly
+        TextOps.spanDedup(docCorpus(k), col("doc_id"), col("text"), k = 8)
+      },
       "x36_boilerplate_lines" -> { k =>
         // planted header/footer on every 3rd doc (the x36 corpus shape);
         // the df count shuffles line hashes and the boilerplate set's
