@@ -27,7 +27,9 @@ object ExplainAudit {
         "x49_c4_clean", "x50_shard_manifest", "x51_domain_cap",
         "x52_mmr_rerank", "x53_bm25_topk", "x54_temp_sample",
         "x55_semantic_decontam", "x56_vocab_build", "x57_oov_stats",
-        "x58_domain_filter", "x59_quality_pct")
+        "x58_domain_filter", "x59_quality_pct", "x60_packed_export",
+        "x64_semdedup_banded", "x65_span_dedup", "x66_unicode_gate",
+        "x67_split_leakage")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -204,6 +204,45 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Train→eval contamination report — the split-leakage audit every
+    * pretraining run publishes (the GPT-3 appendix-C / PaLM overlap
+    * analysis): assign every document its deterministic
+    * train/val/test split (content-hash mod 100: 80/10/10, the x31
+    * rule), find near-duplicate pairs with EXACTLY one member in
+    * train, and report each contaminated eval document with how many
+    * train near-dups reach it. Train↔train pairs are ordinary corpus
+    * dups (x23's job) and val↔test pairs are out of scope — the gate
+    * a leak actually breaks is eval-vs-train. Output:
+    * (doc_id, split, n_train_dups, max_jaccard) for leaked eval docs.
+    *
+    * Scale shape: candidates come from [[verifiedCandidates]]'s banded
+    * equi-join (never all-pairs); split assignment is a narrow
+    * projection joined onto the (tiny, verified) pair set; orientation
+    * is a row-local filter; the report agg is doc-keyed and map-side
+    * combinable. Nothing here adds a corpus-sized shuffle beyond the
+    * banding pass the dedup tier already pays. */
+  def splitLeakage(docs: DataFrame, id: Column, text: Column,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val splits = docs
+      .select(id.as("doc_id"),
+        pmod(TextOps.fingerprint(TextOps.norm(text)), lit(100L)).as("_hb"))
+      .select(col("doc_id"),
+        when(col("_hb") < 80, "train").when(col("_hb") < 90, "val")
+          .otherwise("test").as("split"))
+    val pairs = verifiedCandidates(docs, id, text)
+      .filter(col("jaccard") >= minJaccard)
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter((col("split_a") === "train") =!= (col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("doc_b")).otherwise(col("doc_a")).as("doc_id"),
+        when(col("split_a") === "train", col("split_b")).otherwise(col("split_a")).as("split"),
+        col("jaccard"))
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_train_dups"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Winnowing fingerprint (Schleimer/MOSS): distinct sliding-window
     * minima of positional k-shingle hashes — native one-pass expression
     * (graft.plans.WinnowHashes). Any shared substring of ≥ w+k−1 chars

@@ -1274,6 +1274,40 @@ object ExtraQueries {
         col("doc_id"), col("text"), col("lang"))
     },
 
+    // ----- train→eval contamination report: x31's split rule × x03's
+    // verified near-dup pairs, oriented train-side → eval-side
+    QueryDef("x67_split_leakage",
+      "split-leakage audit (the GPT-3/PaLM overlap analysis): near-dup pairs with exactly one member in train; each contaminated val/test doc reported with its train near-dup count and best Jaccard")(
+      s"""WITH $tailDupCorpusD,
+         |$candidatesD,
+         |jac AS (SELECT c.doc_a, c.doc_b,
+         |  round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |        / CAST(len(x.shingles) + len(y.shingles)
+         |               - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE), 6) AS jaccard
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ${charFoldD("t")} % 100 < 80 THEN 'train'
+         |       WHEN ${charFoldD("t")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM n),
+         |jl AS (SELECT j.doc_a, j.doc_b, j.jaccard, a.split AS split_a, b.split AS split_b
+         |       FROM jac j
+         |       JOIN sp a ON a.doc_id = j.doc_a
+         |       JOIN sp b ON b.doc_id = j.doc_b
+         |       WHERE j.jaccard >= 0.5
+         |         AND ((a.split = 'train') <> (b.split = 'train')))
+         |SELECT CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS doc_id,
+         |       CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS split,
+         |       CAST(count(*) AS BIGINT) AS n_train_dups,
+         |       max(jaccard) AS max_jaccard
+         |FROM jl GROUP BY 1, 2
+         |""".stripMargin) { (s, dir) =>
+      Dedup.splitLeakage(tailDupCorpus(s, dir), col("doc_id"), col("text"),
+        minJaccard = 0.5)
+    },
+
     // ----- deterministic stratified sampling (language-balanced quota)
     QueryDef("x21_stratified_sample",
       "language-balanced corpus sample: top-40 docs per lang by content-hash order — deterministic pseudo-random quota sampling, two-phase top-K")(
@@ -1891,6 +1925,54 @@ object ExtraQueries {
             .otherwise("")).as("text"))
       TextOps.domainManifest(corpus, col("doc_id"), col("text"),
         blocklist = Seq("spam.example", "ads.tracker.net"))
+    },
+
+    // ----- URL canonicalization + canonical-URL dedup: synthesized
+    // aliases (tracking params, #fragment, case, default port, www.,
+    // trailing slash) collapse pairwise by construction — variant 1 is
+    // variant 0's alias for the NEXT doc_id, variant 3 mirrors variant 2
+    QueryDef("x68_url_canon",
+      "crawl-frontier URL dedup: strip fragment, lowercase scheme/host, drop :80/:443 and www., strip one trailing slash, drop utm_*/fbclid/gclid params; first doc_id per canonical URL is the keeper — narrow projection + one canon-keyed min agg")(
+      s"""WITH urls AS (SELECT doc_id,
+         |  CASE doc_id % 4
+         |    WHEN 0 THEN 'https://WWW.Example' || (doc_id % 5) || '.com:443/page/' || (doc_id % 50) || '/?utm_source=feed&ref=1#top'
+         |    WHEN 1 THEN 'https://example' || ((doc_id - 1) % 5) || '.com/page/' || ((doc_id - 1) % 50) || '?ref=1'
+         |    WHEN 2 THEN 'http://site' || (doc_id % 7) || '.org:80/a'
+         |    ELSE 'http://site' || ((doc_id - 1) % 7) || '.org/a/?utm_campaign=x&gclid=1'
+         |  END AS url FROM documents),
+         |u0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u FROM urls),
+         |p0 AS (SELECT doc_id, url, u,
+         |         regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS pre FROM u0),
+         |p1 AS (SELECT doc_id, url, substr(u, len(pre) + 1) AS rest,
+         |         regexp_replace(regexp_replace(lower(pre), ':(443|80)$$', ''),
+         |                        '^(https?://)www\\.', '\\1') AS cpre FROM p0),
+         |p2 AS (SELECT doc_id, url, cpre,
+         |         CASE WHEN instr(rest, '?') > 0 THEN substr(rest, 1, instr(rest, '?') - 1) ELSE rest END AS path,
+         |         CASE WHEN instr(rest, '?') > 0 THEN substr(rest, instr(rest, '?') + 1) ELSE '' END AS q FROM p1),
+         |p3 AS (SELECT doc_id, url, cpre,
+         |         CASE WHEN path <> '/' AND path LIKE '%/' THEN substr(path, 1, len(path) - 1) ELSE path END AS cpath,
+         |         coalesce(array_to_string(list_filter(string_split(q, '&'),
+         |           x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_|fbclid=|gclid=)')), '&'), '') AS cq
+         |       FROM p2),
+         |c AS (SELECT doc_id, url,
+         |        cpre || cpath || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url FROM p3),
+         |k AS (SELECT canon_url, min(doc_id) AS keep_id FROM c GROUP BY 1)
+         |SELECT c.doc_id, c.url, c.canon_url, c.doc_id = k.keep_id AS kept
+         |FROM c JOIN k USING (canon_url)
+         |""".stripMargin) { (s, dir) =>
+      val urls = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(lit("https://WWW.Example"),
+          col("doc_id") % 5, lit(".com:443/page/"), col("doc_id") % 50,
+          lit("/?utm_source=feed&ref=1#top")))
+          .when(col("doc_id") % 4 === 1, concat(lit("https://example"),
+            (col("doc_id") - 1) % 5, lit(".com/page/"), (col("doc_id") - 1) % 50,
+            lit("?ref=1")))
+          .when(col("doc_id") % 4 === 2, concat(lit("http://site"),
+            col("doc_id") % 7, lit(".org:80/a")))
+          .otherwise(concat(lit("http://site"), (col("doc_id") - 1) % 7,
+            lit(".org/a/?utm_campaign=x&gclid=1")))
+          .as("url"))
+      TextOps.urlCanonicalize(urls, col("doc_id"), col("url"))
     },
 
     // ----- per-source quality percentile (threshold calibration)

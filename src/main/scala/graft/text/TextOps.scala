@@ -1015,6 +1015,47 @@ object TextOps {
       graft.plans.functions.nfc_normalize(text).as("nfc_text"))
   }
 
+  /** URL canonicalization + canonical-URL dedup — the crawl-frontier /
+    * post-fetch dedup step of web-corpus curation (the same page is
+    * reachable under tracking-tagged, fragment-suffixed, case-varied,
+    * default-ported, www-prefixed and trailing-slashed aliases; fetching
+    * or keeping each alias multiplies the corpus for zero content).
+    * Rules, applied in order and identically in the DuckDB oracle:
+    * strip the #fragment; lowercase scheme://host:port; drop default
+    * ports :80/:443; drop a leading "www."; strip one trailing slash
+    * from a non-root path; drop utm_*, fbclid and gclid query params
+    * (and the '?' when nothing survives). First doc_id per canonical
+    * URL is the keeper. Output: (doc_id, url, canon_url, kept).
+    *
+    * Scale shape: canonicalization is a narrow codegen'd projection
+    * (regex/string builtins only — RE2-compatible patterns, no
+    * lookarounds, so the oracle runs them verbatim); the keeper pick is
+    * one canon-keyed min aggregation (map-side combinable) joined back
+    * on the same key — the exact-dedup shape with URL instead of
+    * content digest. */
+  def urlCanonicalize(docs: DataFrame, id: Column, url: Column): DataFrame = {
+    val u = regexp_replace(url, "#.*$", "")
+    val pre = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val rest = u.substr(length(pre) + 1, length(u))
+    val cpre = regexp_replace(
+      regexp_replace(lower(pre), ":(443|80)$", ""),
+      "^(https?://)www\\.", "$1")
+    val qpos = instr(rest, "?")
+    val path = when(qpos > 0, rest.substr(lit(1), qpos - 1)).otherwise(rest)
+    val q = when(qpos > 0, rest.substr(qpos + 1, length(rest))).otherwise(lit(""))
+    val cpath = when(path =!= "/" && path.endsWith("/"),
+      path.substr(lit(1), length(path) - 1)).otherwise(path)
+    val cq = array_join(filter(split(q, "&"),
+      x => length(x) > 0 && !x.rlike("^(utm_|fbclid=|gclid=)")), "&")
+    val canon = concat(cpre, cpath,
+      when(cq === "", "").otherwise(concat(lit("?"), cq)))
+    val c = docs.select(id.as("doc_id"), url.as("url"), canon.as("canon_url"))
+    val keepers = c.groupBy("canon_url").agg(min(col("doc_id")).as("_keep"))
+    c.join(keepers, "canon_url")
+      .select(col("doc_id"), col("url"), col("canon_url"),
+        (col("doc_id") === col("_keep")).as("kept"))
+  }
+
   /** Temperature-balanced corpus sampling (the multilingual-pretraining
     * smoothing of Devlin et al. 2019 / Conneau & Lample 2019: sample
     * sources with probability ∝ share^α, α < 1, so low-resource

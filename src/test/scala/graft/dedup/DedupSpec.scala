@@ -94,6 +94,41 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("splitLeakage reports only eval docs with a train near-dup, oriented train → eval") {
+    // corpus: sf0.001 documents + tail-appended near-dups (Jaccard ~0.9).
+    // Split assignment is content-hash-driven, so expectations are
+    // derived from the same rule rather than hand-picked texts.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.unionAll(docs.select((col("doc_id") + 10000L).as("doc_id"),
+      concat(col("text"), lit(" zz qq xx yy")).as("text")))
+    val splits = corpus.select(col("doc_id"),
+        pmod(graft.text.TextOps.fingerprint(graft.text.TextOps.norm(col("text"))), lit(100L)).as("hb"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 80) "train" else if (r.getLong(1) < 90) "val" else "test"))
+      .toMap
+    val pairs = Dedup.verifiedCandidates(corpus, col("doc_id"), col("text"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.flatMap { case (a, b) =>
+      (splits(a), splits(b)) match {
+        case ("train", sb) if sb != "train" => Some(b)
+        case (sa, "train") if sa != "train" => Some(a)
+        case _ => None
+      }
+    }.toSet
+    assert(expected.nonEmpty, "fixture must produce at least one cross-split pair")
+    val out = Dedup.splitLeakage(corpus, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(out.map(_._1).toSet === expected)
+    // every reported doc is on the eval side and its split matches the rule
+    out.foreach { case (d, sp, n) =>
+      assert(sp === splits(d) && sp != "train", s"doc $d reported as $sp")
+      assert(n >= 1L)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("SimHash: identical docs have Hamming distance 0, fingerprint fits 16 bits") {
     val df = Dedup.simhashFingerprints(
       Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

@@ -201,6 +201,30 @@ class TextOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("urlCanonicalize collapses every alias class to one canonical form, keeps the lowest doc_id") {
+    val docs = Seq(
+      (1L, "https://WWW.Example.com:443/page/3/?utm_source=feed&ref=1#top"),
+      (2L, "https://example.com/page/3?ref=1"),      // alias of doc 1
+      (3L, "http://Site.org:80/a"),
+      (4L, "http://site.org/a/?utm_campaign=x&gclid=1"), // alias of doc 3
+      (5L, "https://example.com/page/3?ref=2"),      // different param VALUE — distinct
+      (6L, "https://example.com/"),                  // root slash is kept
+      (7L, "https://example.com/?utm_source=x")      // all params tracked away
+    ).toDF("doc_id", "url")
+    val out = TextOps.urlCanonicalize(docs, col("doc_id"), col("url"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 === "https://example.com/page/3?ref=1")
+    assert(out(2L)._1 === out(1L)._1)
+    assert(out(1L)._2 && !out(2L)._2, "lowest doc_id keeps")
+    assert(out(3L)._1 === "http://site.org/a")
+    assert(out(4L)._1 === out(3L)._1 && !out(4L)._2)
+    assert(out(5L)._2, "a different query value is a different page")
+    assert(out(6L)._1 === "https://example.com/", "root path keeps its slash")
+    assert(out(7L)._1 === "https://example.com/" && !out(7L)._2,
+      "tracking-only query collapses onto the bare root")
+    spark.catalog.clearCache()
+  }
+
   test("unicodeGate: each artifact class counted; NFC change alone never rejects; fix applied") {
     val docs = Seq(
       (1L, "clean ascii text"),
