@@ -282,10 +282,12 @@ object Pipelines {
   }
 
   /** The full curation gate chain over ONE micro-batch — the streaming
-    * composition of the batch-verified curation tier (x49 C4 line/page
-    * rules → x36 cross-doc boilerplate strike → x30 Gopher document
-    * rules → x45 incremental near-dup against the already-ingested
-    * corpus). Order matters: line-grain cleaning first so the document
+    * composition of the batch-verified curation tier (x66 encoding
+    * hygiene + NFC fix → x49 C4 line/page rules → x36 cross-doc
+    * boilerplate strike → x30 Gopher document rules → x45 incremental
+    * near-dup against the already-ingested corpus). Order matters:
+    * encoding hygiene first so every later hash sees canonical bytes,
+    * line-grain cleaning next so the document
     * gates score the text a trainer would actually see, near-dup last
     * so fingerprints are computed on fully cleaned text (a boilerplate
     * footer shared by every page would otherwise dominate the shingle
@@ -307,7 +309,14 @@ object Pipelines {
                   c4MinKeptLines: Long = 3L, boilerMinDocs: Long = 5L,
                   minJaccard: Double = 0.5): DataFrame = {
     import graft.text.TextOps
-    val c4 = TextOps.c4LineClean(batch, col(idCol), col(textCol),
+    // encoding hygiene first: reject undecodable docs (U+FFFD / control /
+    // mojibake) and hand the NFC-FIXED text to every downstream gate, so
+    // line hashes and shingles never see decomposed/composed variants of
+    // the same content as different bytes
+    val uni = TextOps.unicodeGate(batch, col(idCol), col(textCol))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("nfc_text").as("text"))
+    val c4 = TextOps.c4LineClean(uni, col("doc_id"), col("text"),
         c4MinWords, c4MinKeptLines)
       .filter(col("page_pass"))
       .select(col("doc_id"), col("cleaned").as("text"))

@@ -462,6 +462,18 @@ class PipelinesSpec extends SparkSpec {
       "the owner trained abroad and returned home with new recipes.",
       "weekend mornings bring the longest queues of the whole week.",
       "reviews in the paper called it the best shop around.")
+    val contentE = Seq( // doc 203: unique, decomposed NFC — fixed, survives
+      "the riverside cafe\u0301 began serving breakfast at dawn today.",
+      "regulars praised the quiet terrace and the fresh coffee there.",
+      "a new menu will arrive before the busy summer season starts.",
+      "students often stay for hours with books and slow drinks.",
+      "the owners plan to extend opening hours on weekend evenings.")
+    val contentF = Seq( // doc 105: unique but carries a replacement char
+      "the annual fair returned to the central square this weekend.",
+      "children enjoyed rides while vendors sold crafts and sweets.",
+      "organizers reported record attendance despite the cloudy sky.",
+      "music continued into the evening with several local bands.",
+      "the mayor thanked volunteers for months of \uFFFD careful planning.")
 
     val corpus = Seq((1L, contentA.mkString("\n")), (2L, contentC.mkString("\n")))
       .toDF("doc_id", "text")
@@ -482,23 +494,30 @@ class PipelinesSpec extends SparkSpec {
         Doc(103L, ts("2026-01-01 00:00:02"),
           Seq("the quick brown fox runs.", "a lazy dog sleeps nearby.",
             "birds fly over the field.", footer).mkString("\n")),
-        Doc(104L, ts("2026-01-01 00:00:03"), (contentA :+ footer).mkString("\n")))
+        Doc(104L, ts("2026-01-01 00:00:03"), (contentA :+ footer).mkString("\n")),
+        Doc(105L, ts("2026-01-01 00:00:04"), contentF.mkString("\n")))
       q.processAllAvailable()
-      // batch 1: 201 survives; 202 near-dups corpus doc 2
+      // batch 1: 201 survives; 202 near-dups corpus doc 2; 203 carries
+      // decomposed NFC — the gate fixes it and it survives composed
       in.addData(
         Doc(201L, ts("2026-01-01 00:01:00"), contentD.mkString("\n")),
-        Doc(202L, ts("2026-01-01 00:01:01"), contentC.mkString("\n")))
+        Doc(202L, ts("2026-01-01 00:01:01"), contentC.mkString("\n")),
+        Doc(203L, ts("2026-01-01 00:01:02"), contentE.mkString("\n")))
       q.processAllAvailable()
 
       val out = spark.read.parquet(s"$dir/data")
       val byBatch = out.select(col("batch_id").cast("long"), col("doc_id"),
           col("text"), col("n_tokens"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-      assert(byBatch.map(_._2).toSet === Set(101L, 201L),
+      assert(byBatch.map(_._2).toSet === Set(101L, 201L, 203L),
         s"exactly the clean unique docs survive, got ${byBatch.toList}")
       // batch isolation: each survivor sits in its own batch partition
       assert(byBatch.collect { case (b, 101L, _, _) => b }.head === 0L)
       assert(byBatch.collect { case (b, 201L, _, _) => b }.head === 1L)
+      // 105 (replacement char) was rejected by the encoding gate; 203's
+      // decomposed accent came through COMPOSED (the NFC fix applied)
+      val (_, _, text203, _) = byBatch.find(_._2 == 203L).get
+      assert(text203 === contentE.mkString("\n").replace("e\u0301", "\u00e9"))
       // the shared footer was struck BEFORE fingerprinting/counting
       val (_, _, text101, tok101) = byBatch.find(_._2 == 101L).get
       assert(text101 === contentB.mkString("\n"), "kept lines in order, footer gone")
@@ -521,7 +540,7 @@ class PipelinesSpec extends SparkSpec {
       // both survivors present in the packed artifact
       val packedDocs = spark.read.parquet(packDir)
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
-      assert(packedDocs === Set(101L, 201L))
+      assert(packedDocs === Set(101L, 201L, 203L))
     } finally {
       q.stop()
       index.unpersist()
