@@ -1255,6 +1255,88 @@ object ExtraQueries {
       TextOps.gopherFlags(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
 
+    // ----- curation funnel with per-document rejection attribution:
+    // the report a curation run publishes (which gate cost how much).
+    // Stage order = the streaming chain's: encoding hygiene → exact
+    // dedup (first-wins among hygiene survivors) → Gopher rules.
+    // Plants: %11 docs get a U+FFFD (unicode reject), %13 docs are
+    // truncated to 10 words (Gopher words_ok reject), %9 docs get a
+    // whitespace-mangled copy (exact-dup reject for the copy).
+    QueryDef("x69_curation_funnel",
+      "per-doc curation funnel attribution: first failed stage of unicode-hygiene -> exact-dedup -> Gopher, or 'kept' — each stage evaluated only on the prior stage's survivors, all narrow projections + one digest agg")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' ' || chr(65533)
+         |         WHEN doc_id % 13 = 0 THEN array_to_string(string_split($normD, ' ')[1:10], ' ')
+         |         ELSE text END AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS text
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |u AS (SELECT doc_id, text,
+         |  (length(text) - length(replace(text, chr(65533), '')))
+         |  + len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]'))
+         |  + (length(text) - length(replace(replace(text, chr(195), ''), chr(194), ''))) = 0 AS uok
+         |  FROM corpus),
+         |pu AS (SELECT doc_id, text FROM u WHERE uok),
+         |sv AS (SELECT min(doc_id) AS doc_id FROM pu
+         |       GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+         |ps AS (SELECT pu.doc_id, pu.text, sv.doc_id IS NOT NULL AS sok
+         |       FROM pu LEFT JOIN sv ON pu.doc_id = sv.doc_id),
+         |gn AS (SELECT doc_id, $normD AS t FROM ps WHERE sok),
+         |gw AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM gn),
+         |gm AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(length(t) - len(ws) + 1 AS DOUBLE) / len(ws) AS mwl,
+         |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |  CAST(length(t) - length(replace(t, '#', ''))
+         |     + (length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS sym,
+         |  CAST((CASE WHEN contains(' ' || t || ' ', ' the ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' a ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' of ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' and ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' to ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' in ') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+         |  FROM gw),
+         |g AS (SELECT doc_id,
+         |  (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+         |  AND (CAST(sym AS DOUBLE) / n_words < 0.1)
+         |  AND (CAST(alpha_words AS DOUBLE) / n_words > 0.8)
+         |  AND (stop_hits >= 2) AS passes
+         |  FROM gm)
+         |SELECT doc_id, 'unicode' AS stage FROM u WHERE NOT uok
+         |UNION ALL
+         |SELECT doc_id, 'exact_dup' AS stage FROM ps WHERE NOT sok
+         |UNION ALL
+         |SELECT doc_id, CASE WHEN passes THEN 'kept' ELSE 'gopher' END AS stage FROM g
+         |""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = d.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" \uFFFD")))
+          .when(col("doc_id") % 13 === 0,
+            concat_ws(" ", slice(split(TextOps.norm(col("text")), " "), 1, 10)))
+          .otherwise(col("text")).as("text"))
+      val copies = d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" ")).as("text"))
+      val corpus = base.unionAll(copies)
+      val uni = TextOps.unicodeGate(corpus, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("keep").as("_uok"))
+      val withU = corpus.join(uni, "doc_id")
+      val passU = withU.filter(col("_uok")).select("doc_id", "text")
+      val surv = Dedup.exact(passU, col("doc_id"), col("text"))
+        .select(col("doc_id"), lit(true).as("_surv"))
+      val withS = passU.join(surv, Seq("doc_id"), "left")
+      val gop = TextOps.gopherFlags(withS.filter(col("_surv")),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), col("passes").as("_gok"))
+      withU.filter(!col("_uok")).select(col("doc_id"), lit("unicode").as("stage"))
+        .unionAll(withS.filter(col("_surv").isNull)
+          .select(col("doc_id"), lit("exact_dup").as("stage")))
+        .unionAll(gop.select(col("doc_id"),
+          when(col("_gok"), "kept").otherwise("gopher").as("stage")))
+    },
+
     // ----- deterministic train/val/test split manifest
     QueryDef("x31_split_assign",
       "hash-based train/val/test assignment (fingerprint mod 100: 80/10/10) + per-(split, lang) doc and token budget — engine-portable, row-order immune")(
