@@ -943,12 +943,18 @@ object TextOps {
     * combinable min/count-distinct pair), coverage is an equi-join back
     * on that key followed by a doc-keyed position-set aggregation, and
     * the rebuild is a narrow per-row filter. Nothing is ever windowed
-    * or sorted corpus-wide. The shuffle key is the window STRING here
-    * because the DuckDB oracle must reproduce it exactly; at 100 TB
-    * swap the key for xxhash64(w) (the join/agg shapes are unchanged,
-    * the wire bytes drop ~k×) and accept the 2⁻⁶⁴ collision odds the
-    * MinHash tier already lives with. */
-  def spanDedup(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    * or sorted corpus-wide. `keyByHash` (the default, and what x65
+    * verifies against the oracle) keys the dup aggregation and the
+    * coverage join on xxhash64 of the window instead of the k-token
+    * string — same plan shapes, ~k× fewer wire bytes per window row,
+    * at the 2⁻⁶⁴-per-pair collision odds the MinHash tier already
+    * lives with (the oracle cannot mirror xxhash64, but the hash never
+    * reaches the output, so the compare certifies the end result;
+    * SpanDedupSpec pins hash-key ≡ string-key on the test corpus).
+    * `keyByHash = false` keeps the string key for a collision-free
+    * audit run. */
+  def spanDedup(docs: DataFrame, id: Column, text: Column, k: Int = 8,
+                keyByHash: Boolean = true): DataFrame = {
     require(k >= 2, s"span length k must be >= 2, got $k")
     val n = docs.select(id.as("doc_id"), split(norm(text), " ").as("ws"))
     // windows [s, s+k) as (start, text) structs; the greatest() guard
@@ -959,7 +965,8 @@ object TextOps {
         i => struct(i.as("s"), concat_ws(" ", slice(col("ws"), i + 1, lit(k))).as("w"))),
       x => x.getField("s") <= size(col("ws")) - k)
     val win = n.select(col("doc_id"), explode(winArr).as("x"))
-      .select(col("doc_id"), col("x.s").as("s"), col("x.w").as("w"))
+      .select(col("doc_id"), col("x.s").as("s"),
+        (if (keyByHash) xxhash64(col("x.w")) else col("x.w")).as("w"))
       // occurrence key: doc lengths stay far under 2^20, so this packs
       // (doc_id, start) into one orderable long for the first-wins argmin
       .withColumn("ok", col("doc_id") * lit(1048576L) + col("s"))

@@ -187,6 +187,29 @@ class TextOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("spanDedup hash-keyed shuffle (the 100-TB form) equals the string-keyed result") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // inject certain cross-doc spans (the x65 corpus shape) so the
+    // equivalence is exercised on real removals, not just pass-through
+    val injected = d.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat_ws(" ", concat(lit("zq"), col("doc_id")),
+        concat_ws(" ", slice(split(TextOps.norm(col("text")), " "), 1, 16)))
+        .as("text"))
+    val corpus = d.unionAll(injected)
+    def run(hash: Boolean) =
+      TextOps.spanDedup(corpus, col("doc_id"), col("text"), k = 8, keyByHash = hash)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    val hashed = run(true)
+    val strings = run(false)
+    assert(hashed === strings)
+    assert(hashed.exists(_._3 > 0L), "fixture must remove something")
+    spark.catalog.clearCache()
+  }
+
   test("spanDedup is idempotent: a second pass over kept_text removes nothing") {
     val span = ('a' to 'h').map(_.toString).mkString(" ")
     val docs = Seq(
