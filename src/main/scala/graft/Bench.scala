@@ -19,10 +19,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args: query-name prefixes ("x61 x63") time just that
+    // subset — the iterate-on-one-query loop; no args = the full suite
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries =
+      if (args.isEmpty) all
+      else all.filter(q => args.exists(q._1.startsWith))
+    require(queries.nonEmpty, s"no query matches ${args.mkString(" ")}")
     // fail FAST on a short-code clash (before any query runs), not at
     // report time after the whole suite's wall-clock has been spent
-    require(queries.map(q => q._1.takeWhile(_ != '_')).distinct.size == queries.size,
+    require(all.map(q => q._1.takeWhile(_ != '_')).distinct.size == all.size,
       "query short codes must stay unique — rename the clashing query")
     // warm-up: exercise scan + shuffle + codegen paths once, untimed
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
@@ -148,7 +154,8 @@ object Bench {
          |}""".stripMargin
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "BENCH_LOCAL.json")), full)
+        // a filtered run must not overwrite the full-suite artifact
+        if (args.isEmpty) "BENCH_LOCAL.json" else "BENCH_SUBSET.json")), full)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}")
     }
