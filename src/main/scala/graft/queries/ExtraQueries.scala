@@ -1738,6 +1738,53 @@ object ExtraQueries {
       TextOps.unicodeGate(corpus, col("doc_id"), col("text"))
     },
 
+    // ----- HTML→text extraction gate (plants: wrapped page, entity
+    // tail, mostly-script page, comment injection — each derived
+    // deterministically from doc_id in BOTH engines)
+    QueryDef("x70_html_extract",
+      "HTML→text extraction gate: strip script/style/comments/tags, decode entities (amp last), collapse whitespace, keep on extracted-to-raw length ratio — one codegen'd zero-shuffle projection, RE2-exact patterns")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 3 THEN '<script>' || repeat('var v = 0; ', 40) || '</script><p>ok</p>'
+         |         WHEN doc_id % 5 = 0 THEN '<html><head><style>p{color:red}</style><title>t</title></head><body><h1>H</h1><p>' || text || '</p><script>var x=1; if(x<2){x=x+1;}</script></body></html>'
+         |         ELSE text END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' &amp;amp; &lt;b&gt; &quot;x&quot;&#39;s&nbsp;.' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' <!-- note ' || CAST(doc_id AS VARCHAR) || ' -->' ELSE '' END AS text
+         |  FROM documents),
+         |e AS (SELECT doc_id, text,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |        '(?is)<script[^>]*>.*?</script[ \\t\\n\\r\\f]*>', ' ', 'g'),
+         |        '(?is)<style[^>]*>.*?</style[ \\t\\n\\r\\f]*>', ' ', 'g'),
+         |        '(?s)<!--.*?-->', ' ', 'g'),
+         |        '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+         |    '[ \\t\\n\\r\\f]+', ' ', 'g')) AS extracted
+         |  FROM corpus)
+         |SELECT doc_id, regexp_matches(text, '<[^>]*>') AS was_html, extracted,
+         |       round(CAST(length(extracted) AS DOUBLE) / greatest(length(text), 1), 6) AS ratio,
+         |       round(CAST(length(extracted) AS DOUBLE) / greatest(length(text), 1), 6) >= 0.05 AS keep
+         |FROM e
+         |""".stripMargin) { (s, dir) =>
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 11 === 3,
+            concat(lit("<script>"), repeat(lit("var v = 0; "), 40),
+              lit("</script><p>ok</p>")))
+            .when(col("doc_id") % 5 === 0,
+              concat(lit("<html><head><style>p{color:red}</style><title>t</title></head><body><h1>H</h1><p>"),
+                col("text"),
+                lit("</p><script>var x=1; if(x<2){x=x+1;}</script></body></html>")))
+            .otherwise(col("text")),
+          when(col("doc_id") % 7 === 0,
+            lit(" &amp;amp; &lt;b&gt; &quot;x&quot;&#39;s&nbsp;.")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" <!-- note "), col("doc_id").cast(StringType), lit(" -->")))
+            .otherwise(lit(""))).as("text"))
+      TextOps.htmlExtract(corpus, col("doc_id"), col("text"))
+    },
+
     // ----- C4 line-and-page cleaning (Raffel et al. 2020 rules)
     QueryDef("x49_c4_clean",
       "C4 cleaning on a sentence-split corpus with planted violations: lines must end in terminal punctuation, carry >= 5 words, and not mention javascript; pages fail on lorem ipsum / curly braces / < 3 kept lines — the line-grain companion to x30's doc-grain Gopher gate")(

@@ -1037,6 +1037,47 @@ object TextOps {
       graft.plans.functions.nfc_normalize(text).as("nfc_text"))
   }
 
+  /** HTML→text extraction gate (x70) — the markup-mechanics core of the
+    * trafilatura/jusText stage a crawl pipeline runs before any text
+    * heuristic: strip `<script>`/`<style>` blocks (non-greedy, dotall),
+    * then comments, then all remaining tags (each replaced by a space
+    * so tag boundaries never fuse words); decode the six ubiquitous
+    * entities with `&amp;` LAST (single-pass semantics: "&amp;lt;"
+    * decodes to "&lt;", never "<"); collapse whitespace runs and trim.
+    * The gate keeps a document iff extracted-to-raw length ratio ≥
+    * `minRatio` — a page that is mostly markup/script carries no
+    * training text (jusText's low-text-density rejection, reduced to
+    * its scale-relevant core). Output:
+    * (doc_id, was_html, extracted, ratio, keep).
+    *
+    * Scale shape: ONE codegen'd projection over the scan — zero
+    * shuffles, zero joins, zero corpus-derived state; at 100 TB this
+    * runs at scan speed, which is exactly what the FIRST funnel stage
+    * must do (cheapest per byte, biggest volume reduction). Every
+    * pattern is dialect-exact between Java regex and RE2 (no
+    * backreferences — script/style are two passes, not one with \\1 —
+    * no lookarounds, explicit [ \t\n\r\f] whitespace class), so the
+    * DuckDB oracle runs the SAME patterns verbatim. */
+  def htmlExtract(docs: DataFrame, id: Column, text: Column,
+                  minRatio: Double = 0.05): DataFrame = {
+    val s1 = regexp_replace(text,
+      "(?is)<script[^>]*>.*?</script[ \\t\\n\\r\\f]*>", " ")
+    val s2 = regexp_replace(s1,
+      "(?is)<style[^>]*>.*?</style[ \\t\\n\\r\\f]*>", " ")
+    val s3 = regexp_replace(s2, "(?s)<!--.*?-->", " ")
+    val s4 = regexp_replace(s3, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(s4) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    val extracted = trim(regexp_replace(ent, "[ \\t\\n\\r\\f]+", " "))
+    val ratio = round(length(extracted).cast(DoubleType)
+      / greatest(length(text), lit(1)).cast(DoubleType), 6)
+    docs.select(id.as("doc_id"),
+      text.rlike("<[^>]*>").as("was_html"),
+      extracted.as("extracted"), ratio.as("ratio"))
+      .withColumn("keep", col("ratio") >= minRatio)
+  }
+
   /** URL canonicalization + canonical-URL dedup — the crawl-frontier /
     * post-fetch dedup step of web-corpus curation (the same page is
     * reachable under tracking-tagged, fragment-suffixed, case-varied,

@@ -512,4 +512,31 @@ class TextOpsSpec extends SparkSpec {
     assert(after < before * 0.8,
       s"12 merges should compress the inventory >20%: $after vs $before")
   }
+
+  test("htmlExtract: strips script/style/comments/tags, decodes entities amp-last, gates on ratio") {
+    val docs = Seq(
+      (1L, "<html><head><style>p{c}</style></head><body><h1>T</h1><p>hello world</p><script>if(x<2){y}</script><!-- c --></body></html>"),
+      (2L, "plain text no markup"),
+      (3L, "&amp;amp; &amp;lt; &lt;b&gt;"),
+      (4L, "<script>" + "var v = 0; " * 40 + "</script><p>ok</p>"),
+      (5L, "a<br>b\t c\n\nd")
+    ).toDF("doc_id", "text")
+    val out = TextOps.htmlExtract(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // script body with a '<' inside survives the non-greedy strip intact
+    assert(out(0)._3 === "T hello world")
+    assert(out(0)._2 && out(0)._5) // was_html, kept (ratio ~0.106)
+    // no markup: identity, ratio 1.0
+    assert(out(1) === ((2L, false, "plain text no markup", 1.0, true)))
+    // single-pass entity decode: &amp;amp; -> &amp;, NEVER &
+    assert(out(2)._3 === "&amp; &lt; <b>")
+    assert(!out(2)._2) // entity-only text is not markup
+    // mostly-script page fails the ratio gate
+    assert(out(3)._3 === "ok")
+    assert(!out(3)._5 && out(3)._4 < 0.05)
+    // tag boundaries become spaces (words never fuse); whitespace collapses
+    assert(out(4)._3 === "a b c d")
+  }
 }
