@@ -316,6 +316,35 @@ object ExtraQueries {
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
     },
 
+    // ----- hard-negative mining: top-k similar-but-wrong-label,
+    // exclusions applied BEFORE ranking (self, same label, near-dups)
+    QueryDef("x71_hard_negatives",
+      "contrastive hard-negative mining (DPR-style): per query vector, top-5 most-similar corpus vectors excluding the query row, its label's positives and near-identical vectors (cos >= 0.98) — exclusions filter before ranking, WindowGroupLimit pre-truncates below the exchange")(
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |           FROM embeddings WHERE vec_id < 8),
+         |cs AS (
+         |  SELECT q.q_id, q.q_label, v.vec_id AS vec_id, v.label AS label,
+         |    ${cosD("q.q_emb", "v.embedding")} AS cos
+         |  FROM embeddings v, q
+         |  WHERE v.vec_id <> q.q_id AND v.label <> q.q_label),
+         |f AS (SELECT * FROM cs WHERE cos < 0.98)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rnk, vec_id,
+         |       round(cos, 6) AS cos_r, label
+         |FROM (SELECT *, row_number() OVER
+         |        (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |      FROM f)
+         |WHERE rn <= 5
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      Similarity.hardNegatives(emb.select("vec_id", "embedding", "label"),
+          queries, k = 5, dupCos = 0.98)
+        .select(col("q_id"), col("rnk"), col("vec_id"),
+          round(col("cos"), 6).as("cos_r"), col("label"))
+    },
+
     // ----- sign-LSH bucketed ANN (the sublinear scale path)
     QueryDef("x07_ann_lsh_cosine",
       "sign-LSH bucketed cosine top-3: equi-join on 4 random-hyperplane sign bits instead of cross product")(

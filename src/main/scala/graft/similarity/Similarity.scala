@@ -57,6 +57,41 @@ object Similarity {
     TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
   }
 
+  /** Hard-negative mining for contrastive training (x71) — the DPR
+    * (Karpukhin et al. 2020) / SimCSE negative-selection step: for each
+    * query vector, the k most similar corpus vectors that are NOT
+    * positives. Excluded before ranking (an excluded row must never
+    * occupy a top-k slot): the query row itself, every vector sharing
+    * the query's label (supervised positives), and near-identical
+    * vectors (cos ≥ `dupCos` — undetected duplicates of the positive,
+    * the classic false-negative hazard of similarity-mined negatives).
+    * What remains is exactly the high-similarity / wrong-label set a
+    * contrastive objective learns most from. Output:
+    * (q_id, rnk, vec_id, cos, label), k rows per query.
+    *
+    * Scale shape: the query side is a training batch — small, broadcast;
+    * the corpus scan stays narrow and shuffle-free; ranking is
+    * row_number-filtered so InferWindowGroupLimit pre-truncates each
+    * split to its local top-k below the exchange (the A7 shape — never
+    * a per-query global sort). At corpus scales where the exact scan is
+    * too slow, feed the same exclusions ivfTopK's cell-probe candidates
+    * with k′ > k headroom — the gate composes unchanged because it
+    * filters before ranking. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dupCos: Double = 0.98): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") =!= col("q_label") && col("cos") < dupCos)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("q_id"), col("_rn").cast(LongType).as("rnk"),
+        col("vec_id"), col("cos"), col("label"))
+  }
+
   /** Sign-LSH bucket id from `bits` DETERMINISTIC RANDOM HYPERPLANES
     * (Rademacher ±1 entries from a double-Lehmer mix — not axis-aligned,
     * so no dependence on any dimension's marginal distribution): bit i is

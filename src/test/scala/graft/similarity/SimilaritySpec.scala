@@ -39,6 +39,28 @@ class SimilaritySpec extends SparkSpec {
     assert(best === Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("hardNegatives: self/same-label/near-dup excluded BEFORE ranking, next-best fills the slot") {
+    // label 0: the query (id 0) and its positives; label 1: negatives,
+    // one of which (id 10) is a near-exact copy of the query (cos > 0.98)
+    // and must be excluded WITHOUT eating a top-k slot.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),   // query
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),   // positive (same label)
+      (10L, Seq(1.0f, 0.01f, 0.0f, 0.0f), 1), // near-dup of query, wrong label
+      (11L, Seq(0.8f, 0.6f, 0.0f, 0.0f), 1),  // the true hardest negative
+      (12L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),  // easy negative
+      (13L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 1)  // trivial negative
+    ).toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val out = Similarity.hardNegatives(emb, q, k = 2)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(4)))
+    // exactly k rows, all wrong-label, near-dup 10 absent, 11 ranked first
+    assert(out.toSeq === Seq((1L, 11L, 1), (2L, 12L, 1)))
+  }
+
   test("sign bucket: deterministic, bounded, equal vectors collide, seeds independent") {
     val twice = corpus.unionAll(corpus)
     val out = twice.select(col("vec_id"),
