@@ -1767,6 +1767,23 @@ object ExtraQueries {
       TextOps.unicodeGate(corpus, col("doc_id"), col("text"))
     },
 
+    // ----- fasttext-shaped hashed linear classifier (stand-in weights;
+    // the feature-hashing plumbing and plan shape are the real thing)
+    QueryDef("x72_classifier_score",
+      "hashed linear quality classifier: native word-bigram feature hashing, shared-weight buckets mod 2^18, deterministic integer stand-in weights — order-free exact sums, one codegen'd zero-shuffle projection")(
+      s"""WITH ${tokenHashesD("documents")},
+         |sc AS (SELECT doc_id, CAST(len(hx) AS BIGINT) AS n_feats,
+         |  CAST(CASE WHEN len(hx) = 0 THEN 0
+         |       ELSE list_sum([((((h % 262144) * 2654435761) % 1000003) % 2001) - 1000 FOR h IN hx]) END AS BIGINT) AS wsum
+         |  FROM th)
+         |SELECT doc_id, n_feats, wsum,
+         |  round(CASE WHEN n_feats = 0 THEN 0.0 ELSE CAST(wsum AS DOUBLE) / (n_feats * 1000.0) END, 6) AS score,
+         |  wsum >= 0 AS keep
+         |FROM sc
+         |""".stripMargin) { (s, dir) =>
+      TextOps.classifierScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
     // ----- HTML→text extraction gate (plants: wrapped page, entity
     // tail, mostly-script page, comment injection — each derived
     // deterministically from doc_id in BOTH engines)

@@ -1037,6 +1037,44 @@ object TextOps {
       graft.plans.functions.nfc_normalize(text).as("nfc_text"))
   }
 
+  /** Hashed linear quality classifier (x72) — the fasttext-shaped
+    * model-based filter of CCNet / LLaMA-style curation ("score every
+    * document with a small linear classifier, keep above threshold"),
+    * reduced to its Spark-side plumbing: distinct word-bigram features
+    * through the native Lehmer feature hasher, shared-weight buckets
+    * via mod `dim` (the feature-hashing trick — collisions share a
+    * weight, the model never materializes a vocabulary), one weight
+    * lookup + sum per document, a normalized margin and a sign gate.
+    *
+    * The weights here are a DETERMINISTIC STAND-IN (a Lehmer mix of the
+    * bucket id onto integers in [-1000, 1000]) — a trained model's
+    * weights are an external artifact, exactly the stub discipline the
+    * multimodal decoders use; swap the weight formula for a broadcast
+    * weight array to serve a real model with the same plan shape.
+    * Integer weights make the per-document sum ORDER-INDEPENDENT and
+    * exact (no float-summation-order divergence between engines); the
+    * single double division happens once at the end, and the keep gate
+    * compares the exact integer sum against zero. Output:
+    * (doc_id, n_feats, wsum, score, keep).
+    *
+    * Scale shape: one codegen'd projection (native feature hasher +
+    * integer fold) — zero shuffles, zero joins, no corpus-derived
+    * state; the classifier stage of a 100-TB funnel runs at scan
+    * speed, which is why production pipelines can afford to score
+    * everything. */
+  def classifierScore(docs: DataFrame, id: Column, text: Column,
+                      dim: Int = 1 << 18): DataFrame = {
+    val feats = graft.plans.functions.bigram_token_hashes(norm(text))
+    val wsum = when(size(feats) === 0, lit(0L)).otherwise(
+      aggregate(feats, lit(0L), (acc, h) =>
+        acc + ((((h % dim) * lit(2654435761L)) % 1000003L) % 2001L - 1000L)))
+    docs.select(id.as("doc_id"),
+        size(feats).cast(LongType).as("n_feats"), wsum.as("wsum"))
+      .withColumn("score", round(when(col("n_feats") === 0, lit(0.0))
+        .otherwise(col("wsum").cast(DoubleType) / (col("n_feats") * 1000.0)), 6))
+      .withColumn("keep", col("wsum") >= 0)
+  }
+
   /** HTML→text extraction gate (x70) — the markup-mechanics core of the
     * trafilatura/jusText stage a crawl pipeline runs before any text
     * heuristic: strip `<script>`/`<style>` blocks (non-greedy, dotall),

@@ -513,6 +513,31 @@ class TextOpsSpec extends SparkSpec {
       s"12 merges should compress the inventory >20%: $after vs $before")
   }
 
+  test("classifierScore: deterministic, word-order-sensitive features, case/space-insensitive, empty-doc guard") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "THE  Quick   BROWN fox"), // normalizes to doc 1's features
+      (3L, "fox brown quick the"),    // same words, different bigrams
+      (4L, "   "),                    // whitespace-only
+      (5L, "single")                  // unigram fallback
+    ).toDF("doc_id", "text")
+    val out = TextOps.classifierScore(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // normalization: docs 1 and 2 share features exactly
+    assert(out(0)._2 === out(1)._2 && out(0)._3 === out(1)._3 && out(0)._4 === out(1)._4)
+    // bigram features: reversed word order is a different document
+    assert(out(2)._3 !== out(0)._3)
+    assert(out(0)._2 === 3L) // 3 distinct bigrams from 4 words
+    // score is the normalized margin; keep is the exact integer sign
+    out.foreach { case (_, n, w, s, k) =>
+      if (n > 0) assert(math.abs(s - w.toDouble / (n * 1000.0)) < 1e-6)
+      assert(k === (w >= 0L))
+    }
+    // degenerate docs still score (unigram fallback / empty guard)
+    assert(out(4)._2 === 1L)
+  }
+
   test("htmlExtract: strips script/style/comments/tags, decodes entities amp-last, gates on ratio") {
     val docs = Seq(
       (1L, "<html><head><style>p{c}</style></head><body><h1>T</h1><p>hello world</p><script>if(x<2){y}</script><!-- c --></body></html>"),
