@@ -1798,15 +1798,18 @@ object ExtraQueries {
          |    || CASE WHEN doc_id % 13 = 0 THEN ' <!-- note ' || CAST(doc_id AS VARCHAR) || ' -->' ELSE '' END AS text
          |  FROM documents),
          |e AS (SELECT doc_id, text,
-         |  trim(regexp_replace(
+         |  regexp_replace(regexp_replace(regexp_replace(
          |    replace(replace(replace(replace(replace(replace(
-         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
          |        '(?is)<script[^>]*>.*?</script[ \\t\\n\\r\\f]*>', ' ', 'g'),
          |        '(?is)<style[^>]*>.*?</style[ \\t\\n\\r\\f]*>', ' ', 'g'),
          |        '(?s)<!--.*?-->', ' ', 'g'),
+         |        '(?i)<(br|/p|/div|/li|/tr|/h[1-6])[^>]*>', chr(10), 'g'),
          |        '<[^>]*>', ' ', 'g'),
          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
-         |    '[ \\t\\n\\r\\f]+', ' ', 'g')) AS extracted
+         |    '[ \\t\\r\\f]+', ' ', 'g'),
+         |    '[ ]*\\n[ \\n]*', chr(10), 'g'),
+         |    '^[\\n ]+|[\\n ]+\\z', '', 'g') AS extracted
          |  FROM corpus)
          |SELECT doc_id, regexp_matches(text, '<[^>]*>') AS was_html, extracted,
          |       round(CAST(length(extracted) AS DOUBLE) / greatest(length(text), 1), 6) AS ratio,

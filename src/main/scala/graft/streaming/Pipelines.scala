@@ -282,13 +282,15 @@ object Pipelines {
   }
 
   /** The full curation gate chain over ONE micro-batch — the streaming
-    * composition of the batch-verified curation tier (x66 encoding
-    * hygiene + NFC fix → x49 C4 line/page rules → x36 cross-doc
-    * boilerplate strike → x30 Gopher document rules → x45 incremental
-    * near-dup against the already-ingested corpus). Order matters:
-    * encoding hygiene first so every later hash sees canonical bytes,
-    * line-grain cleaning next so the document
-    * gates score the text a trainer would actually see, near-dup last
+    * composition of the batch-verified curation tier (x70 HTML→text
+    * extraction → x66 encoding hygiene + NFC fix → x49 C4 line/page
+    * rules → x36 cross-doc boilerplate strike → x30 Gopher document
+    * rules → x45 incremental near-dup against the already-ingested
+    * corpus). Order matters: markup extraction first (every later gate
+    * must score the text a trainer would see, not tags and scripts —
+    * and a mostly-markup page should die at the cheapest stage),
+    * encoding hygiene next so every later hash sees canonical bytes,
+    * line-grain cleaning next, near-dup last
     * so fingerprints are computed on fully cleaned text (a boilerplate
     * footer shared by every page would otherwise dominate the shingle
     * set and glue unrelated docs into near-dups). Returns the surviving
@@ -307,13 +309,21 @@ object Pipelines {
                   corpusIndex: DataFrame,
                   gopherMinWords: Int = 50, c4MinWords: Int = 5,
                   c4MinKeptLines: Long = 3L, boilerMinDocs: Long = 5L,
-                  minJaccard: Double = 0.5): DataFrame = {
+                  minJaccard: Double = 0.5,
+                  htmlMinRatio: Double = 0.05): DataFrame = {
     import graft.text.TextOps
-    // encoding hygiene first: reject undecodable docs (U+FFFD / control /
+    // markup extraction first: strip script/style/tags, decode entities,
+    // reject mostly-markup pages — every later gate scores extracted
+    // text, and the cheapest stage kills the biggest volume
+    val extracted = TextOps.htmlExtract(batch, col(idCol), col(textCol),
+        htmlMinRatio)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("extracted").as("text"))
+    // encoding hygiene next: reject undecodable docs (U+FFFD / control /
     // mojibake) and hand the NFC-FIXED text to every downstream gate, so
     // line hashes and shingles never see decomposed/composed variants of
     // the same content as different bytes
-    val uni = TextOps.unicodeGate(batch, col(idCol), col(textCol))
+    val uni = TextOps.unicodeGate(extracted, col("doc_id"), col("text"))
       .filter(col("keep"))
       .select(col("doc_id"), col("nfc_text").as("text"))
     val c4 = TextOps.c4LineClean(uni, col("doc_id"), col("text"),
@@ -345,11 +355,13 @@ object Pipelines {
                    corpusIndex: DataFrame, outPath: String, checkpoint: String,
                    gopherMinWords: Int = 50, c4MinWords: Int = 5,
                    c4MinKeptLines: Long = 3L, boilerMinDocs: Long = 5L,
-                   minJaccard: Double = 0.5): DataStreamWriter[Row] =
+                   minJaccard: Double = 0.5,
+                   htmlMinRatio: Double = 0.05): DataStreamWriter[Row] =
     stream.writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         curateBatch(batch, idCol, textCol, corpusIndex, gopherMinWords,
-            c4MinWords, c4MinKeptLines, boilerMinDocs, minJaccard)
+            c4MinWords, c4MinKeptLines, boilerMinDocs, minJaccard,
+            htmlMinRatio)
           .withColumn("batch_id", lit(id))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

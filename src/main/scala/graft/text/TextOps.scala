@@ -1077,16 +1077,19 @@ object TextOps {
 
   /** HTML→text extraction gate (x70) — the markup-mechanics core of the
     * trafilatura/jusText stage a crawl pipeline runs before any text
-    * heuristic: strip `<script>`/`<style>` blocks (non-greedy, dotall),
-    * then comments, then all remaining tags (each replaced by a space
-    * so tag boundaries never fuse words); decode the six ubiquitous
-    * entities with `&amp;` LAST (single-pass semantics: "&amp;lt;"
-    * decodes to "&lt;", never "<"); collapse whitespace runs and trim.
-    * The gate keeps a document iff extracted-to-raw length ratio ≥
-    * `minRatio` — a page that is mostly markup/script carries no
-    * training text (jusText's low-text-density rejection, reduced to
-    * its scale-relevant core). Output:
-    * (doc_id, was_html, extracted, ratio, keep).
+    * heuristic: strip `<script>`/`<style>` blocks (non-greedy, dotall)
+    * and comments; convert BLOCK-LEVEL boundaries (`<br>`, closing
+    * p/div/li/tr/h1–h6) to newlines so the extracted text keeps the
+    * line structure the downstream line-grain gates (C4, boilerplate
+    * strike) operate on; strip all remaining tags to spaces (tag
+    * boundaries never fuse words); decode the six ubiquitous entities
+    * with `&amp;` LAST (single-pass semantics: "&amp;lt;" decodes to
+    * "&lt;", never "<"); collapse horizontal whitespace, collapse
+    * newline runs, trim. The gate keeps a document iff
+    * extracted-to-raw length ratio ≥ `minRatio` — a page that is
+    * mostly markup/script carries no training text (jusText's
+    * low-text-density rejection, reduced to its scale-relevant core).
+    * Output: (doc_id, was_html, extracted, ratio, keep).
     *
     * Scale shape: ONE codegen'd projection over the scan — zero
     * shuffles, zero joins, zero corpus-derived state; at 100 TB this
@@ -1094,8 +1097,8 @@ object TextOps {
     * must do (cheapest per byte, biggest volume reduction). Every
     * pattern is dialect-exact between Java regex and RE2 (no
     * backreferences — script/style are two passes, not one with \\1 —
-    * no lookarounds, explicit [ \t\n\r\f] whitespace class), so the
-    * DuckDB oracle runs the SAME patterns verbatim. */
+    * no lookarounds, explicit whitespace classes), so the DuckDB
+    * oracle runs the SAME patterns verbatim. */
   def htmlExtract(docs: DataFrame, id: Column, text: Column,
                   minRatio: Double = 0.05): DataFrame = {
     val s1 = regexp_replace(text,
@@ -1103,11 +1106,17 @@ object TextOps {
     val s2 = regexp_replace(s1,
       "(?is)<style[^>]*>.*?</style[ \\t\\n\\r\\f]*>", " ")
     val s3 = regexp_replace(s2, "(?s)<!--.*?-->", " ")
-    val s4 = regexp_replace(s3, "<[^>]*>", " ")
+    val s4 = regexp_replace(s3,
+      "(?i)<(br|/p|/div|/li|/tr|/h[1-6])[^>]*>", "\n")
+    val s5 = regexp_replace(s4, "<[^>]*>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(s4) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
-    val extracted = trim(regexp_replace(ent, "[ \\t\\n\\r\\f]+", " "))
+      .foldLeft(s5) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    val h1 = regexp_replace(ent, "[ \\t\\r\\f]+", " ")
+    val h2 = regexp_replace(h1, "[ ]*\\n[ \\n]*", "\n")
+    // \z (end of TEXT) not $ — Java's $ also matches before a final
+    // newline, RE2's does not; \z means the same thing in both
+    val extracted = regexp_replace(h2, "^[\\n ]+|[\\n ]+\\z", "")
     val ratio = round(length(extracted).cast(DoubleType)
       / greatest(length(text), lit(1)).cast(DoubleType), 6)
     docs.select(id.as("doc_id"),

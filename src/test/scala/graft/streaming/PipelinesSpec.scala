@@ -475,6 +475,16 @@ class PipelinesSpec extends SparkSpec {
       "music continued into the evening with several local bands.",
       "the mayor thanked volunteers for months of \uFFFD careful planning.")
 
+    val contentG = Seq( // doc 106: arrives as an HTML page — extracted, survives
+      "the old lighthouse on the point was repainted last month.",
+      "visitors climb the narrow stairs for a wide harbor view.",
+      "a small museum at the base displays the original lamp.",
+      "guides tell stories of storms and ships from the past.",
+      "the keeper cottage now serves tea on summer afternoons.")
+    val html106 = "<html><head><style>body{margin:0}</style></head><body>" +
+      contentG.map(l => s"<p>$l</p>").mkString +
+      "<script>track();</script></body></html>"
+
     val corpus = Seq((1L, contentA.mkString("\n")), (2L, contentC.mkString("\n")))
       .toDF("doc_id", "text")
     val index = Pipelines.corpusNearDupIndex(corpus, "doc_id", "text").persist()
@@ -495,7 +505,13 @@ class PipelinesSpec extends SparkSpec {
           Seq("the quick brown fox runs.", "a lazy dog sleeps nearby.",
             "birds fly over the field.", footer).mkString("\n")),
         Doc(104L, ts("2026-01-01 00:00:03"), (contentA :+ footer).mkString("\n")),
-        Doc(105L, ts("2026-01-01 00:00:04"), contentF.mkString("\n")))
+        Doc(105L, ts("2026-01-01 00:00:04"), contentF.mkString("\n")),
+        // 106: an HTML page — the extraction stage strips markup and
+        // rebuilds line structure from </p> boundaries, then survives
+        // every later gate; 107: mostly script, dies at the ratio gate
+        Doc(106L, ts("2026-01-01 00:00:05"), html106),
+        Doc(107L, ts("2026-01-01 00:00:06"),
+          "<script>" + "var x = 1; " * 60 + "</script><p>tiny</p>"))
       q.processAllAvailable()
       // batch 1: 201 survives; 202 near-dups corpus doc 2; 203 carries
       // decomposed NFC — the gate fixes it and it survives composed
@@ -509,8 +525,12 @@ class PipelinesSpec extends SparkSpec {
       val byBatch = out.select(col("batch_id").cast("long"), col("doc_id"),
           col("text"), col("n_tokens"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-      assert(byBatch.map(_._2).toSet === Set(101L, 201L, 203L),
+      assert(byBatch.map(_._2).toSet === Set(101L, 106L, 201L, 203L),
         s"exactly the clean unique docs survive, got ${byBatch.toList}")
+      // the HTML page came out as its five content lines, markup gone,
+      // line structure rebuilt from the </p> block boundaries
+      val (_, _, text106, _) = byBatch.find(_._2 == 106L).get
+      assert(text106 === contentG.mkString("\n"))
       // batch isolation: each survivor sits in its own batch partition
       assert(byBatch.collect { case (b, 101L, _, _) => b }.head === 0L)
       assert(byBatch.collect { case (b, 201L, _, _) => b }.head === 1L)
@@ -540,7 +560,7 @@ class PipelinesSpec extends SparkSpec {
       // both survivors present in the packed artifact
       val packedDocs = spark.read.parquet(packDir)
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
-      assert(packedDocs === Set(101L, 201L, 203L))
+      assert(packedDocs === Set(101L, 106L, 201L, 203L))
     } finally {
       q.stop()
       index.unpersist()

@@ -550,8 +550,9 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
         r.getDouble(3), r.getBoolean(4)))
-    // script body with a '<' inside survives the non-greedy strip intact
-    assert(out(0)._3 === "T hello world")
+    // script body with a '<' inside survives the non-greedy strip intact;
+    // </h1> and </p> are block boundaries -> newlines survive extraction
+    assert(out(0)._3 === "T\nhello world")
     assert(out(0)._2 && out(0)._5) // was_html, kept (ratio ~0.106)
     // no markup: identity, ratio 1.0
     assert(out(1) === ((2L, false, "plain text no markup", 1.0, true)))
@@ -561,7 +562,8 @@ class TextOpsSpec extends SparkSpec {
     // mostly-script page fails the ratio gate
     assert(out(3)._3 === "ok")
     assert(!out(3)._5 && out(3)._4 < 0.05)
-    // tag boundaries become spaces (words never fuse); whitespace collapses
-    assert(out(4)._3 === "a b c d")
+    // <br> becomes a line break; horizontal whitespace collapses to one
+    // space; the \n\n run collapses to a single newline
+    assert(out(4)._3 === "a\nb c\nd")
   }
 }
