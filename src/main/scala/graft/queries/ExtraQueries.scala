@@ -1767,6 +1767,31 @@ object ExtraQueries {
       TextOps.unicodeGate(corpus, col("doc_id"), col("text"))
     },
 
+    // ----- data-constrained epoch planning (Muennighoff 2023 ~4-epoch
+    // knee): uniform per-source target vs available unique tokens
+    QueryDef("x73_epoch_plan",
+      "repetition/epoch budget table: per-source unique tokens vs a uniform share of a 100K-token budget, epochs capped at 4 with the unfilled deficit reported — one map-side agg + a broadcast 1-row source count")(
+      s"""WITH s AS (SELECT source, CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS toks
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT count(*) AS n_src FROM s),
+         |e AS (SELECT source, toks,
+         |  100000.0 / n_src AS target,
+         |  CASE WHEN toks = 0 THEN 0.0 ELSE (100000.0 / n_src) / CAST(toks AS DOUBLE) END AS eraw,
+         |  least(100000.0 / n_src, 4.0 * CAST(toks AS DOUBLE)) AS fill
+         |  FROM s, t)
+         |SELECT source, toks AS total_tokens,
+         |  round(target, 6) AS target_tokens,
+         |  round(eraw, 6) AS epochs_raw,
+         |  round(least(eraw, 4.0), 6) AS epochs,
+         |  round(fill, 6) AS fill_tokens,
+         |  round(target - fill, 6) AS deficit_tokens,
+         |  eraw > 4.0 AS capped
+         |FROM e
+         |""".stripMargin) { (s, dir) =>
+      TextOps.epochPlan(Tables.documents(s, dir), col("source"), col("text"),
+        budgetTokens = 100000L)
+    },
+
     // ----- fasttext-shaped hashed linear classifier (stand-in weights;
     // the feature-hashing plumbing and plan shape are the real thing)
     QueryDef("x72_classifier_score",

@@ -442,6 +442,46 @@ object TextOps {
           / (col("total_tokens").cast(DoubleType) / col("_total")), 6).as("weight"))
   }
 
+  /** Repetition/epoch planning table (x73) — the data-constrained
+    * budgeting step of Muennighoff et al. 2023 ("Scaling
+    * Data-Constrained Language Models"), run after the mixture is
+    * chosen: given a total training-token budget split uniformly
+    * across sources (swap in any tuned share model — x33's weights —
+    * without changing the plan shape), how many EPOCHS of each
+    * source's unique tokens does the plan imply? Epochs are capped at
+    * `maxEpochs` (the paper's ~4-epoch knee, past which repeated data
+    * adds ~zero value), and the table reports how many target tokens
+    * the cap leaves unfilled — the signal to re-balance the mixture or
+    * find more data. Sources with zero tokens are all-deficit. Output:
+    * (source, total_tokens, target_tokens, epochs_raw, epochs,
+    * fill_tokens, deficit_tokens, capped).
+    *
+    * Scale shape: one per-source map-side-combinable aggregation + one
+    * broadcast 1-row source count; the corpus is read once and
+    * everything after is constant-size arithmetic. All divisions are
+    * IEEE doubles over exact integers in a fixed order, so the oracle
+    * reproduces every value bit-for-bit before the final round. */
+  def epochPlan(docs: DataFrame, source: Column, text: Column,
+                budgetTokens: Long, maxEpochs: Double = 4.0): DataFrame = {
+    val per = docs.select(source.as("source"), wsTokenCount(text).as("_tok"))
+      .groupBy("source")
+      .agg(sum(col("_tok")).as("total_tokens"))
+      .persist()
+    val tot = per.agg(count(lit(1)).as("_nsrc"))
+    val target = lit(budgetTokens.toDouble) / col("_nsrc")
+    val epochsRaw = when(col("total_tokens") === 0, lit(0.0))
+      .otherwise(target / col("total_tokens").cast(DoubleType))
+    val fill = least(target, lit(maxEpochs) * col("total_tokens").cast(DoubleType))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("total_tokens"),
+        round(target, 6).as("target_tokens"),
+        round(epochsRaw, 6).as("epochs_raw"),
+        round(least(epochsRaw, lit(maxEpochs)), 6).as("epochs"),
+        round(fill, 6).as("fill_tokens"),
+        round(target - fill, 6).as("deficit_tokens"),
+        (epochsRaw > maxEpochs).as("capped"))
+  }
+
   /** Gopher/C4-style repetition signal: the share of all word-bigram
     * occurrences taken by the single most frequent bigram — high values
     * flag boilerplate/template text. Exact integer counts via a

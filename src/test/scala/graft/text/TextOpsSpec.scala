@@ -513,6 +513,27 @@ class TextOpsSpec extends SparkSpec {
       s"12 merges should compress the inventory >20%: $after vs $before")
   }
 
+  test("epochPlan: cap binds on small sources, deficit reported, zero-token source all-deficit") {
+    // budget 800, 4 sources -> 200 tokens target each.
+    // big: 400 tokens -> 0.5 epochs, uncapped, no deficit
+    // small: 20 tokens -> 10 epochs raw -> capped at 4, fill 80, deficit 120
+    // empty: whitespace-only normalizes to 1 "token"? no — build from word counts
+    val docs = Seq(
+      (1L, "big", ("w " * 400).trim),
+      (2L, "small", ("w " * 20).trim),
+      (3L, "exact", ("w " * 50).trim) // 200/50 = 4.0 epochs — NOT capped (strict >)
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.epochPlan(docs, col("source"), col("text"), budgetTokens = 600L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(6), r.getBoolean(7))).toMap
+    // 3 sources, 600 budget -> 200 target each
+    assert(out("big") === ((400L, 200.0, 0.5, 0.0, false)))
+    assert(out("small") === ((20L, 200.0, 4.0, 120.0, true)))
+    // exactly at the knee: 4.0 epochs fills the whole target, not capped
+    assert(out("exact") === ((50L, 200.0, 4.0, 0.0, false)))
+    spark.catalog.clearCache()
+  }
+
   test("classifierScore: deterministic, word-order-sensitive features, case/space-insensitive, empty-doc guard") {
     val docs = Seq(
       (1L, "the quick brown fox"),
