@@ -29,7 +29,8 @@ object ExplainAudit {
         "x55_semantic_decontam", "x56_vocab_build", "x57_oov_stats",
         "x58_domain_filter", "x59_quality_pct", "x60_packed_export",
         "x64_semdedup_banded", "x65_span_dedup", "x66_unicode_gate",
-        "x67_split_leakage")
+        "x67_split_leakage", "x70_html_extract", "x71_hard_negatives",
+        "x72_classifier_score", "x73_epoch_plan")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

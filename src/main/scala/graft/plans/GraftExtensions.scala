@@ -93,6 +93,8 @@ object GraftExtensions {
       a => MinHashSig(a.head, intArg("minhash_sig", "nHashes", a(1)))),
     fn("bigram_token_hashes", classOf[BigramTokenHashes], 1, "bigram_token_hashes(str)")(
       a => BigramTokenHashes(a.head)),
+    fn("lehmer_weight_sum", classOf[LehmerWeightSum], 2, "lehmer_weight_sum(array<bigint>, dim)")(
+      a => LehmerWeightSum(a.head, intArg("lehmer_weight_sum", "dim", a(1)))),
     fn("simhash16", classOf[SimHash16], 1, "simhash16(array<bigint>)")(
       a => SimHash16(a.head)),
     fn("simhash64_bands", classOf[SimHash64Bands], 1, "simhash64_bands(array<bigint>)")(
@@ -134,6 +136,9 @@ object functions {
 
   def bigram_token_hashes(c: Column): Column =
     GraftBridge.column(BigramTokenHashes(GraftBridge.expression(c)))
+
+  def lehmer_weight_sum(c: Column, dim: Int): Column =
+    GraftBridge.column(LehmerWeightSum(GraftBridge.expression(c), dim))
 
   def simhash16(c: Column): Column =
     GraftBridge.column(SimHash16(GraftBridge.expression(c)))

@@ -39,6 +39,21 @@ object HashUtil {
     acc
   }
 
+  /** Stand-in classifier weight sum over hashed features (x72):
+    * w(h) = ((h mod dim)·2654435761 mod 1000003) mod 2001 − 1000,
+    * summed in a tight loop. Hashes are non-negative (31-bit Lehmer
+    * range), so % is a true mod. Empty array → 0. */
+  def lehmerWeightSum(arr: ArrayData, dim: Int): Long = {
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      acc += ((arr.getLong(i) % dim) * 2654435761L % 1000003L) % 2001L - 1000L
+      i += 1
+    }
+    acc
+  }
+
   /** Distinct Lehmer-mixed hashes of word bigrams ("w1_w2"), matching
     * split(t, " ") semantics (-1 limit) with unigram fallback for
     * single-word input. One native pass; ≡ the HOF pipeline
@@ -407,6 +422,30 @@ case class WinnowHashes(child: Expression, k: Int, w: Int) extends UnaryExpressi
 
 /** shingle_hashes(str, k): ARRAY<LONG> — distinct rolling k-shingle
   * hashes computed in one native loop per row. */
+/** lehmer_weight_sum(array<bigint>, dim): BIGINT — the x72 classifier's
+  * stand-in weight lookup + sum in one native loop:
+  * w(h) = ((h mod dim)·2654435761 mod 1000003) mod 2001 − 1000.
+  * Empty array → 0. The `aggregate` HOF form is CodegenFallback and
+  * would break the scan projection's whole-stage-codegen span. */
+case class LehmerWeightSum(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim > 0, "weight table dimension must be positive")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == ArrayType(LongType, containsNull = false) ||
+        child.dataType == ArrayType(LongType, containsNull = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"lehmer_weight_sum requires ARRAY<BIGINT>, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.lehmerWeightSum(input.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashUtil.lehmerWeightSum($c, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): LehmerWeightSum =
+    copy(child = newChild)
+  override def prettyName: String = "lehmer_weight_sum"
+}
+
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0, "shingle length must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

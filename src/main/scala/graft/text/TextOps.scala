@@ -1105,9 +1105,10 @@ object TextOps {
   def classifierScore(docs: DataFrame, id: Column, text: Column,
                       dim: Int = 1 << 18): DataFrame = {
     val feats = graft.plans.functions.bigram_token_hashes(norm(text))
-    val wsum = when(size(feats) === 0, lit(0L)).otherwise(
-      aggregate(feats, lit(0L), (acc, h) =>
-        acc + ((((h % dim) * lit(2654435761L)) % 1000003L) % 2001L - 1000L)))
+    // native weight-sum expression (graft.plans.LehmerWeightSum): the
+    // `aggregate` HOF form is CodegenFallback and would split the
+    // scan projection's whole-stage-codegen span; empty array → 0
+    val wsum = graft.plans.functions.lehmer_weight_sum(feats, dim)
     docs.select(id.as("doc_id"),
         size(feats).cast(LongType).as("n_feats"), wsum.as("wsum"))
       .withColumn("score", round(when(col("n_feats") === 0, lit(0.0))
