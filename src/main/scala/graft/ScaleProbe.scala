@@ -319,6 +319,18 @@ object ScaleProbe {
         val eval = emb.filter(col("vec_id") % 20 === 0)
           .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
         Similarity.semanticDecontam(c, eval, c.count(), minCos = 0.999)
+      },
+      "x71_hard_negatives" -> { k =>
+        // FIXED query batch (8 vectors) vs growing corpus: the scorer is
+        // a broadcast cross over the corpus scan — O(n·|q|) — and the
+        // row_number filter pre-truncates each split to its local top-k
+        // below the exchange, so the slope must track the corpus scan
+        val c = embCorpus(k).withColumn("label",
+          pmod(col("vec_id"), lit(7L)).cast("int"))
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            pmod(col("vec_id"), lit(7L)).cast("int").as("q_label"))
+        Similarity.hardNegatives(c, q, k = 5)
       })
 
     // optional arg: comma-separated probe-name substrings to run a subset

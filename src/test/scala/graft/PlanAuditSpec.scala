@@ -64,7 +64,9 @@ class PlanAuditSpec extends SparkSpec {
     "x47_cell_sample",            // centroid set (scaledCells-capped)
     "x52_mmr_rerank",             // single-row query vector
     "x53_bm25_topk",              // singleton corpus-stats row
-    "x54_temp_sample"             // singleton token-totals row
+    "x54_temp_sample",            // singleton token-totals row
+    "x71_hard_negatives",         // fixed query batch (training-batch sized)
+    "x73_epoch_plan"              // singleton source-count row
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -98,7 +100,9 @@ class PlanAuditSpec extends SparkSpec {
     "x54_temp_sample",            // singleton token-totals row
     // x55 stays hint-free: the eval side is small in practice but the
     // join strategy is AQE's call — the x36 discipline
-    "x57_oov_stats"               // vocab (bounded by the V constant)
+    "x57_oov_stats",              // vocab (bounded by the V constant)
+    "x71_hard_negatives",         // fixed query batch (training-batch sized)
+    "x73_epoch_plan"              // singleton source-count row
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
