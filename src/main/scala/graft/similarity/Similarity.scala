@@ -78,15 +78,44 @@ object Similarity {
     * with k′ > k headroom — the gate composes unchanged because it
     * filters before ranking. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
-                    dupCos: Double = 0.98): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+                    dupCos: Double = 0.98): DataFrame =
+    rankNegatives(corpus.crossJoin(broadcast(queries))
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
-      .filter(col("vec_id") =!= col("q_id") &&
-        col("label") =!= col("q_label") && col("cos") < dupCos)
+        cosine(col("q_emb"), col("embedding")).as("cos")), k, dupCos)
+
+  /** [[hardNegatives]] fed from [[ivfTopK]]'s probed candidates instead
+    * of the exact corpus scan — the route past the scale where scoring
+    * every vector per query stops being affordable. `kCand` > k is the
+    * required headroom: the ANN ranking cannot see the exclusions, so
+    * positives/near-dups occupy candidate slots and are filtered out
+    * AFTER retrieval; over-fetch, exclude, re-rank. Recall inherits
+    * ivfTopK's knobs (nprobe, kmeansIters). The exclusion + ranking
+    * gate is literally the shared [[rankNegatives]] — the composition
+    * claim the exact operator's scaladoc makes, as code. */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+                       kCand: Int, nCells: Int = 8, nprobe: Int = 1,
+                       kmeansIters: Int = 0,
+                       dupCos: Double = 0.98): DataFrame = {
+    require(kCand >= k, s"candidate headroom kCand=$kCand must be >= k=$k")
+    val cand = ivfTopK(corpus.select("vec_id", "embedding"), queries
+        .select(col("q_id"), col("q_emb")), kCand, nCells, nprobe, kmeansIters)
+    rankNegatives(cand
+      .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_label"))), "q_id"),
+      k, dupCos)
+  }
+
+  /** Shared by [[hardNegatives]] / [[hardNegativesIvf]]: exclusions
+    * BEFORE ranking (an excluded row must never hold a top-k slot),
+    * then the row_number-filtered per-query top-k (WindowGroupLimit
+    * pre-truncates below the exchange). */
+  private def rankNegatives(scored: DataFrame, k: Int,
+                            dupCos: Double): DataFrame = {
+    val f = scored.filter(col("vec_id") =!= col("q_id") &&
+      col("label") =!= col("q_label") && col("cos") < dupCos)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("_rn", row_number().over(w))
+    f.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col("q_id"), col("_rn").cast(LongType).as("rnk"),
         col("vec_id"), col("cos"), col("label"))

@@ -61,6 +61,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 11L, 1), (2L, 12L, 1)))
   }
 
+  test("hardNegativesIvf with full probing reproduces the exact route on testdata") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rnk", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Similarity.hardNegatives(emb, q, k = 3))
+    // probe every cell -> the candidate set covers the corpus, so the
+    // composed gate must land on exactly the exact route's negatives
+    val ivf = rows(Similarity.hardNegativesIvf(emb, q, k = 3, kCand = 60,
+      nCells = 4, nprobe = 4, kmeansIters = 1))
+    assert(ivf === exact, s"IVF-route negatives diverged: ${ivf diff exact}")
+    spark.catalog.clearCache()
+  }
+
   test("sign bucket: deterministic, bounded, equal vectors collide, seeds independent") {
     val twice = corpus.unionAll(corpus)
     val out = twice.select(col("vec_id"),
