@@ -112,7 +112,15 @@ object GraftExtensions {
       a => NfcNormalize(a.head)),
     fn("mmr_select", classOf[MmrSelect], 3, "mmr_select(array<struct>, k, lam)")(
       a => MmrSelect(a.head, intArg("mmr_select", "k", a(1)),
-        doubleArg("mmr_select", "lam", a(2)))))
+        doubleArg("mmr_select", "lam", a(2)))),
+    fn("absmax_fold", classOf[AbsMaxFold], 1, "absmax_fold(array<float>)")(
+      a => AbsMaxFold(a.head)),
+    fn("quantize_int8", classOf[QuantizeInt8], 1, "quantize_int8(array<float>)")(
+      a => QuantizeInt8(a.head)),
+    fn("int_dot_fold", classOf[IntDotFold], 2, "int_dot_fold(array<int>, array<int>)")(
+      a => IntDotFold(a(0), a(1))),
+    fn("int_sqnorm_fold", classOf[IntSqNormFold], 1, "int_sqnorm_fold(array<int>)")(
+      a => IntSqNormFold(a.head)))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -163,4 +171,16 @@ object functions {
 
   def mmr_select(c: Column, k: Int, lam: Double): Column =
     GraftBridge.column(MmrSelect(GraftBridge.expression(c), k, lam))
+
+  def absmax_fold(c: Column): Column =
+    GraftBridge.column(AbsMaxFold(GraftBridge.expression(c)))
+
+  def quantize_int8(c: Column): Column =
+    GraftBridge.column(QuantizeInt8(GraftBridge.expression(c)))
+
+  def int_dot_fold(a: Column, b: Column): Column =
+    GraftBridge.column(IntDotFold(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def int_sqnorm_fold(a: Column): Column =
+    GraftBridge.column(IntSqNormFold(GraftBridge.expression(a)))
 }

@@ -2261,6 +2261,82 @@ object ExtraQueries {
       bpeEncodeOracleD(12)) { (s, dir) =>
       TextOps.bpeEncode(Tables.documents(s, dir), col("doc_id"), col("text"),
         nMerges = 12)
+    },
+
+    // ----- int8 embedding quantization (the ANN tier's 4× storage/IO
+    // path): per-vector symmetric scale, exact integer checksums + the
+    // fp32 reconstruction error the quality claim rests on
+    QueryDef("x74_embed_quantize",
+      "symmetric per-vector int8 quantization of the embedding column: amax scale, q = floor(x*127/amax + 0.5), exact integer sum/sq-sum checksums and the max fp32 reconstruction error — one codegen'd zero-shuffle projection; cast to TINYINT on write = 4x smaller ANN scans")(
+      s"""WITH q AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |qq AS (
+         |  SELECT vec_id, embedding, amax,
+         |    CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+         |         ELSE list_transform(embedding,
+         |                x -> CAST(floor(CAST(x AS DOUBLE) * CAST(127 AS DOUBLE) / amax
+         |                           + CAST(0.5 AS DOUBLE)) AS INT)) END AS qvec
+         |  FROM q)
+         |SELECT vec_id, round(amax, 6) AS amax_r,
+         |  CAST(list_sum(qvec) AS BIGINT) AS qsum,
+         |  CAST(list_sum(list_transform(qvec, v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS qssq,
+         |  round(list_max(list_transform(list_zip(embedding, qvec),
+         |    z -> abs(CAST(z[1] AS DOUBLE)
+         |             - CAST(z[2] AS DOUBLE) * amax / CAST(127 AS DOUBLE)))), 6) AS maxerr_r
+         |FROM qq
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.quantizeInt8(emb)
+        .select(col("vec_id"), round(col("amax"), 6).as("amax_r"),
+          expr("CAST(aggregate(qvec, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)").as("qsum"),
+          expr("CAST(aggregate(qvec, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x) AS BIGINT)").as("qssq"),
+          round(expr("array_max(zip_with(embedding, qvec," +
+            " (x, q) -> abs(CAST(x AS DOUBLE)" +
+            " - CAST(q AS DOUBLE) * amax / CAST(127 AS DOUBLE))))"), 6).as("maxerr_r"))
+    },
+
+    // ----- ANN in the quantized space: exact integer dots/norms, one
+    // IEEE division — same plan as x06 over a 4x smaller scan
+    QueryDef("x75_int8_ann",
+      "brute-force cosine top-3 per query in int8-quantized space: exact integer dot products and squared norms (order-free longs), one final IEEE division — broadcast query batch, narrow corpus scan, WindowGroupLimit below the exchange; recall vs fp32 gated in Int8AnnSpec")(
+      s"""WITH z AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id,
+         |    CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+         |         ELSE list_transform(embedding,
+         |                x -> CAST(floor(CAST(x AS DOUBLE) * CAST(127 AS DOUBLE) / amax
+         |                           + CAST(0.5 AS DOUBLE)) AS INT)) END AS qvec
+         |  FROM z),
+         |qn AS (
+         |  SELECT vec_id, qvec,
+         |    CAST(list_sum(list_transform(qvec, v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS nrm
+         |  FROM qv),
+         |dq AS (
+         |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         |    list_reduce(list_transform(list_zip(q.qvec, v.qvec),
+         |      z -> CAST(z[1] AS BIGINT) * z[2]), (a, x) -> a + x) AS dot_q,
+         |    q.nrm AS nq, v.nrm AS nv
+         |  FROM qn q, qn v WHERE q.vec_id < 5),
+         |cs AS (
+         |  SELECT q_id, vec_id,
+         |    CASE WHEN nq * nv = 0 THEN 0.0
+         |         ELSE CAST(dot_q AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nv AS DOUBLE)) END AS cosq
+         |  FROM dq)
+         |SELECT q_id, vec_id, round(cosq, 6) AS cosq_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosq DESC, vec_id) AS rn
+         |  FROM cs)
+         |WHERE rn <= 3
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.int8TopK(emb.select("vec_id", "embedding"), queries, 3)
+        .select(col("q_id"), col("vec_id"), round(col("cosq"), 6).as("cosq_r"))
     }
   )
 

@@ -839,4 +839,43 @@ object Similarity {
         col("_s").getField("vec_id").as("vec_id"),
         round(col("_s").getField("score"), 6).as("score"))
   }
+
+  /** x74: symmetric per-vector int8 quantization of an embedding column
+    * — the storage/IO path for the ANN tier. At 100 TB of fp32
+    * embeddings, the quantized corpus (cast to TINYINT on write) is a
+    * 4× smaller scan for every downstream search; this operator is the
+    * one-time materialization pass that produces it. Adds `qvec`
+    * (ARRAY<INT>, values ∈ [−127, 127]) and `amax` (DOUBLE, the
+    * per-vector scale, max |xᵢ|). Pure codegen'd projection
+    * (graft.plans.QuantizeInt8 / AbsMaxFold), zero shuffles — runs at
+    * scan speed. qᵢ = ⌊xᵢ·127/amax + 0.5⌋; all-zero vectors → all-zero
+    * qvec with amax 0. */
+  def quantizeInt8(df: DataFrame, emb: String = "embedding"): DataFrame =
+    df.withColumn("amax", graft.plans.functions.absmax_fold(col(emb)))
+      .withColumn("qvec", graft.plans.functions.quantize_int8(col(emb)))
+
+  /** x75: brute-force cosine top-k in the QUANTIZED space — integer dot
+    * products and integer squared norms (exact longs, order-free), one
+    * IEEE division at the end. Same plan shape as [[bruteForceTopK]]
+    * (broadcast query batch, narrow corpus scan, WindowGroupLimit
+    * pre-truncation below the exchange) but the corpus side reads the
+    * 4× smaller int8 column when the quantized corpus is materialized —
+    * at embedding-corpus scale the scan is the whole cost, so this is
+    * the same recall/latency trade PQ makes (x41) with a far simpler
+    * decode. Recall vs the fp32 scan is gated in Int8AnnSpec.
+    * `corpus` must have (vec_id, embedding); `queries` (q_id, q_emb).
+    * Output: (q_id, vec_id, cosq) with k rows per query. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import graft.plans.functions.{int_dot_fold, int_sqnorm_fold, quantize_int8}
+    val qc = corpus.select(col("vec_id"), quantize_int8(col("embedding")).as("qv"),
+      int_sqnorm_fold(quantize_int8(col("embedding"))).as("nv"))
+    val qq = queries.select(col("q_id"), quantize_int8(col("q_emb")).as("qq"),
+      int_sqnorm_fold(quantize_int8(col("q_emb"))).as("nq"))
+    val scored = qc.crossJoin(broadcast(qq))
+      .select(col("q_id"), col("vec_id"),
+        when(col("nq") * col("nv") === 0L, 0.0)
+          .otherwise(int_dot_fold(col("qq"), col("qv")).cast("double") /
+            sqrt(col("nq").cast("double") * col("nv").cast("double"))).as("cosq"))
+    TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cosq").desc, col("vec_id")), k)
+  }
 }

@@ -66,7 +66,8 @@ class PlanAuditSpec extends SparkSpec {
     "x53_bm25_topk",              // singleton corpus-stats row
     "x54_temp_sample",            // singleton token-totals row
     "x71_hard_negatives",         // fixed query batch (training-batch sized)
-    "x73_epoch_plan"              // singleton source-count row
+    "x73_epoch_plan",             // singleton source-count row
+    "x75_int8_ann"                // fixed query set (quantized x06 shape)
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -102,7 +103,8 @@ class PlanAuditSpec extends SparkSpec {
     // join strategy is AQE's call — the x36 discipline
     "x57_oov_stats",              // vocab (bounded by the V constant)
     "x71_hard_negatives",         // fixed query batch (training-batch sized)
-    "x73_epoch_plan"              // singleton source-count row
+    "x73_epoch_plan",             // singleton source-count row
+    "x75_int8_ann"                // fixed query set (quantized x06 shape)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
