@@ -2337,6 +2337,64 @@ object ExtraQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.int8TopK(emb.select("vec_id", "embedding"), queries, 3)
         .select(col("q_id"), col("vec_id"), round(col("cosq"), 6).as("cosq_r"))
+    },
+
+    // ----- small-file compaction planning (the OPTIMIZE step for the
+    // sharded export layout); file inventory synthesized from documents
+    // (file per doc, bytes = char length) — the plan arithmetic is the
+    // operator under test, Export.compact executes it in ExportSpec
+    QueryDef("x76_compact_plan",
+      "quota-binned compaction plan over a file inventory: per shard, files walked in id order, bin = bytes-before DIV target (Delta-OPTIMIZE next-fit) — exact integer metadata arithmetic, per-shard windows, data untouched")(
+      s"""WITH f AS (SELECT doc_id % 8 AS shard, doc_id AS file_id,
+         |                  CAST(length(text) AS BIGINT) AS bytes FROM documents),
+         |c AS (SELECT shard, file_id, bytes,
+         |        CAST(COALESCE(sum(bytes) OVER (PARTITION BY shard ORDER BY file_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |          // 4000 AS bin
+         |      FROM f)
+         |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+         |       min(file_id) AS min_file, max(file_id) AS max_file
+         |FROM c GROUP BY 1, 2
+         |""".stripMargin) { (s, dir) =>
+      val files = Tables.documents(s, dir).select(
+        (col("doc_id") % 8).as("shard"), col("doc_id").as("file_id"),
+        length(col("text")).cast(LongType).as("bytes"))
+      graft.silver.Export.compactionSummary(graft.silver.Export.compactionPlan(files,
+        col("shard"), col("file_id"), col("bytes"), targetBytes = 4000L))
+    },
+
+    // ----- packed-sequence fragmentation report (pre-training QA over
+    // the x60 artifact: multi-document sequences = the cross-doc
+    // attention-contamination surface)
+    QueryDef("x77_pack_stats",
+      "fragmentation report over the packed-sequence stream: per shard, sequence/span counts, max and count of multi-document sequences, utilization tokens/(n_seqs*seqLen) — two map-side-combinable aggregations, nShards output rows")(
+      s"""WITH n AS (SELECT doc_id, doc_id % 8 AS shard,
+         |                  len(string_split($normD, ' ')) AS n_tok FROM documents),
+         |o AS (SELECT doc_id, shard, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS e FROM n),
+         |s AS (SELECT doc_id, shard, CAST(e - n_tok AS BIGINT) AS st,
+         |             CAST(e AS BIGINT) AS e FROM o WHERE n_tok > 0),
+         |x AS (SELECT doc_id, shard, st, e,
+         |             unnest(range(st // 128, (e - 1) // 128 + 1)) AS seq_id FROM s),
+         |sp AS (SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+         |              CAST(least(e, (seq_id + 1) * 128) - greatest(st, seq_id * 128) AS BIGINT)
+         |                AS n_tok_in_seq
+         |       FROM x),
+         |per_seq AS (SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS segs,
+         |                   CAST(sum(n_tok_in_seq) AS BIGINT) AS tok
+         |            FROM sp GROUP BY 1, 2)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_seqs,
+         |       CAST(sum(segs) AS BIGINT) AS n_spans,
+         |       max(segs) AS max_segs,
+         |       CAST(sum(CASE WHEN segs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_seqs,
+         |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(tok) AS DOUBLE) / CAST(count(*) * 128 AS DOUBLE), 6) AS util_r
+         |FROM per_seq GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      TextOps.packStats(
+        TextOps.pack(Tables.documents(s, dir), col("doc_id"), col("text")),
+        seqLen = 128)
     }
   )
 

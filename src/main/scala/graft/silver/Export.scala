@@ -125,4 +125,83 @@ object Export {
       .parquet(outDir)
     packedManifest(docs.sparkSession.read.parquet(outDir))
   }
+
+  /** x76 — quota-binned compaction plan over a FILE inventory: the
+    * small-files answer [[writeSharded]]'s scaladoc defers to (its
+    * skew-safe write trades file count for parallelism; this plans the
+    * rewrite that restores file size). Within each shard, files are
+    * walked in `file_id` order and assigned bin = ⌊bytes-before /
+    * target⌋ — the Delta-OPTIMIZE-style next-fit quota policy as one
+    * per-shard window prefix sum: every non-final bin's cumulative
+    * stream crosses its quota boundary, so bin sizes land within
+    * (target − max-file, target + max-file) bytes. Exact
+    * integer arithmetic end to end (`DIV`, no doubles), so the plan is
+    * oracle-hash-comparable and byte-stable across engines.
+    *
+    * Scale shape: operates on file METADATA — ~10⁶ rows for 100 TB at
+    * 128 MB files, thousands of rows per shard — with one shuffle on
+    * shard and per-shard windows (never a global window; shards are
+    * the parallelism unit exactly as in the write path). The data
+    * itself is untouched: planning cost is independent of corpus size.
+    * Output: one row per file, (shard, file_id, bytes, bin). */
+  def compactionPlan(files: DataFrame, shard: Column, fileId: Column,
+                     bytes: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.select(shard.as("shard"), fileId.as("file_id"),
+        bytes.cast(LongType).as("bytes"))
+      .withColumn("_cum", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"_cum DIV ${targetBytes}L"))
+      .drop("_cum")
+  }
+
+  /** Per-bin summary of a [[compactionPlan]]: how many files merge into
+    * each planned output file and the resulting sizes — the report an
+    * operator reads before green-lighting the rewrite. */
+  def compactionSummary(plan: DataFrame): DataFrame =
+    plan.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("file_id")).as("min_file"), max(col("file_id")).as("max_file"))
+
+  /** Execute a compaction plan over a [[writeSharded]]-layout directory:
+    * list `shard=K/part-*` file metadata (driver-side, the same
+    * metadata walk every table format's OPTIMIZE does), plan bins at
+    * `targetBytes`, then rewrite `srcDir` → `dstDir` with ONE shuffle
+    * keyed on (shard, bin): all of a bin's rows land in one task (hash
+    * partitioning never splits a key), and the `shard=K/bin=J/` output
+    * layout keeps two bins that happen to share a task in separate
+    * files — exactly one data file per planned bin, and no task ever
+    * owns a whole shard (the hazard the write path avoided). Rows join
+    * to their file's bin via `input_file_name()` against a broadcast
+    * of the metadata-sized plan. Returns the plan's per-bin summary;
+    * callers verify the rewrite with [[shardManifest]] equality on the
+    * read-back (ExportSpec does). `dstDir` must differ from `srcDir` —
+    * swap-in is the caller's (atomic-rename/metastore) concern. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+              dstDir: String, targetBytes: Long): DataFrame = {
+    require(srcDir != dstDir, "compact rewrites src into a fresh dstDir")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inv = fs.globStatus(new Path(srcDir, "shard=*/part-*")).toSeq.map { st =>
+      val p = st.getPath
+      (p.getParent.getName.stripPrefix("shard=").toLong,
+        s"${p.getParent.getName}/${p.getName}", st.getLen)
+    }
+    val files = spark.createDataFrame(inv).toDF("shard", "file_id", "bytes")
+    val plan = compactionPlan(files, col("shard"), col("file_id"),
+      col("bytes"), targetBytes)
+    // suffix key (shard=K/part-...) — input_file_name() returns a full
+    // URI whose scheme/prefix need not match the listing's
+    val rows = spark.read.parquet(srcDir)
+      .withColumn("file_id", regexp_extract(input_file_name(),
+        "(shard=[0-9]+/[^/]+)$", 1))
+    rows.join(broadcast(plan.select("shard", "file_id", "bin")),
+        Seq("shard", "file_id"))
+      .drop("file_id")
+      .repartition(col("shard"), col("bin"))
+      .write.mode("overwrite").partitionBy("shard", "bin").parquet(dstDir)
+    compactionSummary(plan)
+  }
 }

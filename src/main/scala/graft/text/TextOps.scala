@@ -141,6 +141,33 @@ object TextOps {
           - greatest(col("_start"), col("seq_id") * seqLen)).as("n_tok_in_seq"))
   }
 
+  /** x77 — fragmentation report over a [[pack]] output: the numbers a
+    * training-data engineer checks before pointing a trainer at the
+    * packed artifact. Per shard: sequence/span counts, the worst and
+    * multi-segment sequence counts (how many training sequences mix
+    * ≥2 documents — the cross-document attention-contamination
+    * surface), total tokens, and the stream utilization
+    * tokens/(n_seqs·seqLen) (loss is only the final partial sequence
+    * of each shard — packing pads nothing in between).
+    *
+    * Scale shape: two hash aggregations, (shard, seq_id) then shard —
+    * both map-side combinable, output bounded by nShards rows. Exact
+    * integer counts; the one division is fixed-shape IEEE over exact
+    * integers, so the report hash-matches the oracle. */
+  def packStats(packed: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    packed.groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("_segs"), sum(col("n_tok_in_seq")).as("_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("_segs")).as("n_spans"),
+        max(col("_segs")).as("max_segs"),
+        sum(when(col("_segs") >= 2, 1L).otherwise(0L)).as("multi_seqs"),
+        sum(col("_tok")).as("n_tokens"))
+      .withColumn("util_r", round(col("n_tokens").cast(DoubleType) /
+        (col("n_seqs") * seqLen).cast(DoubleType), 6))
+  }
+
   /** Bigram-LM quality score (CCNet-style perplexity proxy): train
     * bigram/context counts on the corpus itself, then score each
     * document by the mean log-probability ln(c(w1 w2) / c(w1 ·)) of its

@@ -108,4 +108,58 @@ class ExportSpec extends SparkSpec {
       .select("shard", "span_xor").as[(Long, Long)].collect().toMap
     assert(a !== b)
   }
+
+  test("compactionPlan: per-shard next-fit quota bins — each non-final bin crosses its quota boundary") {
+    val target = 300L
+    val files = (0 until 40).map(i => (i.toLong % 4, i.toLong, 100L + i))
+      .toDF("shard", "file_id", "bytes")
+    val plan = Export.compactionPlan(files, col("shard"), col("file_id"),
+      col("bytes"), targetBytes = target)
+    val bins = Export.compactionSummary(plan)
+      .select("shard", "bin", "bin_bytes")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val maxFile = 139L
+    bins.foreach { case (shard, bs) =>
+      val sorted = bs.sortBy(_._2)
+      // bins are contiguous from 0 within the shard
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq,
+        s"shard $shard bins not contiguous: ${sorted.toSeq}")
+      // quota property: the cumulative stream through each non-final
+      // bin crosses that bin's boundary — sizes stay within
+      // (target - maxFile, target + maxFile)
+      val cum = sorted.map(_._3).scanLeft(0L)(_ + _).drop(1)
+      sorted.dropRight(1).zip(cum).foreach { case ((_, b, bytes), c) =>
+        assert(c >= (b + 1) * target, s"shard $shard bin $b quota not met: cum $c")
+        assert(bytes > target - maxFile && bytes < target + maxFile,
+          s"shard $shard bin $b size $bytes outside the quota band")
+      }
+    }
+    // the whole inventory is planned, nothing dropped or duplicated
+    assert(plan.count() === 40L)
+  }
+
+  test("compact rewrites a many-small-files export into one file per planned bin, content intact") {
+    val src = java.nio.file.Files.createTempDirectory("graft_compact_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_compact_dst").toString
+    val docs = corpus(200)
+    val before = Export.writeSharded(docs, col("doc_id"), col("text"), src,
+      nShards = 4, maxRecordsPerFile = 5L) // force many tiny files
+    def dataFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).flatMap { d =>
+        val direct = d.listFiles().filter(f => f.getName.endsWith(".parquet"))
+        val nested = d.listFiles().filter(_.isDirectory)
+          .flatMap(_.listFiles().filter(f => f.getName.endsWith(".parquet")))
+        direct ++ nested
+      }
+    val nBefore = dataFiles(src).length
+    val summary = Export.compact(spark, src, dst, targetBytes = 64 * 1024L)
+    val nBins = summary.count()
+    val nAfter = dataFiles(dst).length
+    assert(nAfter === nBins, s"expected one file per bin: $nAfter files, $nBins bins")
+    assert(nAfter < nBefore, s"compaction did not shrink file count: $nBefore -> $nAfter")
+    // content round-trips: the read-back manifest equals the source's
+    val after = Export.shardManifest(spark.read.parquet(dst),
+      col("doc_id"), col("text"), nShards = 4)
+    assert(canon(after) === canon(before))
+  }
 }
