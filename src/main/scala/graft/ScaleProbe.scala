@@ -331,6 +331,27 @@ object ScaleProbe {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             pmod(col("vec_id"), lit(7L)).cast("int").as("q_label"))
         Similarity.hardNegatives(c, q, k = 5)
+      },
+      "x75_int8_ann" -> { k =>
+        // FIXED query batch vs growing corpus, the x71 shape but scored
+        // with integer dots in the quantized space: quantization is a
+        // per-row projection fused into the scan, so the slope must
+        // track the corpus scan exactly like the fp32 brute force
+        val c = embCorpus(k)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        Similarity.int8TopK(c, q, 3)
+      },
+      "x76_compact_plan" -> { k =>
+        // growing FILE INVENTORY (compaction planning is metadata-only —
+        // the probed cost is the per-shard window prefix sum over k×
+        // more files across a fixed 64-shard layout; the data the files
+        // notionally hold is never touched)
+        val files = docCorpus(k).select(
+          pmod(col("doc_id"), lit(64L)).as("shard"), col("doc_id").as("file_id"),
+          length(col("text")).cast("long").as("bytes"))
+        graft.silver.Export.compactionSummary(graft.silver.Export.compactionPlan(
+          files, col("shard"), col("file_id"), col("bytes"), targetBytes = 4000L))
       })
 
     // optional arg: comma-separated probe-name substrings to run a subset

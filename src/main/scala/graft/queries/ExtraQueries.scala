@@ -2395,6 +2395,84 @@ object ExtraQueries {
       TextOps.packStats(
         TextOps.pack(Tables.documents(s, dir), col("doc_id"), col("text")),
         seqLen = 128)
+    },
+
+    // ----- matryoshka two-stage ANN: dims as the compression axis
+    // (PQ = x41 codebooks, int8 = x75 precision, this = prefix dims)
+    QueryDef("x78_matryoshka_ann",
+      "matryoshka two-stage ANN: rank by cosine over the first 16 of 64 dims, keep top-12 candidates per query, re-score ONLY those with full vectors, return exact-cosine top-3 — prefix-column stage-1 scan reads dims/D of the bytes; stage 2 touches |q|*m rows")(
+      s"""WITH tr AS (
+         |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         |    ${cosD("q.embedding[1:16]", "v.embedding[1:16]")} AS tcos,
+         |    q.embedding AS qe, v.embedding AS ve
+         |  FROM embeddings q, embeddings v WHERE q.vec_id < 5),
+         |c1 AS (SELECT q_id, vec_id, qe, ve,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY tcos DESC, vec_id) AS rn
+         |       FROM tr),
+         |cand AS (SELECT q_id, vec_id, ${cosD("qe", "ve")} AS cos FROM c1 WHERE rn <= 12)
+         |SELECT q_id, vec_id, round(cos, 6) AS cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn2
+         |  FROM cand)
+         |WHERE rn2 <= 3
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.matryoshkaTopK(emb, queries, k = 3, dims = 16, m = 12)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    },
+
+    // ----- export manifest diff (incremental re-export decision table);
+    // version B derived deterministically in BOTH engines: %23=1 docs
+    // deleted, %17=3 docs edited, %29=2 docs re-added under new ids
+    QueryDef("x79_export_diff",
+      "manifest diff between two export versions: per shard added/removed/changed/unchanged off doc counts + the order-independent XOR checksum (a same-count edit still surfaces) — nShards-row metadata join, ship only changed shards")(
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |mod AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 3 THEN text || ' tampered' ELSE text END AS text
+         |  FROM base WHERE doc_id % 23 <> 1
+         |  UNION ALL
+         |  SELECT doc_id + 50000 AS doc_id,
+         |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM base WHERE doc_id % 29 = 2),
+         |an AS (SELECT doc_id, text, $normD AS t FROM base),
+         |ah AS (SELECT doc_id,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |         coalesce(${charFoldD("t")}, 0) AS hk FROM an),
+         |am AS (SELECT (hk + doc_id) % 64 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens, bit_xor(hk) AS content_xor
+         |       FROM ah GROUP BY 1),
+         |bn AS (SELECT doc_id, text, $normD AS t FROM mod),
+         |bh AS (SELECT doc_id,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |         coalesce(${charFoldD("t")}, 0) AS hk FROM bn),
+         |bm AS (SELECT (hk + doc_id) % 64 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens, bit_xor(hk) AS content_xor
+         |       FROM bh GROUP BY 1)
+         |SELECT coalesce(am.shard, bm.shard) AS shard,
+         |  coalesce(am.n_docs, 0) AS n_docs_a,
+         |  coalesce(bm.n_docs, 0) AS n_docs_b,
+         |  coalesce(bm.n_docs, 0) - coalesce(am.n_docs, 0) AS docs_delta,
+         |  CASE WHEN am.shard IS NULL THEN 'added'
+         |       WHEN bm.shard IS NULL THEN 'removed'
+         |       WHEN am.content_xor = bm.content_xor AND am.n_docs = bm.n_docs
+         |            AND am.n_tokens = bm.n_tokens THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM am FULL OUTER JOIN bm ON am.shard = bm.shard
+         |""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val modded = base.filter(col("doc_id") % 23 =!= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 3, concat(col("text"), lit(" tampered")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(base.filter(col("doc_id") % 29 === 2)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast(StringType)).as("text")))
+      val ex = graft.silver.Export
+      ex.manifestDiff(
+        ex.shardManifest(base, col("doc_id"), col("text")),
+        ex.shardManifest(modded, col("doc_id"), col("text")))
     }
   )
 

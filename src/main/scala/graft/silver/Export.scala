@@ -165,6 +165,35 @@ object Export {
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
         min(col("file_id")).as("min_file"), max(col("file_id")).as("max_file"))
 
+  /** x79 — manifest diff between two exports of a corpus: which shards
+    * were added, removed, changed, or left untouched between version A
+    * and version B — the incremental-re-export decision table (ship
+    * only `changed`/`added` shards; a consumer holding A's manifest
+    * verifies B shard by shard). `unchanged` requires the
+    * order-independent XOR checksum AND both counts to agree, so a
+    * same-count content edit still surfaces (the checksum exists for
+    * exactly this). Inputs are [[shardManifest]] outputs; the join is
+    * nShards rows a side — pure metadata, corpus-size-independent.
+    * Output: (shard, n_docs_a, n_docs_b, docs_delta, status). */
+  def manifestDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("shard"), col("n_docs").as("n_docs_a"),
+      col("n_tokens").as("n_tokens_a"), col("content_xor").as("xor_a"))
+    val r = b.select(col("shard"), col("n_docs").as("n_docs_b"),
+      col("n_tokens").as("n_tokens_b"), col("content_xor").as("xor_b"))
+    l.join(r, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+        (coalesce(col("n_docs_b"), lit(0L))
+          - coalesce(col("n_docs_a"), lit(0L))).as("docs_delta"),
+        when(col("xor_a").isNull, "added")
+          .when(col("xor_b").isNull, "removed")
+          .when(col("xor_a") === col("xor_b")
+            && col("n_docs_a") === col("n_docs_b")
+            && col("n_tokens_a") === col("n_tokens_b"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Execute a compaction plan over a [[writeSharded]]-layout directory:
     * list `shard=K/part-*` file metadata (driver-side, the same
     * metadata walk every table format's OPTIMIZE does), plan bins at

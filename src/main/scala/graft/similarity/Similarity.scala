@@ -865,6 +865,38 @@ object Similarity {
     * decode. Recall vs the fp32 scan is gated in Int8AnnSpec.
     * `corpus` must have (vec_id, embedding); `queries` (q_id, q_emb).
     * Output: (q_id, vec_id, cosq) with k rows per query. */
+  /** x78: matryoshka two-stage ANN (Kusupati et al. 2022) — the third
+    * compression trade in the family (PQ = x41 codebooks, int8 = x75
+    * precision, this = DIMENSIONS): stage 1 ranks by cosine over the
+    * first `dims` of each vector and keeps a top-`m` candidate pool
+    * per query; stage 2 re-scores ONLY those m candidates with the
+    * full vectors and returns the top-k. With a materialized
+    * `slice(embedding, 1, dims)` prefix column the stage-1 scan reads
+    * dims/D of the bytes (16/64 = 4×, multiplicative with int8's 4×);
+    * stage 2 touches |q|·m rows — scan-independent. Both stages are
+    * the x06 shape (broadcast query side, WindowGroupLimit below the
+    * exchange); the stage-2 candidate pool joins back to the corpus as
+    * a small (AQE-broadcast) side. Recall is m-headroom-bounded and
+    * gated in Int8AnnSpec — on MRL-trained embeddings the prefix
+    * carries most of the signal; on the synthetic (energy-uniform)
+    * testdata the gate documents the m-vs-recall trade honestly.
+    * Output: (q_id, vec_id, cos) with k rows per query, `cos` exact
+    * full-dimension cosine. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     dims: Int, m: Int): DataFrame = {
+    require(dims > 0 && m >= k, s"need dims > 0 and rerank pool m >= k")
+    val cands = bruteForceTopK(
+      corpus.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding")),
+      queries.select(col("q_id"), slice(col("q_emb"), 1, dims).as("q_emb")), m)
+      .select("q_id", "vec_id")
+    val re = cands
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perGroup(re, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
+  }
+
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import graft.plans.functions.{int_dot_fold, int_sqnorm_fold, quantize_int8}
     val qc = corpus.select(col("vec_id"), quantize_int8(col("embedding")).as("qv"),

@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     "x54_temp_sample",            // singleton token-totals row
     "x71_hard_negatives",         // fixed query batch (training-batch sized)
     "x73_epoch_plan",             // singleton source-count row
-    "x75_int8_ann"                // fixed query set (quantized x06 shape)
+    "x75_int8_ann",               // fixed query set (quantized x06 shape)
+    "x78_matryoshka_ann"          // fixed query set; stage-2 rerank broadcast
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -104,7 +105,8 @@ class PlanAuditSpec extends SparkSpec {
     "x57_oov_stats",              // vocab (bounded by the V constant)
     "x71_hard_negatives",         // fixed query batch (training-batch sized)
     "x73_epoch_plan",             // singleton source-count row
-    "x75_int8_ann"                // fixed query set (quantized x06 shape)
+    "x75_int8_ann",               // fixed query set (quantized x06 shape)
+    "x78_matryoshka_ann"          // fixed query set (truncated-prefix stage 1)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

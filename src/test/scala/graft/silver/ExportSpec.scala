@@ -138,6 +138,35 @@ class ExportSpec extends SparkSpec {
     assert(plan.count() === 40L)
   }
 
+  test("manifestDiff classifies added/removed/changed/unchanged shards; a same-count edit still surfaces") {
+    val docs = corpus(100)
+    val a = Export.shardManifest(docs, col("doc_id"), col("text"), nShards = 16)
+    // same doc count, one document's content edited (same shard: the
+    // edit keeps the id and the assignment depends on hash + id, so the
+    // doc may move shard — either way some shard must read 'changed')
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("edited content")).otherwise(col("text")))
+    val d1 = Export.manifestDiff(a,
+      Export.shardManifest(edited, col("doc_id"), col("text"), nShards = 16))
+      .select("status").as[String].collect()
+    assert(d1.contains("changed"), s"content edit invisible: ${d1.toSeq}")
+    // identical corpus: everything unchanged
+    val d0 = Export.manifestDiff(a, a).select("status").as[String].collect()
+    assert(d0.forall(_ == "unchanged"), s"self-diff not clean: ${d0.toSeq}")
+    // a removed shard: drop every doc of one shard from B
+    val assigned = docs
+      .withColumn("hk", coalesce(
+        graft.text.TextOps.fingerprint(graft.text.TextOps.norm(col("text"))), lit(0L)))
+      .withColumn("shard", pmod(col("hk") + col("doc_id"), lit(16L)))
+    val victim = assigned.groupBy("shard").count()
+      .orderBy("shard").limit(1).select("shard").as[Long].head()
+    val b = assigned.filter(col("shard") =!= victim).select("doc_id", "text")
+    val d2 = Export.manifestDiff(a,
+      Export.shardManifest(b, col("doc_id"), col("text"), nShards = 16))
+      .select("shard", "status").as[(Long, String)].collect().toMap
+    assert(d2(victim) == "removed", s"dropped shard not flagged: $d2")
+  }
+
   test("compact rewrites a many-small-files export into one file per planned bin, content intact") {
     val src = java.nio.file.Files.createTempDirectory("graft_compact_src").toString
     val dst = java.nio.file.Files.createTempDirectory("graft_compact_dst").toString

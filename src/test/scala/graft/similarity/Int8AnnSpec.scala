@@ -83,6 +83,48 @@ class Int8AnnSpec extends SparkSpec {
     assert(scored.values.forall(_ == 0.0), s"zero-vector query must score 0: $scored")
   }
 
+  test("matryoshka: full dims with m = k reproduces the exact top-k; recall grows with the pool m") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").persist()
+    try {
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = rs(Similarity.bruteForceTopK(emb, queries, 3))
+      // degenerate configuration = the exact scan, bit for bit
+      val full = rs(Similarity.matryoshkaTopK(emb, queries, 3, dims = 64, m = 3))
+      assert(full === exact, "dims=64/m=k must equal the exact top-k")
+      // synthetic embeddings spread energy uniformly over dims — the
+      // WORST case for prefix truncation (a trained MRL model
+      // concentrates signal in the prefix); recall must still be
+      // monotone in the rerank pool and recover with headroom
+      val recalls = Seq(12, 48, 192).map { m =>
+        val r = (exact intersect
+          rs(Similarity.matryoshkaTopK(emb, queries, 3, dims = 16, m = m)))
+          .size.toDouble / exact.size
+        info(f"matryoshkaTopK(dims=16, m=$m%3d) recall@3 = $r%.3f")
+        r
+      }
+      // measured 0.400/0.467/0.750 (PLANS.md round-12 session-5): a
+      // random 16-of-64 prefix keeps only 1/4 of the variance, so this
+      // documents the floor, not the operating point — MRL-trained
+      // embeddings concentrate variance in the prefix by construction
+      assert(recalls == recalls.sorted, s"recall not monotone in m: $recalls")
+      assert(recalls.last >= 0.6, s"m=192 recall collapsed: ${recalls.last}")
+      // widening the prefix at fixed m must also be monotone, and the
+      // full-width prefix is exact for any m >= k
+      val byDims = Seq(16, 32, 64).map { d =>
+        val r = (exact intersect
+          rs(Similarity.matryoshkaTopK(emb, queries, 3, dims = d, m = 12)))
+          .size.toDouble / exact.size
+        info(f"matryoshkaTopK(dims=$d%2d, m=12) recall@3 = $r%.3f")
+        r
+      }
+      assert(byDims == byDims.sorted, s"recall not monotone in dims: $byDims")
+      assert(byDims.last == 1.0, s"full-width prefix must be exact: $byDims")
+    } finally emb.unpersist()
+  }
+
   test("antipodal pair ranks exactly -1/+1 in quantized space") {
     val corpus = vecDf(Seq(
       1L -> Seq(3f, -1f, 2f),
