@@ -2473,6 +2473,47 @@ object ExtraQueries {
       ex.manifestDiff(
         ex.shardManifest(base, col("doc_id"), col("text")),
         ex.shardManifest(modded, col("doc_id"), col("text")))
+    },
+
+    // ----- contrastive triplet assembly (anchor, hardest positive,
+    // mined negatives + margins — the mining tier's hand-off artifact)
+    QueryDef("x80_triplets",
+      "contrastive triplets: per anchor the most-similar same-label positive (self excluded) x the top-3 hard negatives, with triplet-loss margins cos(a,p) - cos(a,n) — composes the x71 mining gate with a k=1 positive rank; |q|-row final join")(
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |           FROM embeddings WHERE vec_id < 8),
+         |pc AS (
+         |  SELECT q.q_id, v.vec_id AS pos_id,
+         |    ${cosD("q.q_emb", "v.embedding")} AS pcos
+         |  FROM embeddings v, q
+         |  WHERE v.label = q.q_label AND v.vec_id <> q.q_id),
+         |p1 AS (SELECT q_id, pos_id, pcos FROM (
+         |         SELECT *, row_number() OVER
+         |           (PARTITION BY q_id ORDER BY pcos DESC, pos_id) AS prn
+         |         FROM pc) WHERE prn = 1),
+         |cs AS (
+         |  SELECT q.q_id, q.q_label, v.vec_id AS vec_id, v.label AS label,
+         |    ${cosD("q.q_emb", "v.embedding")} AS cos
+         |  FROM embeddings v, q
+         |  WHERE v.vec_id <> q.q_id AND v.label <> q.q_label),
+         |f AS (SELECT * FROM cs WHERE cos < 0.98),
+         |nk AS (SELECT q_id, vec_id AS neg_id, cos, rn FROM (
+         |         SELECT *, row_number() OVER
+         |           (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |         FROM f) WHERE rn <= 3)
+         |SELECT q_id, pos_id, round(pcos, 6) AS pcos_r,
+         |       neg_id, CAST(rn AS BIGINT) AS rnk,
+         |       round(cos, 6) AS cos_r, round(pcos - cos, 6) AS margin_r
+         |FROM p1 JOIN nk USING (q_id)
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      Similarity.triplets(emb.select("vec_id", "embedding", "label"),
+          queries, k = 3, dupCos = 0.98)
+        .select(col("q_id"), col("pos_id"), round(col("pcos"), 6).as("pcos_r"),
+          col("neg_id"), col("rnk"), round(col("cos"), 6).as("cos_r"),
+          round(col("margin"), 6).as("margin_r"))
     }
   )
 

@@ -121,6 +121,32 @@ object Similarity {
         col("vec_id"), col("cos"), col("label"))
   }
 
+  /** x80: contrastive training-triplet assembly — the hand-off artifact
+    * of the mining tier: per anchor, THE hardest positive pick (most
+    * similar same-label vector, self excluded) joined against the
+    * [[hardNegatives]] top-k, with the per-pair margin cos(a,p) −
+    * cos(a,n) a triplet-loss trainer consumes directly (a negative
+    * margin = the triplet violates before training — the batch
+    * statistic curriculum mining sorts on). Composes the two verified
+    * pieces: the positive pick is the same broadcast-query scan with a
+    * k=1 WindowGroupLimit rank, and the negative side IS
+    * [[hardNegatives]]; the final join is |q| rows against |q|·k.
+    * Output: (q_id, pos_id, pcos, neg_id, rnk, cos, margin), k rows
+    * per anchor that has at least one same-label candidate. */
+  def triplets(corpus: DataFrame, queries: DataFrame, k: Int,
+               dupCos: Double = 0.98): DataFrame = {
+    val pos = corpus.crossJoin(broadcast(queries))
+      .filter(col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("pos_id"),
+        cosine(col("q_emb"), col("embedding")).as("pcos"))
+    val p1 = TopK.perGroup(pos, Seq(col("q_id")),
+      Seq(col("pcos").desc, col("pos_id")), 1)
+    p1.join(hardNegatives(corpus, queries, k, dupCos), "q_id")
+      .select(col("q_id"), col("pos_id"), col("pcos"),
+        col("vec_id").as("neg_id"), col("rnk"), col("cos"),
+        (col("pcos") - col("cos")).as("margin"))
+  }
+
   /** Sign-LSH bucket id from `bits` DETERMINISTIC RANDOM HYPERPLANES
     * (Rademacher ±1 entries from a double-Lehmer mix — not axis-aligned,
     * so no dependence on any dimension's marginal distribution): bit i is

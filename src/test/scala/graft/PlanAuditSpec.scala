@@ -68,7 +68,8 @@ class PlanAuditSpec extends SparkSpec {
     "x71_hard_negatives",         // fixed query batch (training-batch sized)
     "x73_epoch_plan",             // singleton source-count row
     "x75_int8_ann",               // fixed query set (quantized x06 shape)
-    "x78_matryoshka_ann"          // fixed query set; stage-2 rerank broadcast
+    "x78_matryoshka_ann",         // fixed query set; stage-2 rerank broadcast
+    "x80_triplets"                // fixed anchor batch (x71 composition)
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -106,7 +107,8 @@ class PlanAuditSpec extends SparkSpec {
     "x71_hard_negatives",         // fixed query batch (training-batch sized)
     "x73_epoch_plan",             // singleton source-count row
     "x75_int8_ann",               // fixed query set (quantized x06 shape)
-    "x78_matryoshka_ann"          // fixed query set (truncated-prefix stage 1)
+    "x78_matryoshka_ann",         // fixed query set (truncated-prefix stage 1)
+    "x80_triplets"                // fixed anchor batch (x71 composition)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

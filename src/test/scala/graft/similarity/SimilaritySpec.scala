@@ -61,6 +61,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 11L, 1), (2L, 12L, 1)))
   }
 
+  test("triplets: hardest same-label positive, margins = pcos - cos, anchor without a positive drops out") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),   // anchor
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),   // positive (hardest: closest)
+      (2L, Seq(0.0f, 0.9f, 0.1f, 0.0f), 0),   // positive (farther)
+      (11L, Seq(0.8f, 0.6f, 0.0f, 0.0f), 1),  // hardest negative
+      (12L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),  // easy negative
+      (20L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 2)   // lone-label anchor: no positive
+    ).toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id").isin(0L, 20L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val out = Similarity.triplets(emb, q, k = 2).collect()
+    // anchor 20 has no same-label candidate -> contributes no triplets
+    assert(out.forall(_.getAs[Long]("q_id") == 0L), s"lone anchor leaked: ${out.toSeq}")
+    val rows = out.sortBy(_.getAs[Long]("rnk"))
+      .map(r => (r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"),
+        r.getAs[Double]("margin")))
+    assert(rows.map(_._1).toSeq === Seq(1L, 1L), s"positive not the hardest: ${rows.toSeq}")
+    assert(rows.map(_._2).toSeq === Seq(11L, 12L), s"negative order wrong: ${rows.toSeq}")
+    // margins: pcos constant per anchor, decreasing cos -> increasing margin
+    assert(rows(0)._3 < rows(1)._3, s"margins not increasing with rank: ${rows.toSeq}")
+    // the hardest negative (cos .8) sits closer than the positive gap
+    // allows a comfortable margin; both margins still positive here
+    assert(rows.forall(_._3 > 0.0), s"expected satisfied triplets: ${rows.toSeq}")
+  }
+
   test("hardNegativesIvf with full probing reproduces the exact route on testdata") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), col("label"))
