@@ -2514,6 +2514,62 @@ object ExtraQueries {
         .select(col("q_id"), col("pos_id"), round(col("pcos"), 6).as("pcos_r"),
           col("neg_id"), col("rnk"), round(col("cos"), 6).as("cos_r"),
           round(col("margin"), 6).as("margin_r"))
+    },
+
+    // ----- hybrid retrieval: reciprocal-rank fusion of the BM25 (x53)
+    // and dense-cosine rankers — rank-based, no score calibration;
+    // vec_id is modeled as the document's embedding id
+    QueryDef("x81_rrf_fusion",
+      "reciprocal-rank fusion of BM25 top-20 and embedding-cosine top-20 (query vec 0): rrf = sum 1/(60 + rank), absent lists contribute 0 — fusion over bounded top-k lists only, cost independent of corpus size")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(len(ws)) AS BIGINT) AS tot_dl FROM w),
+         |p AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM p
+         |       WHERE term IN ('vector', 'merge', 'spark') GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT t.doc_id, t.term,
+         |         ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+         |           * (t.tf * 2.2)
+         |           / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (CAST(st.tot_dl AS DOUBLE) / st.n_docs))) AS s
+         |       FROM tf t JOIN df d USING (term) CROSS JOIN st),
+         |agg AS (SELECT doc_id,
+         |          list_reduce(list(s ORDER BY term), (acc, x) -> acc + x) AS sc
+         |        FROM sc GROUP BY doc_id),
+         |sr AS (SELECT doc_id, rn AS rnk_s FROM (
+         |         SELECT doc_id, row_number() OVER
+         |           (ORDER BY round(sc, 6) DESC, doc_id) AS rn FROM agg)
+         |       WHERE rn <= 20),
+         |q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dc AS (SELECT v.vec_id AS doc_id, ${cosD("v.embedding", "qe")} AS cos
+         |       FROM embeddings v CROSS JOIN q0),
+         |dr AS (SELECT doc_id, rn AS rnk_d FROM (
+         |         SELECT doc_id, row_number() OVER
+         |           (ORDER BY cos DESC, doc_id) AS rn FROM dc)
+         |       WHERE rn <= 20),
+         |fu AS (SELECT coalesce(sr.doc_id, dr.doc_id) AS doc_id, sr.rnk_s, dr.rnk_d,
+         |         round(coalesce(CAST(1 AS DOUBLE) / (60 + sr.rnk_s), 0.0)
+         |             + coalesce(CAST(1 AS DOUBLE) / (60 + dr.rnk_d), 0.0), 6) AS rrf_r
+         |       FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id)
+         |SELECT doc_id, rnk_s, rnk_d, rrf_r FROM fu
+         |ORDER BY rrf_r DESC, doc_id LIMIT 10
+         |""".stripMargin) { (s, dir) =>
+      import graft.text.Retrieval
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val sparse = Retrieval.rankOf(
+        Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+          Seq("vector", "merge", "spark"), k = 20).drop("n_terms"),
+        col("doc_id"), Seq(col("bm25").desc, col("doc_id")))
+      val q0 = emb.filter(col("vec_id") === 0).select(col("embedding").as("_q"))
+      val dense = Retrieval.rankOf(
+        emb.crossJoin(broadcast(q0))
+          .select(col("vec_id").as("doc_id"),
+            Similarity.cosine(col("embedding"), col("_q")).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(20),
+        col("doc_id"), Seq(col("cos").desc, col("doc_id")))
+      Retrieval.rrfFuse(sparse, dense, kRrf = 60, k = 10)
     }
   )
 

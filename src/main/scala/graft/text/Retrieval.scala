@@ -72,4 +72,46 @@ object Retrieval {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Attach dense 1-based ranks to an ALREADY-TRUNCATED top-k result
+    * (≤ k rows by construction — TakeOrderedAndProject upstream), for
+    * feeding [[rrfFuse]]. The window runs over those k rows only; the
+    * explicit `pmod(id, 1)` single-partition key is the repo-wide
+    * bounded-window idiom (PlanAuditSpec bans implicit global windows).
+    * Order must restate the upstream truncation's order. */
+  def rankOf(topk: DataFrame, id: Column, order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(id, lit(1L))).orderBy(order: _*)
+    topk.withColumn("rnk", row_number().over(w).cast(LongType))
+  }
+
+  /** x81 — reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    * retrieval lists: rrf(d) = Σ_list 1/(kRrf + rank_list(d)), absent
+    * lists contribute 0. The standard hybrid-retrieval merge for a
+    * curation pipeline that harvests with BOTH a lexical (BM25) and a
+    * dense (embedding cosine) ranker — rank-based, so the two score
+    * scales never need calibrating against each other.
+    *
+    * Scale shape: both inputs are top-k lists (bounded by construction
+    * — the corpus-sized work already happened inside each ranker), so
+    * the fusion is a ≤ 2k-row full-outer join + one TakeOrderedAndProject;
+    * fusion cost is independent of corpus size. The reciprocal is
+    * CAST(1 AS DOUBLE)/(kRrf + rank) — the same fixed-shape IEEE
+    * expression in both engines (a bare 1.0 literal is DECIMAL in
+    * DuckDB and would divide in decimal arithmetic).
+    * Inputs: (doc_id, rnk) each. Output: (doc_id, rnk_s, rnk_d, rrf_r),
+    * top `k` by (rrf desc, doc_id); absent ranks stay null. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, kRrf: Int = 60,
+              k: Int = 10): DataFrame = {
+    require(kRrf > 0 && k > 0, s"need positive kRrf/k, got $kRrf/$k")
+    sparse.select(col("doc_id"), col("rnk").as("rnk_s"))
+      .join(dense.select(col("doc_id"), col("rnk").as("rnk_d")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rnk_s"), col("rnk_d"),
+        round(coalesce(expr(s"CAST(1 AS DOUBLE) / ($kRrf + rnk_s)"), lit(0.0))
+          + coalesce(expr(s"CAST(1 AS DOUBLE) / ($kRrf + rnk_d)"), lit(0.0)), 6)
+          .as("rrf_r"))
+      .orderBy(col("rrf_r").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -69,7 +69,8 @@ class PlanAuditSpec extends SparkSpec {
     "x73_epoch_plan",             // singleton source-count row
     "x75_int8_ann",               // fixed query set (quantized x06 shape)
     "x78_matryoshka_ann",         // fixed query set; stage-2 rerank broadcast
-    "x80_triplets"                // fixed anchor batch (x71 composition)
+    "x80_triplets",               // fixed anchor batch (x71 composition)
+    "x81_rrf_fusion"              // single-row dense query vector (x52 shape)
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -108,7 +109,8 @@ class PlanAuditSpec extends SparkSpec {
     "x73_epoch_plan",             // singleton source-count row
     "x75_int8_ann",               // fixed query set (quantized x06 shape)
     "x78_matryoshka_ann",         // fixed query set (truncated-prefix stage 1)
-    "x80_triplets"                // fixed anchor batch (x71 composition)
+    "x80_triplets",               // fixed anchor batch (x71 composition)
+    "x81_rrf_fusion"              // single-row dense query vector + x53's bounded stats
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -133,4 +133,25 @@ class RetrievalSpec extends SparkSpec {
     assert(mixed.map(_.getLong(0)).toSeq === Seq(2L))
     assert(!mixed.head.getDouble(2).isNaN)
   }
+
+  test("rrfFuse: both-list docs outrank single-list docs; absent side contributes exactly 0") {
+    val sparse = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rnk")
+    val dense = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rnk")
+    val out = Retrieval.rrfFuse(sparse, dense, kRrf = 60, k = 10)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3)))
+    // doc 2 appears in both lists (ranks 2 and 1) and must lead despite
+    // doc 1 holding the sparse top rank
+    assert(out.head._1 === 2L, s"both-list doc not first: ${out.toSeq}")
+    assert(out.head._4 === BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // absent sides are null ranks with zero contribution, not NaN/err
+    val d1 = out.find(_._1 == 1L).get
+    assert(d1._3.isEmpty && d1._4 === BigDecimal(1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // every listed doc survives the union; output capped at k
+    assert(out.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+  }
 }
