@@ -125,6 +125,42 @@ class Int8AnnSpec extends SparkSpec {
     } finally emb.unpersist()
   }
 
+  test("property: sampled random vectors — quantization bounds, half-step error, Cauchy-Schwarz in int space") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(60,
+      Gen.listOfN(24, Gen.chooseNum(-8.0f, 8.0f).suchThat(f => !f.isNaN)))
+    val vecs = gen.sample.get.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    import graft.plans.functions.{int_dot_fold, int_sqnorm_fold, quantize_int8}
+    val df = vecDf(vecs.map { case (i, v) => (i, v) })
+    val rows = Similarity.quantizeInt8(df)
+      .select(col("vec_id"), col("amax"), col("qvec"),
+        int_sqnorm_fold(col("qvec")).as("qn"),
+        expr("array_max(zip_with(embedding, qvec," +
+          " (x, q) -> abs(CAST(x AS DOUBLE)" +
+          " - CAST(q AS DOUBLE) * amax / CAST(127 AS DOUBLE))))").as("maxerr"))
+      .collect()
+    rows.foreach { r =>
+      val (amax, q, qn) = (r.getDouble(1), r.getSeq[Int](2), r.getLong(3))
+      assert(q.forall(x => x >= -127 && x <= 127), s"range escape: $r")
+      // exact norm identity: the fold equals the scala-side sum
+      assert(qn === q.map(x => x.toLong * x).sum, s"norm fold mismatch: $r")
+      if (amax > 0)
+        assert(r.getDouble(4) <= amax / 254 + 1e-12, s"half-step bound: $r")
+    }
+    // pairwise: |dot_q(a,b)| <= sqrt(nq(a))*sqrt(nq(b)) — the cosine in
+    // quantized space can never leave [-1, 1] (no clamping anywhere)
+    val pairs = df.select(col("vec_id"), quantize_int8(col("embedding")).as("q"),
+        int_sqnorm_fold(quantize_int8(col("embedding"))).as("n"))
+      .withColumn("_j", lit(1))
+    val a = pairs.select(col("vec_id").as("ia"), col("q").as("qa"), col("n").as("na"), col("_j"))
+    val b = pairs.select(col("vec_id").as("ib"), col("q").as("qb"), col("n").as("nb"), col("_j"))
+    val viol = a.join(b, "_j")
+      .select(int_dot_fold(col("qa"), col("qb")).as("d"), col("na"), col("nb"))
+      .filter(expr("CAST(d AS DOUBLE) * d > CAST(na AS DOUBLE) * nb + 1e-6"))
+      .count()
+    assert(viol === 0L, s"Cauchy-Schwarz violated in int space: $viol pairs")
+  }
+
   test("antipodal pair ranks exactly -1/+1 in quantized space") {
     val corpus = vecDf(Seq(
       1L -> Seq(3f, -1f, 2f),
