@@ -175,6 +175,16 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed rank partitioning lost — global one-task sort?\n$p")
   }
 
+  test("x74 int8 quantization stays inside a whole-stage-codegen span") {
+    // the native quantize_int8/absmax_fold expressions carry doGenCode;
+    // if either regressed to CodegenFallback the scan-speed projection
+    // claim (and the 4x-IO materialization pass) silently slows ~10x —
+    // the starred Project must still contain the quantize call
+    val p = physical("x74_embed_quantize")
+    assert("\\*\\(\\d+\\) Project \\[[^\\]]*quantize_int8".r.findFirstIn(p).nonEmpty,
+      s"quantize_int8 fell out of whole-stage codegen:\n$p")
+  }
+
   /** WindowExec / WindowGroupLimitExec nodes whose partitionSpec is
     * EMPTY — a truly global window, i.e. one task sorting the whole
     * input. Bounded post-`limit` windows in this codebase carry an
