@@ -2570,6 +2570,33 @@ object ExtraQueries {
           .orderBy(col("cos").desc, col("doc_id")).limit(20),
         col("doc_id"), Seq(col("cos").desc, col("doc_id")))
       Retrieval.rrfFuse(sparse, dense, kRrf = 60, k = 10)
+    },
+
+    // ----- within-sequence token offsets (the attention-mask geometry
+    // of the packed artifact: segment i spans [tok_off, tok_off + n))
+    QueryDef("x82_pack_offsets",
+      "per-span token offsets inside each packed sequence (prefix sum of span lengths in doc order) — the document-boundary attention-mask geometry; window keyed by (shard, seq_id), every partition one sequence")(
+      s"""WITH n AS (SELECT doc_id, doc_id % 8 AS shard,
+         |                  len(string_split($normD, ' ')) AS n_tok FROM documents),
+         |o AS (SELECT doc_id, shard, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS e FROM n),
+         |s AS (SELECT doc_id, shard, CAST(e - n_tok AS BIGINT) AS st,
+         |             CAST(e AS BIGINT) AS e FROM o WHERE n_tok > 0),
+         |x AS (SELECT doc_id, shard, st, e,
+         |             unnest(range(st // 128, (e - 1) // 128 + 1)) AS seq_id FROM s),
+         |sp AS (SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+         |              CAST(least(e, (seq_id + 1) * 128) - greatest(st, seq_id * 128) AS BIGINT)
+         |                AS n_tok_in_seq
+         |       FROM x)
+         |SELECT doc_id, shard, seq_id, n_tok_in_seq,
+         |       CAST(COALESCE(sum(n_tok_in_seq) OVER
+         |         (PARTITION BY shard, seq_id ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |         AS tok_off
+         |FROM sp
+         |""".stripMargin) { (s, dir) =>
+      TextOps.packOffsets(
+        TextOps.pack(Tables.documents(s, dir), col("doc_id"), col("text")))
     }
   )
 

@@ -141,6 +141,28 @@ object TextOps {
           - greatest(col("_start"), col("seq_id") * seqLen)).as("n_tok_in_seq"))
   }
 
+  /** x82 — within-sequence token offsets over a [[pack]] output: each
+    * (doc, sequence) span gains `tok_off`, its starting token position
+    * inside the sequence — exactly what a trainer needs to build the
+    * per-sequence document-boundary attention mask (segment i spans
+    * [tok_off, tok_off + n_tok_in_seq) of the packed sequence; the
+    * loss mask at a boundary starts where tok_off does). Offsets are
+    * the prefix sum of span lengths in doc_id order — the same order
+    * [[pack]]'s stream cumsum concatenates documents, so offsets are
+    * consistent with the actual token layout by construction.
+    *
+    * Scale shape: one window keyed by (shard, seq_id) — every
+    * partition is a single training sequence, bounded by seqLen spans,
+    * so no task ever sorts more than a sequence's own span list. */
+  def packOffsets(packed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"), col("seq_id"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packed.withColumn("tok_off",
+      coalesce(sum(col("n_tok_in_seq")).over(w), lit(0L)))
+  }
+
   /** x77 — fragmentation report over a [[pack]] output: the numbers a
     * training-data engineer checks before pointing a trainer at the
     * packed artifact. Per shard: sequence/span counts, the worst and

@@ -51,6 +51,27 @@ class TextOpsSpec extends SparkSpec {
     assert(bySeq === Map(0L -> 5L, 1L -> 5L, 2L -> 3L))
   }
 
+  test("packOffsets: segments tile each sequence contiguously from 0, never crossing seqLen") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l m")).toDF("doc_id", "text")
+    val out = TextOps.packOffsets(
+      TextOps.pack(docs, col("doc_id"), col("text"), seqLen = 5, nShards = 1))
+      .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tok_off"), r.getAs[Long]("n_tok_in_seq")))
+    out.groupBy(_._1).foreach { case (seq, spans) =>
+      val sorted = spans.sortBy(_._2)
+      // first segment starts at 0; each next starts where the previous ended
+      val expected = sorted.map(_._4).scanLeft(0L)(_ + _).dropRight(1)
+      assert(sorted.map(_._3).toSeq === expected.toSeq,
+        s"seq $seq offsets not contiguous: ${sorted.toSeq}")
+      assert(sorted.last._3 + sorted.last._4 <= 5L,
+        s"seq $seq segment crosses seqLen: ${sorted.toSeq}")
+    }
+    // the straddling doc 2 starts seq 1 at offset 0, doc 3 follows at 2
+    val seq1 = out.filter(_._1 == 1L).sortBy(_._2).map(s => (s._2, s._3)).toSeq
+    assert(seq1 === Seq((2L, 0L), (3L, 2L)))
+  }
+
   test("pack: shards carry independent offsets") {
     // nShards=2: doc 1,3 → shard 1; doc 2,4 → shard 0 — each shard's
     // first doc starts at offset 0 (seq_id 0)
