@@ -117,7 +117,12 @@ object Export {
   def packedExport(docs: DataFrame, id: Column, text: Column, outDir: String,
                    seqLen: Int = 128, nShards: Int = 8,
                    maxRecordsPerFile: Long = 1000000L): DataFrame = {
-    TextOps.pack(docs, id, text, seqLen, nShards)
+    // tok_off is computed at WRITE time so the on-disk spans carry
+    // their attention-mask geometry — the trainer reads [tok_off,
+    // tok_off + n_tok_in_seq) per segment instead of re-deriving
+    // offsets with another shuffle on every epoch; packWithOffsets
+    // derives it arithmetically, zero shuffles beyond pack's own
+    TextOps.packWithOffsets(docs, id, text, seqLen, nShards)
       .sortWithinPartitions("shard", "seq_id")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

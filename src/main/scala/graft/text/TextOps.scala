@@ -151,9 +151,13 @@ object TextOps {
     * [[pack]]'s stream cumsum concatenates documents, so offsets are
     * consistent with the actual token layout by construction.
     *
-    * Scale shape: one window keyed by (shard, seq_id) — every
-    * partition is a single training sequence, bounded by seqLen spans,
-    * so no task ever sorts more than a sequence's own span list. */
+    * This is the POST-HOC form for a packed table whose stream
+    * boundaries are gone (a parquet read-back): one window keyed by
+    * (shard, seq_id) — every partition is a single training sequence,
+    * bounded by seqLen spans — at the cost of one extra exchange. At
+    * write time prefer [[packWithOffsets]], which derives the same
+    * column arithmetically with ZERO extra shuffle;
+    * TextOpsSpec pins their agreement. */
   def packOffsets(packed: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"), col("seq_id"))
@@ -161,6 +165,32 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     packed.withColumn("tok_off",
       coalesce(sum(col("n_tok_in_seq")).over(w), lit(0L)))
+  }
+
+  /** [[pack]] + `tok_off` in one pass: a span covering stream interval
+    * [max(start, seq·L), min(end, (seq+1)·L)) starts inside its
+    * sequence at max(start, seq·L) − seq·L — pure span arithmetic off
+    * the boundaries pack already computes, so the offset column costs
+    * no window and no exchange beyond pack's own shard cumsum. Output
+    * schema = [[packOffsets]](pack(...)) exactly (spec-pinned). */
+  def packWithOffsets(docs: DataFrame, id: Column, text: Column,
+                      seqLen: Int = 128, nShards: Int = 8): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "need positive seqLen / nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(id.as("doc_id"), wsTokenCount(norm(text)).as("n_tok"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast(LongType))
+      .withColumn("_end", sum(col("n_tok")).over(w))
+      .withColumn("_start", col("_end") - col("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("shard"), col("_start"), col("_end"),
+        explode(sequence(floor(col("_start") / seqLen).cast(LongType),
+          floor((col("_end") - 1) / seqLen).cast(LongType))).as("seq_id"))
+      .select(col("doc_id"), col("shard"), col("seq_id"),
+        (least(col("_end"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("_start"), col("seq_id") * seqLen)).as("n_tok_in_seq"),
+        (greatest(col("_start"), col("seq_id") * seqLen)
+          - col("seq_id") * seqLen).as("tok_off"))
   }
 
   /** x77 — fragmentation report over a [[pack]] output: the numbers a

@@ -72,6 +72,20 @@ class TextOpsSpec extends SparkSpec {
     assert(seq1 === Seq((2L, 0L), (3L, 2L)))
   }
 
+  test("packWithOffsets (zero-shuffle arithmetic) equals packOffsets(pack) row for row") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l m"),
+      (4L, "n o"), (5L, "p q r s t u v w x")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "shard", "seq_id", "n_tok_in_seq", "tok_off")
+      .collect().map(_.toSeq).toSet
+    val windowed = rows(TextOps.packOffsets(
+      TextOps.pack(docs, col("doc_id"), col("text"), seqLen = 5, nShards = 2)))
+    val arith = rows(TextOps.packWithOffsets(
+      docs, col("doc_id"), col("text"), seqLen = 5, nShards = 2))
+    assert(arith === windowed, s"forms disagree:\n$arith\nvs\n$windowed")
+  }
+
   test("pack: shards carry independent offsets") {
     // nShards=2: doc 1,3 → shard 1; doc 2,4 → shard 0 — each shard's
     // first doc starts at offset 0 (seq_id 0)
