@@ -2597,6 +2597,65 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       TextOps.packOffsets(
         TextOps.pack(Tables.documents(s, dir), col("doc_id"), col("text")))
+    },
+
+    // ----- IVF + int8 scoring (the production "IVF,SQ8" ANN config:
+    // fp32 cell assignment, integer-quantized candidate scans — cell
+    // pruning and the 4x cheaper read multiply)
+    QueryDef("x83_ivf_int8",
+      "IVF ANN scored in int8 space: corpus in ceil(sqrt(n)) cells (fp32 centroid argmax), queries probe top-2 cells, candidates scored with exact integer dots/norms over quantized vectors — the IVF,SQ8 composition; top-3 per query")(
+      s"""WITH p AS (SELECT least(greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8), 65536) AS nc
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
+         |           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS crn
+         |           FROM embeddings)
+         |         WHERE crn <= (SELECT nc FROM p)),
+         |sc AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      CASE WHEN ${sqNormD("e.embedding")} * ${sqNormD("c.c_emb")} = 0 THEN 0.0
+         |           ELSE list_reduce(list_transform(list_zip(e.embedding, c.c_emb),
+         |                  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+         |                / sqrt(${sqNormD("e.embedding")} * ${sqNormD("c.c_emb")}) END DESC,
+         |      c.cid) AS rn
+         |  FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, cid AS cell FROM sc WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, cid AS cell FROM sc WHERE vec_id < 5 AND rn <= 2),
+         |z AS (SELECT vec_id,
+         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+         |        embedding FROM embeddings),
+         |qv AS (SELECT vec_id,
+         |         CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+         |              ELSE list_transform(embedding,
+         |                     x -> CAST(floor(CAST(x AS DOUBLE) * CAST(127 AS DOUBLE) / amax
+         |                                + CAST(0.5 AS DOUBLE)) AS INT)) END AS qvec
+         |       FROM z),
+         |qn AS (SELECT vec_id, qvec,
+         |         CAST(list_sum(list_transform(qvec, v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS nrm
+         |       FROM qv),
+         |dq AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    list_reduce(list_transform(list_zip(a.qvec, b.qvec),
+         |      z -> CAST(z[1] AS BIGINT) * z[2]), (acc, x) -> acc + x) AS dot_q,
+         |    a.nrm AS nq, b.nrm AS nv
+         |  FROM q JOIN asg c ON q.cell = c.cell
+         |  JOIN qn a ON a.vec_id = q.q_id
+         |  JOIN qn b ON b.vec_id = c.vec_id),
+         |cs AS (SELECT q_id, vec_id,
+         |         CASE WHEN nq * nv = 0 THEN 0.0
+         |              ELSE CAST(dot_q AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nv AS DOUBLE)) END AS cosq
+         |       FROM dq)
+         |SELECT q_id, vec_id, round(cosq, 6) AS cosq_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosq DESC, vec_id) AS rn
+         |  FROM cs)
+         |WHERE rn <= 3
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val nCells = Similarity.scaledCells(emb.count())
+      Similarity.ivfTopKInt8(emb, queries, 3, nCells = nCells, nprobe = 2)
+        .select(col("q_id"), col("vec_id"), round(col("cosq"), 6).as("cosq_r"))
     }
   )
 

@@ -465,6 +465,37 @@ object Similarity {
     TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
   }
 
+  /** x83: IVF cells + int8 scoring — the composition of the coarse
+    * quantizer ([[ivfTopK]]) with scalar quantization ([[int8TopK]]),
+    * i.e. the `IVF,SQ8` configuration production ANN systems default
+    * to: cell assignment stays fp32 (centroid argmax is a narrow pass
+    * whose cost doesn't touch the stored corpus), while the
+    * within-cell candidate scoring — the part that actually scans
+    * stored vectors — runs on the 4× smaller int8 column with exact
+    * integer dots/norms. The two compressions multiply with the cell
+    * pruning: candidates shrink ~nCells/nprobe× AND each candidate
+    * read is 4× cheaper. Same cache-lifetime contract as [[ivfTopK]]
+    * (centroids persist, caller clears). Recall vs the fp32 IVF route
+    * at identical cells/probes is gated in Int8AnnSpec. */
+  def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nCells: Int = 8, nprobe: Int = 1): DataFrame = {
+    import graft.plans.functions.{int_dot_fold, int_sqnorm_fold, quantize_int8}
+    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")).persist()
+    val c = assignCells(corpus, "vec_id", "embedding", cents, 1)
+      .select(col("cell"), col("vec_id"), quantize_int8(col("embedding")).as("qv"),
+        int_sqnorm_fold(quantize_int8(col("embedding"))).as("nv"))
+    val q = assignCells(queries, "q_id", "q_emb", cents, nprobe)
+      .select(col("cell"), col("q_id"), quantize_int8(col("q_emb")).as("qq"),
+        int_sqnorm_fold(quantize_int8(col("q_emb"))).as("nq"))
+    val scored = c.join(broadcast(q), "cell")
+      .select(col("q_id"), col("vec_id"),
+        when(col("nq") * col("nv") === 0L, 0.0)
+          .otherwise(int_dot_fold(col("qq"), col("qv")).cast("double") /
+            sqrt(col("nq").cast("double") * col("nv").cast("double"))).as("cosq"))
+    TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cosq").desc, col("vec_id")), k)
+  }
+
   /** Two-level IVF ANN — the scale form of [[ivfTopK]] past ~10⁹
     * vectors, where the flat quantizer's √n-centroid broadcast and
     * O(n^1.5) assignment become the binding costs (see [[scaledCells]]).

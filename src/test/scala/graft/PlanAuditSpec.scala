@@ -70,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     "x75_int8_ann",               // fixed query set (quantized x06 shape)
     "x78_matryoshka_ann",         // fixed query set; stage-2 rerank broadcast
     "x80_triplets",               // fixed anchor batch (x71 composition)
-    "x81_rrf_fusion"              // single-row dense query vector (x52 shape)
+    "x81_rrf_fusion",             // single-row dense query vector (x52 shape)
+    "x83_ivf_int8"                // centroid set (scaledCells-capped)
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -110,7 +111,8 @@ class PlanAuditSpec extends SparkSpec {
     "x75_int8_ann",               // fixed query set (quantized x06 shape)
     "x78_matryoshka_ann",         // fixed query set (truncated-prefix stage 1)
     "x80_triplets",               // fixed anchor batch (x71 composition)
-    "x81_rrf_fusion"              // single-row dense query vector + x53's bounded stats
+    "x81_rrf_fusion",             // single-row dense query vector + x53's bounded stats
+    "x83_ivf_int8"                // centroid set + probed query assignment
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

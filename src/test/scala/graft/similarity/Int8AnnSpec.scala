@@ -125,6 +125,27 @@ class Int8AnnSpec extends SparkSpec {
     } finally emb.unpersist()
   }
 
+  test("sf0.1 IVF,SQ8: int8-scored cells reach >= 0.95 of the fp32 IVF route's recall, same cells/probes") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").persist()
+    try {
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val nCells = Similarity.scaledCells(emb.count())
+      val fp32 = rs(Similarity.ivfTopK(emb, queries, 3, nCells, nprobe = 2))
+      spark.catalog.clearCache()
+      val int8 = rs(Similarity.ivfTopKInt8(emb, queries, 3, nCells, nprobe = 2))
+      spark.catalog.clearCache()
+      // identical coarse assignment (both fp32), so any difference is
+      // quantization reordering inside the probed candidate set — with
+      // recall@3 perturbations ~1e-3 the sets should coincide
+      val agree = (fp32 intersect int8).size.toDouble / fp32.size
+      info(f"IVF,SQ8 vs IVF fp32 top-3 agreement = $agree%.3f (cells=$nCells)")
+      assert(agree >= 0.95, s"int8 cell scoring diverged from fp32: $agree")
+    } finally emb.unpersist()
+  }
+
   test("property: sampled random vectors — quantization bounds, half-step error, Cauchy-Schwarz in int space") {
     import org.scalacheck.Gen
     val gen = Gen.listOfN(60,
