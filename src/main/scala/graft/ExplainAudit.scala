@@ -33,7 +33,8 @@ object ExplainAudit {
         "x72_classifier_score", "x73_epoch_plan", "x74_embed_quantize",
         "x75_int8_ann", "x76_compact_plan", "x77_pack_stats",
         "x78_matryoshka_ann", "x79_export_diff", "x80_triplets",
-        "x81_rrf_fusion", "x82_pack_offsets", "x83_ivf_int8")
+        "x81_rrf_fusion", "x82_pack_offsets", "x83_ivf_int8",
+        "x84_signal_agreement")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

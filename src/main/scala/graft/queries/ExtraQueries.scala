@@ -2656,6 +2656,57 @@ object ExtraQueries {
       val nCells = Similarity.scaledCells(emb.count())
       Similarity.ivfTopKInt8(emb, queries, 3, nCells = nCells, nprobe = 2)
         .select(col("q_id"), col("vec_id"), round(col("cosq"), 6).as("cosq_r"))
+    },
+
+    // ----- cross-signal calibration: classifier score deciles vs the
+    // Gopher rules gate (monotone table = the signals rank quality
+    // consistently; flat = the classifier adds nothing over the rules)
+    QueryDef("x84_signal_agreement",
+      "quality-signal calibration table: classifier score (x72) in 10 fixed-width bins x Gopher pass rate (x30) per bin — fixed-arithmetic bins (no decile window), one doc-keyed join, 10-row aggregate")(
+      s"""WITH ${tokenHashesD("documents")},
+         |scc AS (SELECT doc_id, CAST(len(hx) AS BIGINT) AS n_feats,
+         |  CAST(CASE WHEN len(hx) = 0 THEN 0
+         |       ELSE list_sum([((((h % 262144) * 2654435761) % 1000003) % 2001) - 1000 FOR h IN hx]) END AS BIGINT) AS wsum
+         |  FROM th),
+         |sco AS (SELECT doc_id,
+         |  CASE WHEN n_feats = 0 THEN 0.0 ELSE CAST(wsum AS DOUBLE) / (n_feats * 1000.0) END AS score
+         |  FROM scc),
+         |gw AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM n),
+         |gm AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(length(t) - len(ws) + 1 AS DOUBLE) / len(ws) AS mwl,
+         |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |  CAST(length(t) - length(replace(t, '#', ''))
+         |     + (length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS sym,
+         |  CAST((CASE WHEN contains(' ' || t || ' ', ' the ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' a ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' of ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' and ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' to ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' in ') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+         |  FROM gw),
+         |gf AS (SELECT doc_id,
+         |  (n_words BETWEEN 50 AND 100000)
+         |  AND (mwl BETWEEN 3.0 AND 10.0)
+         |  AND (CAST(sym AS DOUBLE) / n_words < 0.1)
+         |  AND (CAST(alpha_words AS DOUBLE) / n_words > 0.8)
+         |  AND (stop_hits >= 2) AS passes
+         |  FROM gm),
+         |b AS (SELECT least(CAST(9 AS BIGINT), greatest(CAST(0 AS BIGINT),
+         |        CAST(floor(score * 5 + 5) AS BIGINT))) AS score_bin, passes
+         |      FROM sco JOIN gf USING (doc_id))
+         |SELECT score_bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+         |  round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 6) AS pass_rate_r
+         |FROM b GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextOps.signalAgreement(
+        TextOps.classifierScore(docs, col("doc_id"), col("text"))
+          .select("doc_id", "score"),
+        TextOps.gopherFlags(docs, col("doc_id"), col("text"))
+          .select("doc_id", "passes"))
     }
   )
 

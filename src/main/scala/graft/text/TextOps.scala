@@ -476,6 +476,28 @@ object TextOps {
           col("alpha_ok") && col("stops_ok"))
   }
 
+  /** x84 — cross-signal calibration table: bucket the classifier score
+    * ([[classifierScore]], ∈ [−1, 1] by construction) into 10 fixed-
+    * width bins and report the [[gopherFlags]] pass rate per bin — the
+    * agreement diagnostic a curation engineer reads before trusting a
+    * model-based filter with a keep/drop threshold (a monotone table
+    * says the two signals rank quality consistently; a flat one says
+    * the classifier adds nothing over the rules). Fixed-width bins
+    * (floor(score·5 + 5), clamped) instead of ntile: identical
+    * arithmetic in every engine and NO global window — decile ranks
+    * would need a corpus-wide sort. Inputs: (doc_id, score) and
+    * (doc_id, passes). Two narrow projections feeding one doc-keyed
+    * equi-join + a 10-row map-side-combinable aggregation. */
+  def signalAgreement(scores: DataFrame, gates: DataFrame): DataFrame =
+    scores.join(gates, "doc_id")
+      .select(expr("least(CAST(9 AS BIGINT), greatest(CAST(0 AS BIGINT)," +
+        " CAST(floor(score * 5 + 5) AS BIGINT)))").as("score_bin"), col("passes"))
+      .groupBy("score_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_gopher_pass"))
+      .withColumn("pass_rate_r", round(col("n_gopher_pass").cast(DoubleType)
+        / col("n_docs").cast(DoubleType), 6))
+
   /** Deterministic train/val/test assignment + per-(split, lang) corpus
     * budget: the content fingerprint mod 100 buckets each document
     * (< 80 train, < 90 val, else test) — the hash-based split every

@@ -72,6 +72,24 @@ class TextOpsSpec extends SparkSpec {
     assert(seq1 === Seq((2L, 0L), (3L, 2L)))
   }
 
+  test("signalAgreement: bin edges clamp (+1 -> 9, -1 -> 0), rates exact, unjoined docs drop") {
+    val scores = Seq(
+      (1L, 1.0), (2L, -1.0), (3L, 0.0), (4L, 0.0), (5L, 0.19), (6L, 0.21),
+      (9L, 0.5) // no gate row: must not appear
+    ).toDF("doc_id", "score")
+    val gates = Seq(
+      (1L, true), (2L, false), (3L, true), (4L, false), (5L, true), (6L, true)
+    ).toDF("doc_id", "passes")
+    val out = TextOps.signalAgreement(scores, gates)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(9L) === ((1L, 1L, 1.0)), s"score 1.0 must clamp to bin 9: $out")
+    assert(out(0L) === ((1L, 0L, 0.0)), s"score -1.0 must clamp to bin 0: $out")
+    // 0.0 and 0.19 land in bin 5 ([0, 0.2)); 0.21 in bin 6
+    assert(out(5L) === ((3L, 2L, 0.666667)), s"bin 5 wrong: $out")
+    assert(out(6L) === ((1L, 1L, 1.0)), s"bin 6 wrong: $out")
+    assert(out.values.map(_._1).sum === 6L, s"unjoined doc leaked: $out")
+  }
+
   test("packWithOffsets (zero-shuffle arithmetic) equals packOffsets(pack) row for row") {
     val docs = Seq(
       (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l m"),
