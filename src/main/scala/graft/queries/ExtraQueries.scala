@@ -2707,6 +2707,36 @@ object ExtraQueries {
           .select("doc_id", "score"),
         TextOps.gopherFlags(docs, col("doc_id"), col("text"))
           .select("doc_id", "passes"))
+    },
+
+    // ----- data-recipe materializer: temperature-smoothed per-source
+    // budgets (alpha = 0.5) realized as a deterministic RNG-free
+    // selection — the last selection step before export
+    QueryDef("x85_recipe_apply",
+      "recipe materializer: per-source budget = floor(sqrt(share)/sum(sqrt(share)) * 2000) (temperature-smoothed mixture), then the two-phase hash-ordered token-budget selection per source with its OWN budget — exact integers everywhere except the ordered-fold normalizer")(
+      s"""WITH n AS (SELECT doc_id, source, text, $normD AS t FROM documents),
+         |h AS (SELECT doc_id, source AS stratum,
+         |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |        ${charFoldD("t")} AS hk
+         |      FROM n),
+         |st AS (SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS st FROM h GROUP BY 1),
+         |tt AS (SELECT CAST(sum(st) AS BIGINT) AS tt FROM st),
+         |w AS (SELECT stratum, sqrt(CAST(st AS DOUBLE) / tt) AS w FROM st CROSS JOIN tt),
+         |z AS (SELECT list_reduce(list(w ORDER BY stratum), (a, x) -> a + x) AS z FROM w),
+         |b AS (SELECT stratum, CAST(floor(w / z * CAST(2000 AS DOUBLE)) AS BIGINT) AS budget
+         |      FROM w CROSS JOIN z),
+         |c AS (SELECT doc_id, stratum, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hk, doc_id) AS cum_tokens
+         |      FROM h)
+         |SELECT c.doc_id, c.stratum, c.n_tokens,
+         |       CAST(c.cum_tokens AS BIGINT) AS cum_tokens, b.budget
+         |FROM c JOIN b USING (stratum) WHERE c.cum_tokens <= b.budget
+         |""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextOps.tokenBudgetSampleWeighted(docs, col("doc_id"), col("text"),
+        col("source"),
+        TextOps.recipeBudgets(docs, col("source"), col("text"),
+          totalBudget = 2000L))
     }
   )
 

@@ -733,6 +733,70 @@ object TextOps {
       .select("doc_id", "stratum", "n_tokens", "cum_tokens")
   }
 
+  /** x85 (budgets half) — the data-recipe head: per-source token
+    * budgets from temperature-smoothed corpus shares, budget_s =
+    * ⌊(√share_s / Σ√share) · total⌋ (α = 0.5, the x54 smoothing — low-
+    * resource sources get more than their raw share, dominant ones
+    * less). Share ratios are exact-long divisions; the one cross-source
+    * double sum (the normalizer Σ√share) is an ORDERED left fold over
+    * the bounded source set (the x27 idiom), so budgets are
+    * engine-reproducible. Output: (stratum, budget) — source-count
+    * rows. */
+  def recipeBudgets(docs: DataFrame, source: Column, text: Column,
+                    totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val st = docs.select(source.as("stratum"), wsTokenCount(text).as("_tok"))
+      .groupBy("stratum").agg(sum(col("_tok")).as("_st"))
+    val tt = st.agg(sum(col("_st")).as("_tt"))
+    val w = st.crossJoin(broadcast(tt))
+      .withColumn("w", sqrt(col("_st").cast(DoubleType) / col("_tt")))
+    val z = w.agg(aggregate(array_sort(collect_list(struct(col("stratum"), col("w")))),
+      lit(0.0), (a, x) => a + x.getField("w")).as("z"))
+    w.crossJoin(broadcast(z))
+      .select(col("stratum"),
+        floor(col("w") / col("z") * lit(totalBudget.toDouble))
+          .cast(LongType).as("budget"))
+  }
+
+  /** x85 (selection half) — [[tokenBudgetSample]] generalized to a
+    * PER-STRATUM budget table (the scalar form keeps its own audited
+    * hint-free plan): same two-phase bucketed prefix sums — per-bucket
+    * subtotals, exclusive offsets, then a running sum only WITHIN
+    * (stratum, bucket) — with the budget joined per stratum (a
+    * source-count-bounded frame; strategy left to AQE, the x36
+    * discipline). Buckets whose offset already exceeds their stratum's
+    * budget are dropped before the join so their documents never
+    * shuffle into a sort. Composed with [[recipeBudgets]] this is the
+    * recipe MATERIALIZER: the deterministic, RNG-free document
+    * selection that realizes a target mixture at a token budget —
+    * the last selection step before export. */
+  def tokenBudgetSampleWeighted(docs: DataFrame, id: Column, text: Column,
+                                strata: Column, budgets: DataFrame,
+                                nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val h = docs.select(id.as("doc_id"), strata.as("stratum"),
+        wsTokenCount(text).as("n_tokens"),
+        fingerprint(norm(text)).as("_hk"))
+      .withColumn("_bkt", coalesce(shiftright(col("_hk"), shift),
+        lit(-nBuckets.toLong)))
+    val wOff = Window.partitionBy(col("stratum")).orderBy(col("_bkt"))
+    val offsets = h.groupBy("stratum", "_bkt")
+      .agg(sum(col("n_tokens")).as("_sub"))
+      .withColumn("_off", sum(col("_sub")).over(wOff) - col("_sub"))
+      .join(budgets, "stratum")
+      .filter(col("_off") <= col("budget"))
+      .select("stratum", "_bkt", "_off", "budget")
+    val wIn = Window.partitionBy(col("stratum"), col("_bkt"))
+      .orderBy(col("_hk"), col("doc_id"))
+    h.join(offsets, Seq("stratum", "_bkt"))
+      .withColumn("cum_tokens", col("_off") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("doc_id", "stratum", "n_tokens", "cum_tokens", "budget")
+  }
+
   /** Per-stratum quota cap: keep at most `k` documents per stratum
     * (source domain, language, ...) ranked by quality descending with
     * doc_id as the deterministic tie-break — the "no single domain

@@ -71,7 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     "x78_matryoshka_ann",         // fixed query set; stage-2 rerank broadcast
     "x80_triplets",               // fixed anchor batch (x71 composition)
     "x81_rrf_fusion",             // single-row dense query vector (x52 shape)
-    "x83_ivf_int8"                // centroid set (scaledCells-capped)
+    "x83_ivf_int8",               // centroid set (scaledCells-capped)
+    "x85_recipe_apply"            // singleton totals + bounded normalizer rows
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -112,7 +113,8 @@ class PlanAuditSpec extends SparkSpec {
     "x78_matryoshka_ann",         // fixed query set (truncated-prefix stage 1)
     "x80_triplets",               // fixed anchor batch (x71 composition)
     "x81_rrf_fusion",             // single-row dense query vector + x53's bounded stats
-    "x83_ivf_int8"                // centroid set + probed query assignment
+    "x83_ivf_int8",               // centroid set + probed query assignment
+    "x85_recipe_apply"            // singleton token-totals + normalizer rows
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -72,6 +72,37 @@ class TextOpsSpec extends SparkSpec {
     assert(seq1 === Seq((2L, 0L), (3L, 2L)))
   }
 
+  test("recipeBudgets: sums within total, smoothing up-weights the low-resource source") {
+    // src a: 9x the tokens of src b (one-word docs vs nine-word docs)
+    val docs = Seq(
+      (1L, "a", "w w w w w w w w w"), (2L, "a", "w w w w w w w w w"),
+      (3L, "b", "w"), (4L, "b", "w")).toDF("doc_id", "source", "text")
+    val b = TextOps.recipeBudgets(docs, col("source"), col("text"), totalBudget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(b.values.sum <= 1000L, s"budgets exceed total: $b")
+    // raw shares: a = 0.9, b = 0.1 -> smoothed sqrt: 0.75 / 0.25 — b's
+    // budget share must exceed its raw token share
+    assert(b("b").toDouble / 1000 > 0.1, s"low-resource source not up-weighted: $b")
+    assert(b("a") > b("b"), s"dominant source must still get more: $b")
+  }
+
+  test("tokenBudgetSampleWeighted with a constant budget table equals the scalar sampler") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"src${i % 4}", ("tok " * (i % 7 + 1)).trim))
+      .toDF("doc_id", "source", "text")
+    val scalar = TextOps.tokenBudgetSample(docs, col("doc_id"), col("text"),
+      col("source"), budget = 15L)
+      .select("doc_id", "stratum", "n_tokens", "cum_tokens")
+      .collect().map(_.toSeq).toSet
+    val budgets = docs.select(col("source").as("stratum")).distinct()
+      .withColumn("budget", lit(15L))
+    val weighted = TextOps.tokenBudgetSampleWeighted(docs, col("doc_id"),
+      col("text"), col("source"), budgets)
+      .select("doc_id", "stratum", "n_tokens", "cum_tokens")
+      .collect().map(_.toSeq).toSet
+    assert(weighted === scalar, s"forms disagree:\n$weighted\nvs\n$scalar")
+  }
+
   test("signalAgreement: bin edges clamp (+1 -> 9, -1 -> 0), rates exact, unjoined docs drop") {
     val scores = Seq(
       (1L, 1.0), (2L, -1.0), (3L, 0.0), (4L, 0.0), (5L, 0.19), (6L, 0.21),
