@@ -69,6 +69,29 @@ object TextOps {
   def fingerprint(text: Column): Column =
     graft.plans.functions.poly_hash(text)
 
+  /** Order-preserving range bucket over the poly-hash domain [0, P):
+    * _bkt = hk DIV ceil(P/nBuckets), so bucket id is a NON-DECREASING
+    * function of hk and a bucketed two-phase prefix sum reconstructs
+    * the exact global (hk, id) order. The domain matters: poly-hash
+    * values are mod P ≈ 2³⁰, so the previous top-bits bucketing
+    * (`shiftright(hk, 64−log₂ n)`) always returned 0 — every row in
+    * ONE bucket, silently degrading the phase-2 window to a single
+    * task (the exact hazard the two-phase exists to avoid; plan-shape
+    * audits could not see it because the exchange on _bkt was still
+    * planned). Null hashes get a dedicated bucket below the range
+    * (non-null, so equi-joins keep them; nulls sort first like the
+    * oracle's NULLS FIRST). Spec-pinned: TextOpsSpec asserts real
+    * multi-bucket dispersion on a small corpus. */
+  private[text] def rangeBucket(hk: Column, nBuckets: Int): Column = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val divisor = (graft.plans.HashUtil.P + nBuckets - 1) / nBuckets
+    // floor(double-div) is monotone in hk (division correctly rounded,
+    // floor monotone), which is all order reconstruction needs; hk < 2³⁰
+    // and the divisor are both exactly representable
+    coalesce(floor(hk.cast(DoubleType) / lit(divisor.toDouble)).cast(LongType),
+      lit(-nBuckets.toLong))
+  }
+
   /** PII-ish patterns kept deliberately dialect-neutral (identical
     * semantics in Java regex and RE2, so oracle engines agree):
     * email-shaped tokens and http(s) URLs. */
@@ -266,8 +289,8 @@ object TextOps {
     * "shuffle the training set reproducibly" step (hash order is
     * row-order immune, engine-portable, and free of RNG state; any
     * engine derives the same epoch order). Computed WITHOUT a global
-    * sort: the hash's top bits bucket the corpus order-monotonically
-    * (arithmetic shift, same trick as tokenBudgetSample), per-bucket
+    * sort: [[rangeBucket]] buckets the corpus order-monotonically over
+    * the poly-hash domain (same trick as tokenBudgetSample), per-bucket
     * counts become cumulative offsets through a window over ≤ nBuckets
     * rows, and each document's rank is offset + its row_number within
     * its bucket only — a global row_number()'s one-task sort never
@@ -276,12 +299,8 @@ object TextOps {
   def trainOrder(docs: DataFrame, id: Column, text: Column,
                  nBuckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
-      s"nBuckets must be a power of two, got $nBuckets")
-    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
     val h = docs.select(id.as("doc_id"), fingerprint(norm(text)).as("_hk"))
-      .withColumn("_bkt", coalesce(shiftright(col("_hk"), shift),
-        lit(-nBuckets.toLong)))
+      .withColumn("_bkt", rangeBucket(col("_hk"), nBuckets))
     // pmod(_bkt, 1): always-zero partition key the optimizer cannot
     // fold away (a bare lit(0) IS folded out of the partition spec,
     // leaving a warning-generating global window); the frame is the
@@ -701,17 +720,13 @@ object TextOps {
                         strata: Column, budget: Long,
                         nBuckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
-      s"nBuckets must be a power of two, got $nBuckets")
-    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
     val h = docs.select(id.as("doc_id"), strata.as("stratum"),
         wsTokenCount(text).as("n_tokens"),
         fingerprint(norm(text)).as("_hk"))
       // null hashes (null text) sort first under the window version's
-      // nulls-first ordering; give them a dedicated bucket below the
-      // shift range (non-null, so the equi-join back doesn't drop them)
-      .withColumn("_bkt", coalesce(shiftright(col("_hk"), shift),
-        lit(-nBuckets.toLong)))
+      // nulls-first ordering; rangeBucket gives them a dedicated bucket
+      // below the hash range (non-null, so the equi-join back keeps them)
+      .withColumn("_bkt", rangeBucket(col("_hk"), nBuckets))
     // phase 1: per-bucket subtotals (strata x nBuckets rows, longs only)
     val wOff = Window.partitionBy(col("stratum")).orderBy(col("_bkt"))
     val offsets = h.groupBy("stratum", "_bkt")
@@ -774,14 +789,10 @@ object TextOps {
                                 strata: Column, budgets: DataFrame,
                                 nBuckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
-      s"nBuckets must be a power of two, got $nBuckets")
-    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
     val h = docs.select(id.as("doc_id"), strata.as("stratum"),
         wsTokenCount(text).as("n_tokens"),
         fingerprint(norm(text)).as("_hk"))
-      .withColumn("_bkt", coalesce(shiftright(col("_hk"), shift),
-        lit(-nBuckets.toLong)))
+      .withColumn("_bkt", rangeBucket(col("_hk"), nBuckets))
     val wOff = Window.partitionBy(col("stratum")).orderBy(col("_bkt"))
     val offsets = h.groupBy("stratum", "_bkt")
       .agg(sum(col("n_tokens")).as("_sub"))

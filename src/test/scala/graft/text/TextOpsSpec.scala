@@ -72,6 +72,24 @@ class TextOpsSpec extends SparkSpec {
     assert(seq1 === Seq((2L, 0L), (3L, 2L)))
   }
 
+  test("rangeBucket: real multi-bucket dispersion over the poly-hash domain, order-monotone") {
+    // the regression this pins: top-bits bucketing of a mod-2^30 hash
+    // put EVERY row in bucket 0 (shiftright by 54 of a value < 2^54),
+    // silently making the phase-2 window a single task
+    val docs = (1 to 200).map(i => (i.toLong, s"document number $i text"))
+      .toDF("doc_id", "text")
+    val b = docs.select(TextOps.fingerprint(TextOps.norm(col("text"))).as("_hk"))
+      .select(col("_hk"), TextOps.rangeBucket(col("_hk"), 1024).as("_bkt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val distinct = b.map(_._2).distinct
+    assert(distinct.length > 50, s"bucketing degenerate: ${distinct.length} buckets for 200 docs")
+    // order-monotone: sorting by bucket then hash equals sorting by hash
+    val byHash = b.sortBy(_._1).toSeq
+    val byBkt = b.sortBy(x => (x._2, x._1)).toSeq
+    assert(byBkt === byHash, "bucket id is not a monotone function of the hash")
+    assert(b.forall { case (_, bk) => bk >= 0 && bk < 1024 }, s"bucket out of range")
+  }
+
   test("recipeBudgets: sums within total, smoothing up-weights the low-resource source") {
     // src a: 9x the tokens of src b (one-word docs vs nine-word docs)
     val docs = Seq(
