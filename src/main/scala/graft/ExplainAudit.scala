@@ -34,7 +34,7 @@ object ExplainAudit {
         "x75_int8_ann", "x76_compact_plan", "x77_pack_stats",
         "x78_matryoshka_ann", "x79_export_diff", "x80_triplets",
         "x81_rrf_fusion", "x82_pack_offsets", "x83_ivf_int8",
-        "x84_signal_agreement", "x85_recipe_apply")
+        "x84_signal_agreement", "x85_recipe_apply", "x86_epoch_order")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -2737,6 +2737,26 @@ object ExtraQueries {
         col("source"),
         TextOps.recipeBudgets(docs, col("source"), col("text"),
           totalBudget = 2000L))
+    },
+
+    // ----- epoch-seeded reshuffle: x44's permutation independently
+    // re-drawn per epoch (Lehmer-salted content hash, no RNG state)
+    QueryDef("x86_epoch_order",
+      "per-epoch training permutations: epochs 0 and 2 under per-epoch Lehmer multipliers ek = hk * 48271^(epoch+1) mod P — each epoch a distinct deterministic global permutation any engine re-derives (an ADDITIVE salt preserves modular order almost everywhere; the multiplier change scrambles it); bucketed two-phase rank, no global sort")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |h AS (SELECT doc_id, ${charFoldD("t")} AS hk FROM n),
+         |e AS (SELECT doc_id, 0 AS epoch, (hk * ${TextOps.epochSeed(0)}) % 1000000007 AS ek FROM h
+         |      UNION ALL
+         |      SELECT doc_id, 2 AS epoch, (hk * ${TextOps.epochSeed(2)}) % 1000000007 AS ek FROM h)
+         |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+         |       CAST(row_number() OVER (PARTITION BY epoch
+         |              ORDER BY ek NULLS FIRST, doc_id) AS BIGINT) AS seq
+         |FROM e
+         |""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def ep(e: Long) = TextOps.epochOrder(docs, col("doc_id"), col("text"), e)
+        .select(col("doc_id"), lit(e).as("epoch"), col("seq"))
+      ep(0L).unionAll(ep(2L))
     }
   )
 

@@ -82,6 +82,12 @@ object TextOps {
     * (non-null, so equi-joins keep them; nulls sort first like the
     * oracle's NULLS FIRST). Spec-pinned: TextOpsSpec asserts real
     * multi-bucket dispersion on a small corpus. */
+  /** The per-epoch Lehmer multiplier 48271^(epoch+1) mod P (48271 is a
+    * primitive-root Lehmer constant, so every seed is a full-period
+    * multiplier and hk ↦ hk·sₑ mod P a bijection of [1, P)). */
+  def epochSeed(epoch: Long): Long =
+    BigInt(48271L).modPow(BigInt(epoch + 1), BigInt(graft.plans.HashUtil.P)).toLong
+
   private[text] def rangeBucket(hk: Column, nBuckets: Int): Column = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val divisor = (graft.plans.HashUtil.P + nBuckets - 1) / nBuckets
@@ -746,6 +752,42 @@ object TextOps {
       .withColumn("cum_tokens", col("_off") + sum(col("n_tokens")).over(wIn))
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "stratum", "n_tokens", "cum_tokens")
+  }
+
+  /** x86 — epoch-seeded training order: [[trainOrder]]'s reproducible
+    * global permutation, independently reshuffled per epoch — the
+    * between-epochs re-permutation every multi-epoch training run
+    * applies (same data, different order each pass; see x73's epoch
+    * budgets for WHICH data repeats). The salt must change the
+    * MULTIPLIER, not add an offset: (hk + c) mod P preserves almost
+    * every pairwise order (only the ~c/P fraction of pairs straddling
+    * the wrap reorder — measured ZERO changed ranks on the sf0.01
+    * corpus), so ek = hk·sₑ mod P with sₑ = 48271^(epoch+1) mod P —
+    * a different full-period Lehmer bijection per epoch, thoroughly
+    * order-scrambling. Exact integer arithmetic (products < 2⁶⁰,
+    * inside BIGINT range), identical in any engine — epoch 0, 1, 2…
+    * are distinct deterministic permutations reproducible with no RNG
+    * state, and a resumed run re-derives the exact order of any
+    * epoch. Same scale shape as trainOrder: [[rangeBucket]] over the
+    * salted-hash domain, bucketed two-phase rank, no global sort.
+    * Output: (doc_id, seq). */
+  def epochOrder(docs: DataFrame, id: Column, text: Column, epoch: Long,
+                 nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    val p = graft.plans.HashUtil.P
+    val se = epochSeed(epoch)
+    val h = docs.select(id.as("doc_id"),
+        ((fingerprint(norm(text)) * se) % p).as("_hk"))
+      .withColumn("_bkt", rangeBucket(col("_hk"), nBuckets))
+    val wOff = Window.partitionBy(pmod(col("_bkt"), lit(1L))).orderBy(col("_bkt"))
+    val offsets = h.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", sum(col("_n")).over(wOff) - col("_n"))
+      .select("_bkt", "_off")
+    val wIn = Window.partitionBy(col("_bkt")).orderBy(col("_hk"), col("doc_id"))
+    h.join(offsets, Seq("_bkt"))
+      .select(col("doc_id"),
+        (col("_off") + row_number().over(wIn)).as("seq"))
   }
 
   /** x85 (budgets half) — the data-recipe head: per-source token

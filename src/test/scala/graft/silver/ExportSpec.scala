@@ -42,6 +42,17 @@ class ExportSpec extends SparkSpec {
     assert(mismatch === 0L)
   }
 
+  test("shard assignment disperses at runtime: every shard populated, no shard dominates") {
+    // the bucket-degeneration lesson (PLANS.md session-5 part 3): a
+    // planned partitioning proves nothing about the runtime key
+    // distribution — pin the dispersion itself
+    val m = Export.shardManifest(corpus(400), col("doc_id"), col("text"), nShards = 8)
+      .select("shard", "n_docs").as[(Long, Long)].collect().toMap
+    assert(m.keySet === (0L until 8L).toSet, s"unpopulated shard: $m")
+    assert(m.values.max < 3L * m.values.min + 8,
+      s"shard skew beyond the hash-balance band: $m")
+  }
+
   test("shard assignment is a pure function of content: partitioning and row order do not matter") {
     val docs = corpus(100)
     val a = Export.shardManifest(docs, col("doc_id"), col("text"), nShards = 8)

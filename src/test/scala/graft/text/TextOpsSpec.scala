@@ -72,6 +72,23 @@ class TextOpsSpec extends SparkSpec {
     assert(seq1 === Seq((2L, 0L), (3L, 2L)))
   }
 
+  test("epochOrder: each epoch a complete permutation; different epochs genuinely reshuffle") {
+    val docs = (1 to 120).map(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+    def order(e: Long) = TextOps.epochOrder(docs, col("doc_id"), col("text"), e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (e0, e1, e0again) = (order(0), order(1), order(0))
+    // complete dense permutations
+    assert(e0.values.toSeq.sorted === (1L to 120L), s"epoch 0 not a permutation")
+    assert(e1.values.toSeq.sorted === (1L to 120L), s"epoch 1 not a permutation")
+    // reproducible within an epoch, genuinely reshuffled across epochs
+    assert(e0 === e0again, "epoch order not reproducible")
+    val moved = e0.count { case (d, s) => e1(d) != s }
+    // the additive-salt bug this pins: moved was ~0 of 120 (only
+    // wrap-around pairs reorder); a per-epoch multiplier moves nearly all
+    assert(moved > 100, s"epochs barely reshuffle: $moved/120 ranks moved")
+  }
+
   test("rangeBucket: real multi-bucket dispersion over the poly-hash domain, order-monotone") {
     // the regression this pins: top-bits bucketing of a mod-2^30 hash
     // put EVERY row in bucket 0 (shiftright by 54 of a value < 2^54),
