@@ -65,13 +65,29 @@ object VecUtil {
     * oracle evaluates — no engine-specific round() semantics involved.
     * Output element type is INT (not TINYINT) so the oracle-side list
     * arithmetic needs no narrowing casts; a storage-bound materializer
-    * would cast to TINYINT on write for the 4× scan saving. */
+    * would cast to TINYINT on write for the 4× scan saving.
+    *
+    * FINITE-INPUT contract, enforced: a NaN element would be ignored by
+    * absMaxFold (NaN > m is false) and floor(NaN)=NaN would .toInt to 0
+    * — a silently-wrong quantization the DuckDB oracle (which propagates
+    * amax=NaN) would diverge from. Rather than let the parity claim
+    * quietly fail on a corrupt embedding, a non-finite element fails the
+    * task fast with the offending index. */
   def quantizeInt8(a: ArrayData): ArrayData = {
     val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        throw new IllegalArgumentException(
+          s"quantize_int8: non-finite element $x at index $i — " +
+            "int8 quantization requires finite embeddings")
+      i += 1
+    }
     val amax = absMaxFold(a)
     val out = new Array[Int](n)
     if (amax != 0.0) {
-      var i = 0
+      i = 0
       while (i < n) {
         out(i) = math.floor(a.getFloat(i).toDouble * 127.0 / amax + 0.5).toInt
         i += 1

@@ -218,11 +218,17 @@ object Export {
     require(srcDir != dstDir, "compact rewrites src into a fresh dstDir")
     import org.apache.hadoop.fs.Path
     val fs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val inv = fs.globStatus(new Path(srcDir, "shard=*/part-*")).toSeq.map { st =>
-      val p = st.getPath
-      (p.getParent.getName.stripPrefix("shard=").toLong,
-        s"${p.getParent.getName}/${p.getName}", st.getLen)
-    }
+    // globStatus returns null (not empty) when nothing matches / the dir
+    // is missing — an unexpected layout must fail loudly, not NPE or
+    // silently rewrite zero rows.
+    val inv = Option(fs.globStatus(new Path(srcDir, "shard=*/part-*")))
+      .map(_.toSeq).getOrElse(Seq.empty).map { st =>
+        val p = st.getPath
+        (p.getParent.getName.stripPrefix("shard=").toLong,
+          s"${p.getParent.getName}/${p.getName}", st.getLen)
+      }
+    require(inv.nonEmpty,
+      s"compact: no shard=*/part-* files under $srcDir — not a writeSharded layout")
     val files = spark.createDataFrame(inv).toDF("shard", "file_id", "bytes")
     val plan = compactionPlan(files, col("shard"), col("file_id"),
       col("bytes"), targetBytes)
@@ -231,10 +237,18 @@ object Export {
     val rows = spark.read.parquet(srcDir)
       .withColumn("file_id", regexp_extract(input_file_name(),
         "(shard=[0-9]+/[^/]+)$", 1))
-    rows.join(broadcast(plan.select("shard", "file_id", "bin")),
+    val joined = rows.join(broadcast(plan.select("shard", "file_id", "bin")),
         Seq("shard", "file_id"))
       .drop("file_id")
-      .repartition(col("shard"), col("bin"))
+    // A row whose input_file_name misses the regexp or the plan would
+    // silently vanish through the inner join; count both sides once
+    // (metadata-cheap: count aggregates, no collect of data) and refuse
+    // to write a lossy rewrite.
+    val (nSrc, nJoined) = (rows.count(), joined.count())
+    require(nSrc == nJoined,
+      s"compact: $nSrc source rows but only $nJoined matched the plan — " +
+        "unexpected file layout; aborting before writing a lossy rewrite")
+    joined.repartition(col("shard"), col("bin"))
       .write.mode("overwrite").partitionBy("shard", "bin").parquet(dstDir)
     compactionSummary(plan)
   }

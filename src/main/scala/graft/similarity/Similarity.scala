@@ -482,12 +482,13 @@ object Similarity {
     import graft.plans.functions.{int_dot_fold, int_sqnorm_fold, quantize_int8}
     val cents = corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb")).persist()
+    // quantize ONCE, then fold over the materialized column (see int8TopK)
     val c = assignCells(corpus, "vec_id", "embedding", cents, 1)
-      .select(col("cell"), col("vec_id"), quantize_int8(col("embedding")).as("qv"),
-        int_sqnorm_fold(quantize_int8(col("embedding"))).as("nv"))
+      .select(col("cell"), col("vec_id"), quantize_int8(col("embedding")).as("qv"))
+      .select(col("cell"), col("vec_id"), col("qv"), int_sqnorm_fold(col("qv")).as("nv"))
     val q = assignCells(queries, "q_id", "q_emb", cents, nprobe)
-      .select(col("cell"), col("q_id"), quantize_int8(col("q_emb")).as("qq"),
-        int_sqnorm_fold(quantize_int8(col("q_emb"))).as("nq"))
+      .select(col("cell"), col("q_id"), quantize_int8(col("q_emb")).as("qq"))
+      .select(col("cell"), col("q_id"), col("qq"), int_sqnorm_fold(col("qq")).as("nq"))
     val scored = c.join(broadcast(q), "cell")
       .select(col("q_id"), col("vec_id"),
         when(col("nq") * col("nv") === 0L, 0.0)
@@ -911,17 +912,6 @@ object Similarity {
     df.withColumn("amax", graft.plans.functions.absmax_fold(col(emb)))
       .withColumn("qvec", graft.plans.functions.quantize_int8(col(emb)))
 
-  /** x75: brute-force cosine top-k in the QUANTIZED space — integer dot
-    * products and integer squared norms (exact longs, order-free), one
-    * IEEE division at the end. Same plan shape as [[bruteForceTopK]]
-    * (broadcast query batch, narrow corpus scan, WindowGroupLimit
-    * pre-truncation below the exchange) but the corpus side reads the
-    * 4× smaller int8 column when the quantized corpus is materialized —
-    * at embedding-corpus scale the scan is the whole cost, so this is
-    * the same recall/latency trade PQ makes (x41) with a far simpler
-    * decode. Recall vs the fp32 scan is gated in Int8AnnSpec.
-    * `corpus` must have (vec_id, embedding); `queries` (q_id, q_emb).
-    * Output: (q_id, vec_id, cosq) with k rows per query. */
   /** x78: matryoshka two-stage ANN (Kusupati et al. 2022) — the third
     * compression trade in the family (PQ = x41 codebooks, int8 = x75
     * precision, this = DIMENSIONS): stage 1 ranks by cosine over the
@@ -954,12 +944,26 @@ object Similarity {
     TopK.perGroup(re, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
   }
 
+  /** x75: brute-force cosine top-k in the QUANTIZED space — integer dot
+    * products and integer squared norms (exact longs, order-free), one
+    * IEEE division at the end. Same plan shape as [[bruteForceTopK]]
+    * (broadcast query batch, narrow corpus scan, WindowGroupLimit
+    * pre-truncation below the exchange) but the corpus side reads the
+    * 4× smaller int8 column when the quantized corpus is materialized —
+    * at embedding-corpus scale the scan is the whole cost, so this is
+    * the same recall/latency trade PQ makes (x41) with a far simpler
+    * decode. Recall vs the fp32 scan is gated in Int8AnnSpec.
+    * `corpus` must have (vec_id, embedding); `queries` (q_id, q_emb).
+    * Output: (q_id, vec_id, cosq) with k rows per query. */
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import graft.plans.functions.{int_dot_fold, int_sqnorm_fold, quantize_int8}
-    val qc = corpus.select(col("vec_id"), quantize_int8(col("embedding")).as("qv"),
-      int_sqnorm_fold(quantize_int8(col("embedding"))).as("nv"))
-    val qq = queries.select(col("q_id"), quantize_int8(col("q_emb")).as("qq"),
-      int_sqnorm_fold(quantize_int8(col("q_emb"))).as("nq"))
+    // quantize ONCE into qv/qq, then fold over the materialized column —
+    // don't rely on Spark subexpression elimination to dedupe the work
+    // on every corpus scan
+    val qc = corpus.select(col("vec_id"), quantize_int8(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"), int_sqnorm_fold(col("qv")).as("nv"))
+    val qq = queries.select(col("q_id"), quantize_int8(col("q_emb")).as("qq"))
+      .select(col("q_id"), col("qq"), int_sqnorm_fold(col("qq")).as("nq"))
     val scored = qc.crossJoin(broadcast(qq))
       .select(col("q_id"), col("vec_id"),
         when(col("nq") * col("nv") === 0L, 0.0)

@@ -69,6 +69,15 @@ object TextOps {
   def fingerprint(text: Column): Column =
     graft.plans.functions.poly_hash(text)
 
+  /** The per-epoch Lehmer multiplier 48271^(epoch+1) mod P. Any NONZERO
+    * multiplier makes hk ↦ hk·sₑ mod P a bijection of [1, P) because P
+    * is prime; distinct epochs get distinct seeds because 48271 has a
+    * large multiplicative order mod P = 1 000 000 007 (it is a
+    * primitive root of 2³¹−1, the classic MINSTD modulus, but NOT
+    * necessarily of this P — the bijection never needed that). */
+  def epochSeed(epoch: Long): Long =
+    BigInt(48271L).modPow(BigInt(epoch + 1), BigInt(graft.plans.HashUtil.P)).toLong
+
   /** Order-preserving range bucket over the poly-hash domain [0, P):
     * _bkt = hk DIV ceil(P/nBuckets), so bucket id is a NON-DECREASING
     * function of hk and a bucketed two-phase prefix sum reconstructs
@@ -82,12 +91,6 @@ object TextOps {
     * (non-null, so equi-joins keep them; nulls sort first like the
     * oracle's NULLS FIRST). Spec-pinned: TextOpsSpec asserts real
     * multi-bucket dispersion on a small corpus. */
-  /** The per-epoch Lehmer multiplier 48271^(epoch+1) mod P (48271 is a
-    * primitive-root Lehmer constant, so every seed is a full-period
-    * multiplier and hk ↦ hk·sₑ mod P a bijection of [1, P)). */
-  def epochSeed(epoch: Long): Long =
-    BigInt(48271L).modPow(BigInt(epoch + 1), BigInt(graft.plans.HashUtil.P)).toLong
-
   private[text] def rangeBucket(hk: Column, nBuckets: Int): Column = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val divisor = (graft.plans.HashUtil.P + nBuckets - 1) / nBuckets
