@@ -93,8 +93,8 @@ object GraftExtensions {
       a => MinHashSig(a.head, intArg("minhash_sig", "nHashes", a(1)))),
     fn("bigram_token_hashes", classOf[BigramTokenHashes], 1, "bigram_token_hashes(str)")(
       a => BigramTokenHashes(a.head)),
-    fn("lehmer_weight_sum", classOf[LehmerWeightSum], 2, "lehmer_weight_sum(array<bigint>, dim)")(
-      a => LehmerWeightSum(a.head, intArg("lehmer_weight_sum", "dim", a(1)))),
+    fn("hashed_weight_sum", classOf[HashedWeightSum], 2, "hashed_weight_sum(array<bigint>, array<bigint>)")(
+      a => HashedWeightSum(a.head, a(1))),
     fn("simhash16", classOf[SimHash16], 1, "simhash16(array<bigint>)")(
       a => SimHash16(a.head)),
     fn("simhash64_bands", classOf[SimHash64Bands], 1, "simhash64_bands(array<bigint>)")(
@@ -145,8 +145,9 @@ object functions {
   def bigram_token_hashes(c: Column): Column =
     GraftBridge.column(BigramTokenHashes(GraftBridge.expression(c)))
 
-  def lehmer_weight_sum(c: Column, dim: Int): Column =
-    GraftBridge.column(LehmerWeightSum(GraftBridge.expression(c), dim))
+  def hashed_weight_sum(feats: Column, weights: Column): Column =
+    GraftBridge.column(HashedWeightSum(GraftBridge.expression(feats),
+      GraftBridge.expression(weights)))
 
   def simhash16(c: Column): Column =
     GraftBridge.column(SimHash16(GraftBridge.expression(c)))

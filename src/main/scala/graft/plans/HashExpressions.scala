@@ -39,16 +39,19 @@ object HashUtil {
     acc
   }
 
-  /** Stand-in classifier weight sum over hashed features (x72):
-    * w(h) = ((h mod dim)·2654435761 mod 1000003) mod 2001 − 1000,
-    * summed in a tight loop. Hashes are non-negative (31-bit Lehmer
-    * range), so % is a true mod. Empty array → 0. */
-  def lehmerWeightSum(arr: ArrayData, dim: Int): Long = {
+  /** Trained-classifier weight sum over hashed features (x72):
+    * Σᵢ weights[hᵢ mod dim] with dim = weights.length — the scoring
+    * inner loop of a hashed linear model whose weight table rides along
+    * as a plan literal (the Spark equivalent of broadcasting the model).
+    * Hashes are non-negative (31-bit Lehmer range), so % is a true mod.
+    * Empty feature array → 0. */
+  def hashedWeightSum(arr: ArrayData, w: ArrayData): Long = {
+    val dim = w.numElements()
     var acc = 0L
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      acc += ((arr.getLong(i) % dim) * 2654435761L % 1000003L) % 2001L - 1000L
+      acc += w.getLong((arr.getLong(i) % dim).toInt)
       i += 1
     }
     acc
@@ -422,28 +425,38 @@ case class WinnowHashes(child: Expression, k: Int, w: Int) extends UnaryExpressi
 
 /** shingle_hashes(str, k): ARRAY<LONG> — distinct rolling k-shingle
   * hashes computed in one native loop per row. */
-/** lehmer_weight_sum(array<bigint>, dim): BIGINT — the x72 classifier's
-  * stand-in weight lookup + sum in one native loop:
-  * w(h) = ((h mod dim)·2654435761 mod 1000003) mod 2001 − 1000.
-  * Empty array → 0. The `aggregate` HOF form is CodegenFallback and
-  * would break the scan projection's whole-stage-codegen span. */
-case class LehmerWeightSum(child: Expression, dim: Int) extends UnaryExpression {
-  require(dim > 0, "weight table dimension must be positive")
+/** hashed_weight_sum(feats array<bigint>, weights array<bigint>): BIGINT
+  * — trained hashed-linear-classifier margin, Σᵢ weights[hᵢ mod
+  * len(weights)], in one native loop. The weights argument is the MODEL
+  * (a dense bucket→weight table, normally a plan Literal built from a
+  * trained artifact — model-sized, never corpus-sized); passing it as an
+  * expression keeps the scoring projection inside whole-stage codegen,
+  * where the `aggregate` HOF form would be CodegenFallback. Empty
+  * feature array → 0; feature hashes must be non-negative (the 31-bit
+  * Lehmer range [[BigramTokenHashes]] emits). */
+case class HashedWeightSum(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def isLongArray(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
   override def dataType: DataType = LongType
   override def checkInputDataTypes() =
-    if (child.dataType == ArrayType(LongType, containsNull = false) ||
-        child.dataType == ArrayType(LongType, containsNull = true))
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"lehmer_weight_sum requires ARRAY<BIGINT>, got ${child.dataType.catalogString}")
-  override protected def nullSafeEval(input: Any): Any =
-    HashUtil.lehmerWeightSum(input.asInstanceOf[ArrayData], dim)
+      s"hashed_weight_sum requires (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override protected def nullSafeEval(feats: Any, weights: Any): Any =
+    HashUtil.hashedWeightSum(feats.asInstanceOf[ArrayData],
+      weights.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.HashUtil.lehmerWeightSum($c, $dim);")
-  override protected def withNewChildInternal(newChild: Expression): LehmerWeightSum =
-    copy(child = newChild)
-  override def prettyName: String = "lehmer_weight_sum"
+    nullSafeCodeGen(ctx, ev, (f, w) =>
+      s"${ev.value} = graft.plans.HashUtil.hashedWeightSum($f, $w);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashedWeightSum =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "hashed_weight_sum"
 }
 
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {

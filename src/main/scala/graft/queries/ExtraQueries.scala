@@ -1792,21 +1792,27 @@ object ExtraQueries {
         budgetTokens = 100000L)
     },
 
-    // ----- fasttext-shaped hashed linear classifier (stand-in weights;
-    // the feature-hashing plumbing and plan shape are the real thing)
+    // ----- fasttext-shaped hashed linear classifier, TRAINED weights:
+    // NB log-count-ratio + integer batch-perceptron on a Gopher-labeled
+    // fixture (graft.TrainClassifier), persisted as a dense parquet
+    // artifact BOTH engines read — the weight table itself is inside
+    // the hash-compare
     QueryDef("x72_classifier_score",
-      "hashed linear quality classifier: native word-bigram feature hashing, shared-weight buckets mod 2^18, deterministic integer stand-in weights — order-free exact sums, one codegen'd zero-shuffle projection")(
+      "hashed linear quality classifier: native word-bigram feature hashing, shared-weight buckets mod 4096, TRAINED integer weights (NB log-count-ratio + batch perceptron, committed parquet artifact) — order-free exact sums, one codegen'd zero-shuffle projection")(
       s"""WITH ${tokenHashesD("documents")},
+         |wt AS (SELECT list(weight ORDER BY bucket) AS wv
+         |       FROM read_parquet('${graft.text.Classifier.DefaultWeightsPath}')),
          |sc AS (SELECT doc_id, CAST(len(hx) AS BIGINT) AS n_feats,
          |  CAST(CASE WHEN len(hx) = 0 THEN 0
-         |       ELSE list_sum([((((h % 262144) * 2654435761) % 1000003) % 2001) - 1000 FOR h IN hx]) END AS BIGINT) AS wsum
-         |  FROM th)
+         |       ELSE list_sum([wv[(h % ${graft.text.Classifier.Dim}) + 1] FOR h IN hx]) END AS BIGINT) AS wsum
+         |  FROM th, wt)
          |SELECT doc_id, n_feats, wsum,
          |  round(CASE WHEN n_feats = 0 THEN 0.0 ELSE CAST(wsum AS DOUBLE) / (n_feats * 1000.0) END, 6) AS score,
          |  wsum >= 0 AS keep
          |FROM sc
          |""".stripMargin) { (s, dir) =>
-      TextOps.classifierScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+      TextOps.classifierScore(Tables.documents(s, dir), col("doc_id"), col("text"),
+        graft.text.Classifier.loadWeights(s))
     },
 
     // ----- HTML→text extraction gate (plants: wrapped page, entity
@@ -2658,16 +2664,28 @@ object ExtraQueries {
         .select(col("q_id"), col("vec_id"), round(col("cosq"), 6).as("cosq_r"))
     },
 
-    // ----- cross-signal calibration: classifier score deciles vs the
-    // Gopher rules gate (monotone table = the signals rank quality
-    // consistently; flat = the classifier adds nothing over the rules)
+    // ----- cross-signal calibration: classifier score bins vs the
+    // Gopher rules gate, over a quality-RANGE corpus (real documents ∪
+    // the planted junk the model was trained against) — monotone table
+    // = the trained model ranks quality consistently with the rules;
+    // with the r12 stand-in weights this table was flat (~0.47)
     QueryDef("x84_signal_agreement",
-      "quality-signal calibration table: classifier score (x72) in 10 fixed-width bins x Gopher pass rate (x30) per bin — fixed-arithmetic bins (no decile window), one doc-keyed join, 10-row aggregate")(
-      s"""WITH ${tokenHashesD("documents")},
+      "quality-signal calibration table: TRAINED classifier score (x72 weights) in 10 fixed-width bins x Gopher pass rate (x30) per bin over documents + planted junk — fixed-arithmetic bins (no decile window), one doc-keyed join, 10-row aggregate; monotone pass rate gated in ClassifierSpec")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 20000 AS doc_id,
+         |    repeat('click here subscribe now free offer limited deal best price order today ', 12) AS text FROM documents
+         |  UNION ALL SELECT doc_id + 30000 AS doc_id,
+         |    repeat('### $$$$$$ ... 000 ', 40) AS text FROM documents
+         |  UNION ALL SELECT doc_id + 40000 AS doc_id,
+         |    repeat(CAST(doc_id AS VARCHAR) || ' 404 503 12345 99 ', 20) AS text FROM documents),
+         |${tokenHashesD("corpus")},
+         |wt AS (SELECT list(weight ORDER BY bucket) AS wv
+         |       FROM read_parquet('${graft.text.Classifier.DefaultWeightsPath}')),
          |scc AS (SELECT doc_id, CAST(len(hx) AS BIGINT) AS n_feats,
          |  CAST(CASE WHEN len(hx) = 0 THEN 0
-         |       ELSE list_sum([((((h % 262144) * 2654435761) % 1000003) % 2001) - 1000 FOR h IN hx]) END AS BIGINT) AS wsum
-         |  FROM th),
+         |       ELSE list_sum([wv[(h % ${graft.text.Classifier.Dim}) + 1] FOR h IN hx]) END AS BIGINT) AS wsum
+         |  FROM th, wt),
          |sco AS (SELECT doc_id,
          |  CASE WHEN n_feats = 0 THEN 0.0 ELSE CAST(wsum AS DOUBLE) / (n_feats * 1000.0) END AS score
          |  FROM scc),
@@ -2702,10 +2720,13 @@ object ExtraQueries {
          |FROM b GROUP BY 1
          |""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        graft.text.Classifier.junkCorpus(docs, col("doc_id"), col("text")))
       TextOps.signalAgreement(
-        TextOps.classifierScore(docs, col("doc_id"), col("text"))
+        TextOps.classifierScore(corpus, col("doc_id"), col("text"),
+          graft.text.Classifier.loadWeights(s))
           .select("doc_id", "score"),
-        TextOps.gopherFlags(docs, col("doc_id"), col("text"))
+        TextOps.gopherFlags(corpus, col("doc_id"), col("text"))
           .select("doc_id", "passes"))
     },
 

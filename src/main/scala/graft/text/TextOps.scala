@@ -1300,36 +1300,57 @@ object TextOps {
 
   /** Hashed linear quality classifier (x72) — the fasttext-shaped
     * model-based filter of CCNet / LLaMA-style curation ("score every
-    * document with a small linear classifier, keep above threshold"),
-    * reduced to its Spark-side plumbing: distinct word-bigram features
-    * through the native Lehmer feature hasher, shared-weight buckets
-    * via mod `dim` (the feature-hashing trick — collisions share a
-    * weight, the model never materializes a vocabulary), one weight
-    * lookup + sum per document, a normalized margin and a sign gate.
+    * document with a small linear classifier, keep above threshold"):
+    * distinct word-bigram features through the native Lehmer feature
+    * hasher, shared-weight buckets via mod `weights.length` (the
+    * feature-hashing trick — collisions share a weight, the model never
+    * materializes a vocabulary), one weight lookup + sum per document,
+    * a normalized margin and a sign gate.
     *
-    * The weights here are a DETERMINISTIC STAND-IN (a Lehmer mix of the
-    * bucket id onto integers in [-1000, 1000]) — a trained model's
-    * weights are an external artifact, exactly the stub discipline the
-    * multimodal decoders use; swap the weight formula for a broadcast
-    * weight array to serve a real model with the same plan shape.
-    * Integer weights make the per-document sum ORDER-INDEPENDENT and
-    * exact (no float-summation-order divergence between engines); the
-    * single double division happens once at the end, and the keep gate
-    * compares the exact integer sum against zero. Output:
+    * `weights` is a TRAINED dense bucket→weight table (see
+    * [[graft.text.Classifier]] — NB log-count-ratio init + integer
+    * batch-perceptron polish on a rules-labeled fixture, persisted as a
+    * parquet artifact both engines read). It rides into the plan as a
+    * Literal — the Spark equivalent of broadcasting the model — so
+    * scoring stays ONE codegen'd projection. Integer weights make the
+    * per-document sum ORDER-INDEPENDENT and exact (no float-summation-
+    * order divergence between engines); the single double division
+    * happens once at the end, and the keep gate compares the exact
+    * integer sum against zero (the trained decision boundary). Output:
     * (doc_id, n_feats, wsum, score, keep).
     *
     * Scale shape: one codegen'd projection (native feature hasher +
-    * integer fold) — zero shuffles, zero joins, no corpus-derived
-    * state; the classifier stage of a 100-TB funnel runs at scan
-    * speed, which is why production pipelines can afford to score
-    * everything. */
+    * integer fold over a model-sized literal) — zero shuffles, zero
+    * joins, no corpus-derived state; the classifier stage of a 100-TB
+    * funnel runs at scan speed, which is why production pipelines can
+    * afford to score everything. */
+  /** The x72 feature set: distinct word-bigram hashes PLUS one
+    * structural "length-bucket" token `len_<min(n_words/10, 12)>` run
+    * through the same poly-hash + Lehmer mix as the bigrams. The
+    * structural feature exists because a NORMALIZED bag of bigram
+    * presences is length-blind — the per-feature average cannot express
+    * "this document has ≥ 50 words", the dominant Gopher discriminator
+    * on real text — while a shared bucket token (≤13 distinct values,
+    * hit by every document in that length band) is learnable by a
+    * linear model AND generalizes by construction. Same trick fasttext
+    * quality filters use for structural priors. */
+  def classifierFeatures(text: Column): Column = {
+    val ws = split(norm(text), " ")
+    val lenTok = concat(lit("len_"),
+      least(floor(size(ws) / lit(10)).cast(LongType), lit(12L)).cast(StringType))
+    val lenFeat = graft.plans.functions.poly_hash(lenTok) * lit(48271L) % lit(2147483647L)
+    concat(graft.plans.functions.bigram_token_hashes(norm(text)), array(lenFeat))
+  }
+
   def classifierScore(docs: DataFrame, id: Column, text: Column,
-                      dim: Int = 1 << 18): DataFrame = {
-    val feats = graft.plans.functions.bigram_token_hashes(norm(text))
-    // native weight-sum expression (graft.plans.LehmerWeightSum): the
+                      weights: Array[Long]): DataFrame = {
+    require(weights.nonEmpty, "weights must be a non-empty dense table")
+    val feats = classifierFeatures(text)
+    // native weight-sum expression (graft.plans.HashedWeightSum): the
     // `aggregate` HOF form is CodegenFallback and would split the
     // scan projection's whole-stage-codegen span; empty array → 0
-    val wsum = graft.plans.functions.lehmer_weight_sum(feats, dim)
+    val wsum = graft.plans.functions.hashed_weight_sum(feats,
+      lit(weights))
     docs.select(id.as("doc_id"),
         size(feats).cast(LongType).as("n_feats"), wsum.as("wsum"))
       .withColumn("score", round(when(col("n_feats") === 0, lit(0.0))

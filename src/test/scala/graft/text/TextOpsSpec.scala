@@ -661,7 +661,11 @@ class TextOpsSpec extends SparkSpec {
       (4L, "   "),                    // whitespace-only
       (5L, "single")                  // unigram fallback
     ).toDF("doc_id", "text")
-    val out = TextOps.classifierScore(docs, col("doc_id"), col("text"))
+    // small fixed weight table — the asserted properties (feature
+    // identity under normalization, order sensitivity, margin/gate
+    // arithmetic) hold for ANY dense weights
+    val w = Array.tabulate(64)(b => (b % 7).toLong * 311 - 900)
+    val out = TextOps.classifierScore(docs, col("doc_id"), col("text"), w)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
     // normalization: docs 1 and 2 share features exactly
