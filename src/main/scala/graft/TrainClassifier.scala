@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * parquet artifact, and prints the training-set confusion counts.
   *
   * Usage: runMain graft.TrainClassifier [sfDir] [outPath]
-  * Defaults: /root/testdata/sf0.01 → fixtures/classifier_weights.parquet
-  * (the committed artifact Verify's x72/x84 and their oracles read). */
+  * Defaults: /root/testdata/sf0.1 → fixtures/classifier_weights.parquet
+  * (the committed artifact Verify's x72/x84 and their oracles read;
+  * sf0.1 is the largest local slice — 5000 docs + 15000 planted junk —
+  * and is text-disjoint from both sf0.01 and sf0.001, so those stay
+  * honest held-out sets). */
 object TrainClassifier {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse(graft.text.Classifier.DefaultWeightsPath)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -25,7 +28,7 @@ object TrainClassifier {
     spark.sparkContext.setLogLevel("WARN")
 
     val labeled = graft.text.Classifier.labeledFixture(Tables.documents(spark, sfDir))
-    val epochs = args.lift(3).map(_.toInt).getOrElse(30)
+    val epochs = args.lift(3).map(_.toInt).getOrElse(100)
     val w = graft.text.Classifier.train(labeled, maxEpochs = epochs)
     graft.text.Classifier.saveWeights(spark, w, out)
 

@@ -107,6 +107,35 @@ object ExtraQueries {
        |    (${charFoldD("tk")} * 48271) % 2147483647
        |    FOR tk IN toks] AS hx FROM tok)""".stripMargin
 
+  /** x72/x84 classifier feature fragment: namespaced re-bucketing of the
+    * shared `th` bigram hashes (lexical mod dim−StructDim) plus the three
+    * direct-indexed structural tokens — mirrors
+    * [[graft.text.TextOps.classifierFeatures]] exactly (same floor/least
+    * double arithmetic on integer inputs, IEEE-identical in both
+    * engines). Expects `n` and `th` from [[tokenHashesD]] in scope;
+    * yields `fx(doc_id, hx)`. */
+  private def classifierFeatsD: String = {
+    val lex = graft.text.Classifier.Dim - graft.text.Classifier.StructDim
+    s"""sxw AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM n),
+       |sx AS (SELECT doc_id,
+       |  $lex + least(CAST(floor(len(ws)/10) AS BIGINT), 12) AS f_len,
+       |  ${lex + 13} + least(CAST(
+       |    (CASE WHEN contains(' ' || t || ' ', ' the ') THEN 1 ELSE 0 END)
+       |    + (CASE WHEN contains(' ' || t || ' ', ' a ') THEN 1 ELSE 0 END)
+       |    + (CASE WHEN contains(' ' || t || ' ', ' of ') THEN 1 ELSE 0 END)
+       |    + (CASE WHEN contains(' ' || t || ' ', ' and ') THEN 1 ELSE 0 END)
+       |    + (CASE WHEN contains(' ' || t || ' ', ' to ') THEN 1 ELSE 0 END)
+       |    + (CASE WHEN contains(' ' || t || ' ', ' in ') THEN 1 ELSE 0 END)
+       |    AS BIGINT), 3) AS f_stop,
+       |  ${lex + 17} + least(CAST(floor(
+       |    len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 10 / len(ws))
+       |    AS BIGINT), 10) AS f_alpha
+       |  FROM sxw),
+       |fx AS (SELECT th.doc_id,
+       |  list_concat([h % $lex FOR h IN th.hx], [sx.f_len, sx.f_stop, sx.f_alpha]) AS hx
+       |  FROM th JOIN sx USING (doc_id))""".stripMargin
+  }
+
   /** Bigram-token SimHash fragment (16 bits) for the oracle. */
   private def simhashD(src: String) =
     s"""${tokenHashesD(src)},
@@ -1800,12 +1829,13 @@ object ExtraQueries {
     QueryDef("x72_classifier_score",
       "hashed linear quality classifier: native word-bigram feature hashing, shared-weight buckets mod 4096, TRAINED integer weights (NB log-count-ratio + batch perceptron, committed parquet artifact) — order-free exact sums, one codegen'd zero-shuffle projection")(
       s"""WITH ${tokenHashesD("documents")},
+         |$classifierFeatsD,
          |wt AS (SELECT list(weight ORDER BY bucket) AS wv
          |       FROM read_parquet('${graft.text.Classifier.DefaultWeightsPath}')),
          |sc AS (SELECT doc_id, CAST(len(hx) AS BIGINT) AS n_feats,
          |  CAST(CASE WHEN len(hx) = 0 THEN 0
          |       ELSE list_sum([wv[(h % ${graft.text.Classifier.Dim}) + 1] FOR h IN hx]) END AS BIGINT) AS wsum
-         |  FROM th, wt)
+         |  FROM fx, wt)
          |SELECT doc_id, n_feats, wsum,
          |  round(CASE WHEN n_feats = 0 THEN 0.0 ELSE CAST(wsum AS DOUBLE) / (n_feats * 1000.0) END, 6) AS score,
          |  wsum >= 0 AS keep
@@ -2680,12 +2710,13 @@ object ExtraQueries {
          |  UNION ALL SELECT doc_id + 40000 AS doc_id,
          |    repeat(CAST(doc_id AS VARCHAR) || ' 404 503 12345 99 ', 20) AS text FROM documents),
          |${tokenHashesD("corpus")},
+         |$classifierFeatsD,
          |wt AS (SELECT list(weight ORDER BY bucket) AS wv
          |       FROM read_parquet('${graft.text.Classifier.DefaultWeightsPath}')),
          |scc AS (SELECT doc_id, CAST(len(hx) AS BIGINT) AS n_feats,
          |  CAST(CASE WHEN len(hx) = 0 THEN 0
          |       ELSE list_sum([wv[(h % ${graft.text.Classifier.Dim}) + 1] FOR h IN hx]) END AS BIGINT) AS wsum
-         |  FROM th, wt),
+         |  FROM fx, wt),
          |sco AS (SELECT doc_id,
          |  CASE WHEN n_feats = 0 THEN 0.0 ELSE CAST(wsum AS DOUBLE) / (n_feats * 1000.0) END AS score
          |  FROM scc),

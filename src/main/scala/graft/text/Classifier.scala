@@ -51,6 +51,17 @@ object Classifier {
     * (the feature-hashing trick); raising dim only lowers collision rate. */
   val Dim = 4096
 
+  /** Reserved structural namespace: the top `StructDim` buckets hold the
+    * direct-indexed structural tokens (13 length + 4 stop-hit + 11
+    * alpha-ratio ids = 28 used, the rest headroom); lexical hashes are
+    * bucketed mod (dim − StructDim) so they can NEVER collide with a
+    * structural bucket. Collisions between the generatively-weighted
+    * lexical channel are harmless averaging; a collision INTO a
+    * discriminatively-trained structural bucket hands a random bigram a
+    * rule-sized weight — on a small shared vocabulary that one bigram
+    * sits in hundreds of documents and flips them all. */
+  val StructDim = 64
+
   /** The committed trained artifact (see scripts in README / TrainClassifier). */
   val DefaultWeightsPath = "/root/repo/fixtures/classifier_weights.parquet"
 
@@ -91,12 +102,26 @@ object Classifier {
   }
 
   /** Train on (text, label∈{0,1}) rows; returns the dense weight table.
-    * Deterministic under any partitioning (see object doc). */
-  def train(labeled: DataFrame, dim: Int = Dim, maxEpochs: Int = 30,
-            lr: Long = 25L, nbScale: Double = 300.0): Array[Long] = {
-    require(dim > 0 && maxEpochs >= 0 && lr > 0)
+    * Deterministic under any partitioning (see object doc).
+    *
+    * Two-channel design (the r13 post-mortem fix): the LEXICAL channel
+    * (hashed bigrams) is weighted GENERATIVELY only — NB log-count-ratio
+    * at a small scale — while the perceptron polish updates ONLY the
+    * three STRUCTURAL tokens. Discriminative updates on hashed lexical
+    * buckets memorize the seen vocabulary and destroy held-out
+    * calibration (r13: biased-negative artifact, empty upper bins); the
+    * structural tokens are the generalizing channel by construction
+    * (≤ 28 shared ids, every held-out doc hits the same ones). `gamma`
+    * is a margin target: polish keeps pushing until every training doc
+    * clears ±gamma, so the structural signal ends up DOMINATING the
+    * bounded lexical noise instead of merely edging it — that dominance
+    * is what transfers to held-out text. */
+  def train(labeled: DataFrame, dim: Int = Dim, maxEpochs: Int = 100,
+            lr: Long = 25L, nbScale: Double = 100.0,
+            gamma: Long = 5000L): Array[Long] = {
+    require(dim > 0 && maxEpochs >= 0 && lr > 0 && gamma >= 0)
     val feats = labeled.select(col("label"),
-        TextOps.classifierFeatures(col("text")).as("feats"))
+        TextOps.classifierFeatures(col("text"), dim).as("feats"))
       .persist()
     try {
       // --- NB log-count-ratio init (one agg, ≤dim rows collected)
@@ -122,16 +147,20 @@ object Classifier {
             ((pos(b) + 1.0) / (posTot + dim)) / ((neg(b) + 1.0) / (negTot + dim))))
         b += 1
       }
-      // --- integer batch-perceptron polish
+      // --- integer margin-perceptron polish, STRUCTURAL buckets only:
+      // a doc below the ±gamma margin contributes ±lr to its three
+      // structural tokens (the trailing slice of the feature array) —
+      // an order-free integer sum, bit-identical under any partitioning
       var epoch = 0
       var converged = false
       while (epoch < maxEpochs && !converged) {
         val margined = feats.withColumn("margin",
           graft.plans.functions.hashed_weight_sum(col("feats"), lit(w)))
         val bad = margined.filter(
-          (col("label") === 1 && col("margin") < 0) ||
-            (col("label") === 0 && col("margin") >= 0))
-        val updates = bad.select(col("label"), explode(col("feats")).as("h"))
+          (col("label") === 1 && col("margin") < gamma) ||
+            (col("label") === 0 && col("margin") >= -gamma))
+        val updates = bad
+          .select(col("label"), explode(slice(col("feats"), -3, 3)).as("h"))
           .select(pmod(col("h"), lit(dim.toLong)).as("b"),
             when(col("label") === 1, lr).otherwise(-lr).as("d"))
           .groupBy("b").agg(sum(col("d")).as("d"))

@@ -1324,28 +1324,52 @@ object TextOps {
     * joins, no corpus-derived state; the classifier stage of a 100-TB
     * funnel runs at scan speed, which is why production pipelines can
     * afford to score everything. */
-  /** The x72 feature set: distinct word-bigram hashes PLUS one
-    * structural "length-bucket" token `len_<min(n_words/10, 12)>` run
-    * through the same poly-hash + Lehmer mix as the bigrams. The
-    * structural feature exists because a NORMALIZED bag of bigram
-    * presences is length-blind — the per-feature average cannot express
-    * "this document has ≥ 50 words", the dominant Gopher discriminator
-    * on real text — while a shared bucket token (≤13 distinct values,
-    * hit by every document in that length band) is learnable by a
-    * linear model AND generalizes by construction. Same trick fasttext
-    * quality filters use for structural priors. */
-  def classifierFeatures(text: Column): Column = {
-    val ws = split(norm(text), " ")
-    val lenTok = concat(lit("len_"),
-      least(floor(size(ws) / lit(10)).cast(LongType), lit(12L)).cast(StringType))
-    val lenFeat = graft.plans.functions.poly_hash(lenTok) * lit(48271L) % lit(2147483647L)
-    concat(graft.plans.functions.bigram_token_hashes(norm(text)), array(lenFeat))
+  /** The x72 feature set: distinct word-bigram hashes (the lexical
+    * channel) PLUS three structural bucket tokens (length, stopword
+    * hits, alpha-word ratio). Structural features exist because a bag
+    * of bigram presences is structure-blind — it cannot express "this
+    * document has ≥ 50 words" or "contains ≥ 2 stopwords", the two
+    * signals that actually discriminate quality on real text — while a
+    * shared bucket token (≤ 28 distinct values, hit by every document
+    * in that band) is learnable by a linear model AND generalizes by
+    * construction. Same trick fasttext quality filters use for
+    * structural priors.
+    *
+    * The returned features are PRE-BUCKETED into a namespaced layout
+    * (vowpal-wabbit-style): lexical hashes land in buckets
+    * [0, dim−[[Classifier.StructDim]]) via pmod, structural tokens get
+    * RESERVED direct bucket ids in the top [[Classifier.StructDim]]
+    * slots. Without the reservation a lexical hash can collide with a
+    * discriminatively-trained structural bucket and inherit its (large)
+    * weight — on a small shared vocabulary one such collision corrupts
+    * every document containing that bigram (observed: ~2% held-out
+    * error from exactly this). All ids are < dim, so the serving-path
+    * `pmod(h, dim)` in [[graft.plans.HashedWeightSum]] is a no-op on
+    * them. */
+  def classifierFeatures(text: Column, dim: Int = Classifier.Dim): Column = {
+    require(dim > Classifier.StructDim,
+      s"dim must exceed the reserved structural namespace (${Classifier.StructDim})")
+    val lex = (dim - Classifier.StructDim).toLong
+    val t = norm(text)
+    val ws = split(t, " ")
+    val nWords = size(ws)
+    val lexF = transform(graft.plans.functions.bigram_token_hashes(t),
+      h => pmod(h, lit(lex)))
+    val fLen = lit(lex) +
+      least(floor(nWords / lit(10)).cast(LongType), lit(12L))
+    val stopHits = Seq(" the ", " a ", " of ", " and ", " to ", " in ")
+      .map(m => when(padded(t).contains(m), 1L).otherwise(0L)).reduce(_ + _)
+    val fStop = lit(lex + 13L) + least(stopHits, lit(3L))
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+    val fAlpha = lit(lex + 17L) +
+      least(floor(alphaWords * lit(10) / nWords).cast(LongType), lit(10L))
+    concat(lexF, array(fLen, fStop, fAlpha))
   }
 
   def classifierScore(docs: DataFrame, id: Column, text: Column,
                       weights: Array[Long]): DataFrame = {
     require(weights.nonEmpty, "weights must be a non-empty dense table")
-    val feats = classifierFeatures(text)
+    val feats = classifierFeatures(text, weights.length)
     // native weight-sum expression (graft.plans.HashedWeightSum): the
     // `aggregate` HOF form is CodegenFallback and would split the
     // scan projection's whole-stage-codegen span; empty array → 0

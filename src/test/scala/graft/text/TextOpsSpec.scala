@@ -663,8 +663,9 @@ class TextOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     // small fixed weight table — the asserted properties (feature
     // identity under normalization, order sensitivity, margin/gate
-    // arithmetic) hold for ANY dense weights
-    val w = Array.tabulate(64)(b => (b % 7).toLong * 311 - 900)
+    // arithmetic) hold for ANY dense weights; must be wider than the
+    // reserved structural namespace (Classifier.StructDim = 64)
+    val w = Array.tabulate(256)(b => (b % 7).toLong * 311 - 900)
     val out = TextOps.classifierScore(docs, col("doc_id"), col("text"), w)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
@@ -672,14 +673,15 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0)._2 === out(1)._2 && out(0)._3 === out(1)._3 && out(0)._4 === out(1)._4)
     // bigram features: reversed word order is a different document
     assert(out(2)._3 !== out(0)._3)
-    assert(out(0)._2 === 3L) // 3 distinct bigrams from 4 words
+    // 3 distinct bigrams from 4 words + 3 structural tokens
+    assert(out(0)._2 === 6L)
     // score is the normalized margin; keep is the exact integer sign
     out.foreach { case (_, n, w, s, k) =>
       if (n > 0) assert(math.abs(s - w.toDouble / (n * 1000.0)) < 1e-6)
       assert(k === (w >= 0L))
     }
-    // degenerate docs still score (unigram fallback / empty guard)
-    assert(out(4)._2 === 1L)
+    // degenerate docs still score (unigram fallback + structural tokens)
+    assert(out(4)._2 === 4L)
   }
 
   test("htmlExtract: strips script/style/comments/tags, decodes entities amp-last, gates on ratio") {
