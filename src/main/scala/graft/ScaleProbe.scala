@@ -352,6 +352,15 @@ object ScaleProbe {
           length(col("text")).cast("long").as("bytes"))
         graft.silver.Export.compactionSummary(graft.silver.Export.compactionPlan(
           files, col("shard"), col("file_id"), col("bytes"), targetBytes = 4000L))
+      },
+      "x87_image_phash" -> { k =>
+        // k doc-id-shifted copies are k× DISTINCT images (the pixel
+        // pattern is doc_id arithmetic), so planted-pair volume grows
+        // linearly while the band-bucket population stays bounded — the
+        // probe watches the encode→decode→hash projection AND the
+        // banded pair join slope together
+        graft.multimodal.Multimodal.imagePHashPairs(
+          graft.multimodal.Multimodal.imageCorpus(docCorpus(k)))
       })
 
     // optional arg: comma-separated probe-name substrings to run a subset

@@ -504,8 +504,18 @@ object Dedup {
     * co-locate; exact Hamming over the carried bands then filters the
     * candidates. Mirrors the minhashCandidates banding design. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-                   maxHamming: Int = 3): DataFrame = {
-    val fp = simhash64Fingerprints(docs, id, text)
+                   maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simhash64Fingerprints(docs, id, text), maxHamming)
+
+  /** Banded Hamming-LSH pairing over ANY 4×16-bit fingerprint table
+    * (doc_id, bands) — text SimHash and image dHash share this exact
+    * machinery ([[simhashPairs]], [[graft.multimodal.Multimodal
+    * .imagePHashPairs]]): explode the 4 bands, equi-join on (band_id,
+    * band_value), exact-Hamming-filter the candidates. Never an
+    * all-pairs scan; band-value cardinality grows with corpus diversity
+    * so bucket sizes stay bounded at scale. */
+  def bandedHammingPairs(fp0: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = fp0
       .select(col("doc_id"), col("bands"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band_id"), get(col("bands"), lit(b)).as("band_val"))

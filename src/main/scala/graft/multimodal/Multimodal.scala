@@ -35,6 +35,8 @@ final case class FramePixels(media_id: Long, n_frames: Long, n_decoded: Long,
                              width: Long, height: Long, pixel_checksum: Long)
 final case class ResizedMedia(media_id: Long, out_w: Int, out_h: Int,
                               resize_checksum: Long)
+final case class ImageAsset(img_id: Long, width: Int, content: Array[Byte])
+final case class DecodedImage(img_id: Long, width: Int, pixels: Array[Byte])
 
 /** Codec seam. PNG and WAV are decoded for real (pure-JVM
   * `javax.imageio` / `javax.sound.sampled`, no native deps): a payload
@@ -94,6 +96,34 @@ object FakeCodec {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     require(img != null, "PNG signature present but ImageIO could not decode")
     rgbBytes(img)
+  }
+
+  /** Full PNG decode: (width, height, row-major RGB bytes). */
+  def pngDecode(content: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "ImageIO could not decode image bytes")
+    (img.getWidth, img.getHeight, rgbBytes(img))
+  }
+
+  /** Real PNG encode of a row-major RGB buffer (3 bytes per pixel). */
+  def encodeRgbPng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8)
+          | (rgb(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   /** REAL per-frame pixel decode for image-coded video samples: an
@@ -504,4 +534,105 @@ object Multimodal {
           first.map(_._2.toLong).getOrElse(0L), cs)
       }
     }(Encoders.product[FramePixels])
+
+  /** Deterministic grayscale test pattern for the x87 image-dedup
+    * corpus: pixel (y, x) of document `d`'s base image. Multiplicative
+    * doc mixing (not a constant brightness offset — dHash is
+    * brightness-invariant by design, so an additive pattern would make
+    * every document a near-dup of every other) plus a doc-dependent
+    * cross term; measured cross-document Hamming ≥ 14 on the sf
+    * corpora, against a ≤ 3 pairing threshold. */
+  def imagePix(d: Long, y: Int, x: Int): Int =
+    (((d * 97 + 13) * (y * 5 + x * 11 + 7) + d * 31
+      + y.toLong * x * (d % 7 + 1)) % 256).toInt
+
+  /** Planted image near-dup corpus (x87): for each document, a base
+    * 36×32 PNG of [[imagePix]], a RE-ENCODED copy (+20000 — decode the
+    * base PNG, encode the decoded pixels again: pixel-identical through
+    * a second real codec round-trip), and a 2× nearest-neighbor UPSCALE
+    * with a +4 clamped brightness shift (+40000 — the classic thumbnail
+    * / re-exposure near-dup). Every byte is produced by the REAL
+    * ImageIO encode/decode pipeline; the oracle reproduces the expected
+    * pixels by pure arithmetic (the x62 pattern — oracle needs no image
+    * library, Spark proves the real codec path). */
+  def imageCorpus(docs: DataFrame, baseW: Int = 36, baseH: Int = 32): Dataset[ImageAsset] = {
+    import org.apache.spark.sql.types.LongType
+    docs.select(col("doc_id").cast(LongType)).as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          val rgb0 = new Array[Byte](baseW * baseH * 3)
+          var y = 0
+          while (y < baseH) {
+            var x = 0
+            while (x < baseW) {
+              val g = imagePix(d, y, x).toByte
+              val i = (y * baseW + x) * 3
+              rgb0(i) = g; rgb0(i + 1) = g; rgb0(i + 2) = g
+              x += 1
+            }
+            y += 1
+          }
+          val basePng = FakeCodec.encodeRgbPng(baseW, baseH, rgb0)
+          // re-encode from the DECODED pixels — a second real round-trip
+          val (w0, h0, dec0) = FakeCodec.pngDecode(basePng)
+          val reencoded = FakeCodec.encodeRgbPng(w0, h0, dec0)
+          // 2x nearest-neighbor upscale + brightness +4 (clamped) over
+          // the decoded buffer, then a real encode of the result
+          val (ow, oh) = (w0 * 2, h0 * 2)
+          val up = new Array[Byte](ow * oh * 3)
+          var oy = 0
+          while (oy < oh) {
+            val sy = oy * h0 / oh
+            var ox = 0
+            while (ox < ow) {
+              val sx = ox * w0 / ow
+              val si = (sy * w0 + sx) * 3
+              val oi = (oy * ow + ox) * 3
+              var c = 0
+              while (c < 3) {
+                up(oi + c) = math.min((dec0(si + c) & 0xff) + 4, 255).toByte
+                c += 1
+              }
+              ox += 1
+            }
+            oy += 1
+          }
+          val resizedPng = FakeCodec.encodeRgbPng(ow, oh, up)
+          Seq(ImageAsset(d, baseW, basePng),
+            ImageAsset(d + 20000, baseW, reencoded),
+            ImageAsset(d + 40000, ow, resizedPng))
+        }
+      }(Encoders.product[ImageAsset])
+  }
+
+  /** Real ImageIO pixel decode of an image-asset table — media bytes
+    * stay in their partition (narrow mapPartitions, the codec seam). */
+  def decodeImages(images: Dataset[ImageAsset]): Dataset[DecodedImage] =
+    images.mapPartitions { it =>
+      it.map { a =>
+        val (w, _, rgb) = FakeCodec.pngDecode(a.content)
+        DecodedImage(a.img_id, w, rgb)
+      }
+    }(Encoders.product[DecodedImage])
+
+  /** Per-image 64-bit perceptual dHash as four 16-bit bands — ONE
+    * codegen'd projection over the decoded pixels
+    * (graft.plans.DHash64Bands: BT.601 luma → 9×8 average pool →
+    * neighbor-gradient bits). Output (doc_id, bands) feeds the same
+    * Manku banded-Hamming machinery text SimHash uses. */
+  def imageDHashBands(images: Dataset[ImageAsset]): DataFrame =
+    decodeImages(images).toDF()
+      .select(col("img_id").as("doc_id"),
+        graft.plans.functions.dhash64_bands(col("pixels"), col("width"), 3)
+          .as("bands"))
+
+  /** Image near-dup pairs (x87): dHash fingerprints into
+    * [[graft.dedup.Dedup.bandedHammingPairs]] — band equi-join for
+    * candidates (never all-pairs), exact Hamming ≤ `maxHamming` verify.
+    * At 100 TB: pixels never shuffle (the decode+hash projection is
+    * partition-local and emits 4 longs per image); only the 32-byte
+    * fingerprints enter the exchange. */
+  def imagePHashPairs(images: Dataset[ImageAsset], maxHamming: Int = 3): DataFrame =
+    graft.dedup.Dedup.bandedHammingPairs(imageDHashBands(images), maxHamming)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
 }

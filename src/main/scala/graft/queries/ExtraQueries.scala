@@ -2809,6 +2809,44 @@ object ExtraQueries {
       def ep(e: Long) = TextOps.epochOrder(docs, col("doc_id"), col("text"), e)
         .select(col("doc_id"), lit(e).as("epoch"), col("seq"))
       ep(0L).unionAll(ep(2L))
+    },
+
+    // ----- image perceptual-hash near-dup (REAL PNG encode/decode;
+    // planted re-encoded + resized/brightened duplicates)
+    QueryDef("x87_image_phash_pairs",
+      "image near-dup via 64-bit perceptual dHash (BT.601 luma, 9x8 average pool, neighbor-gradient bits) over REAL ImageIO encode->decode round-trips — per doc: base 36x32 PNG, a re-encoded copy, a 2x nearest-neighbor upscale with +4 clamped brightness; Manku 4x16-band Hamming-LSH pairing (equi-join candidates, exact Hamming <= 3), the same machinery as text SimHash — oracle recomputes the planted pixels and the whole hash by pure arithmetic, no image library")(
+      s"""WITH ids AS (SELECT doc_id AS d FROM documents),
+         |base AS (
+         |  SELECT d, y, x,
+         |    ((d*97+13)*(y*5+x*11+7) + d*31 + y*x*((d%7)+1)) % 256 AS g
+         |  FROM ids, range(0,32) ry(y), range(0,36) rx(x)),
+         |img AS (
+         |  SELECT d AS id, 36 AS w, 32 AS h, y, x, g FROM base
+         |  UNION ALL SELECT d+20000, 36, 32, y, x, g FROM base
+         |  UNION ALL
+         |  SELECT d+40000 AS id, 72 AS w, 64 AS h, y, x,
+         |    least(((d*97+13)*((y//2)*5+(x//2)*11+7) + d*31
+         |           + (y//2)*(x//2)*((d%7)+1)) % 256 + 4, 255) AS g
+         |  FROM ids, range(0,64) ry(y), range(0,72) rx(x)),
+         |cells AS (SELECT id, y*8//h AS cy, x*9//w AS cx, sum(g)//count(*) AS v
+         |          FROM img GROUP BY id, cy, cx),
+         |grid AS (SELECT id, list(v ORDER BY cy*9+cx) AS vs FROM cells GROUP BY id),
+         |bnd AS (SELECT id, [
+         |    CAST(list_sum([CASE WHEN vs[(((bb*16+i)//8)*9) + ((bb*16+i)%8) + 1]
+         |                        > vs[(((bb*16+i)//8)*9) + ((bb*16+i)%8) + 2]
+         |                   THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0,16)]) AS BIGINT)
+         |    FOR bb IN range(0,4)] AS bands FROM grid),
+         |fbx AS (SELECT id AS doc_id, bands, b AS band_id, bands[b+1] AS band_val
+         |        FROM bnd, range(0,4) r(b)),
+         |pr AS (SELECT DISTINCT a.doc_id AS id_a, k.doc_id AS id_b,
+         |        CAST(bit_count(xor(a.bands[1], k.bands[1])) + bit_count(xor(a.bands[2], k.bands[2]))
+         |           + bit_count(xor(a.bands[3], k.bands[3])) + bit_count(xor(a.bands[4], k.bands[4])) AS BIGINT) AS hamming
+         |       FROM fbx a JOIN fbx k
+         |         ON a.band_id = k.band_id AND a.band_val = k.band_val AND a.doc_id < k.doc_id)
+         |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3
+         |""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.imagePHashPairs(
+        graft.multimodal.Multimodal.imageCorpus(Tables.documents(s, dir)))
     }
   )
 

@@ -358,4 +358,39 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_frames === 0L)
     assert(f.frame_checksum === 0L)
   }
+
+  test("imagePHashPairs: re-encoded copies pair at Hamming 0; resized+brightened " +
+       "pair within 3; distinct docs never pair") {
+    val docs = mk((0L to 19L).map(d => d -> s"doc $d"): _*)
+    val pairs = Multimodal.imagePHashPairs(Multimodal.imageCorpus(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDelta = pairs.groupBy { case (a, b, _) => (b - a, a % 20000 == b % 20000) }
+    // every re-encode round-trip is pixel-identical -> Hamming 0, all 20 pair
+    val reenc = pairs.filter { case (a, b, _) => b - a == 20000 && a < 20000 }
+    assert(reenc.length === 20 && reenc.forall(_._3 === 0L),
+      s"re-encoded pairs wrong: ${reenc.toSeq}")
+    // the 2x upscale is pool-aligned, so only the +4 brightness clamp can
+    // flip bits: the resized variant pairs for (nearly) every doc
+    val resized = pairs.filter { case (a, b, _) => b - a == 40000 }
+    assert(resized.length >= 18, s"only ${resized.length}/20 resized variants paired")
+    // precision: no pair ever crosses documents
+    assert(pairs.forall { case (a, b, _) => a % 20000 === b % 20000 },
+      s"cross-document pair found: ${pairs.filterNot(p => p._1 % 20000 == p._2 % 20000).toSeq}")
+    assert(byDelta.keys.forall(_._2), "pair deltas must stay within one document")
+  }
+
+  test("dhash64_bands: brightness-shift invariant, distinct patterns differ") {
+    import graft.plans.functions.dhash64_bands
+    // two 18x16 gray buffers: a ramp and the same ramp +9 brightness
+    // (pattern stays <= 239 so the shift never wraps or clamps)
+    def buf(off: Int): Array[Byte] =
+      Array.tabulate(18 * 16 * 3)(i => ((i / 3) % 240 + off).toByte)
+    val df = Seq((1L, buf(0), 18), (2L, buf(9), 18),
+        (3L, Array.tabulate(18 * 16 * 3)(i => ((i * 37) % 256).toByte), 18))
+      .toDF("id", "pixels", "width")
+      .select(col("id"), dhash64_bands(col("pixels"), col("width"), 3).as("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(df(1L) === df(2L), "global brightness shift must not change the dHash")
+    assert(df(1L) !== df(3L), "distinct patterns must hash differently")
+  }
 }
