@@ -37,6 +37,9 @@ final case class ResizedMedia(media_id: Long, out_w: Int, out_h: Int,
                               resize_checksum: Long)
 final case class ImageAsset(img_id: Long, width: Int, content: Array[Byte])
 final case class DecodedImage(img_id: Long, width: Int, pixels: Array[Byte])
+final case class KeyframeStats(media_id: Long, n_samples: Long, n_idr: Long,
+                               n_sps: Long, n_pps: Long, first_idr_idx: Long,
+                               idr_mask_checksum: Long)
 
 /** Codec seam. PNG and WAV are decoded for real (pure-JVM
   * `javax.imageio` / `javax.sound.sampled`, no native deps): a payload
@@ -150,13 +153,6 @@ object FakeCodec {
     * byte-for-byte. Layout: ftyp(16) + mdat(8 + frames) + moov with a
     * full stsz/stsc/stco table over one chunk at offset 24. */
   def mjpegAsset(mediaId: Long, nFrames: Int): Array[Byte] = {
-    def be32(vs: Long*): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
-      vs.foreach(v => bb.putInt(v.toInt))
-      bb.array()
-    }
-    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
-      be32(payload.length + 8L) ++ tpe.getBytes("ISO-8859-1") ++ payload
     val frames = (0 until nFrames).map { i =>
       val r = ((mediaId * 7 + i * 13) % 256).toInt
       val g = ((mediaId * 11 + i * 17) % 256).toInt
@@ -168,14 +164,105 @@ object FakeCodec {
       javax.imageio.ImageIO.write(img, "png", baos)
       baos.toByteArray
     }
+    mp4Asset(frames)
+  }
+
+  /** Minimal ISO-BMFF wrap of arbitrary sample byte-strings: ftyp(16) +
+    * mdat(8 + samples) + moov with a full stsz/stsc/stco table over one
+    * chunk at offset 24 — the shared container builder behind
+    * [[mjpegAsset]] (image-coded samples) and [[avcAsset]] (AVCC
+    * length-prefixed NAL samples). */
+  def mp4Asset(samples: Seq[Array[Byte]]): Array[Byte] = {
+    require(samples.nonEmpty, "mp4Asset needs at least one sample")
+    def be32(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(v => bb.putInt(v.toInt))
+      bb.array()
+    }
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("ISO-8859-1") ++ payload
     val stbl = box("stbl",
-      box("stsz", be32(0L, 0L, nFrames.toLong) ++
-        be32(frames.map(_.length.toLong): _*)) ++
-        box("stsc", be32(0L, 1L, 1L, nFrames.toLong, 1L)) ++
+      box("stsz", be32(0L, 0L, samples.length.toLong) ++
+        be32(samples.map(_.length.toLong): _*)) ++
+        box("stsc", be32(0L, 1L, 1L, samples.length.toLong, 1L)) ++
         box("stco", be32(0L, 1L, 24L)))
     box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0)) ++
-      box("mdat", frames.reduce(_ ++ _)) ++
+      box("mdat", samples.reduce(_ ++ _)) ++
       box("moov", box("trak", box("mdia", box("minf", stbl))))
+  }
+
+  /** NAL unit types of one H.264 sample, in order — the walk a video
+    * pipeline runs on every demuxed sample BEFORE any codec work, to
+    * find decodable sync points. Handles both framings (ISO/IEC
+    * 14496-15 vs Annex B of 14496-10):
+    *  - AVCC (mp4 sample bodies): [4-byte big-endian length | NAL]*,
+    *    detected by a self-consistent length walk;
+    *  - Annex-B (elementary streams): 00 00 01 / 00 00 00 01 start
+    *    codes, detected by the leading start code.
+    * The NAL type is the low 5 bits of the first NAL byte (header =
+    * forbidden(1) | nal_ref_idc(2) | type(5)); type 5 = IDR slice (a
+    * decoder can start here), 1 = non-IDR slice, 7/8 = SPS/PPS.
+    * Malformed framing (length past the buffer, zero-length NAL)
+    * returns None — classified honestly as unparseable, never guessed. */
+  def nalTypes(sample: Array[Byte]): Option[Seq[Int]] = {
+    val n = sample.length
+    if (n >= 4 && sample(0) == 0 && sample(1) == 0 &&
+        (sample(2) == 1 || (sample(2) == 0 && sample(3) == 1))) {
+      // Annex-B: scan for start codes, type byte follows each
+      val out = Seq.newBuilder[Int]
+      var i = 0
+      while (i + 3 <= n) {
+        if (sample(i) == 0 && sample(i + 1) == 0 && sample(i + 2) == 1) {
+          if (i + 3 < n) out += (sample(i + 3) & 0x1f)
+          i += 3
+        } else i += 1
+      }
+      Some(out.result())
+    } else {
+      // AVCC: 4-byte length prefixes must tile the sample exactly
+      val out = Seq.newBuilder[Int]
+      var off = 0
+      while (off < n) {
+        if (off + 4 > n) return None
+        val len = ((sample(off) & 0xffL) << 24) | ((sample(off + 1) & 0xffL) << 16) |
+          ((sample(off + 2) & 0xffL) << 8) | (sample(off + 3) & 0xffL)
+        if (len < 1 || len > n - off - 4) return None
+        out += (sample(off + 4) & 0x1f)
+        off += (4 + len).toInt
+      }
+      Some(out.result())
+    }
+  }
+
+  /** Deterministic AVCC-framed H.264-shaped mp4: `nFrames` samples, an
+    * IDR (type 5) every `gop`-th sample and non-IDR slices (type 1)
+    * between; sample 0 additionally carries SPS (7) + PPS (8) before
+    * its IDR, as a real encoder emits. Payload bytes are fixed
+    * arithmetic in (mediaId, frame), so an oracle reproduces every
+    * derived statistic without a codec. The pixel decode of these
+    * samples is exactly the seam that still needs a native library —
+    * classification and selection no longer do. */
+  def avcAsset(mediaId: Long, nFrames: Int, gop: Int): Array[Byte] = {
+    require(nFrames > 0 && gop > 0)
+    def nal(tpe: Int, payloadLen: Int, seed: Long): Array[Byte] = {
+      val body = new Array[Byte](1 + payloadLen)
+      body(0) = (((if (tpe == 1) 2 else 3) << 5) | tpe).toByte // ref_idc | type
+      var i = 0
+      while (i < payloadLen) {
+        body(1 + i) = ((seed * 31 + i * 7 + tpe) % 251).toByte
+        i += 1
+      }
+      val bb = java.nio.ByteBuffer.allocate(4)
+      bb.putInt(body.length)
+      bb.array() ++ body
+    }
+    val samples = (0 until nFrames).map { i =>
+      val slice = nal(if (i % gop == 0) 5 else 1, 5 + ((mediaId + i) % 7).toInt,
+        mediaId * 131 + i)
+      if (i == 0) nal(7, 4, mediaId) ++ nal(8, 2, mediaId + 1) ++ slice
+      else slice
+    }
+    mp4Asset(samples)
   }
 
   private def isMp4(content: Array[Byte]): Boolean =
@@ -534,6 +621,47 @@ object Multimodal {
           first.map(_._2.toLong).getOrElse(0L), cs)
       }
     }(Encoders.product[FramePixels])
+
+  /** H.264 keyframe scan (x88): walk the real sample table, parse each
+    * sample's NAL framing ([[FakeCodec.nalTypes]] — AVCC length
+    * prefixes or Annex-B start codes), and classify IDR vs non-IDR —
+    * the sync-point index a frame sampler needs to pick DECODABLE
+    * frames from an inter-coded track (a non-IDR frame without its
+    * reference chain is not independently decodable; sampling it is
+    * wasted decode budget). Emits per asset: sample count, IDR/SPS/PPS
+    * counts, first IDR index, and a rolling checksum of the full IDR
+    * bitmask (so the oracle certifies EVERY sample's classification,
+    * not just the counts). Unparseable samples count into n_samples
+    * only — observable, never guessed. With this walk real, the stub
+    * seam shrinks to the pixel decode of inter-coded frames — the one
+    * step that genuinely needs a native codec.
+    *
+    * Scale shape: partition-local mapPartitions over the media bytes
+    * (which never shuffle), one 7-field row out per asset. */
+  def keyframeStats(ds: Dataset[MediaRow]): Dataset[KeyframeStats] =
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val samples =
+          if (m.meta.format == "mp4")
+            FakeCodec.mp4Samples(m.content).getOrElse(IndexedSeq.empty)
+          else IndexedSeq.empty
+        var nIdr = 0L; var nSps = 0L; var nPps = 0L
+        var firstIdr = -1L; var cs = 0L; var idx = 0L
+        samples.foreach { case (off, sz) =>
+          val tps = FakeCodec.nalTypes(java.util.Arrays.copyOfRange(
+            m.content, off.toInt, (off + sz).toInt)).getOrElse(Seq.empty)
+          val isIdr = tps.contains(5)
+          if (isIdr && firstIdr < 0) firstIdr = idx
+          if (isIdr) nIdr += 1
+          nSps += tps.count(_ == 7)
+          nPps += tps.count(_ == 8)
+          cs = (cs * 31 + (if (isIdr) 1L else 0L)) % P
+          idx += 1
+        }
+        KeyframeStats(m.media_id, samples.length.toLong, nIdr, nSps, nPps,
+          firstIdr, cs)
+      }
+    }(Encoders.product[KeyframeStats])
 
   /** Deterministic grayscale test pattern for the x87 image-dedup
     * corpus: pixel (y, x) of document `d`'s base image. Multiplicative

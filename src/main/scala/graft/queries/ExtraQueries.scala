@@ -2847,6 +2847,32 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       graft.multimodal.Multimodal.imagePHashPairs(
         graft.multimodal.Multimodal.imageCorpus(Tables.documents(s, dir)))
+    },
+
+    // ----- H.264 keyframe scan: real demux + NAL walk, IDR sync points
+    QueryDef("x88_keyframe_scan",
+      "H.264 keyframe classification: synthesize an AVCC-framed mp4 per doc (3+d%5 samples, IDR every 1+d%3, SPS/PPS in sample 0), walk the REAL sample table, parse the length-prefixed NAL units, classify IDR vs non-IDR per sample — the sync-point index frame sampling needs to pick decodable frames from inter-coded tracks; the rolling IDR-bitmask checksum certifies every sample's classification, and the oracle recomputes it all by arithmetic, no codec")(
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 5 AS nf, 1 + doc_id % 3 AS gop
+        |           FROM documents),
+        |m AS (SELECT doc_id, nf, gop,
+        |  list_reduce([CASE WHEN i % gop = 0 THEN 1 ELSE 0 END
+        |               FOR i IN range(0, nf)]::BIGINT[],
+        |              (acc, x) -> (acc * 31 + x) % 1000000007) AS cs
+        |  FROM p)
+        |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_samples,
+        |  CAST((nf + gop - 1) // gop AS BIGINT) AS n_idr,
+        |  CAST(1 AS BIGINT) AS n_sps, CAST(1 AS BIGINT) AS n_pps,
+        |  CAST(0 AS BIGINT) AS first_idr_idx,
+        |  CAST(cs AS BIGINT) AS idr_mask_checksum
+        |FROM m
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRow(id, "video",
+          FakeCodec.avcAsset(id, (3 + id % 5).toInt, (1 + id % 3).toInt),
+          MediaMeta("mp4", 0, 0))))
+      Multimodal.keyframeStats(media).toDF()
     }
   )
 

@@ -379,6 +379,45 @@ class MultimodalSpec extends SparkSpec {
     assert(byDelta.keys.forall(_._2), "pair deltas must stay within one document")
   }
 
+  test("nalTypes: AVCC length-prefixed walk, Annex-B start codes, malformed framing refused") {
+    // AVCC: SPS + PPS + IDR, exact tiling
+    def nal(tpe: Int, len: Int): Array[Byte] =
+      Array[Byte](0, 0, 0, (1 + len).toByte, ((3 << 5) | tpe).toByte) ++
+        Array.fill(len)(0x42.toByte)
+    assert(FakeCodec.nalTypes(nal(7, 3) ++ nal(8, 2) ++ nal(5, 6)) ===
+      Some(Seq(7, 8, 5)))
+    // Annex-B: 3- and 4-byte start codes in one stream
+    val annexB = Array[Byte](0, 0, 0, 1, ((3 << 5) | 7).toByte, 9, 9,
+      0, 0, 1, ((3 << 5) | 5).toByte, 9,
+      0, 0, 1, ((2 << 5) | 1).toByte, 9)
+    assert(FakeCodec.nalTypes(annexB) === Some(Seq(7, 5, 1)))
+    // malformed AVCC: length runs past the buffer -> refused, not guessed
+    assert(FakeCodec.nalTypes(Array[Byte](0, 0, 0, 99, 0x65.toByte)) === None)
+    // zero-length NAL -> refused
+    assert(FakeCodec.nalTypes(Array[Byte](0, 0, 0, 0, 0x65.toByte)) === None)
+  }
+
+  test("keyframeStats: IDR cadence, SPS/PPS in sample 0, full-bitmask checksum; " +
+       "image-coded samples classify as zero IDR") {
+    import spark.implicits._
+    val media = Seq(1L, 2L).toDS().mapPartitions(_.map(id => MediaRow(id, "video",
+      FakeCodec.avcAsset(id, nFrames = 7, gop = 3), MediaMeta("mp4", 0, 0))))
+    val out = Multimodal.keyframeStats(media).collect()
+      .map(k => k.media_id -> k).toMap
+    // 7 samples, IDR at 0, 3, 6
+    assert(out(1L).n_samples === 7L && out(1L).n_idr === 3L)
+    assert(out(1L).n_sps === 1L && out(1L).n_pps === 1L)
+    assert(out(1L).first_idr_idx === 0L)
+    val expectCs = Seq(1L, 0L, 0L, 1L, 0L, 0L, 1L)
+      .foldLeft(0L)((a, x) => (a * 31 + x) % 1000000007L)
+    assert(out(1L).idr_mask_checksum === expectCs)
+    // an MJPEG (PNG-sample) track has no NAL framing: parses to no IDR
+    val mjpeg = Seq(3L).toDS().mapPartitions(_.map(id => MediaRow(id, "video",
+      FakeCodec.mjpegAsset(id, 3), MediaMeta("mp4", 1, 1))))
+    val kf = Multimodal.keyframeStats(mjpeg).head()
+    assert(kf.n_samples === 3L && kf.n_idr === 0L && kf.first_idr_idx === -1L)
+  }
+
   test("dhash64_bands: brightness-shift invariant, distinct patterns differ") {
     import graft.plans.functions.dhash64_bands
     // two 18x16 gray buffers: a ramp and the same ramp +9 brightness
