@@ -6,10 +6,11 @@ import graft.ops.Norms
 import graft.gold.Features
 import graft.schemas.EventSchemas
 import graft.silver.Silver
-import graft.streaming.Pipelines
+import graft.streaming.{Lifecycle, Pipelines}
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** End-to-end topology test: all SEVEN reference topics flow through ONE
@@ -162,5 +163,223 @@ class TopologySpec extends SparkSpec {
       Seq("service_name" -> StringType)).count() === 1L)
     assert(silverFor("market-resolution-failures", EventSchemas.resolutionFailure,
       Seq("slug" -> StringType, "reason" -> StringType)).count() === 1L)
+  }
+
+  /** Poll the FakeKafka topic until a decoded value matches, or fail. */
+  private def awaitTopic(topic: String, timeoutMs: Long = 90000)(
+      pred: Seq[String] => Boolean): Seq[String] = {
+    def vals(): Seq[String] = FakeKafkaBroker
+      .fetch(topic, 0L, FakeKafkaBroker.endOffset(topic))
+      .map { case (_, r) => new String(r.value, "UTF-8") }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!pred(vals()) && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    val v = vals()
+    assert(pred(v), s"timed out waiting on topic $topic; saw ${v.size} messages")
+    v
+  }
+
+  /** Poll a memory sink until `pred` holds (windowed emissions land one
+    * trigger after the watermark advances, so processAllAvailable alone
+    * is not a barrier for finalized windows). */
+  private def awaitSink(name: String, timeoutMs: Long = 90000)(
+      pred: DataFrame => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!pred(spark.table(name)) && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(pred(spark.table(name)), s"timed out waiting on sink $name")
+  }
+
+  /** The SURVEY §3.2 gold path, composed end-to-end: discovery drives the
+    * W4/W5 lifecycle state machine (close timer → backoff polls → winner,
+    * on a compressed clock), orderbook events flow through EVENT-TIME
+    * 15-minute tumbling windows with a 5-minute watermark (in-order,
+    * late-but-admissible, and too-late rows all exercised), position
+    * snapshots land in bronze, and the three planes join into one gold
+    * feature row per market. Three CONCURRENT streaming queries — the
+    * reference's independent consumer groups (`docker-compose.yml`
+    * service graph): control (ws_manager + market_resolution), analytics,
+    * and persistence (db_writer) — all over the same FakeKafka broker,
+    * with the engine's own resolution output re-entering Kafka as a
+    * topic, exactly like `market_resolution.py:43`'s producer. */
+  test("gold path e2e: discovery → books → positions → resolution → features (event-time windows + W5 timers)") {
+    FakeKafkaBroker.reset()
+    val bronzeRoot = tmp("graft_gp_bronze")
+    val inTopics = Seq("market-updates", "gamma-poll-results",
+      "polymarket-prices", "user-positions")
+
+    // ---- control plane: market-updates + gamma poll answers → lifecycle
+    //      state machine → transitions published to market-lifecycle.
+    //      Compressed clock: close ~1.5 s after discovery, first poll
+    //      300 ms later, 200 ms backoff (reference: 24 h / 60 s / 30 s).
+    val gammaPoll = StructType(Seq(
+      StructField("market_id", StringType),
+      StructField("closed", BooleanType),
+      StructField("resolution_status", StringType),
+      StructField("no_price", DoubleType),
+      StructField("yes_price", DoubleType)))
+    val ctlRaw = Pipelines.kafkaSource(spark,
+      Seq("market-updates", "gamma-poll-results"), "earliest")
+    val discovered = Pipelines.parseValue(
+        ctlRaw.filter(col("topic") === "market-updates"), EventSchemas.marketUpdate)
+      .select(col("p.market_id").as("marketId"), lit("discovered").as("kind"),
+        unix_millis(col("kafka_ts")).as("tsMs"),
+        col("p.token_ids").as("tokenIds"),
+        unix_millis(Norms.isoTs(col("p.end_time"))).as("endTimeMs"),
+        lit(false).as("closed"), lit("").as("resolutionStatus"),
+        lit(0.0).as("noPrice"), lit(0.0).as("yesPrice"))
+    val polled = Pipelines.parseValue(
+        ctlRaw.filter(col("topic") === "gamma-poll-results"), gammaPoll)
+      .select(col("p.market_id").as("marketId"), lit("poll_result").as("kind"),
+        unix_millis(col("kafka_ts")).as("tsMs"),
+        array().cast(ArrayType(StringType)).as("tokenIds"),
+        lit(0L).as("endTimeMs"), col("p.closed").as("closed"),
+        col("p.resolution_status").as("resolutionStatus"),
+        col("p.no_price").as("noPrice"), col("p.yes_price").as("yesPrice"))
+    val s = spark
+    import s.implicits._
+    val msgs = discovered.unionByName(polled).as[Lifecycle.MarketMsg]
+    val timing = Lifecycle.Timing(firstPollDelayMs = 300L,
+      baseBackoffMs = 200L, maxBackoffMs = 400L, maxAttempts = 20)
+    val ctlQ = Pipelines.kafkaSink(Lifecycle.run(msgs, timing).toDF(),
+        "market-lifecycle", tmp("graft_gp_ctl_ckpt"))
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+
+    // ---- analytics plane: books through event-time 15-min tumbling
+    //      windows, 5-min watermark, per market
+    val books = Pipelines.parseValue(
+        Pipelines.kafkaSource(spark, Seq("polymarket-prices"), "earliest"),
+        EventSchemas.orderbookSummary)
+      .select(col("p.market_id").as("market_id"),
+        Norms.isoTs(col("p.timestamp")).as("ts"),
+        col("p.book_imbalance").as("imb"), col("p.best_bid_price").as("bid"))
+    val winQ = Pipelines.windowedAgg(books, "ts", "5 minutes", "15 minutes",
+        Seq(col("market_id")),
+        Seq(count(lit(1)).as("n_events"), round(avg(col("imb")), 6).as("avg_imb"),
+          max(col("bid")).as("max_bid")))
+      .writeStream.format("memory").queryName("gp_books")
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+
+    // ---- persistence plane: every topic (including the engine's own
+    //      lifecycle output) routed to bronze, db_writer-style
+    val bronzeQ = Pipelines.routedBronzeSink(
+      Pipelines.kafkaSource(spark, inTopics :+ "market-lifecycle", "earliest"),
+      bronzeRoot, tmp("graft_gp_bronze_ckpt")).start()
+
+    def book(tsIso: String, imb: Double, bid: Double, market: String = "m1") =
+      send("polymarket-prices",
+        s"""{"type":"orderbook_summary","market_id":"$market","asset_id":"tokY",
+           |"timestamp":"$tsIso","best_bid_price":$bid,"book_imbalance":$imb}"""
+          .stripMargin.replaceAll("\n", ""))
+    try {
+      // discovery: the market closes ~1.5 s from now (compressed clock)
+      val endIso = java.time.Instant
+        .ofEpochMilli(System.currentTimeMillis() + 1500L).toString
+      send("market-updates",
+        s"""{"market_id":"m1","condition_id":"c1","question":"Will BTC close up?",
+           |"token_ids":["tokY","tokN"],"end_time":"$endIso","active":true,
+           |"slug":"btc-up"}""".stripMargin.replaceAll("\n", ""))
+
+      // books wave 1: two in-order events in window [10:00, 10:15)
+      book("2024-01-01T10:01:00Z", 0.2, 0.54)
+      book("2024-01-01T10:08:00Z", 0.4, 0.56)
+      winQ.processAllAvailable()
+      // wave 2: window 2 opens; a LATE event for window 1 arrives after it
+      // (event time 10:10 < max seen 10:16, but inside the 5-min
+      // watermark horizon — must still be counted)
+      book("2024-01-01T10:16:00Z", 0.6, 0.58)
+      book("2024-01-01T10:10:00Z", 0.3, 0.55)
+      winQ.processAllAvailable()
+      // wave 3: window 3 opens; watermark (10:31 − 5 min) passes window
+      // 1's end, finalizing it for the append sink
+      book("2024-01-01T10:31:00Z", 0.8, 0.60)
+      winQ.processAllAvailable()
+      awaitSink("gp_books")(_.filter(col("win_start") === "2024-01-01 10:00:00")
+        .count() === 1L)
+      // wave 4: a TOO-LATE event (10:05 is behind the watermark; its
+      // window is already finalized — must be dropped, not double-counted)
+      // plus a watermark pusher on another market to finalize windows 2-3
+      book("2024-01-01T10:05:00Z", 9.9, 9.99)
+      book("2024-01-01T11:00:00Z", 0.0, 0.01, market = "mPush")
+      winQ.processAllAvailable()
+      awaitSink("gp_books")(_.filter(col("market_id") === "m1").count() === 3L)
+
+      // positions: two snapshots of the same whale, +7 USDC
+      send("user-positions",
+        """{"type":"position","market_id":"m1","snapshot_time":"2024-01-01T10:00:00Z",
+          |"user":"0xwhale","asset_id":"tokY","outcome":"Yes","outcome_index":0,
+          |"balance":5000000}""".stripMargin.replaceAll("\n", ""))
+      send("user-positions",
+        """{"type":"position","market_id":"m1","snapshot_time":"2024-01-01T10:01:00Z",
+          |"user":"0xwhale","asset_id":"tokY","outcome":"Yes","outcome_index":0,
+          |"balance":12000000}""".stripMargin.replaceAll("\n", ""))
+
+      // control plane: the close timer fires at end_time, then the first
+      // poll request goes out 300 ms later (W5). The test now plays the
+      // Gamma API adapter: answer the poll → the machine resolves.
+      awaitTopic("market-lifecycle")(_.exists(_.contains("poll_due")))
+      send("gamma-poll-results",
+        """{"market_id":"m1","closed":true,"resolution_status":"resolved",
+          |"no_price":0.0,"yes_price":1.0}""".stripMargin.replaceAll("\n", ""))
+      awaitTopic("market-lifecycle")(_.exists(_.contains("resolved")))
+      bronzeQ.processAllAvailable()
+    } finally { ctlQ.stop(); winQ.stop(); bronzeQ.stop() }
+
+    // ---- the full W4/W5 transition sequence, in causal order
+    val transitions = spark.read
+      .json(spark.createDataset(awaitTopic("market-lifecycle")(_ => true)))
+      .filter(col("marketId") === "m1")
+      .orderBy("atMs").select("transition", "detail").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(transitions.head === ("subscribe", "tokY,tokN"))
+    assert(transitions.count(_._1 == "close") === 1)
+    assert(transitions.count(_._1 == "poll_due") >= 1)
+    assert(transitions.last === ("resolved", "Up"))
+
+    // ---- event-time windows: exact finalized content per 15-min window —
+    // the late-but-admissible row counted, the too-late row dropped
+    val wins = spark.table("gp_books").filter(col("market_id") === "m1")
+      .orderBy("win_start")
+      .select(col("win_start").cast("string"), col("n_events"),
+        col("avg_imb"), col("max_bid"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(wins.toSeq === Seq(
+      ("2024-01-01 10:00:00", 3L, 0.3, 0.56),
+      ("2024-01-01 10:15:00", 1L, 0.6, 0.58),
+      ("2024-01-01 10:30:00", 1L, 0.8, 0.6)))
+
+    // ---- gold assembly from the streamed bronze: whale delta + winner +
+    // window features joined into one feature row per market
+    val bronze = spark.read.parquet(bronzeRoot)
+    val positions = Silver.project(
+        bronze.filter(col("topic") === "user-positions"), col("payload"),
+        EventSchemas.position,
+        Seq("market_id" -> StringType, "user" -> StringType,
+          "snapshot_time" -> StringType, "balance" -> LongType),
+        keep = Seq.empty)
+      .withColumn("snap_ts", Norms.isoTs(col("snapshot_time")))
+    val whale = Features.whaleDeltas(positions,
+        Seq(col("market_id"), col("user")), Seq(col("snap_ts")),
+        col("balance"), thresholdC = 1000000L)
+      .select(col("market_id"), col("user"), col("delta_c"))
+    val winners = Silver.project(
+        bronze.filter(col("topic") === "market-lifecycle"), col("payload"),
+        StructType(Seq(StructField("marketId", StringType),
+          StructField("transition", StringType), StructField("detail", StringType))),
+        Seq("marketId" -> StringType, "transition" -> StringType,
+          "detail" -> StringType), keep = Seq.empty)
+      .filter(col("transition") === "resolved")
+      .select(col("marketId").as("market_id"), col("detail").as("winner"))
+    val bookFeats = spark.table("gp_books").filter(col("market_id") === "m1")
+      .groupBy("market_id")
+      .agg(sum(col("n_events")).as("book_events"),
+        max(col("avg_imb")).as("peak_window_imb"))
+    val gold = bookFeats.join(broadcast(winners), "market_id")
+      .join(whale, "market_id")
+      .select("market_id", "winner", "user", "delta_c",
+        "book_events", "peak_window_imb")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(gold.toSeq === Seq(("m1", "Up", "0xwhale", 7000000L, 5L, 0.8)))
   }
 }
