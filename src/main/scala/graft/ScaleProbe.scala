@@ -168,6 +168,23 @@ object ScaleProbe {
         TextOps.charEntropy(docCorpus(k), col("doc_id"), col("text"))),
       "x44_train_order" -> (k =>
         TextOps.trainOrder(docCorpus(k), col("doc_id"), col("text"))),
+      "x86_epoch_order" -> (k =>
+        // x44's bucketed two-phase rank over the SALTED hash domain —
+        // the slope must match x44's (the salt is a per-row multiply)
+        TextOps.epochOrder(docCorpus(k), col("doc_id"), col("text"), epoch = 3L)),
+      "x85_recipe_apply" -> { k =>
+        // the full recipe materializer: temperature budgets (13 strata,
+        // one tiny agg) + the per-stratum budgeted selection. Budgets
+        // scale with k so the admitted set — the rows the per-bucket
+        // windows actually sort — grows with the corpus (the x37
+        // discipline)
+        val c = docCorpus(k)
+        val budgets = TextOps.recipeBudgets(c,
+          pmod(col("doc_id"), lit(13L)), col("text"),
+          totalBudget = 780000L * k)
+        TextOps.tokenBudgetSampleWeighted(c, col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(13L)), budgets)
+      },
       "x45_incremental" -> { k =>
         // FIXED batch vs growing index: the slope isolates the
         // corpus-side banding pass (the thing that must stay linear)
@@ -352,6 +369,18 @@ object ScaleProbe {
           length(col("text")).cast("long").as("bytes"))
         graft.silver.Export.compactionSummary(graft.silver.Export.compactionPlan(
           files, col("shard"), col("file_id"), col("bytes"), targetBytes = 4000L))
+      },
+      "x90_novelty" -> (k =>
+        // gram-keyed min agg + doc-keyed counts: should track the x01/
+        // x29 hash-aggregation slope (the rotation keeps copies'
+        // shingle spaces disjoint, so the gram inventory grows ~k×)
+        TextOps.noveltyCurve(docCorpus(k), col("doc_id"), col("text"))),
+      "x89_audio_fp" -> { k =>
+        // k doc-id-shifted copies are k× DISTINCT tracks (the PCM is
+        // doc_id arithmetic); the probe watches the WAV encode→decode→
+        // contour projection and the banded pair join slope together
+        graft.multimodal.Multimodal.audioFpPairs(
+          graft.multimodal.Multimodal.audioCorpus(docCorpus(k)))
       },
       "x87_image_phash" -> { k =>
         // k doc-id-shifted copies are k× DISTINCT images (the pixel

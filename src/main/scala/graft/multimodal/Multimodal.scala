@@ -37,6 +37,8 @@ final case class ResizedMedia(media_id: Long, out_w: Int, out_h: Int,
                               resize_checksum: Long)
 final case class ImageAsset(img_id: Long, width: Int, content: Array[Byte])
 final case class DecodedImage(img_id: Long, width: Int, pixels: Array[Byte])
+final case class AudioAsset(aud_id: Long, content: Array[Byte])
+final case class AudioEnergies(aud_id: Long, energies: Array[Long])
 final case class KeyframeStats(media_id: Long, n_samples: Long, n_idr: Long,
                                n_sps: Long, n_pps: Long, first_idr_idx: Long,
                                idr_mask_checksum: Long)
@@ -73,6 +75,40 @@ object FakeCodec {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(content))
     try in.readAllBytes() finally in.close()
+  }
+
+  /** Real WAVE encode of signed 16-bit little-endian mono PCM — the
+    * audio counterpart of [[encodeRgbPng]] (javax.sound writes the
+    * genuine RIFF container; [[decodeWav]] round-trips it). */
+  def encodePcm16Wav(samples: Array[Int], sampleRate: Float = 8000f): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    finally ais.close()
+    baos.toByteArray
+  }
+
+  /** Signed 16-bit LE samples of a real-decoded WAV. */
+  def pcm16Samples(wav: Array[Byte]): Array[Int] = {
+    val pcm = decodeWav(wav)
+    val out = new Array[Int](pcm.length / 2)
+    var i = 0
+    while (i < out.length) {
+      // low byte unsigned, high byte sign-extends: signed 16-bit LE
+      out(i) = (pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)
+      i += 1
+    }
+    out
   }
 
   /** Row-major RGB bytes (3 per pixel) of a decoded image. */
@@ -762,5 +798,74 @@ object Multimodal {
     * fingerprints enter the exchange. */
   def imagePHashPairs(images: Dataset[ImageAsset], maxHamming: Int = 3): DataFrame =
     graft.dedup.Dedup.bandedHammingPairs(imageDHashBands(images), maxHamming)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+
+  /** Deterministic 16-bit PCM test signal for the x89 audio-dedup
+    * corpus: sample s of document d's base track, in [−16384, 16383]
+    * so an EXACT 2× gain never clips (doubling preserves every
+    * magnitude order, so the gain copy's gradient fingerprint is
+    * bit-identical by construction — the energy-gradient analog of
+    * dHash's brightness invariance). */
+  def audioSampleVal(d: Long, s: Int): Int =
+    ((((d * 131 + 7) * (s * 17L + 29) + d * 43) % 32768L) - 16384L).toInt
+
+  /** Planted audio near-dup corpus (x89): per document a base 1040-
+    * sample mono WAV of [[audioSampleVal]], a RE-ENCODED copy
+    * (+20000 — decode the base WAV, encode the decoded samples again:
+    * sample-identical through a second real javax.sound round-trip),
+    * and a 2× GAIN copy with a ±1 alternate-sample dither (+40000 —
+    * the re-mastered/re-compressed near-dup: gain is fingerprint-exact,
+    * the dither perturbs frame energies by ≤16 of a ~260k scale, so a
+    * handful of near-tie gradient bits may flip — what the Hamming
+    * threshold exists to absorb). Every byte passes through the real
+    * javax.sound encode/decode pipeline; the oracle reproduces the
+    * planted samples by pure arithmetic (the x62/x87 pattern). */
+  def audioCorpus(docs: DataFrame, nSamples: Int = 1040): Dataset[AudioAsset] = {
+    import org.apache.spark.sql.types.LongType
+    docs.select(col("doc_id").cast(LongType)).as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          val base = Array.tabulate(nSamples)(s => audioSampleVal(d, s))
+          val baseWav = FakeCodec.encodePcm16Wav(base)
+          // re-encode from the DECODED samples — a second real round-trip
+          val reencoded = FakeCodec.encodePcm16Wav(FakeCodec.pcm16Samples(baseWav))
+          val gain = Array.tabulate(nSamples)(s => 2 * base(s) + (s % 2))
+          Seq(AudioAsset(d, baseWav),
+            AudioAsset(d + 20000, reencoded),
+            AudioAsset(d + 40000, FakeCodec.encodePcm16Wav(gain)))
+        }
+      }(Encoders.product[AudioAsset])
+  }
+
+  /** Frame-energy contour of a real-decoded WAV: 16-sample frames,
+    * per-frame sum of |sample| — partition-local decode (the codec
+    * seam, like [[decodeImages]]); only the 65-long contour leaves the
+    * row. */
+  def audioEnergies(audio: Dataset[AudioAsset], frameLen: Int = 16): Dataset[AudioEnergies] =
+    audio.mapPartitions { it =>
+      it.map { a =>
+        val s = FakeCodec.pcm16Samples(a.content)
+        val nf = s.length / frameLen
+        val es = new Array[Long](nf)
+        var i = 0
+        val full = nf * frameLen
+        while (i < full) { es(i / frameLen) += math.abs(s(i)); i += 1 }
+        AudioEnergies(a.aud_id, es)
+      }
+    }(Encoders.product[AudioEnergies])
+
+  /** Audio near-dup pairs (x89): energy-gradient fingerprints (one
+    * codegen'd [[graft.plans.functions.gradient64_bands]] projection
+    * over the contour) into the SAME Manku banded-Hamming machinery as
+    * text SimHash and image dHash. At 100 TB: audio bytes never
+    * shuffle — the decode+contour pass is partition-local and emits 65
+    * longs per track, the hash is 4 longs, and only those enter the
+    * band equi-join (never all-pairs). */
+  def audioFpPairs(audio: Dataset[AudioAsset], maxHamming: Int = 3): DataFrame =
+    graft.dedup.Dedup.bandedHammingPairs(
+      audioEnergies(audio).toDF()
+        .select(col("aud_id").as("doc_id"),
+          graft.plans.functions.gradient64_bands(col("energies")).as("bands")),
+      maxHamming)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
 }

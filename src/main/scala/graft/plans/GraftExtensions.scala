@@ -101,6 +101,8 @@ object GraftExtensions {
       a => SimHash64Bands(a.head)),
     fn("dhash64_bands", classOf[DHash64Bands], 3, "dhash64_bands(binary, width, channels)")(
       a => DHash64Bands(a.head, a(1), intArg("dhash64_bands", "channels", a(2)))),
+    fn("gradient64_bands", classOf[Gradient64Bands], 1, "gradient64_bands(array<bigint>)")(
+      a => Gradient64Bands(a.head)),
     fn("dot_fold", classOf[DotFold], 2, "dot_fold(array<float>, array<float>)")(
       a => DotFold(a(0), a(1))),
     fn("sqnorm_fold", classOf[SqNormFold], 1, "sqnorm_fold(array<float>)")(
@@ -160,6 +162,9 @@ object functions {
   def dhash64_bands(pixels: Column, width: Column, channels: Int): Column =
     GraftBridge.column(DHash64Bands(GraftBridge.expression(pixels),
       GraftBridge.expression(width), channels))
+
+  def gradient64_bands(contour: Column): Column =
+    GraftBridge.column(Gradient64Bands(GraftBridge.expression(contour)))
 
   def sign_bucket_rh(c: Column, bits: Int, seed: Int): Column =
     GraftBridge.column(SignBucketRH(GraftBridge.expression(c), bits, seed))

@@ -104,6 +104,26 @@ object HashUtil {
     ArrayData.toArrayData(bands)
   }
 
+  /** 64 neighbor-gradient bits over a 65-element energy contour,
+    * returned as four 16-bit bands (the same Manku layout as
+    * [[dhash64Bands]] / [[simhash64Bands]], so one Hamming-LSH pairing
+    * serves text, image, and audio fingerprints). Bit i is set iff
+    * contour(i) > contour(i+1) — invariant to any strictly
+    * order-preserving rescale of the contour (an exact k× gain leaves
+    * every bit unchanged), which is the property that makes it an audio
+    * near-dup fingerprint over frame energies. */
+  def gradient64Bands(es: ArrayData): ArrayData = {
+    require(es.numElements() >= 65,
+      s"gradient64_bands needs >= 65 contour points, got ${es.numElements()}")
+    val bands = new Array[Long](4)
+    var i = 0
+    while (i < 64) {
+      if (es.getLong(i) > es.getLong(i + 1)) bands(i >> 4) |= 1L << (i & 15)
+      i += 1
+    }
+    ArrayData.toArrayData(bands)
+  }
+
   /** Distinct Lehmer-mixed hashes of word bigrams ("w1_w2"), matching
     * split(t, " ") semantics (-1 limit) with unigram fallback for
     * single-word input. One native pass; ≡ the HOF pipeline
@@ -531,6 +551,28 @@ case class DHash64Bands(left: Expression, right: Expression, channels: Int)
       newLeft: Expression, newRight: Expression): DHash64Bands =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "dhash64_bands"
+}
+
+/** gradient64_bands(array<bigint>): ARRAY<LONG> — 64 neighbor-gradient
+  * bits of a >= 65-point energy contour as four 16-bit Manku bands (see
+  * [[HashUtil.gradient64Bands]]); the audio member of the perceptual-
+  * fingerprint family (text SimHash, image dHash, audio energy-gradient
+  * hash all share the banded Hamming pairing). */
+case class Gradient64Bands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gradient64_bands requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.gradient64Bands(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashUtil.gradient64Bands($c);")
+  override protected def withNewChildInternal(newChild: Expression): Gradient64Bands =
+    copy(child = newChild)
+  override def prettyName: String = "gradient64_bands"
 }
 
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {

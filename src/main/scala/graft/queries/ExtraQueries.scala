@@ -2873,6 +2873,63 @@ object ExtraQueries {
           FakeCodec.avcAsset(id, (3 + id % 5).toInt, (1 + id % 3).toInt),
           MediaMeta("mp4", 0, 0))))
       Multimodal.keyframeStats(media).toDF()
+    },
+
+    // ----- audio fingerprint near-dup: energy-gradient hash over real
+    //       javax.sound WAV encode->decode round-trips (the audio member
+    //       of the perceptual-dedup family: text SimHash, image dHash,
+    //       audio gradient hash share one banded-Hamming machinery)
+    QueryDef("x89_audio_fp_pairs",
+      "audio near-dup via 64-bit energy-gradient fingerprint (16-sample frame |PCM| energies, neighbor-gradient bits, Manku 4x16-band Hamming-LSH pairing, exact Hamming <= 3) over REAL javax.sound WAV encode->decode round-trips — per doc: base 1040-sample mono 16-bit track, a re-encoded copy (sample-identical second codec round-trip), a 2x-gain copy with alternate-sample dither (gain is fingerprint-exact by gradient invariance; dither may flip near-tie bits, absorbed by the threshold) — oracle recomputes the planted samples and the whole hash by pure arithmetic, no audio library")(
+      s"""WITH ids AS (SELECT doc_id AS d FROM documents),
+         |samp AS (
+         |  SELECT d, s, ((d*131+7)*(s*17+29) + d*43) % 32768 - 16384 AS a
+         |  FROM ids, range(0,1040) rs(s)),
+         |aud AS (
+         |  SELECT d AS id, s, abs(a) AS m FROM samp
+         |  UNION ALL SELECT d+20000, s, abs(a) FROM samp
+         |  UNION ALL SELECT d+40000, s, abs(2*a + (s%2)) FROM samp),
+         |en AS (SELECT id, s//16 AS f, sum(m) AS e FROM aud GROUP BY id, f),
+         |grid AS (SELECT id, list(e ORDER BY f) AS es FROM en GROUP BY id),
+         |bnd AS (SELECT id, [
+         |    CAST(list_sum([CASE WHEN es[bb*16+i+1] > es[bb*16+i+2]
+         |                   THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0,16)]) AS BIGINT)
+         |    FOR bb IN range(0,4)] AS bands FROM grid),
+         |fbx AS (SELECT id AS doc_id, bands, b AS band_id, bands[b+1] AS band_val
+         |        FROM bnd, range(0,4) r(b)),
+         |pr AS (SELECT DISTINCT a.doc_id AS id_a, k.doc_id AS id_b,
+         |        CAST(bit_count(xor(a.bands[1], k.bands[1])) + bit_count(xor(a.bands[2], k.bands[2]))
+         |           + bit_count(xor(a.bands[3], k.bands[3])) + bit_count(xor(a.bands[4], k.bands[4])) AS BIGINT) AS hamming
+         |       FROM fbx a JOIN fbx k
+         |         ON a.band_id = k.band_id AND a.band_val = k.band_val AND a.doc_id < k.doc_id)
+         |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3
+         |""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.audioFpPairs(
+        graft.multimodal.Multimodal.audioCorpus(Tables.documents(s, dir)))
+    },
+
+    // ----- corpus novelty curve: diminishing-returns diagnostic over
+    //       ingestion-ordered slices (whose shingles are seen first?)
+    QueryDef("x90_novelty_curve",
+      "corpus novelty curve: a shingle's first owner is the min doc_id carrying it; per equal doc_id-range decile, total distinct 7-shingles vs shingles owned FIRST by that decile's docs, and the novelty rate — the 'does the Nth crawl slice still add content?' diminishing-returns diagnostic; one gram-keyed min agg (map-side combinable) + doc-keyed counts + an arithmetic range bucket (no global rank window)")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$shinglesD,
+         |g AS (SELECT doc_id, unnest(shingles) AS gh FROM sh),
+         |fo AS (SELECT gh, min(doc_id) AS fd FROM g GROUP BY gh),
+         |nv AS (SELECT fd AS doc_id, count(*) AS n_novel FROM fo GROUP BY fd),
+         |pd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+         |mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |b AS (SELECT least(pd.doc_id * 10 // (mx.mx + 1), 9) AS bucket,
+         |             pd.n_grams, coalesce(nv.n_novel, 0) AS n_novel
+         |      FROM pd LEFT JOIN nv USING (doc_id), mx)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(sum(n_grams) AS BIGINT) AS grams,
+         |       CAST(sum(n_novel) AS BIGINT) AS novel,
+         |       round(CAST(sum(n_novel) AS DOUBLE) / sum(n_grams), 6) AS novelty_rate
+         |FROM b GROUP BY bucket
+         |""".stripMargin) { (s, dir) =>
+      graft.text.TextOps.noveltyCurve(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
     }
   )
 

@@ -78,6 +78,15 @@ object TextOps {
   def epochSeed(epoch: Long): Long =
     BigInt(48271L).modPow(BigInt(epoch + 1), BigInt(graft.plans.HashUtil.P)).toLong
 
+  /** The x86 ordering key: the document fingerprint re-permuted by the
+    * epoch's Lehmer multiplier. Factored out so TextOpsSpec can pin the
+    * RUNTIME dispersion of exactly the key [[epochOrder]] buckets on —
+    * a salted domain could in principle concentrate where the raw one
+    * disperses, and the silent-bucket-degeneration class of bug is
+    * invisible to plan audits. */
+  private[text] def epochKey(text: Column, epoch: Long): Column =
+    (fingerprint(norm(text)) * epochSeed(epoch)) % graft.plans.HashUtil.P
+
   /** Order-preserving range bucket over the poly-hash domain [0, P):
     * _bkt = hk DIV ceil(P/nBuckets), so bucket id is a NON-DECREASING
     * function of hk and a bucketed two-phase prefix sum reconstructs
@@ -465,6 +474,48 @@ object TextOps {
           .as("dup_frac"))
   }
 
+  /** x90 — corpus novelty curve: how much NEW content each slice of an
+    * ingestion-ordered corpus contributes. A shingle's first owner is
+    * the minimum doc_id carrying it; a document's novel-gram count is
+    * the number of its distinct shingles it owns first; documents are
+    * bucketed into `nBuckets` equal doc_id ranges and each bucket
+    * reports (grams, novel, novelty_rate). This is the
+    * diminishing-returns diagnostic every crawl pipeline wants — "does
+    * the Nth slice of this source still add content, or is it
+    * re-crawling what we hold?" — and the curve's tail is what decides
+    * when to stop paying for a source.
+    *
+    * Scale shape: one narrow shingle explode, a gram-keyed min
+    * aggregation (map-side combinable — the shuffle carries one row
+    * per distinct gram per mapper), two doc-keyed counts, and a
+    * broadcast of the 1-row max-id frame for the arithmetic range
+    * bucket (no ntile — a global rank window would be the scale-killer
+    * here). Nothing corpus-sized reaches the driver. */
+  def noveltyCurve(docs: DataFrame, id: Column, text: Column,
+                   k: Int = 7, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import graft.dedup.Dedup
+    val g = docs
+      .select(id.as("doc_id"),
+        explode(array_distinct(Dedup.shingleHashes(norm(text), k))).as("g"))
+    val firstOwner = g.groupBy("g").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    val perDoc = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val mx = docs.agg(max(id).as("_mx"))
+    perDoc.join(firstOwner, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .crossJoin(broadcast(mx))
+      // integer `div`, not `/`: double division is inexact past 2^53,
+      // and the oracle's `//` is integer — keep bucket edges bit-equal
+      .withColumn("bucket",
+        least(expr(s"doc_id * $nBuckets div (_mx + 1)"), lit(nBuckets - 1))
+          .cast(LongType))
+      .groupBy("bucket")
+      .agg(sum(col("n_grams")).as("grams"), sum(col("n_novel")).as("novel"))
+      .withColumn("novelty_rate",
+        round(col("novel").cast(DoubleType) / col("grams").cast(DoubleType), 6))
+  }
+
   /** Gopher-style document quality rules, computed exactly per document:
     * word-count bounds, mean word length in [3, 10], symbol-to-word
     * ratio (`#` and `...`), fraction of words containing an alphabetic
@@ -778,10 +829,7 @@ object TextOps {
                  nBuckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(epoch >= 0, s"epoch must be non-negative, got $epoch")
-    val p = graft.plans.HashUtil.P
-    val se = epochSeed(epoch)
-    val h = docs.select(id.as("doc_id"),
-        ((fingerprint(norm(text)) * se) % p).as("_hk"))
+    val h = docs.select(id.as("doc_id"), epochKey(text, epoch).as("_hk"))
       .withColumn("_bkt", rangeBucket(col("_hk"), nBuckets))
     val wOff = Window.partitionBy(pmod(col("_bkt"), lit(1L))).orderBy(col("_bkt"))
     val offsets = h.groupBy("_bkt").agg(count(lit(1)).as("_n"))

@@ -432,4 +432,59 @@ class MultimodalSpec extends SparkSpec {
     assert(df(1L) === df(2L), "global brightness shift must not change the dHash")
     assert(df(1L) !== df(3L), "distinct patterns must hash differently")
   }
+
+  test("16-bit WAV encode -> real decode round-trips every sample exactly") {
+    val samples = Array(0, 1, -1, 16383, -16384, 12345, -12345, 255, -256)
+    val wav = FakeCodec.encodePcm16Wav(samples)
+    // RIFF/WAVE container present, then the exact signed samples back
+    assert(wav.take(4).map(_.toChar).mkString === "RIFF")
+    assert(FakeCodec.pcm16Samples(wav).toSeq === samples.toSeq)
+  }
+
+  test("gradient64_bands: exact-gain invariant, reversed contour flips; short contour refused") {
+    import graft.plans.functions.gradient64_bands
+    val es = Array.tabulate(65)(i => ((i * 7919L) % 1000 + 1) * 100)
+    val df = Seq((1L, es), (2L, es.map(_ * 2)), (3L, es.reverse))
+      .toDF("id", "es")
+      .select(col("id"), gradient64_bands(col("es")).as("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(df(1L) === df(2L), "an exact 2x gain must not change any gradient bit")
+    assert(df(1L) !== df(3L), "a reversed contour must hash differently")
+    val thrown = intercept[Exception] {
+      Seq((1L, Array.fill(64)(1L))).toDF("id", "es")
+        .select(gradient64_bands(col("es"))).collect()
+    }
+    assert(thrown.getMessage != null)
+  }
+
+  test("audioFpPairs: re-encoded tracks pair at Hamming 0; 2x-gain+dither pairs within 3; " +
+       "distinct docs never pair") {
+    val docs = mk((0L to 19L).map(d => d -> s"doc $d"): _*)
+    val pairs = Multimodal.audioFpPairs(Multimodal.audioCorpus(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the re-encode round-trip is sample-identical -> Hamming 0, all 20 pair
+    val reenc = pairs.filter { case (a, b, _) => b - a == 20000 && a < 20000 }
+    assert(reenc.length === 20 && reenc.forall(_._3 === 0L),
+      s"re-encoded pairs wrong: ${reenc.toSeq}")
+    // 2x gain is gradient-exact; only the ±1 dither (≤16 of a ~260k frame
+    // energy) can flip near-tie bits — (nearly) every doc must still pair
+    val gained = pairs.filter { case (a, b, _) => b - a == 40000 }
+    assert(gained.length >= 18, s"only ${gained.length}/20 gain variants paired")
+    // precision: no pair ever crosses documents
+    assert(pairs.forall { case (a, b, _) => a % 20000 === b % 20000 },
+      s"cross-document pair found: ${pairs.filterNot(p => p._1 % 20000 == p._2 % 20000).toSeq}")
+  }
+
+  test("audioCorpus bytes go through the real codec: decoded PCM equals the planted arithmetic") {
+    val docs = mk(7L -> "doc seven")
+    val byId = Multimodal.audioCorpus(docs).collect().map(a => a.aud_id -> a.content).toMap
+    val base = FakeCodec.pcm16Samples(byId(7L))
+    assert(base.length === 1040)
+    assert(base.toSeq === (0 until 1040).map(s => Multimodal.audioSampleVal(7L, s)))
+    assert(FakeCodec.pcm16Samples(byId(20007L)).toSeq === base.toSeq,
+      "re-encoded track must round-trip sample-identical")
+    assert(FakeCodec.pcm16Samples(byId(40007L)).toSeq ===
+      (0 until 1040).map(s => 2 * Multimodal.audioSampleVal(7L, s) + s % 2),
+      "gain track must be exactly 2x + dither")
+  }
 }

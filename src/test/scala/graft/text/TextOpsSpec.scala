@@ -107,6 +107,80 @@ class TextOpsSpec extends SparkSpec {
     assert(b.forall { case (_, bk) => bk >= 0 && bk < 1024 }, s"bucket out of range")
   }
 
+  test("epochKey: every epoch's SALTED hash domain disperses across buckets (x86 runtime keys)") {
+    // the x86-specific hazard the generic rangeBucket test can't see:
+    // epochOrder buckets hk·sₑ mod P, not the raw fingerprint — a bad
+    // seed (0, or one concentrating products into a narrow range) would
+    // silently degrade the phase-2 rank window to few tasks while the
+    // permutation stays CORRECT (one bucket is semantically the global
+    // sort). Pin real dispersion of the exact runtime key, per epoch.
+    val docs = (1 to 200).map(i => (i.toLong, s"document number $i text"))
+      .toDF("doc_id", "text")
+    (0L to 3L).foreach { e =>
+      val b = docs
+        .select(TextOps.rangeBucket(TextOps.epochKey(col("text"), e), 1024).as("_bkt"))
+        .collect().map(_.getLong(0))
+      assert(b.distinct.length > 50,
+        s"epoch $e salted keys degenerate: ${b.distinct.length} buckets for 200 docs")
+      assert(b.forall(bk => bk >= 0 && bk < 1024), s"epoch $e bucket out of range")
+    }
+  }
+
+  test("tokenBudgetSampleWeighted: per-stratum bucket dispersion + order reconstruction (x85 runtime keys)") {
+    // x85's phase-2 window partitions on (stratum, _bkt): assert each
+    // stratum's admitted documents actually span many buckets (no
+    // single-task sort hiding behind a planned exchange), and that the
+    // reconstructed cum_tokens order within a stratum IS the global
+    // (fingerprint, doc_id) order — the end-to-end property bucket
+    // degeneration would mask.
+    val docs = (1 to 200).map(i =>
+        (i.toLong, s"src${i % 4}", s"document number $i body " + ("w " * (i % 5)).trim))
+      .toDF("doc_id", "source", "text")
+    val budgets = TextOps.recipeBudgets(docs, col("source"), col("text"),
+      totalBudget = 100000L) // admits everything: dispersion over the full set
+    val out = TextOps.tokenBudgetSampleWeighted(docs, col("doc_id"), col("text"),
+        col("source"), budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.length === 200, s"budget should admit all: ${out.length}")
+    // runtime key dispersion, per stratum (50 docs each → ~50 buckets)
+    val keyed = docs
+      .select(col("source"),
+        TextOps.rangeBucket(TextOps.fingerprint(TextOps.norm(col("text"))), 1024).as("_bkt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    keyed.groupBy(_._1).foreach { case (src, rows) =>
+      val nb = rows.map(_._2).distinct.length
+      assert(nb > 40, s"stratum $src degenerate: $nb buckets for ${rows.length} docs")
+    }
+    // cum_tokens order within each stratum equals the global hash order
+    val hashOf = docs
+      .select(col("doc_id"), TextOps.fingerprint(TextOps.norm(col("text"))).as("hk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val byCum = rows.sortBy(_._3).map(_._1).toSeq
+      val byHash = rows.map(_._1).sortBy(d => (hashOf(d), d)).toSeq
+      assert(byCum === byHash, s"stratum $src: bucketed order != global hash order")
+    }
+  }
+
+  test("noveltyCurve: an exact copy adds zero novelty; disjoint content is fully novel") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact copy
+      (2L, "zx qv wk jm completely disjoint sentence body")
+    ).toDF("doc_id", "text")
+    val out = TextOps.noveltyCurve(docs, col("doc_id"), col("text"), nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // mx=2, bucket = doc_id * 3 div 3 = doc_id
+    val (g0, n0, r0) = out(0L)
+    assert(g0 === n0 && r0 === 1.0, s"first slice must be fully novel: ${out(0L)}")
+    assert(out(1L) === ((g0, 0L, 0.0)), s"exact copy must add nothing: ${out(1L)}")
+    val (g2, n2, r2) = out(2L)
+    assert(g2 === n2 && r2 === 1.0, s"disjoint slice must be fully novel: ${out(2L)}")
+    // curve totals: every distinct gram is owned exactly once
+    assert(out.values.map(_._2).sum === g0 + g2)
+  }
+
   test("recipeBudgets: sums within total, smoothing up-weights the low-resource source") {
     // src a: 9x the tokens of src b (one-word docs vs nine-word docs)
     val docs = Seq(
