@@ -5,6 +5,9 @@ gate beyond the driver's standard sf0.01 check — see PLANS.md
 "Adversarial oracle sweeps").
 
 Usage: python3 scripts/adversarial.py [sfBase]   (default sf0.001)
+Set ADVERSARIAL_JSON=<path> to also record per-sweep verdicts as a
+committed artifact (the ADVERSARIAL_r{N}.json the round bookkeeping
+expects).
 
 Each sweep copies sfBase and replaces ONE table family:
   docs   — 1..25-char texts (below shingle length), whitespace-collapse,
@@ -18,6 +21,7 @@ Each sweep copies sfBase and replaces ONE table family:
            zero/negative prices
 """
 import datetime
+import json
 import os
 import random
 import shutil
@@ -235,6 +239,7 @@ def main():
               "emb": sweep_emb, "tpc": sweep_tpc, "boiler": sweep_boiler,
               "onedoc": sweep_onedoc}
     failed = []
+    results = {}
     for name, gen in sweeps.items():
         d = gen()
         r = subprocess.run(
@@ -246,6 +251,15 @@ def main():
         if not ok:
             failed.append(name)
             print(r.stdout[-2000:])
+        results[name] = {"ok": ok, "tail": tail}
+    out = os.environ.get("ADVERSARIAL_JSON")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"base": SF, "utc": datetime.datetime.utcnow()
+                       .strftime("%Y-%m-%dT%H:%M:%SZ"),
+                       "sweeps": results,
+                       "failed": failed}, f, indent=2)
+        print(f"[adversarial] wrote {out}")
     print("\n[adversarial] failed:", failed if failed else "none")
     sys.exit(1 if failed else 0)
 
