@@ -39,6 +39,9 @@ final case class ImageAsset(img_id: Long, width: Int, content: Array[Byte])
 final case class DecodedImage(img_id: Long, width: Int, pixels: Array[Byte])
 final case class AudioAsset(aud_id: Long, content: Array[Byte])
 final case class AudioEnergies(aud_id: Long, energies: Array[Long])
+final case class SceneCutStats(media_id: Long, n_frames: Long, n_cuts: Long,
+                               first_cut_idx: Long, cut_checksum: Long,
+                               diff_checksum: Long)
 final case class KeyframeStats(media_id: Long, n_samples: Long, n_idr: Long,
                                n_sps: Long, n_pps: Long, first_idr_idx: Long,
                                idr_mask_checksum: Long)
@@ -853,6 +856,100 @@ object Multimodal {
         AudioEnergies(a.aud_id, es)
       }
     }(Encoders.product[AudioEnergies])
+
+  /** Deterministic grayscale pixel for the x91 scene-cut corpus: pixel
+    * (y, x) of scene `sc` in document d's track. Values stay ≤ 199 so
+    * the ≤ 2 within-scene phase drift never wraps; consecutive scenes
+    * differ by ±97/±103 per pixel (≫ drift), so boundaries are
+    * deterministic, not statistical. */
+  def scenePix(d: Long, sc: Int, y: Int, x: Int): Int =
+    ((d * 53 + sc.toLong * 97 + y * 7 + x * 11) % 200).toInt
+
+  /** Planted multi-scene MJPEG-style track: `nFrames` w×h PNG frames in
+    * a real mp4 container; scene index i/sceneLen sets the [[scenePix]]
+    * base, and a +1-per-frame phase drifts within the scene (total
+    * within-scene frame diff = w·h·3, far under any sane threshold,
+    * while scene boundaries jump ≥ 95 per channel per pixel). */
+  def sceneAsset(mediaId: Long, nFrames: Int, sceneLen: Int,
+                 w: Int = 8, h: Int = 6): Array[Byte] = {
+    require(nFrames > 0 && sceneLen > 0, "frames and sceneLen must be positive")
+    val frames = (0 until nFrames).map { i =>
+      val sc = i / sceneLen
+      val ph = i % sceneLen
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (scenePix(mediaId, sc, y, x) + ph).toByte
+          val p = (y * w + x) * 3
+          rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      FakeCodec.encodeRgbPng(w, h, rgb)
+    }
+    FakeCodec.mp4Asset(frames)
+  }
+
+  /** x91 — scene-cut detection over an image-coded track: real demux +
+    * per-frame ImageIO decode (the x62 path), then the consecutive-frame
+    * sum-of-absolute-differences — a boundary whose SAD exceeds
+    * `threshold` is a cut. This is the shot-boundary index a video
+    * training pipeline samples from: one representative frame per scene
+    * beats every-Nth-frame sampling (which oversamples static shots and
+    * straddles transitions). A dimension change between decodable
+    * frames counts as a cut at maximal dissimilarity (255·3 per pixel
+    * of the larger frame); undecodable samples drop out of the chain
+    * (the diff spans the gap — observable via n_frames, never guessed).
+    * Emits per asset: decoded-frame count, cut count, first cut index,
+    * and rolling checksums of the full cut bitmask AND the raw SAD
+    * sequence — the oracle certifies every boundary's arithmetic, not
+    * just the counts.
+    *
+    * Scale shape: partition-local mapPartitions over media bytes (which
+    * never shuffle), one 6-field row out per asset. */
+  def sceneCuts(ds: Dataset[MediaRow], threshold: Long): Dataset[SceneCutStats] =
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val samples =
+          if (m.meta.format == "mp4")
+            FakeCodec.mp4Samples(m.content).getOrElse(IndexedSeq.empty)
+          else IndexedSeq.empty
+        val decoded = samples.flatMap { case (off, sz) =>
+          FakeCodec.decodeFramePixels(
+            java.util.Arrays.copyOfRange(m.content, off.toInt, (off + sz).toInt))
+        }
+        var nCuts = 0L
+        var first = -1L
+        var cutCs = 0L
+        var diffCs = 0L
+        var j = 1
+        while (j < decoded.length) {
+          val (w0, h0, a) = decoded(j - 1)
+          val (w1, h1, b) = decoded(j)
+          val diff: Long =
+            if (w0 != w1 || h0 != h1) 765L * math.max(w0 * h0, w1 * h1)
+            else {
+              var s = 0L
+              var i = 0
+              while (i < a.length) {
+                s += math.abs((a(i) & 0xff) - (b(i) & 0xff))
+                i += 1
+              }
+              s
+            }
+          val cut = if (diff > threshold) 1L else 0L
+          if (cut == 1L) { nCuts += 1; if (first < 0) first = j.toLong }
+          cutCs = (cutCs * 31 + cut) % P
+          diffCs = (diffCs * 31 + diff % P) % P
+          j += 1
+        }
+        SceneCutStats(m.media_id, decoded.length.toLong, nCuts, first,
+          cutCs, diffCs)
+      }
+    }(Encoders.product[SceneCutStats])
 
   /** Audio near-dup pairs (x89): energy-gradient fingerprints (one
     * codegen'd [[graft.plans.functions.gradient64_bands]] projection

@@ -2908,6 +2908,42 @@ object ExtraQueries {
         graft.multimodal.Multimodal.audioCorpus(Tables.documents(s, dir)))
     },
 
+    // ----- video scene-cut detection: real demux + per-frame decode +
+    //       consecutive-frame SAD (the shot-boundary index a video
+    //       training pipeline samples one frame per scene from)
+    QueryDef("x91_scene_cuts",
+      "video scene-cut detection: synthesize a 6-frame 8x6 multi-scene MJPEG-style mp4 per doc (scene length 2+d%2; +1/frame phase drift within a scene, +-97/103 per-pixel jumps at scene boundaries), walk the REAL sample table, ImageIO-decode every frame, compute consecutive-frame sum-of-absolute-differences, flag boundaries with SAD > 1000 — rolling checksums over BOTH the cut bitmask and the raw SAD sequence make the oracle certify every boundary's arithmetic; oracle recomputes the planted pixels and diffs without any image library")(
+      s"""WITH p AS (SELECT doc_id AS d, 2 + doc_id % 2 AS s FROM documents),
+         |pix AS (SELECT d, s, j, y, x,
+         |  CASE WHEN j % s != 0 THEN 3
+         |  ELSE 3 * abs((d*53 + (j//s)*97 + y*7 + x*11) % 200
+         |             - ((d*53 + (j//s - 1)*97 + y*7 + x*11) % 200 + s - 1)) END AS pd
+         |  FROM p, range(1,6) rj(j), range(0,6) ry(y), range(0,8) rx(x)),
+         |df AS (SELECT d, s, j, sum(pd) AS diff FROM pix GROUP BY d, s, j),
+         |agg AS (SELECT d,
+         |  sum(CASE WHEN diff > 1000 THEN 1 ELSE 0 END) AS n_cuts,
+         |  min(CASE WHEN diff > 1000 THEN j END) AS first_cut,
+         |  list_reduce(list(CASE WHEN diff > 1000 THEN 1 ELSE 0 END ORDER BY j)::BIGINT[],
+         |              (a, x) -> (a * 31 + x) % 1000000007) AS cut_cs,
+         |  list_reduce(list(diff ORDER BY j)::BIGINT[],
+         |              (a, x) -> (a * 31 + x) % 1000000007) AS diff_cs
+         |  FROM df GROUP BY d)
+         |SELECT d AS media_id, CAST(6 AS BIGINT) AS n_frames,
+         |  CAST(n_cuts AS BIGINT) AS n_cuts,
+         |  CAST(coalesce(first_cut, -1) AS BIGINT) AS first_cut_idx,
+         |  CAST(cut_cs AS BIGINT) AS cut_checksum,
+         |  CAST(diff_cs AS BIGINT) AS diff_checksum
+         |FROM agg
+         |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.{MediaMeta, MediaRow, Multimodal}
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRow(id, "video",
+          Multimodal.sceneAsset(id, nFrames = 6, sceneLen = 2 + (id % 2).toInt),
+          MediaMeta("mp4", 8, 6))))
+      Multimodal.sceneCuts(media, threshold = 1000L).toDF()
+    },
+
     // ----- corpus novelty curve: diminishing-returns diagnostic over
     //       ingestion-ordered slices (whose shingles are seen first?)
     QueryDef("x90_novelty_curve",

@@ -72,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "x80_triplets",               // fixed anchor batch (x71 composition)
     "x81_rrf_fusion",             // single-row dense query vector (x52 shape)
     "x83_ivf_int8",               // centroid set (scaledCells-capped)
-    "x85_recipe_apply"            // singleton totals + bounded normalizer rows
+    "x85_recipe_apply",           // singleton totals + bounded normalizer rows
+    "x90_novelty_curve"           // singleton max-doc-id row (range bucket)
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -114,7 +115,8 @@ class PlanAuditSpec extends SparkSpec {
     "x80_triplets",               // fixed anchor batch (x71 composition)
     "x81_rrf_fusion",             // single-row dense query vector + x53's bounded stats
     "x83_ivf_int8",               // centroid set + probed query assignment
-    "x85_recipe_apply"            // singleton token-totals + normalizer rows
+    "x85_recipe_apply",           // singleton token-totals + normalizer rows
+    "x90_novelty_curve"           // singleton max-doc-id row (range bucket)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -475,6 +475,53 @@ class MultimodalSpec extends SparkSpec {
       s"cross-document pair found: ${pairs.filterNot(p => p._1 % 20000 == p._2 % 20000).toSeq}")
   }
 
+  test("sceneCuts: planted scene boundaries detected exactly; within-scene drift never cuts") {
+    import spark.implicits._
+    // d=4 -> sceneLen 2 (cuts at j=2,4); d=5 -> sceneLen 3 (cut at j=3)
+    val media = Seq(4L, 5L).toDS().mapPartitions(_.map(d => MediaRow(d, "video",
+      Multimodal.sceneAsset(d, nFrames = 6, sceneLen = 2 + (d % 2).toInt),
+      MediaMeta("mp4", 8, 6))))
+    val out = Multimodal.sceneCuts(media, threshold = 1000L)
+      .collect().map(s => s.media_id -> s).toMap
+    assert(out(4L).n_frames === 6L && out(4L).n_cuts === 2L
+      && out(4L).first_cut_idx === 2L)
+    assert(out(5L).n_frames === 6L && out(5L).n_cuts === 1L
+      && out(5L).first_cut_idx === 3L)
+    // checksum parity with the planted arithmetic, for d=5 (s=3):
+    // boundaries j=1..5, diff = 144 within a scene, SAD at the j=3 jump
+    val d = 5L; val s = 3
+    val diffs = (1 to 5).map { j =>
+      if (j % s != 0) 144L
+      else 3L * (for (y <- 0 until 6; x <- 0 until 8) yield
+        math.abs(Multimodal.scenePix(d, j / s, y, x)
+          - (Multimodal.scenePix(d, j / s - 1, y, x) + s - 1)).toLong).sum
+    }
+    val p = 1000000007L
+    assert(out(5L).diff_checksum ===
+      diffs.foldLeft(0L)((a, x) => (a * 31 + x % p) % p))
+    assert(out(5L).cut_checksum === Seq(0L, 0L, 1L, 0L, 0L)
+      .foldLeft(0L)((a, x) => (a * 31 + x) % p))
+  }
+
+  test("sceneCuts: a dimension change cuts at maximal dissimilarity; undecodable frames drop out") {
+    import spark.implicits._
+    // two same-pixel frames at different sizes -> one cut, diff = 765*max(px)
+    val small = FakeCodec.encodeRgbPng(2, 2, Array.fill(12)(100.toByte))
+    val big = FakeCodec.encodeRgbPng(4, 2, Array.fill(24)(100.toByte))
+    val dims = Seq(1L).toDS().mapPartitions(_.map(id => MediaRow(id, "video",
+      FakeCodec.mp4Asset(Seq(small, big)), MediaMeta("mp4", 0, 0))))
+    val st = Multimodal.sceneCuts(dims, threshold = 1000L).head()
+    assert(st.n_frames === 2L && st.n_cuts === 1L && st.first_cut_idx === 1L)
+    assert(st.diff_checksum === 765L * 8) // one boundary: the raw SAD itself
+    // an undecodable (NAL-framed) sample between two identical PNGs:
+    // the chain skips it, the diff spans the gap -> identical frames, no cut
+    val nal = Array[Byte](0, 0, 0, 2, 0x65.toByte, 0x42.toByte)
+    val gap = Seq(2L).toDS().mapPartitions(_.map(id => MediaRow(id, "video",
+      FakeCodec.mp4Asset(Seq(small, nal, small)), MediaMeta("mp4", 0, 0))))
+    val gs = Multimodal.sceneCuts(gap, threshold = 1000L).head()
+    assert(gs.n_frames === 2L && gs.n_cuts === 0L && gs.first_cut_idx === -1L)
+  }
+
   test("audioCorpus bytes go through the real codec: decoded PCM equals the planted arithmetic") {
     val docs = mk(7L -> "doc seven")
     val byId = Multimodal.audioCorpus(docs).collect().map(a => a.aud_id -> a.content).toMap
