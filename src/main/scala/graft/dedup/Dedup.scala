@@ -483,6 +483,50 @@ object Dedup {
         (col("doc_id") === col("_keep_id")).as("keep"))
   }
 
+  /** x92 — cluster-aware split assignment: deterministic train/val/test
+    * splitting where near-duplicate documents can NEVER straddle a
+    * split boundary. Splitting by a per-document hash (the naive
+    * recipe) leaks: a training document's near-copy lands in the eval
+    * split with probability (1 − w_train), and the model is then
+    * evaluated on (a paraphrase of) its own training data — the exact
+    * contamination x67 audits after the fact. Here the split key is the
+    * document's near-dup CLUSTER label ([[connectedComponents]] over
+    * the banded MinHash-LSH pairs; unpaired docs key by their own id),
+    * so a whole dup clique moves as one unit: leakage is zero by
+    * construction, not audited away. The key is Lehmer-mixed
+    * ((key mod P)·48271 mod P — overflow-safe for any id) and ranged
+    * over the cumulative weights, so assignment is reproducible from
+    * content alone: re-running on a grown corpus never moves an
+    * existing cluster between splits (its label is its min member id).
+    * Output: (doc_id, cluster_key, split).
+    *
+    * Scale shape: candidates + CC are the audited banded/pointer-
+    * jumping paths (never all-pairs, O(log n) node-keyed rounds); the
+    * assignment itself is a narrow projection. */
+  def clusterSafeSplits(docs: DataFrame, id: Column, text: Column,
+                        weights: Seq[(String, Long)] =
+                          Seq(("train", 8L), ("val", 1L), ("test", 1L)),
+                        checkpointDir: Option[String] = None): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive, got $weights")
+    val total = weights.map(_._2).sum
+    val cand = minhashCandidates(docs, id, text)
+    val cc = connectedComponents(cand, checkpointDir = checkpointDir)
+      .select(col("doc_id"), col("component"))
+    val keyed = docs.select(id.as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_key"))
+    val p = graft.plans.HashUtil.P
+    val r = pmod(pmod(col("cluster_key"), lit(p)) * 48271L, lit(p)) % total
+    val split = weights.tail.scanLeft((weights.head._1, weights.head._2)) {
+      case ((_, cum), (name, w)) => (name, cum + w)
+    }.init.foldRight(lit(weights.last._1): Column) {
+      case ((name, cum), rest) => when(r < cum, name).otherwise(rest)
+    }
+    keyed.select(col("doc_id"), col("cluster_key"), split.as("split"))
+  }
+
   /** 64-bit SimHash as four 16-bit band values — native one-pass
     * expression (graft.plans.SimHash64Bands). */
   def simhash64Bands(tokenHs: Column): Column =

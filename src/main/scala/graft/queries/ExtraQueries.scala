@@ -2966,6 +2966,32 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       graft.text.TextOps.noveltyCurve(Tables.documents(s, dir),
         col("doc_id"), col("text"))
+    },
+
+    // ----- cluster-aware split assignment: near-dups never straddle
+    //       train/val/test (leakage zero by construction, vs x67's
+    //       after-the-fact audit)
+    QueryDef("x92_cluster_splits",
+      "cluster-aware train/val/test assignment: split key = the near-dup CLUSTER label (min-label CC over banded MinHash-LSH pairs; unpaired docs key by their own id), Lehmer-mixed and ranged over 8/1/1 cumulative weights — a whole dup clique moves as one unit, so eval-split leakage of a training doc's near-copy is impossible by construction; assignment reproducible from content alone")(
+      s"""WITH RECURSIVE $tailDupCorpusD,
+         |$candidatesD,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |nodes AS (SELECT DISTINCT u AS node FROM und),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT und.u, reach.lab FROM und JOIN reach ON reach.node = und.v),
+         |comp AS (SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node),
+         |keyed AS (SELECT c.doc_id, coalesce(m.component, c.doc_id) AS cluster_key
+         |          FROM corpus c LEFT JOIN comp m USING (doc_id)),
+         |r AS (SELECT doc_id, cluster_key,
+         |      ((cluster_key % 1000000007) * 48271) % 1000000007 % 10 AS rr FROM keyed)
+         |SELECT doc_id, cluster_key,
+         |  CASE WHEN rr < 8 THEN 'train' WHEN rr < 9 THEN 'val' ELSE 'test' END AS split
+         |FROM r
+         |""".stripMargin) { (s, dir) =>
+      Dedup.clusterSafeSplits(tailDupCorpus(s, dir), col("doc_id"), col("text"))
     }
   )
 

@@ -371,4 +371,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 0L)
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("clusterSafeSplits: near-dup cliques never straddle a split; assignment is content-keyed") {
+    // three dup cliques (long shared texts -> LSH pairs them) + singletons
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = (
+      (0 until 4).map(i => (i.toLong, base + " tail" + (i % 2))) ++       // clique A
+      (10 until 13).map(i => (i.toLong, base.replace("fox", "wolf") + " x")) ++ // B
+      Seq((20L, "a completely unrelated short doc qq ww ee rr tt yy uu ii oo pp"),
+          (21L, "another unrelated doc zz xx cc vv bb nn mm kk ll jj hh gg"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.clusterSafeSplits(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.keySet === (0L to 3L).toSet ++ (10L to 12L).toSet + 20L + 21L)
+    // every pair the candidate stage finds shares a cluster key AND a split
+    val cand = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.nonEmpty, "test corpus must actually produce candidate pairs")
+    cand.foreach { case (a, b) =>
+      assert(out(a) === out(b), s"pair ($a,$b) straddles: ${out(a)} vs ${out(b)}")
+    }
+    // singletons key by their own id
+    assert(out(20L)._1 === 20L && out(21L)._1 === 21L)
+    // deterministic under input order: shuffled input, same assignment
+    val out2 = Dedup.clusterSafeSplits(docs.orderBy(rand(7)).repartition(3),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out2 === out, "assignment must be content-keyed, not order-dependent")
+    // custom weights cover the full range; bad weights refused
+    val w = Dedup.clusterSafeSplits(docs, col("doc_id"), col("text"),
+        weights = Seq(("a", 1L), ("b", 1L)))
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(w.subsetOf(Set("a", "b")) && w.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.clusterSafeSplits(docs, col("doc_id"), col("text"),
+        weights = Seq(("a", 0L)))
+    }
+  }
 }
