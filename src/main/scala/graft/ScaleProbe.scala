@@ -375,6 +375,20 @@ object ScaleProbe {
         // x29 hash-aggregation slope (the rotation keeps copies'
         // shingle spaces disjoint, so the gram inventory grows ~k×)
         TextOps.noveltyCurve(docCorpus(k), col("doc_id"), col("text"))),
+      "x91_scene_cuts" -> { k =>
+        // k doc-id-shifted copies are k× distinct tracks; the probe
+        // watches the per-frame PNG decode + SAD pass (partition-local,
+        // one row out per asset — should be embarrassingly linear)
+        import org.apache.spark.sql.Encoders
+        val media = docCorpus(k).select(col("doc_id"))
+          .as[Long](Encoders.scalaLong)
+          .mapPartitions(_.map(id => graft.multimodal.MediaRow(id, "video",
+            graft.multimodal.Multimodal.sceneAsset(id, nFrames = 6,
+              sceneLen = 2 + (id % 2).toInt),
+            graft.multimodal.MediaMeta("mp4", 8, 6))))(
+            Encoders.product[graft.multimodal.MediaRow])
+        graft.multimodal.Multimodal.sceneCuts(media, threshold = 1000L).toDF()
+      },
       "x89_audio_fp" -> { k =>
         // k doc-id-shifted copies are k× DISTINCT tracks (the PCM is
         // doc_id arithmetic); the probe watches the WAV encode→decode→
@@ -382,6 +396,11 @@ object ScaleProbe {
         graft.multimodal.Multimodal.audioFpPairs(
           graft.multimodal.Multimodal.audioCorpus(docCorpus(k)))
       },
+      "x89_contour_only" -> (k =>
+        // isolation probe: the codec+contour projection WITHOUT the
+        // pair join — separates javax.sound/GC slope from join slope
+        graft.multimodal.Multimodal.audioEnergies(
+          graft.multimodal.Multimodal.audioCorpus(docCorpus(k))).toDF()),
       "x87_image_phash" -> { k =>
         // k doc-id-shifted copies are k× DISTINCT images (the pixel
         // pattern is doc_id arithmetic), so planted-pair volume grows

@@ -558,13 +558,35 @@ object Dedup {
     * band_value), exact-Hamming-filter the candidates. Never an
     * all-pairs scan; band-value cardinality grows with corpus diversity
     * so bucket sizes stay bounded at scale. */
-  def bandedHammingPairs(fp0: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = fp0
+  def bandedHammingPairs(fp0: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Option[Long] = None): DataFrame = {
+    val exploded = fp0
       .select(col("doc_id"), col("bands"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band_id"), get(col("bands"), lit(b)).as("band_val"))
         }: _*)).as("b"))
       .select(col("doc_id"), col("bands"), col("b.band_id"), col("b.band_val"))
+    // optional hot-bucket cap: a band value shared by a large fraction
+    // of the corpus (all-silence audio → flat contour → band 0; a blank
+    // image → constant dHash) is the fingerprint analog of a boilerplate
+    // line — its bucket is a population² false-candidate generator, and
+    // a pair of genuinely near-dup docs still agrees on one of its
+    // OTHER, discriminating bands (dropping a bucket only loses pairs
+    // whose every agreeing band is over-hot — degenerate content, not
+    // near-dup signal). Off by default; the cap is a declared semantic
+    // (mirror it in any oracle), not a silent truncation.
+    val capped = maxBucket match {
+      case None => exploded
+      case Some(cap) =>
+        require(cap > 1, s"maxBucket must exceed 1, got $cap")
+        exploded.join(
+          exploded.groupBy("band_id", "band_val")
+            .agg(count(lit(1)).as("_bn"))
+            .filter(col("_bn") <= cap)
+            .select("band_id", "band_val"),
+          Seq("band_id", "band_val"), "left_semi")
+    }
+    val fp = capped
       .persist() // self-joined: avoid recomputing fingerprints per side
     val a = fp.as("a")
     val b = fp.as("b")

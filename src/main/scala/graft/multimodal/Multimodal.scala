@@ -808,9 +808,18 @@ object Multimodal {
     * so an EXACT 2× gain never clips (doubling preserves every
     * magnitude order, so the gain copy's gradient fingerprint is
     * bit-identical by construction — the energy-gradient analog of
-    * dHash's brightness invariance). */
-  def audioSampleVal(d: Long, s: Int): Int =
-    ((((d * 131 + 7) * (s * 17L + 29) + d * 43) % 32768L) - 16384L).toInt
+    * dHash's brightness invariance). The QUADRATIC Lehmer mix is
+    * load-bearing: a bilinear formula (first version) produces
+    * near-periodic sawtooths whose energy contours collapse onto a few
+    * alternating-bit fingerprints (0x5555-class band values — measured
+    * 86–1962 distinct values over 120k tracks, a quadratic-pair LSH
+    * hot-bucket), while v² mod P injects the doc-dependent s² cross
+    * term: ~4750 distinct values per band, cross-doc Hamming ≥ 17,
+    * bucket occupancy ~1.2. */
+  def audioSampleVal(d: Long, s: Int): Int = {
+    val v = (d * 1000003L + s * 7919L + 13L) % P
+    ((v * v % P) % 32768L - 16384L).toInt
+  }
 
   /** Planted audio near-dup corpus (x89): per document a base 1040-
     * sample mono WAV of [[audioSampleVal]], a RE-ENCODED copy
@@ -958,11 +967,12 @@ object Multimodal {
     * shuffle — the decode+contour pass is partition-local and emits 65
     * longs per track, the hash is 4 longs, and only those enter the
     * band equi-join (never all-pairs). */
-  def audioFpPairs(audio: Dataset[AudioAsset], maxHamming: Int = 3): DataFrame =
+  def audioFpPairs(audio: Dataset[AudioAsset], maxHamming: Int = 3,
+                   maxBucket: Option[Long] = None): DataFrame =
     graft.dedup.Dedup.bandedHammingPairs(
       audioEnergies(audio).toDF()
         .select(col("aud_id").as("doc_id"),
           graft.plans.functions.gradient64_bands(col("energies")).as("bands")),
-      maxHamming)
+      maxHamming, maxBucket)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
 }

@@ -2882,9 +2882,11 @@ object ExtraQueries {
     QueryDef("x89_audio_fp_pairs",
       "audio near-dup via 64-bit energy-gradient fingerprint (16-sample frame |PCM| energies, neighbor-gradient bits, Manku 4x16-band Hamming-LSH pairing, exact Hamming <= 3) over REAL javax.sound WAV encode->decode round-trips — per doc: base 1040-sample mono 16-bit track, a re-encoded copy (sample-identical second codec round-trip), a 2x-gain copy with alternate-sample dither (gain is fingerprint-exact by gradient invariance; dither may flip near-tie bits, absorbed by the threshold) — oracle recomputes the planted samples and the whole hash by pure arithmetic, no audio library")(
       s"""WITH ids AS (SELECT doc_id AS d FROM documents),
-         |samp AS (
-         |  SELECT d, s, ((d*131+7)*(s*17+29) + d*43) % 32768 - 16384 AS a
+         |mixv AS (
+         |  SELECT d, s, (d*1000003 + s*7919 + 13) % 1000000007 AS v
          |  FROM ids, range(0,1040) rs(s)),
+         |samp AS (
+         |  SELECT d, s, (v*v % 1000000007) % 32768 - 16384 AS a FROM mixv),
          |aud AS (
          |  SELECT d AS id, s, abs(a) AS m FROM samp
          |  UNION ALL SELECT d+20000, s, abs(a) FROM samp
@@ -2992,6 +2994,36 @@ object ExtraQueries {
          |FROM r
          |""".stripMargin) { (s, dir) =>
       Dedup.clusterSafeSplits(tailDupCorpus(s, dir), col("doc_id"), col("text"))
+    },
+
+    // ----- per-source distribution drift (JS divergence vs the corpus)
+    QueryDef("x93_source_drift",
+      "per-source token-distribution drift: Jensen-Shannon divergence of each source's distribution vs the corpus-wide one over the global top-64 vocab — bounded, symmetric, finite under missing terms (absent-term mass folded in arithmetically as 0.5*ln2*(1-sum q_present), no source x vocab grid); exact-long ratios, ordered per-source fold — the register/topic-mix drift monitor for a continuously-fed pipeline")(
+      s"""WITH n AS (SELECT doc_id, source, $normD AS t FROM documents),
+         |tok AS (SELECT source, unnest(string_split(t, ' ')) AS term FROM n),
+         |tf AS (SELECT term, count(*) AS gtf FROM tok GROUP BY term),
+         |voc AS (SELECT term, gtf FROM tf ORDER BY gtf DESC, term LIMIT 64),
+         |tg AS (SELECT sum(gtf) AS tot_g FROM voc),
+         |st AS (SELECT source, term, count(*) AS c, min(gtf) AS gtf
+         |       FROM tok JOIN voc USING (term) GROUP BY source, term),
+         |ts AS (SELECT source, sum(c) AS tot_s FROM st GROUP BY source),
+         |ctr AS (SELECT st.source, st.term, st.gtf, tg.tot_g,
+         |        CAST(st.c AS DOUBLE)/ts.tot_s AS p,
+         |        CAST(st.gtf AS DOUBLE)/tg.tot_g AS q
+         |        FROM st JOIN ts USING (source), tg),
+         |c2 AS (SELECT source, term, gtf, tot_g,
+         |       p*ln(2*p/(p+q)) + q*ln(2*q/(p+q)) AS ctrb FROM ctr),
+         |agg AS (SELECT source,
+         |        list_reduce(list(ctrb ORDER BY term), (a, x) -> a + x) AS s1,
+         |        sum(gtf) AS tfp, min(tot_g) AS tot_g
+         |        FROM c2 GROUP BY source)
+         |SELECT a.source, CAST(ts.tot_s AS BIGINT) AS n_vocab_tokens,
+         |  round(0.5*s1 + 0.5*ln(2)*(1 - CAST(tfp AS DOUBLE)/a.tot_g), 6)
+         |    AS js_divergence
+         |FROM agg a JOIN ts USING (source)
+         |""".stripMargin) { (s, dir) =>
+      graft.text.TextOps.sourceDrift(Tables.documents(s, dir),
+        col("source"), col("text"))
     }
   )
 

@@ -474,6 +474,57 @@ object TextOps {
           .as("dup_frac"))
   }
 
+  /** x93 — per-source distribution drift: Jensen–Shannon divergence of
+    * each source's token distribution against the corpus-wide
+    * distribution, over the global top-V vocabulary — the "did this
+    * crawl slice change register/topic/language mix?" monitor a
+    * continuously-fed pipeline alarms on (JS, not KL: bounded by ln 2,
+    * symmetric, and finite when a source misses vocab terms).
+    *
+    * Determinism: p = c_st/tot_s and q = tf_t/tot_g are single exact
+    * divisions of exact longs; the per-source sum of double
+    * contributions is an ORDERED fold by term (the x27 idiom), and the
+    * absent-term mass is folded in arithmetically —
+    * 0.5·ln2·(1 − Σ_present q) — rather than materializing zero rows,
+    * so no source×vocab grid is ever built. Sources with zero in-vocab
+    * tokens drop out (no distribution to compare).
+    *
+    * Scale shape: one term-keyed aggregation (map-side combinable) +
+    * TakeOrdered(V) for the vocab, a broadcast vocab join on the token
+    * stream, then source-keyed aggregations over (sources × V)-bounded
+    * rows. Output: (source, n_vocab_tokens, js_divergence). */
+  def sourceDrift(docs: DataFrame, source: Column, text: Column,
+                  vocabSize: Int = 64): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val tok = docs.select(source.as("source"),
+      explode(split(norm(text), " ")).as("term"))
+    val voc = tok.groupBy("term").agg(count(lit(1)).as("gtf"))
+      .orderBy(col("gtf").desc, col("term")).limit(vocabSize)
+    val tg = voc.agg(sum(col("gtf")).as("tot_g"))
+    val st = tok.join(broadcast(voc), "term")
+      .groupBy("source", "term").agg(count(lit(1)).as("c"), first(col("gtf")).as("gtf"))
+    val ts = st.groupBy("source").agg(sum(col("c")).as("tot_s"))
+    val ctr = st.join(ts, "source").crossJoin(broadcast(tg))
+      .select(col("source"), col("term"), col("gtf"), col("tot_g"),
+        (col("c").cast(DoubleType) / col("tot_s")).as("p"),
+        (col("gtf").cast(DoubleType) / col("tot_g")).as("q"))
+      .select(col("source"), col("term"), col("gtf"), col("tot_g"),
+        (col("p") * log(lit(2) * col("p") / (col("p") + col("q")))
+          + col("q") * log(lit(2) * col("q") / (col("p") + col("q")))).as("ctrb"))
+    ctr.groupBy("source")
+      .agg(
+        aggregate(transform(array_sort(collect_list(struct(col("term"), col("ctrb")))),
+          _.getField("ctrb")), lit(0.0), (a, x) => a + x).as("_s1"),
+        sum(col("gtf")).as("_tfp"),
+        first(col("tot_g")).as("_tg"))
+      .join(ts, "source")
+      .select(col("source"), col("tot_s").cast(LongType).as("n_vocab_tokens"),
+        round(lit(0.5) * col("_s1")
+          + lit(0.5) * log(lit(2.0))
+            * (lit(1.0) - col("_tfp").cast(DoubleType) / col("_tg")), 6)
+          .as("js_divergence"))
+  }
+
   /** x90 — corpus novelty curve: how much NEW content each slice of an
     * ingestion-ordered corpus contributes. A shingle's first owner is
     * the minimum doc_id carrying it; a document's novel-gram count is

@@ -73,7 +73,8 @@ class PlanAuditSpec extends SparkSpec {
     "x81_rrf_fusion",             // single-row dense query vector (x52 shape)
     "x83_ivf_int8",               // centroid set (scaledCells-capped)
     "x85_recipe_apply",           // singleton totals + bounded normalizer rows
-    "x90_novelty_curve"           // singleton max-doc-id row (range bucket)
+    "x90_novelty_curve",          // singleton max-doc-id row (range bucket)
+    "x93_source_drift"            // singleton vocab-total row
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -116,7 +117,8 @@ class PlanAuditSpec extends SparkSpec {
     "x81_rrf_fusion",             // single-row dense query vector + x53's bounded stats
     "x83_ivf_int8",               // centroid set + probed query assignment
     "x85_recipe_apply",           // singleton token-totals + normalizer rows
-    "x90_novelty_curve"           // singleton max-doc-id row (range bucket)
+    "x90_novelty_curve",          // singleton max-doc-id row (range bucket)
+    "x93_source_drift"            // top-V vocab (bounded) + totals row
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

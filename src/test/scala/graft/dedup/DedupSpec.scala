@@ -372,6 +372,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("bandedHammingPairs maxBucket drops only over-hot buckets; discriminating bands still pair") {
+    // docs 1/2 share all four bands (true near-dups); docs 10..15 share
+    // ONE degenerate band value (0 on band 0: the all-silence class) but
+    // differ everywhere else — a population^2 false-candidate bucket
+    val fp = (Seq(
+      (1L, Seq(7L, 8L, 9L, 10L)), (2L, Seq(7L, 8L, 9L, 10L))) ++
+      (10L to 15L).map(d => (d, Seq(0L, d * 100, d * 100 + 1, d * 100 + 2)))
+    ).toDF("doc_id", "bands")
+    val uncapped = Dedup.bandedHammingPairs(fp, maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // without the cap the hot bucket pairs all 15 combinations
+    assert(uncapped.count { case (a, _) => a >= 10L } === 15)
+    val capped = Dedup.bandedHammingPairs(fp, maxHamming = 64, maxBucket = Some(4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 6-strong bucket is dropped; the true near-dup pair survives on
+    // its (population-2) buckets
+    assert(capped === Set((1L, 2L)), s"got $capped")
+    intercept[IllegalArgumentException] {
+      Dedup.bandedHammingPairs(fp, maxBucket = Some(1L))
+    }
+  }
+
   test("clusterSafeSplits: near-dup cliques never straddle a split; assignment is content-keyed") {
     // three dup cliques (long shared texts -> LSH pairs them) + singletons
     val base = "the quick brown fox jumps over the lazy dog again and again today"

@@ -162,6 +162,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("sourceDrift: a source matching the corpus scores 0; disjoint vocab approaches ln2/2; bounded") {
+    // one source = the whole corpus -> p == q exactly -> JS 0
+    val solo = Seq((1L, "a", "x x y z"), (2L, "a", "x y y z"))
+      .toDF("doc_id", "source", "text")
+    val js0 = TextOps.sourceDrift(solo, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(js0("a") === 0.0)
+    // identical sources drift identically; an overlapping-but-reshaped
+    // source sits between; a disjoint-vocab source diverges most
+    // (expected values hand-computed: a=b 0.16684, d 0.175302, c 0.274358)
+    val mixed = Seq(
+      (1L, "a", "x x y z w"), (2L, "b", "x x y z w"),
+      (3L, "d", "x y y z w"),
+      (4L, "c", "qq rr ss tt qq rr ss tt uu vv")
+    ).toDF("doc_id", "source", "text")
+    val js = TextOps.sourceDrift(mixed, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(js("a") === js("b"), "identical sources must drift identically")
+    assert(js("a")._2 === 0.16684 && js("d")._2 === 0.175302
+      && js("c")._2 === 0.274358, s"drift values off: $js")
+    assert(js("c")._2 > js("d")._2 && js("d")._2 > js("a")._2)
+    // JS over ln is bounded by ln 2
+    assert(js.values.forall(v => v._2 >= 0.0 && v._2 <= math.log(2.0) + 1e-9))
+    assert(js("a")._1 === 5L && js("c")._1 === 10L) // in-vocab token counts
+  }
+
   test("noveltyCurve: an exact copy adds zero novelty; disjoint content is fully novel") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
