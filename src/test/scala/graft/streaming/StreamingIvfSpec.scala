@@ -75,6 +75,64 @@ class StreamingIvfSpec extends SparkSpec {
     assert(got2 === got, "recovered index must answer identically")
   }
 
+  test("composed ingest gate: curate -> embed -> ANN near-dup check -> index, across batches") {
+    // the full streaming admission pipeline: each micro-batch's documents
+    // run the batch-verified curation chain, survivors are embedded
+    // (deterministic fake: unit vector from the text fingerprint), the
+    // CURRENT index is probed for semantic copies, and only novel
+    // documents enter the index — the streaming composition of
+    // curateBatch (x70/x66/x49/x36/x30/x45) with StreamingIvf.nearDups.
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = Files.createTempDirectory("graft_sivf3").toString
+    val ivf = StreamingIvf.create(dir, nCells = 4, refineEvery = 100)
+    def embed(curated: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      // planted 4-dim unit embedding driven by the text fingerprint:
+      // identical text -> identical vector (cos 1), else far apart
+      val h = graft.text.TextOps.fingerprint(graft.text.TextOps.norm(col("text")))
+      curated.select(col("doc_id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(lit(0), lit(3)),
+          i => (pmod(h * (i * 2 + 1), lit(97L)).cast("double") / 97.0).cast("float"))
+          .as("embedding"))
+    }
+    val corpusIdx = Pipelines.corpusNearDupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text").persist()
+    // one line per doc, ending in terminal punctuation (the C4 line rule)
+    val body = ("the quick brown fox jumps over the lazy dog and then runs far away " * 3).trim
+    val rejected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def ingestBatch(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val curated = Pipelines.curateBatch(b, "doc_id", "text", corpusIdx,
+        gopherMinWords = 10, c4MinKeptLines = 1L, htmlMinRatio = 0.0)
+      val emb = embed(curated).persist()
+      val dupIds = if (ivf.batchesIngested == 0L) Set.empty[Long]
+        else ivf.nearDups(emb, minCos = 0.9999)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      rejected ++= dupIds
+      val novel = emb.filter(!col("vec_id").isin(dupIds.toSeq: _*))
+      ivf.ingest(novel, id)
+      emb.unpersist(); ()
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(ingestBatch _).start()
+    try {
+      // batch 0: two good docs + one that dies at the Gopher gate
+      in.addData((1L, body + " alpha."), (2L, body + " beta."), (3L, "too short."))
+      q.processAllAvailable()
+      // batch 1: a semantic copy of doc 1 (same text, new id) + a novel doc
+      in.addData((10L, body + " alpha."), (11L, body + " gamma gamma."))
+      q.processAllAvailable()
+    } finally q.stop()
+    val indexed = ivf.index(spark).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(indexed === Set(1L, 2L, 11L),
+      s"expected curation to drop 3, the ANN gate to drop 10; got $indexed")
+    assert(rejected.toSet === Set(10L), s"expected doc 10 rejected, got $rejected")
+    corpusIdx.unpersist()
+  }
+
   test("ingest-time near-dup: a re-streamed vector flags its indexed twin") {
     val s = spark
     import s.implicits._
