@@ -61,6 +61,12 @@ final case class KeyframeStats(media_id: Long, n_samples: Long, n_idr: Long,
   * through as the deterministic identity — still clearly a stub for
   * those. */
 object FakeCodec {
+  // ImageIO defaults to a DISK-backed stream cache — a temp file created
+  // and deleted per encode/decode call, which dominates wall-clock for
+  // small in-memory images (every caller here is byte-array-backed).
+  // Executor-wide, set once at class load.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
 
