@@ -527,6 +527,34 @@ object Dedup {
     keyed.select(col("doc_id"), col("cluster_key"), split.as("split"))
   }
 
+  /** x94 — duplicate-cluster size spectrum: the dedup health histogram.
+    * For each near-dup cluster size k: how many clusters have exactly k
+    * members and how many documents they hold. Unpaired docs are their
+    * own size-1 cluster, so n_docs sums to the corpus and the size-1
+    * row reads off the unduplicated fraction directly. This is the
+    * first diagnostic run after any dedup pass — a fat tail (one
+    * size-10⁶ cluster) means a boilerplate-glued LSH bucket or a
+    * template farm, and it decides keep-best vs drop-all policy before
+    * anything is deleted.
+    *
+    * Scale shape: candidates + CC are the audited banded/pointer-
+    * jumping paths; then two count aggregations (cluster-keyed, then
+    * size-keyed — both map-side combinable) over label rows. Output is
+    * distinct-sizes-bounded (≤ √(2n) rows). */
+  def clusterSizeSpectrum(docs: DataFrame, id: Column, text: Column,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val cand = minhashCandidates(docs, id, text)
+    val cc = connectedComponents(cand, checkpointDir = checkpointDir)
+      .select(col("doc_id"), col("component"))
+    docs.select(id.as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+  }
+
   /** 64-bit SimHash as four 16-bit band values — native one-pass
     * expression (graft.plans.SimHash64Bands). */
   def simhash64Bands(tokenHs: Column): Column =

@@ -3024,6 +3024,50 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       graft.text.TextOps.sourceDrift(Tables.documents(s, dir),
         col("source"), col("text"))
+    },
+
+    // ----- duplicate-cluster size spectrum (dedup health histogram)
+    QueryDef("x94_cluster_spectrum",
+      "duplicate-cluster size spectrum: per near-dup cluster size k, how many clusters and how many documents — unpaired docs are size-1 clusters so n_docs sums to the corpus; the dedup-health histogram that catches a boilerplate-glued mega-cluster BEFORE any deletion policy runs")(
+      s"""WITH RECURSIVE $tailDupCorpusD,
+         |$candidatesD,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |nodes AS (SELECT DISTINCT u AS node FROM und),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT und.u, reach.lab FROM und JOIN reach ON reach.node = und.v),
+         |comp AS (SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node),
+         |keyed AS (SELECT coalesce(m.component, c.doc_id) AS cluster
+         |          FROM corpus c LEFT JOIN comp m USING (doc_id)),
+         |cs AS (SELECT cluster, count(*) AS cluster_size FROM keyed GROUP BY cluster)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY cluster_size
+         |""".stripMargin) { (s, dir) =>
+      Dedup.clusterSizeSpectrum(tailDupCorpus(s, dir), col("doc_id"), col("text"))
+    },
+
+    // ----- padding-efficiency curve (sequence-length selection)
+    QueryDef("x95_padding_curve",
+      "padding-efficiency curve: for candidate sequence lengths 128/512/2048/8192, the naive one-doc-per-sequence layout's sequence count, real tokens, padding tokens, and utilization (integer ceil-div, exact) — the curve that picks the training context length before packing, and the baseline x77's packed utilization is judged against")(
+      s"""WITH n AS (SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t
+         |  FROM documents),
+         |e AS (SELECT t, seq_len FROM n, (VALUES (128), (512), (2048), (8192)) ls(seq_len)
+         |      WHERE t > 0),
+         |c AS (SELECT CAST(seq_len AS BIGINT) AS seq_len, t,
+         |        (t + seq_len - 1) // seq_len AS chunks FROM e)
+         |SELECT seq_len, CAST(sum(chunks) AS BIGINT) AS n_seqs,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chunks) * seq_len - sum(t) AS BIGINT) AS n_padding,
+         |  round(CAST(sum(t) AS DOUBLE) / (sum(chunks) * seq_len), 6) AS efficiency
+         |FROM c GROUP BY seq_len
+         |""".stripMargin) { (s, dir) =>
+      graft.text.TextOps.paddingEfficiency(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
     }
   )
 

@@ -474,6 +474,35 @@ object TextOps {
           .as("dup_frac"))
   }
 
+  /** x95 — padding-efficiency curve: for each candidate training
+    * sequence length L, the cost of the NAIVE one-doc-per-sequence
+    * layout — each document occupies ⌈tokens/L⌉ sequences, everything
+    * past its tokens is padding. Emits per L: sequence count, real
+    * tokens, padding tokens, and efficiency = tokens/(seqs·L). This is
+    * the curve that picks L before packing (short-doc corpora waste
+    * most of a long context) and the baseline the x26/x77 packed
+    * layout's utilization is judged against.
+    *
+    * Scale shape: one narrow token-count projection, a bounded
+    * |seqLens|-way explode, one seq_len-keyed aggregation (map-side
+    * combinable). Integer ceil-div — exact, engine-portable. */
+  def paddingEfficiency(docs: DataFrame, id: Column, text: Column,
+                        seqLens: Seq[Int] = Seq(128, 512, 2048, 8192)): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ > 0),
+      s"seqLens must be positive, got $seqLens")
+    docs.select(id.as("doc_id"), wsTokenCount(text).as("t"))
+      .filter(col("t") > 0)
+      .select(col("t"), explode(typedLit(seqLens)).as("seq_len"))
+      .select(col("seq_len").cast(LongType).as("seq_len"), col("t"),
+        expr("(t + seq_len - 1) div seq_len").as("chunks"))
+      .groupBy("seq_len")
+      .agg(sum(col("chunks")).as("n_seqs"), sum(col("t")).as("n_tokens"))
+      .select(col("seq_len"), col("n_seqs"), col("n_tokens"),
+        (col("n_seqs") * col("seq_len") - col("n_tokens")).as("n_padding"),
+        round(col("n_tokens").cast(DoubleType)
+          / (col("n_seqs") * col("seq_len")).cast(DoubleType), 6).as("efficiency"))
+  }
+
   /** x93 — per-source distribution drift: Jensen–Shannon divergence of
     * each source's token distribution against the corpus-wide
     * distribution, over the global top-V vocabulary — the "did this

@@ -394,6 +394,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clusterSizeSpectrum: planted cliques land in their size rows; n_docs sums to the corpus") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),                       // size-3 clique
+      (10L, "completely different second clique text about boats sailing the winter sea"),
+      (11L, "completely different second clique text about boats sailing the winter sea"),
+      (20L, "a completely unrelated short doc qq ww ee rr tt yy uu ii oo pp"),
+      (21L, "another unrelated doc zz xx cc vv bb nn mm kk ll jj hh gg")
+    ).toDF("doc_id", "text")
+    val out = Dedup.clusterSizeSpectrum(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((2L, 2L))),
+      s"unexpected spectrum: $out")
+    assert(out.values.map(_._2).sum === 7L, "n_docs must sum to the corpus")
+  }
+
   test("clusterSafeSplits: near-dup cliques never straddle a split; assignment is content-keyed") {
     // three dup cliques (long shared texts -> LSH pairs them) + singletons
     val base = "the quick brown fox jumps over the lazy dog again and again today"

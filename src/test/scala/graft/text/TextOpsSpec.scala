@@ -188,6 +188,22 @@ class TextOpsSpec extends SparkSpec {
     assert(js("a")._1 === 5L && js("c")._1 === 10L) // in-vocab token counts
   }
 
+  test("paddingEfficiency: exact ceil-div layout; a full-length doc wastes nothing at its L") {
+    // tokens: 3, 4, 10
+    val docs = Seq((1L, "a b c"), (2L, "a b c d"),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"))
+      .toDF("doc_id", "text")
+    val out = TextOps.paddingEfficiency(docs, col("doc_id"), col("text"),
+        seqLens = Seq(4, 10))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // L=4: chunks 1+1+3 = 5 seqs, 17 tokens, 20-17=3 padding
+    assert(out(4L) === ((5L, 17L, 3L, 0.85)), s"L=4 row off: ${out(4L)}")
+    // L=10: chunks 1+1+1 = 3 seqs, 30 capacity, 13 padding
+    assert(out(10L) === ((3L, 17L, 13L, math.rint(17.0 / 30 * 1e6) / 1e6)),
+      s"L=10 row off: ${out(10L)}")
+  }
+
   test("noveltyCurve: an exact copy adds zero novelty; disjoint content is fully novel") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
