@@ -3068,6 +3068,48 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       graft.text.TextOps.paddingEfficiency(Tables.documents(s, dir),
         col("doc_id"), col("text"))
+    },
+
+    // ----- embedding-space drift between corpus snapshots (x93's
+    //       semantic analog: same cells, shifted population shares)
+    QueryDef("x96_embedding_drift",
+      "embedding-space drift between two corpus snapshots (even/odd vec_id halves): both assigned to the SAME deterministic cell structure (first ceil(sqrt(n)) vectors of the OLD snapshot — the x15 quantizer convention, reference frame pinned to what the pipeline already held); per cell: population share under both snapshots + absolute share delta (TVD = 0.5*sum) — the semantic-mix monitor that fires when the token mix looks stable but the crawl moved in embedding space")(
+      s"""WITH o AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |w AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         |p AS (SELECT least(greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8), 65536) AS nc
+         |      FROM o),
+         |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
+         |           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS crn
+         |           FROM o)
+         |         WHERE crn <= (SELECT nc FROM p)),
+         |ao AS (SELECT cid FROM (
+         |        SELECT e.vec_id, c.cid,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${cosD("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+         |        FROM o e, cent c) WHERE rn = 1),
+         |aw AS (SELECT cid FROM (
+         |        SELECT e.vec_id, c.cid,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${cosD("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+         |        FROM w e, cent c) WHERE rn = 1),
+         |oc AS (SELECT cid, count(*) AS old_n FROM ao GROUP BY cid),
+         |wc AS (SELECT cid, count(*) AS new_n FROM aw GROUP BY cid),
+         |j AS (SELECT cent.cid, coalesce(oc.old_n, 0) AS old_n,
+         |             coalesce(wc.new_n, 0) AS new_n
+         |      FROM cent LEFT JOIN oc USING (cid) LEFT JOIN wc USING (cid)),
+         |t AS (SELECT sum(old_n) AS ot, sum(new_n) AS nt FROM j)
+         |SELECT j.cid, CAST(old_n AS BIGINT) AS old_n, CAST(new_n AS BIGINT) AS new_n,
+         |  round(CAST(old_n AS DOUBLE) / t.ot, 6) AS share_old,
+         |  round(CAST(new_n AS DOUBLE) / t.nt, 6) AS share_new,
+         |  round(abs(CAST(old_n AS DOUBLE) / t.ot - CAST(new_n AS DOUBLE) / t.nt), 6)
+         |    AS share_delta
+         |FROM j, t
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val oldSnap = emb.filter(col("vec_id") % 2 === 0)
+      val newSnap = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.embeddingDrift(oldSnap, newSnap,
+        Similarity.scaledCells(oldSnap.count()))
     }
   )
 

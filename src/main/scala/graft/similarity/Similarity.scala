@@ -971,4 +971,44 @@ object Similarity {
             sqrt(col("nq").cast("double") * col("nv").cast("double"))).as("cosq"))
     TopK.perGroup(scored, Seq(col("q_id")), Seq(col("cosq").desc, col("vec_id")), k)
   }
+
+  /** x96 — embedding-space drift between two corpus snapshots: the
+    * vector analog of the x93 token-distribution monitor ("did the new
+    * crawl slice shift the SEMANTIC mix, even where the token mix looks
+    * stable?"). Both snapshots are assigned to the SAME deterministic
+    * cell structure (first `nCells` vectors of the OLD snapshot — the
+    * x15 quantizer convention, so the reference frame is pinned to what
+    * the pipeline already held), and each cell reports its population
+    * share under both snapshots plus the absolute share delta; the
+    * total-variation distance is 0.5·Σ share_delta, computable from the
+    * output rows. Every share is one exact long-over-long division;
+    * deltas are single IEEE ops — engine-portable without ordered
+    * folds.
+    *
+    * Scale shape: two broadcast-argmax assignment passes (narrow, no
+    * embedding shuffle — the [[assignCells]] plan), two cell-keyed
+    * counts, and joins over the nCells-bounded centroid frame. Output:
+    * one row per cell. */
+  def embeddingDrift(oldSnap: DataFrame, newSnap: DataFrame,
+                     nCells: Int): DataFrame = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    val cents = oldSnap.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    def cellCounts(snap: DataFrame, as: String): DataFrame =
+      assignCells(snap, "vec_id", "embedding", cents, 1)
+        .groupBy(col("cell").as("cid")).agg(count(lit(1)).as(as))
+    val oldC = cellCounts(oldSnap, "old_n")
+    val newC = cellCounts(newSnap, "new_n")
+    val joined = cents.select("cid")
+      .join(oldC, Seq("cid"), "left").join(newC, Seq("cid"), "left")
+      .na.fill(0L, Seq("old_n", "new_n"))
+    val tots = joined.agg(sum(col("old_n")).as("old_tot"),
+      sum(col("new_n")).as("new_tot"))
+    joined.crossJoin(broadcast(tots))
+      .select(col("cid"), col("old_n"), col("new_n"),
+        round(col("old_n").cast("double") / col("old_tot"), 6).as("share_old"),
+        round(col("new_n").cast("double") / col("new_tot"), 6).as("share_new"),
+        round(abs(col("old_n").cast("double") / col("old_tot")
+          - col("new_n").cast("double") / col("new_tot")), 6).as("share_delta"))
+  }
 }

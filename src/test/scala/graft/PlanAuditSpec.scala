@@ -74,7 +74,8 @@ class PlanAuditSpec extends SparkSpec {
     "x83_ivf_int8",               // centroid set (scaledCells-capped)
     "x85_recipe_apply",           // singleton totals + bounded normalizer rows
     "x90_novelty_curve",          // singleton max-doc-id row (range bucket)
-    "x93_source_drift"            // singleton vocab-total row
+    "x93_source_drift",           // singleton vocab-total row
+    "x96_embedding_drift"         // centroid set (scaledCells) + totals row
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -118,7 +119,8 @@ class PlanAuditSpec extends SparkSpec {
     "x83_ivf_int8",               // centroid set + probed query assignment
     "x85_recipe_apply",           // singleton token-totals + normalizer rows
     "x90_novelty_curve",          // singleton max-doc-id row (range bucket)
-    "x93_source_drift"            // top-V vocab (bounded) + totals row
+    "x93_source_drift",           // top-V vocab (bounded) + totals row
+    "x96_embedding_drift"         // centroid set (scaledCells) + totals row
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

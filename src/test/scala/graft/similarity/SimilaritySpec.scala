@@ -414,4 +414,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).sorted.toSeq === Seq(1L, 3L), s"got ${out.toList}")
     assert(out.map(_._1).toSeq === Seq(1L, 2L), "steps stay dense")
   }
+
+  test("embeddingDrift: unchanged mix drifts zero per cell; a shifted mix shows the TVD") {
+    // two orthogonal regions; cells pinned to the old snapshot's first 2
+    def v(region: Int): Seq[Float] =
+      if (region == 0) Seq(1f, 0f, 0f, 0f) else Seq(0f, 1f, 0f, 0f)
+    def snap(ids: Seq[Long], regions: Seq[Int]) =
+      ids.zip(regions.map(v)).toDF("vec_id", "embedding")
+    val old = snap(Seq(0L, 1L, 2L, 3L), Seq(0, 1, 0, 1)) // 50/50
+    // same mix -> every share_delta 0
+    val same = Similarity.embeddingDrift(old,
+        snap(Seq(10L, 11L, 12L, 13L), Seq(0, 1, 0, 1)), nCells = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(5)))
+    assert(same.toMap === Map(0L -> 0.0, 1L -> 0.0), s"got ${same.toSeq}")
+    // new snapshot 75/25 -> each cell's |delta| = 0.25, TVD = 0.25
+    val shifted = Similarity.embeddingDrift(old,
+        snap(Seq(10L, 11L, 12L, 13L), Seq(0, 0, 0, 1)), nCells = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    assert(shifted(0L) === ((2L, 3L, 0.25)) && shifted(1L) === ((2L, 1L, 0.25)),
+      s"got $shifted")
+    assert(shifted.values.map(_._3).sum / 2 === 0.25) // total-variation distance
+    // a region absent from the new snapshot still reports (share_new 0)
+    val gone = Similarity.embeddingDrift(old,
+        snap(Seq(10L, 11L), Seq(0, 0)), nCells = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getDouble(4)))).toMap
+    assert(gone(1L) === ((0L, 0.0)), s"vanished region must report: $gone")
+  }
 }
