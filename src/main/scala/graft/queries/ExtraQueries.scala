@@ -3110,6 +3110,121 @@ object ExtraQueries {
       val newSnap = emb.filter(col("vec_id") % 2 === 1)
       Similarity.embeddingDrift(oldSnap, newSnap,
         Similarity.scaledCells(oldSnap.count()))
+    },
+
+    // ----- tokenizer economics per language (fertility parity report)
+    QueryDef("x97_tokenizer_fertility",
+      "tokenizer parity report: per language, docs / whitespace words / BPE tokens (via the x61-trained merges) / normalized chars, plus fertility = BPE tokens per word and chars per BPE token — the multilingual-tokenizer QA that shows which languages pay more compute per character; exact integer sums, one IEEE division per ratio")(
+      s"""${bpeRoundsD(12)},
+         |seg AS (SELECT t.doc_id, len(syms) AS n
+         |        FROM tok t JOIN w12 USING (w) WHERE t.w <> ''),
+         |pd AS (SELECT doc_id, count(*) AS nwords, sum(n) AS nbpe
+         |       FROM seg GROUP BY doc_id),
+         |sel AS (SELECT doc.lang, pd.nwords, pd.nbpe, len(n2.t) AS ch
+         |        FROM pd JOIN documents doc USING (doc_id)
+         |        JOIN nw n2 USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nwords) AS BIGINT) AS n_words,
+         |  CAST(sum(nbpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(ch) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(nbpe) AS DOUBLE) / sum(nwords), 6) AS fertility,
+         |  round(CAST(sum(ch) AS DOUBLE) / sum(nbpe), 6) AS chars_per_tok
+         |FROM sel GROUP BY lang
+         |""".stripMargin) { (s, dir) =>
+      TextOps.tokenizerEconomics(Tables.documents(s, dir), col("doc_id"),
+        col("text"), col("lang"), nMerges = 12)
+    },
+
+    // ----- prototypicality pruning (Sorscher et al.: drop the easiest
+    //       examples when data is abundant)
+    QueryDef("x98_prototypicality",
+      "prototypicality pruning report: every vector ranked within its deterministic cell (first ceil(sqrt(n)) vectors, the x15 convention) by cosine to the cell centroid — rank 1 = most prototypical; the top ceil(cell_n*10/100) per cell flagged pruned (Sorscher et al. 2022: with abundant data, pruning the most prototypical examples beats random)")(
+      s"""WITH p AS (SELECT least(greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8), 65536) AS nc
+         |      FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
+         |           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS crn
+         |           FROM embeddings)
+         |         WHERE crn <= (SELECT nc FROM p)),
+         |a AS (SELECT vec_id, cid AS cell, cc FROM (
+         |        SELECT e.vec_id, c.cid, ${cosD("e.embedding", "c.c_emb")} AS cc,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${cosD("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+         |        FROM embeddings e, cent c) WHERE rn = 1),
+         |r AS (SELECT vec_id, cell, cc,
+         |        row_number() OVER (PARTITION BY cell ORDER BY cc DESC, vec_id) AS rnk,
+         |        count(*) OVER (PARTITION BY cell) AS cell_n
+         |      FROM a)
+         |SELECT vec_id, cell, round(cc, 6) AS cos_r,
+         |  CAST(rnk AS BIGINT) AS rnk, CAST(cell_n AS BIGINT) AS cell_n,
+         |  rnk <= ((cell_n * 10 + 99) // 100) AS pruned
+         |FROM r
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.prototypicality(emb,
+        Similarity.scaledCells(emb.count()), prunePct = 10)
+    },
+
+    // ----- curriculum training order (banded easy-to-hard schedule)
+    QueryDef("x99_curriculum_order",
+      "curriculum training order: dense permutation seq in (band, content-hash, doc_id) order — short documents (band = word_count div 25, capped at 7) first, reproducible hash shuffle within each band; x44's bucketed two-phase ranking with the band as major key, never a global one-task sort")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |b AS (SELECT doc_id,
+         |        coalesce(least(len(string_split(t, ' ')) // 25, 7),
+         |                 -9223372036854775808) AS band,
+         |        ${charFoldD("t")} AS hk FROM n)
+         |SELECT doc_id, CAST(band AS BIGINT) AS band,
+         |  CAST(row_number() OVER (ORDER BY band, hk NULLS FIRST, doc_id) AS BIGINT) AS seq
+         |FROM b
+         |""".stripMargin) { (s, dir) =>
+      val band = least(floor(size(split(TextOps.norm(col("text")), " ")) / 25),
+        lit(7L))
+      TextOps.curriculumOrder(Tables.documents(s, dir), col("doc_id"),
+        col("text"), band)
+    },
+
+    // ----- host-graph reputation (integer PageRank-lite over a planted
+    //       deterministic link graph: src host -> 'src'||fingerprint%20)
+    QueryDef("x100_host_rank",
+      "host-graph reputation: 3 rounds of integer PageRank-lite (damping 17/20, scale 1e12, per-edge contribution floor(r*w/W), dangling mass dropped) over a planted deterministic host link graph (each doc links its source host to 'src'||(fingerprint(text) mod 20), self-links removed) — the domain-ranking signal crawl curation applies before content heuristics; exact long arithmetic throughout, engine-portable")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |ed0 AS (SELECT d.source AS src,
+         |          'src' || CAST((${charFoldD("t")}) % 20 AS VARCHAR) AS dst
+         |        FROM documents d JOIN n USING (doc_id)),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |      FROM ed0 WHERE src <> dst GROUP BY 1, 2),
+         |ow AS (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
+         |hosts AS (SELECT DISTINCT source AS host FROM documents
+         |          UNION SELECT DISTINCT dst FROM e),
+         |nn AS (SELECT 1000000000000 // count(*) AS base FROM hosts),
+         |r0 AS (SELECT host, (SELECT base FROM nn) AS r FROM hosts),
+         |i1 AS (SELECT e.dst, sum((r0.r * e.w) // ow.tw) AS insum
+         |       FROM e JOIN r0 ON e.src = r0.host JOIN ow ON e.src = ow.src
+         |       GROUP BY e.dst),
+         |r1 AS (SELECT h.host, (17 * coalesce(i1.insum, 0) + 3 * (SELECT base FROM nn)) // 20 AS r
+         |       FROM hosts h LEFT JOIN i1 ON h.host = i1.dst),
+         |i2 AS (SELECT e.dst, sum((r1.r * e.w) // ow.tw) AS insum
+         |       FROM e JOIN r1 ON e.src = r1.host JOIN ow ON e.src = ow.src
+         |       GROUP BY e.dst),
+         |r2 AS (SELECT h.host, (17 * coalesce(i2.insum, 0) + 3 * (SELECT base FROM nn)) // 20 AS r
+         |       FROM hosts h LEFT JOIN i2 ON h.host = i2.dst),
+         |i3 AS (SELECT e.dst, sum((r2.r * e.w) // ow.tw) AS insum
+         |       FROM e JOIN r2 ON e.src = r2.host JOIN ow ON e.src = ow.src
+         |       GROUP BY e.dst),
+         |r3 AS (SELECT h.host, (17 * coalesce(i3.insum, 0) + 3 * (SELECT base FROM nn)) // 20 AS r
+         |       FROM hosts h LEFT JOIN i3 ON h.host = i3.dst)
+         |SELECT host, CAST(r AS BIGINT) AS rank,
+         |  round(CAST(r AS DOUBLE) / 1000000000000, 6) AS share
+         |FROM r3
+         |""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("source").as("src"),
+          concat(lit("src"), pmod(TextOps.fingerprint(TextOps.norm(col("text"))),
+            lit(20L))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val hosts = d.select(col("source").as("host"))
+        .unionByName(edges.select(col("dst").as("host"))).distinct()
+      graft.text.WebGraph.hostRank(hosts, edges, iters = 3)
     }
   )
 

@@ -291,13 +291,20 @@ object Similarity {
 
   /** Assign each row to its `nprobe` nearest centroids by cosine
     * (broadcast centroids + per-row top-nprobe argmax — one narrow pass
-    * over the big side, no shuffle of embeddings). */
+    * over the big side, no shuffle of embeddings). With `keepScore` the
+    * winning centroid cosine survives as `ccos` (the prototypicality
+    * signal x98 ranks on); default drops it — most callers only need
+    * the cell id. */
   def assignCells(df: DataFrame, idCol: String, emb: String,
-                  centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+                  centroids: DataFrame, nprobe: Int = 1,
+                  keepScore: Boolean = false): DataFrame = {
     val scored = df.crossJoin(broadcast(centroids))
       .withColumn("_ccos", cosine(col(emb), col("c_emb"))).drop("c_emb")
-    TopK.perGroup(scored, Seq(col(idCol)), Seq(col("_ccos").desc, col("cid")), nprobe)
-      .withColumnRenamed("cid", "cell").drop("_ccos")
+    val ranked = TopK.perGroup(scored, Seq(col(idCol)),
+        Seq(col("_ccos").desc, col("cid")), nprobe)
+      .withColumnRenamed("cid", "cell")
+    if (keepScore) ranked.withColumnRenamed("_ccos", "ccos")
+    else ranked.drop("_ccos")
   }
 
   /** Cluster-balanced diversity sampling (the coreset-selection step of
@@ -1010,5 +1017,48 @@ object Similarity {
         round(col("new_n").cast("double") / col("new_tot"), 6).as("share_new"),
         round(abs(col("old_n").cast("double") / col("old_tot")
           - col("new_n").cast("double") / col("new_tot")), 6).as("share_delta"))
+  }
+
+  /** x98 — prototypicality pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws": with abundant data, pruning the EASIEST —
+    * most prototypical — examples beats random): every vector is
+    * assigned to its nearest deterministic cell (first `nCells` vectors
+    * by vec_id, the x15 quantizer convention) and ranked WITHIN its
+    * cell by cosine to the cell centroid, rank 1 = most prototypical;
+    * the top ⌈cell_n·prunePct/100⌉ per cell are flagged `pruned`. The
+    * per-cell quota is exact integer arithmetic (⌈n·p/100⌉ =
+    * ⌊(n·p+99)/100⌋ — both operands < 2⁵³ so the double division is
+    * exact before the floor); ranks compare IEEE doubles both engines
+    * compute identically (left-fold cosine), so the order is
+    * engine-portable.
+    *
+    * Scale shape: assignment is the [[assignCells]] narrow
+    * broadcast-argmax pass; embeddings are dropped before the rank
+    * shuffle — only (vec_id, cell, ccos) crosses the wire. The rank
+    * window partitions one cell's members, ~√n rows under [[scaledCells]]
+    * sizing (the x47 argument); it is a FULL per-cell ranking (every
+    * vector gets a rank — the pruning report needs it), so no
+    * WindowGroupLimit pre-truncation applies, unlike the top-k family. */
+  def prototypicality(corpus: DataFrame, nCells: Int,
+                      prunePct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    require(prunePct >= 0 && prunePct <= 100,
+      s"prunePct must be in [0, 100], got $prunePct")
+    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val assigned = assignCells(corpus, "vec_id", "embedding", cents, 1,
+        keepScore = true)
+      .select(col("vec_id"), col("cell"), col("ccos"))
+    val wRank = Window.partitionBy(col("cell"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    val wCell = Window.partitionBy(col("cell"))
+    assigned
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .withColumn("cell_n", count(lit(1)).over(wCell))
+      .select(col("vec_id"), col("cell"), round(col("ccos"), 6).as("cos_r"),
+        col("rnk"), col("cell_n"),
+        (col("rnk") <= floor((col("cell_n") * prunePct + lit(99))
+          / lit(100.0)).cast(LongType)).as("pruned"))
   }
 }

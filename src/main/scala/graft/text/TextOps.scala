@@ -334,6 +334,41 @@ object TextOps {
         (col("_off") + row_number().over(wIn)).as("seq"))
   }
 
+  /** x99 — curriculum training order: [[trainOrder]] generalized with a
+    * caller-supplied BAND as the major sort key — a dense permutation
+    * seq ∈ [1, N] in (band, content-hash, doc_id) order, so training
+    * visits band 0 first, band 1 next, …, with a reproducible hash
+    * shuffle WITHIN each band (curriculum learning's "easy examples
+    * first" schedule, with any banded difficulty/quality signal as the
+    * ramp — length bands, classifier-score deciles, Gopher pass
+    * counts). Null bands are coalesced to Long.MinValue — they sort
+    * first AND survive the offsets equi-join (a null key would drop its
+    * rows, the [[rangeBucket]] null-bucket discipline).
+    *
+    * Scale shape: identical to [[trainOrder]] — per-(band, bucket)
+    * counts become cumulative offsets through ONE window over
+    * ≤ nBands·nBuckets rows, each document's rank is offset +
+    * row_number within its (band, bucket) only; no global one-task
+    * sort, no RNG state, row-order immune. */
+  def curriculumOrder(docs: DataFrame, id: Column, text: Column,
+                      band: Column, nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs.select(id.as("doc_id"),
+        coalesce(band.cast(LongType), lit(Long.MinValue)).as("band"),
+        fingerprint(norm(text)).as("_hk"))
+      .withColumn("_bkt", rangeBucket(col("_hk"), nBuckets))
+    val wOff = Window.partitionBy(pmod(col("_bkt"), lit(1L)))
+      .orderBy(col("band"), col("_bkt"))
+    val offsets = h.groupBy("band", "_bkt").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", sum(col("_n")).over(wOff) - col("_n"))
+      .select("band", "_bkt", "_off")
+    val wIn = Window.partitionBy(col("band"), col("_bkt"))
+      .orderBy(col("_hk"), col("doc_id"))
+    h.join(offsets, Seq("band", "_bkt"))
+      .select(col("doc_id"), col("band"),
+        (col("_off") + row_number().over(wIn)).as("seq"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed-n-gram bag is under a
@@ -1209,6 +1244,44 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"),
         sum(col("_n")).as("n_bpe_tokens"),
         (sum(col("_fp")) % p).as("sym_sum"))
+  }
+
+  /** x97 — tokenizer economics per language: the "tokenizer parity"
+    * report (a BPE trained on a mixed corpus segments some languages
+    * into far more tokens per word than others — those languages pay
+    * more compute per character of content and see less context per
+    * window; measuring fertility per language is standard tokenizer QA,
+    * cf. the multilingual-fertility analyses around mBERT/XGLM). Per
+    * language: docs, whitespace words, BPE tokens (via the trained
+    * [[bpeEncode]] rounds), normalized chars, and two ratios —
+    * fertility = BPE tokens per word and chars_per_tok = normalized
+    * chars per BPE token. All counts are exact integer sums; each ratio
+    * is ONE IEEE division on the aggregated totals, so the oracle
+    * agrees bit-for-bit. Documents whose normalized text is empty carry
+    * no tokens and are excluded (nothing to tokenize — the
+    * [[bpeEncode]] contract).
+    *
+    * Scale shape: [[bpeEncode]]'s inventory-bounded training + one
+    * dictionary join, then ONE doc-keyed join against (lang, chars) and
+    * ONE language-keyed aggregation — both map-side combinable; output
+    * is one row per language. */
+  def tokenizerEconomics(docs: DataFrame, id: Column, text: Column,
+                         lang: Column, nMerges: Int = 12): DataFrame = {
+    val perDoc = bpeEncode(docs, id, text, nMerges)
+    val meta = docs.select(id.as("doc_id"), lang.as("lang"),
+      length(norm(text)).cast(LongType).as("_chars"))
+    perDoc.join(meta, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        round(col("n_bpe_tokens").cast(DoubleType) / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast(DoubleType) / col("n_bpe_tokens"), 6)
+          .as("chars_per_tok"))
   }
 
   /** URL-domain manifest + blocklist gate: extract the host of each

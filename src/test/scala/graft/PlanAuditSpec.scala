@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     "x85_recipe_apply",           // singleton totals + bounded normalizer rows
     "x90_novelty_curve",          // singleton max-doc-id row (range bucket)
     "x93_source_drift",           // singleton vocab-total row
-    "x96_embedding_drift"         // centroid set (scaledCells) + totals row
+    "x96_embedding_drift",        // centroid set (scaledCells) + totals row
+    "x98_prototypicality"         // centroid set (scaledCells-capped)
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -120,7 +121,8 @@ class PlanAuditSpec extends SparkSpec {
     "x85_recipe_apply",           // singleton token-totals + normalizer rows
     "x90_novelty_curve",          // singleton max-doc-id row (range bucket)
     "x93_source_drift",           // top-V vocab (bounded) + totals row
-    "x96_embedding_drift"         // centroid set (scaledCells) + totals row
+    "x96_embedding_drift",        // centroid set (scaledCells) + totals row
+    "x98_prototypicality"         // centroid set (scaledCells-capped)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

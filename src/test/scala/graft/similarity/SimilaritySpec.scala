@@ -441,4 +441,30 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), (r.getLong(2), r.getDouble(4)))).toMap
     assert(gone(1L) === ((0L, 0.0)), s"vanished region must report: $gone")
   }
+
+  test("prototypicality: per-cell centroid-cosine ranks; ceil quota flags the most prototypical") {
+    // cells pinned to vec 0 = (1,0,0,0) and vec 1 = (0,1,0,0)
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),    // cell 0, cos 1.0      -> rank 1
+      (1L, Seq(0f, 1f, 0f, 0f)),    // cell 1, cos 1.0      -> rank 1
+      (2L, Seq(1f, 1f, 0f, 0f)),    // tie cos both cells -> cell 0 (lower cid)
+      (3L, Seq(0f, 1f, 1f, 0f)),    // cell 1, cos ~.707    -> rank 2
+      (4L, Seq(1f, .5f, 0f, 0f))    // cell 0, cos ~.894    -> rank 2
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.prototypicality(corpus, nCells = 2, prunePct = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    // cell 0: {0, 4, 2} by cos desc; cell 1: {1, 3}
+    assert(out(0L) === ((0L, 1L, 3L, true)))   // quota ceil(3*10/100) = 1
+    assert(out(4L) === ((0L, 2L, 3L, false)))
+    assert(out(2L) === ((0L, 3L, 3L, false)), "cos tie goes to the lower cid cell")
+    assert(out(1L) === ((1L, 1L, 2L, true)))   // quota ceil(2*10/100) = 1
+    assert(out(3L) === ((1L, 2L, 2L, false)))
+    // wider quota: ceil(3*50/100) = 2 in cell 0 — rank 2 now pruned too
+    val wide = Similarity.prototypicality(corpus, nCells = 2, prunePct = 50)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(wide === Map(0L -> true, 4L -> true, 2L -> false,
+      1L -> true, 3L -> false), s"got $wide")
+  }
 }

@@ -828,4 +828,50 @@ class TextOpsSpec extends SparkSpec {
     // space; the \n\n run collapses to a single newline
     assert(out(4)._3 === "a\nb c\nd")
   }
+
+  test("tokenizerEconomics: per-language exact counts and ratios; empty docs excluded") {
+    // one merge: all pairs have count 1, the lexicographic tie-break
+    // picks (a,b) -> "ab", so: ab = [ab </w>] (2 tokens), c = [c </w>]
+    // (2), de = [d e </w>] (3) — hand-computable economics
+    val docs = Seq(
+      (1L, "ab c", "en"),  // words 2, bpe 2+2 = 4, chars 4
+      (2L, "de", "fr"),    // words 1, bpe 3, chars 2
+      (3L, "   ", "en")    // normalizes to "" -> no tokens -> excluded
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.tokenizerEconomics(docs, col("doc_id"), col("text"),
+        col("lang"), nMerges = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("en") === ((1L, 2L, 4L, 4L, 2.0, 1.0)), s"got ${out("en")}")
+    assert(out("fr") === ((1L, 1L, 3L, 2L, 3.0, 0.666667)), s"got ${out("fr")}")
+    assert(out.size === 2, "the empty doc must not create rows")
+  }
+
+  test("curriculumOrder: bands gate the permutation; dense seq; null band sorts first") {
+    val docs = Seq(
+      (1L, "late band doc", Some(1L)),
+      (2L, "some early doc", Some(0L)),
+      (3L, "another early doc", Some(0L)),
+      (4L, "bandless doc", None: Option[Long])
+    ).toDF("doc_id", "text", "band")
+    val out = TextOps.curriculumOrder(docs, col("doc_id"), col("text"),
+        col("band"), nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val seqOf = out.map(r => r._1 -> r._3).toMap
+    assert(out.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L, 4L), "seq is dense 1..N")
+    assert(seqOf(4L) === 1L, "null band coalesces to Long.MinValue and leads")
+    assert(seqOf(1L) === 4L, "highest band trains last")
+    assert(Set(seqOf(2L), seqOf(3L)) === Set(2L, 3L))
+    // within a band the order is the content-hash order, not doc order
+    val hk = docs.filter(col("band") === 0L)
+      .select(col("doc_id"), graft.plans.functions.poly_hash(
+        TextOps.norm(col("text"))).as("hk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(seqOf(hk(0)._1) === 2L && seqOf(hk(1)._1) === 3L)
+    // row-order immunity: a repartitioned input derives the same permutation
+    val reshuffled = TextOps.curriculumOrder(docs.repartition(7), col("doc_id"),
+        col("text"), col("band"), nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(reshuffled === seqOf, "permutation must be row-order immune")
+  }
 }
