@@ -409,6 +409,47 @@ object ScaleProbe {
         // banded pair join slope together
         graft.multimodal.Multimodal.imagePHashPairs(
           graft.multimodal.Multimodal.imageCorpus(docCorpus(k)))
+      },
+      "x96_embedding_drift" -> { k =>
+        // two broadcast-argmax assignment passes over snapshot halves +
+        // cell-keyed counts; cells scale as sqrt(n) so the assignment
+        // cross stays the x15 O(n^1.5) family — the probe watches that
+        // the share/delta tail stays metadata-sized
+        val c = embCorpus(k)
+        val oldS = c.filter(col("vec_id") % 2 === 0)
+        val newS = c.filter(col("vec_id") % 2 === 1)
+        Similarity.embeddingDrift(oldS, newS,
+          Similarity.scaledCells(oldS.count()))
+      },
+      "x98_prototypicality" -> { k =>
+        // assignment pass + per-cell FULL rank (every vector gets a
+        // rank, no WindowGroupLimit pre-truncation applies): the probe
+        // watches whether the ~sqrt(n)-member cell partitions keep the
+        // rank window from bending the assignment slope
+        val c = embCorpus(k)
+        Similarity.prototypicality(c, Similarity.scaledCells(c.count()))
+      },
+      "x99_curriculum" -> (k =>
+        // x44's bucketed two-phase rank with (band, bucket) keys — the
+        // slope must match x44/x86 (the band only widens the bounded
+        // offsets frame 8x)
+        TextOps.curriculumOrder(docCorpus(k), col("doc_id"), col("text"),
+          least(floor(size(split(TextOps.norm(col("text")), " ")) / 25),
+            lit(7L)))),
+      "x100_host_rank" -> { k =>
+        // host universe grows ~k (100k hosts) and edges with the corpus:
+        // 3 fixed rounds of edge-join + dst-keyed sum — the slope should
+        // track edge volume, with the rank frame staying host-sized
+        val c = docCorpus(k)
+        val nh = lit(100L * k)
+        val ed = c.select(concat(lit("h"), pmod(col("doc_id"), nh)).as("src"),
+            concat(lit("h"), pmod(TextOps.fingerprint(TextOps.norm(col("text"))),
+              nh)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val hosts = ed.select(col("src").as("host"))
+          .unionAll(ed.select(col("dst").as("host"))).distinct()
+        graft.text.WebGraph.hostRank(hosts, ed, iters = 3)
       })
 
     // optional arg: comma-separated probe-name substrings to run a subset
