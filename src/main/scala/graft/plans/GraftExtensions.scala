@@ -124,7 +124,9 @@ object GraftExtensions {
     fn("int_dot_fold", classOf[IntDotFold], 2, "int_dot_fold(array<int>, array<int>)")(
       a => IntDotFold(a(0), a(1))),
     fn("int_sqnorm_fold", classOf[IntSqNormFold], 1, "int_sqnorm_fold(array<int>)")(
-      a => IntSqNormFold(a.head)))
+      a => IntSqNormFold(a.head)),
+    fn("misra_gries", classOf[MisraGriesAgg], 2, "misra_gries(item, k)")(
+      a => MisraGriesAgg(a.head, intArg("misra_gries", "k", a(1)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -195,4 +197,8 @@ object functions {
 
   def int_sqnorm_fold(a: Column): Column =
     GraftBridge.column(IntSqNormFold(GraftBridge.expression(a)))
+
+  def misra_gries(item: Column, k: Int): Column =
+    GraftBridge.column(
+      MisraGriesAgg(GraftBridge.expression(item), k).toAggregateExpression())
 }

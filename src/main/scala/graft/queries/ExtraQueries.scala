@@ -3225,6 +3225,23 @@ object ExtraQueries {
       val hosts = d.select(col("source").as("host"))
         .unionByName(edges.select(col("dst").as("host"))).distinct()
       graft.text.WebGraph.hostRank(hosts, edges, iters = 3)
+    },
+
+    // ----- exact heavy hitters at sketch cost (Misra-Gries candidates
+    //       -> exact verification pass; native mergeable aggregate)
+    QueryDef("x101_heavy_tokens",
+      "exact heavy-hitter tokens via the native mergeable Misra-Gries aggregate: one sketch pass reduces every partition to a k=32 summary before the exchange (shuffle volume k*partitions, not the vocabulary), a bounded candidate collect + one exact isin-filtered count keeps tokens with n*(k+1) > N — deterministic and exact despite the sketch (MG never evicts an above-threshold item under any merge order)")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |w AS (SELECT unnest(string_split(t, ' ')) AS item FROM n),
+         |ww AS (SELECT item FROM w WHERE item <> ''),
+         |t AS (SELECT count(*) AS tot FROM ww)
+         |SELECT item, CAST(count(*) AS BIGINT) AS n
+         |FROM ww, t GROUP BY item, t.tot HAVING count(*) * 33 > t.tot
+         |""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(TextOps.norm(col("text")), " ")).as("item"))
+        .filter(col("item") =!= "")
+      graft.ops.HeavyHitters.exact(toks, col("item"), k = 32)
     }
   )
 

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries semantics: the candidate bound and no-false-negative
+  * guarantee under different partitionings, and the exactness of the
+  * two-phase sketch-then-verify heavy-hitter report. */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 50, b 30, c 19, z1..z20 once each -> N = 119; k = 4 means
+  // threshold N/(k+1) = 23.8: a and b are true heavy hitters, c is not
+  private def stream = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+    Seq.fill(19)("c") ++ (1 to 20).map(i => s"z$i")).toDF("item")
+
+  test("misra_gries: <= k candidates, never drops an above-threshold item, any partitioning") {
+    for (parts <- Seq(1, 3, 7)) {
+      val cand = stream.repartition(parts)
+        .agg(graft.plans.functions.misra_gries(col("item"), 4).as("c"))
+        .head().getSeq[String](0)
+      assert(cand.size <= 4, s"parts=$parts: ${cand.size} candidates")
+      assert(cand.contains("a") && cand.contains("b"),
+        s"parts=$parts lost a heavy hitter: $cand")
+      assert(cand.toSeq === cand.sorted, "canonical item order")
+    }
+  }
+
+  test("exact: deterministic exact counts above n*(k+1) > N, row-order immune; empty input") {
+    val want = Map("a" -> 50L, "b" -> 30L) // c: 19*5 = 95 < 119
+    for (parts <- Seq(1, 7)) {
+      val out = HeavyHitters.exact(stream.repartition(parts), col("item"), k = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out === want, s"parts=$parts: $out")
+    }
+    // nulls are skipped, not counted toward N
+    val withNulls = stream.unionAll(
+      Seq.fill(40)(null.asInstanceOf[String]).toDF("item"))
+    assert(HeavyHitters.exact(withNulls, col("item"), k = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === want)
+    assert(HeavyHitters.exact(stream.limit(0), col("item"), k = 4)
+      .collect().isEmpty)
+  }
+
+  test("misra_gries is callable from SQL; k must be a positive literal") {
+    GraftBridge.registerFunctions(spark)
+    stream.createOrReplaceTempView("hh_stream")
+    val cand = spark.sql("SELECT misra_gries(item, 4) FROM hh_stream")
+      .head().getSeq[String](0)
+    assert(cand.contains("a") && cand.contains("b") && cand.size <= 4)
+    val e = intercept[IllegalArgumentException](
+      spark.sql("SELECT misra_gries(item, 0) FROM hh_stream").head())
+    assert(e.getMessage.contains("positive"))
+  }
+}
