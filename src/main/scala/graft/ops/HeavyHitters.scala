@@ -34,7 +34,7 @@ object HeavyHitters {
     val row = keyed.agg(
       graft.plans.functions.misra_gries(col("item"), k).as("cand"),
       count(lit(1)).as("tot")).head()
-    val cand = row.getSeq[String](0)
+    val cand = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
     val tot = row.getLong(1)
     if (cand.isEmpty)
       keyed.select(col("item"), lit(0L).as("n")).limit(0)

@@ -5,11 +5,11 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Misra–Gries frequent-items summary as a native Spark AGGREGATE
@@ -34,8 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * all (amortized by the zero-entry sweep). merge: add counts, then if
   * over k entries subtract the (k+1)-largest count from all and drop
   * the non-positive — both sides' undercounts add, staying ≤ N/(k+1)
-  * total. eval sorts items so the emitted array is canonical for a
-  * given summary state. Nulls are skipped (SQL aggregate convention).
+  * total. eval emits array<struct<item, cnt>> sorted by item — the
+  * counts are the summary's LOWER BOUNDS (true count ≥ cnt, undercount
+  * ≤ N/(k+1)); carrying them makes emitted summaries re-mergeable
+  * (the streaming composition merges per-batch summaries by the same
+  * rule). The item SET above threshold is order-invariant; the cnt
+  * values themselves are merge-order dependent — consumers needing
+  * determinism recount exactly (graft.ops.HeavyHitters). Nulls are
+  * skipped (SQL aggregate convention).
   */
 case class MisraGriesAgg(
     child: Expression,
@@ -94,8 +100,10 @@ case class MisraGriesAgg(
   }
 
   override def eval(buf: mutable.HashMap[UTF8String, Long]): Any =
-    new GenericArrayData(
-      buf.keysIterator.toArray.sortBy(_.toString).asInstanceOf[Array[Any]])
+    new GenericArrayData(buf.toArray.sortBy(_._1.toString).map {
+      case (it, c) =>
+        new GenericInternalRow(Array[Any](it, c)): Any
+    })
 
   override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -134,6 +142,9 @@ case class MisraGriesAgg(
     copy(child = newChild)
 
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
   override def prettyName: String = "misra_gries"
 }

@@ -17,13 +17,19 @@ class HeavyHittersSpec extends SparkSpec {
 
   test("misra_gries: <= k candidates, never drops an above-threshold item, any partitioning") {
     for (parts <- Seq(1, 3, 7)) {
-      val cand = stream.repartition(parts)
+      val summary = stream.repartition(parts)
         .agg(graft.plans.functions.misra_gries(col("item"), 4).as("c"))
-        .head().getSeq[String](0)
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1)))
+      val cand = summary.map(_._1)
       assert(cand.size <= 4, s"parts=$parts: ${cand.size} candidates")
       assert(cand.contains("a") && cand.contains("b"),
         s"parts=$parts lost a heavy hitter: $cand")
       assert(cand.toSeq === cand.sorted, "canonical item order")
+      // counts are lower bounds with undercount <= N/(k+1) = 23.8
+      val bound = summary.toMap
+      assert(bound("a") >= 50L - 24 && bound("a") <= 50L, s"got $bound")
+      assert(bound("b") >= 30L - 24 && bound("b") <= 30L, s"got $bound")
     }
   }
 
@@ -47,7 +53,7 @@ class HeavyHittersSpec extends SparkSpec {
     GraftBridge.registerFunctions(spark)
     stream.createOrReplaceTempView("hh_stream")
     val cand = spark.sql("SELECT misra_gries(item, 4) FROM hh_stream")
-      .head().getSeq[String](0)
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
     assert(cand.contains("a") && cand.contains("b") && cand.size <= 4)
     val e = intercept[IllegalArgumentException](
       spark.sql("SELECT misra_gries(item, 0) FROM hh_stream").head())
