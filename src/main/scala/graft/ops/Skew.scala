@@ -24,4 +24,34 @@ object Skew {
     val s = small.withColumn("_salt", explode(sequence(lit(0), lit(nSalts - 1))))
     b.join(s, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Sketch-directed skew join: [[saltedJoin]] salts EVERY key — the
+    * small side is replicated nSalts× wholesale, which at 100 TB pays
+    * the replication tax on the (usually overwhelming) cold-key mass
+    * for the benefit of a handful of hot keys. This variant spends one
+    * Misra–Gries pass over the big side's key (k·partitions shuffle,
+    * cardinality-independent — graft.plans.MisraGriesAgg) to learn the
+    * ≤ k candidate hot keys, salts ONLY rows matching that literal
+    * predicate, and plain-joins the cold remainder; the union is
+    * row-identical to the plain inner join (spec-pinned). MG's
+    * guarantee is exactly the right one here: every key above
+    * N/(k+1) of the big side is in the candidate set, so no genuinely
+    * hot key can sneak into the cold branch — a false-positive
+    * candidate merely gets salted unnecessarily, which is correct,
+    * just mildly wasteful. With no candidates (uniform keys) the plan
+    * IS the plain join. Keys are sketched through a string cast (the
+    * summary's currency); the hot predicate compares on the same cast,
+    * so any key type works. NULL keys never match an inner join and
+    * are dropped by both branches alike. */
+  def sketchSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+                       saltSrc: Column, nSalts: Int, k: Int = 64): DataFrame = {
+    val hot = big.select(col(key).cast("string").as("_k"))
+      .filter(col("_k").isNotNull)
+      .agg(graft.plans.functions.misra_gries(col("_k"), k))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    if (hot.isEmpty) return big.join(small, key)
+    val isHot = col(key).cast("string").isin(hot: _*)
+    saltedJoin(big.filter(isHot), small.filter(isHot), key, saltSrc, nSalts)
+      .unionByName(big.filter(!isHot).join(small.filter(!isHot), key))
+  }
 }

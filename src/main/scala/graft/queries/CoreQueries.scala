@@ -551,6 +551,31 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(Norms.cents(col("l_extendedprice"))).as("rev_c"))
     },
 
+    // ----- J2 (skew, sketch-directed): only detected-hot keys salted
+    QueryDef("j06_sketch_skew_join",
+      "sketch-directed skew join: one Misra-Gries pass over the big side's key learns the hot keys (planted: user 1 holds ~half the events), only hot rows are salted, the cold mass joins plain — result identical to the plain join, and the small side is no longer replicated nSalts x for cold keys")(
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, value FROM events
+         |  UNION ALL
+         |  SELECT event_id + 10000000 AS event_id, 1 AS user_id, value FROM events)
+         |SELECT c.c_mktsegment, count(*) AS n,
+         |       CAST(sum(${centsSql("e.value")}) AS BIGINT) AS vol_c
+         |FROM ev e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY c.c_mktsegment
+         |""".stripMargin) { (s, dir) =>
+      val ev0 = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        Norms.cents(col("value")).as("v_c"))
+      val ev = ev0.unionAll(ev0.select(
+        (col("event_id") + 10000000L).as("event_id"),
+        lit(1L).as("user_id"), col("v_c")))
+      val dim = Tables.customer(s, dir).select(
+        col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Skew.sketchSaltedJoin(ev, dim, key = "user_id",
+          saltSrc = col("event_id"), nSalts = 8, k = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("v_c")).as("vol_c"))
+    },
+
     // ----- D2 (unique_key): upsert/latest-per-key — dbt incremental MERGE analog
     QueryDef("d06_upsert_unique_key",
       "latest row per unique key via max_by (one combinable aggregation) — the dbt unique_key MERGE semantics")(
