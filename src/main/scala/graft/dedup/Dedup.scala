@@ -138,6 +138,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("_i") / (col("_s") - col("_i")), 6).as("jaccard"))
 
+  /** Exact shingle CONTAINMENT for candidate pairs (Broder's second
+    * coefficient): c = |A∩B| / min(|A|,|B|) with the smaller side
+    * marked as the contained one. Jaccard dilutes a short document
+    * quoted whole inside a long host (|A∩B|/|A∪B| → small as the host
+    * grows), so resemblance-gated dedup keeps both copies; containment
+    * stays ~1.0 whatever the size ratio — the quoted-inclusion /
+    * boilerplate-wrapping detector. Pair CANDIDATES for this grain
+    * should come from [[winnowOverlapPairs]] (span-guaranteed
+    * fingerprints), NOT MinHash banding — whole-doc resemblance LSH
+    * has the same dilution blindness the verify step fixes. An
+    * empty-normalized doc carries the single degenerate empty-window
+    * shingle (the ShingleHashes convention), so it scores containment
+    * 0.0 against everything; the zero-size guard is belt only (such
+    * docs produce no winnow fingerprints and thus no candidates).
+    *
+    * Scale shape: identical to [[jaccardVerify]] — two joins of the
+    * candidate set against the staged shingle relation; cost scales
+    * with candidate volume, never all-pairs. */
+  def containmentVerify(pairs: DataFrame, docs: DataFrame, id: Column,
+                        text: Column, k: Int = 7): DataFrame = {
+    val sh = stagedShingles(docs, id, text, k)
+      .persist() // read twice (a-side and b-side joins)
+    pairs
+      .join(sh.select(col("_id").as("doc_a"), col("_sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("_id").as("doc_b"), col("_sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType).as("_i"),
+        size(col("sh_a")).cast(DoubleType).as("_sa"),
+        size(col("sh_b")).cast(DoubleType).as("_sb"))
+      .filter(least(col("_sa"), col("_sb")) > 0)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_i") / least(col("_sa"), col("_sb")), 6).as("containment"),
+        when(col("_sa") <= col("_sb"), "a").otherwise("b").as("contained"))
+  }
+
   /** Fused candidates + verification: normalize and shingle the corpus
     * ONCE (the dominant narrow cost), derive the MinHash banding from
     * that staged relation, and run the exact-Jaccard joins against the

@@ -3242,6 +3242,51 @@ object ExtraQueries {
         .select(explode(split(TextOps.norm(col("text")), " ")).as("item"))
         .filter(col("item") =!= "")
       graft.ops.HeavyHitters.exact(toks, col("item"), k = 32)
+    },
+
+    // ----- containment dedup (short doc quoted whole inside a long
+    //       host — the pair grain Jaccard resemblance dilutes away)
+    QueryDef("x102_containment",
+      "containment dedup: winnowing candidates (span-guaranteed fingerprints) verified with exact shingle containment |A∩B|/min(|A|,|B|) and the contained side marked — catches a 150-char slice quoted inside its 300+-char host at containment ~1.0 where Jaccard reads ~0.4 and resemblance-gated dedup keeps both; planted corpus embeds substr(text,100,150) of every 10th doc as a standalone document")(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000 AS doc_id, substr(text, 100, 150) AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |n AS (SELECT doc_id, $normD AS t FROM corpus),
+         |hl AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN []::BIGINT[] ELSE [
+         |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, greatest(least(20, len(t) - i + 1), 1))]::BIGINT[],
+         |                (acc, x) -> (acc * 31 + x) % 1000000007)
+         |    FOR i IN range(1, greatest(len(t) - 19, 1) + 1)] END AS hs FROM n),
+         |sel AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []::BIGINT[] ELSE list_distinct([
+         |    list_min(hs[i:i+7]) FOR i IN range(1, greatest(len(hs) - 7, 1) + 1)]) END AS sel
+         |  FROM hl),
+         |e AS (SELECT doc_id, unnest(sel) AS h FROM sel),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sh AS (SELECT doc_id, list_distinct([
+         |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, greatest(least(7, len(t) - i + 1), 1))]::BIGINT[],
+         |                (acc, x) -> (acc * 31 + x) % 1000000007)
+         |    FOR i IN range(1, greatest(len(t) - 6, 1) + 1)]) AS shingles
+         |  FROM n),
+         |c AS (SELECT p.doc_a, p.doc_b,
+         |        len(list_intersect(a.shingles, b.shingles)) AS inter,
+         |        len(a.shingles) AS sa, len(b.shingles) AS sb
+         |      FROM p JOIN sh a ON p.doc_a = a.doc_id
+         |             JOIN sh b ON p.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / least(sa, sb), 6) AS containment,
+         |  CASE WHEN sa <= sb THEN 'a' ELSE 'b' END AS contained
+         |FROM c WHERE least(sa, sb) > 0
+         |""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          substring(col("text"), 100, 150).as("text")))
+      val pairs = Dedup.winnowOverlapPairs(corpus, col("doc_id"), col("text"))
+        .select("doc_a", "doc_b")
+      Dedup.containmentVerify(pairs, corpus, col("doc_id"), col("text"))
     }
   )
 

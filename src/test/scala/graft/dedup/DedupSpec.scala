@@ -446,4 +446,29 @@ class DedupSpec extends SparkSpec {
         weights = Seq(("a", 0L)))
     }
   }
+
+  test("containmentVerify: whole inclusion reads 1.0 where jaccard dilutes; smaller side marked; empty side dropped") {
+    import spark.implicits._
+    val host = ('a' to 'z').map(c => s"${c}word").mkString(" ") // 26 words
+    val sub = host.split(" ").slice(8, 14).mkString(" ")        // 6-word slice
+    val docs = Seq((1L, host), (2L, sub),
+      (3L, "completely different content with no overlap at all"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.containmentVerify(pairs, docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getString(3))))
+      .toMap
+    spark.catalog.clearCache()
+    assert(out((1L, 2L)) === ((1.0, "b")), s"got ${out.get((1L, 2L))}")
+    // the same pair under resemblance: diluted far below 1.0
+    val jac = Dedup.jaccardVerify(pairs.limit(1), docs, col("doc_id"),
+        col("text")).head().getDouble(2)
+    spark.catalog.clearCache()
+    assert(jac < 0.5, s"jaccard should dilute the quoted slice, got $jac")
+    assert(out((1L, 3L))._1 < 0.2, s"disjoint pair: ${out((1L, 3L))}")
+    // a whitespace-only doc carries the single degenerate empty-window
+    // shingle (the ShingleHashes convention) — it contains nothing
+    assert(out((1L, 4L)) === ((0.0, "b")), s"got ${out.get((1L, 4L))}")
+  }
 }
