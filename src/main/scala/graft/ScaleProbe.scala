@@ -436,6 +436,30 @@ object ScaleProbe {
         TextOps.curriculumOrder(docCorpus(k), col("doc_id"), col("text"),
           least(floor(size(split(TextOps.norm(col("text")), " ")) / 25),
             lit(7L)))),
+      "x101_heavy_tokens" -> { k =>
+        // the MG sketch pass is the probe target: shuffle is k-summary-
+        // sized per partition regardless of vocabulary growth, and the
+        // exact pass scans with a <= 32-literal isin filter — the slope
+        // must track the token scan, with no cardinality term
+        val toks = docCorpus(k).select(
+            explode(split(graft.text.TextOps.norm(col("text")), " ")).as("item"))
+          .filter(col("item") =!= "")
+        graft.ops.HeavyHitters.exact(toks, col("item"), k = 32)
+      },
+      "x102_containment" -> { k =>
+        // winnow candidates + two shingle-staged verification joins: the
+        // alphabet rotation keeps planted slice/host pairs per copy, so
+        // candidate volume grows linearly and the verify joins must
+        // track it (the x34 probe shape plus the containment joins)
+        val c0 = docCorpus(k)
+        val c = c0.unionAll(c0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 50000000L).as("doc_id"),
+            substring(col("text"), 100, 150).as("text")))
+        Dedup.containmentVerify(
+          Dedup.winnowOverlapPairs(c, col("doc_id"), col("text"))
+            .select("doc_a", "doc_b"),
+          c, col("doc_id"), col("text"))
+      },
       "x100_host_rank" -> { k =>
         // host universe grows ~k (100k hosts) and edges with the corpus:
         // 3 fixed rounds of edge-join + dst-keyed sum — the slope should
