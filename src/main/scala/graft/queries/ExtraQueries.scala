@@ -3287,6 +3287,28 @@ object ExtraQueries {
       val pairs = Dedup.winnowOverlapPairs(corpus, col("doc_id"), col("text"))
         .select("doc_a", "doc_b")
       Dedup.containmentVerify(pairs, corpus, col("doc_id"), col("text"))
+    },
+
+    // ----- length-bucketed inference batch plan (dispatch batching:
+    //       same-length docs together, token budget per batch)
+    QueryDef("x103_batch_plan",
+      "length-bucketed inference batch plan: docs batch within their length bucket (n_tokens div 32) in deterministic content-hash order, batch_id = exclusive-prefix-tokens div 500 — same-length docs batch together (padding ~one bucket wide, x95 picks the width) under an activation-memory token budget; exact integer arithmetic, x37's two-phase prefix sum, no per-bucket corpus sort")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |h AS (SELECT d.doc_id,
+         |        CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens,
+         |        ${charFoldD("n.t")} AS hk
+         |      FROM documents d JOIN n ON d.doc_id = n.doc_id),
+         |r AS (SELECT doc_id, n_tokens, n_tokens // 32 AS bucket, hk,
+         |        sum(n_tokens) OVER (PARTITION BY n_tokens // 32
+         |          ORDER BY hk NULLS FIRST, doc_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix
+         |      FROM h)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+         |  CAST(prefix // 500 AS BIGINT) AS batch_id
+         |FROM r
+         |""".stripMargin) { (s, dir) =>
+      TextOps.inferenceBatchPlan(Tables.documents(s, dir), col("doc_id"),
+        col("text"), maxTokensPerBatch = 500L, lenBucket = 32)
     }
   )
 

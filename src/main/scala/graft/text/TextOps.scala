@@ -923,6 +923,51 @@ object TextOps {
       .select("doc_id", "stratum", "n_tokens", "cum_tokens")
   }
 
+  /** x103 — length-bucketed inference batch plan: assign every document
+    * to a batch of ≤ maxTokensPerBatch tokens WITHIN its length bucket
+    * (n_tokens div lenBucket) — the batching step a production
+    * inference/embedding fleet runs before dispatch: same-length docs
+    * batch together so per-batch padding stays ~one lenBucket wide (the
+    * x95 curve picks the bucket width; this op materializes the plan),
+    * and the token budget bounds activation memory per batch. Docs fill
+    * batches greedily in deterministic (content-hash, doc_id) order:
+    * batch_id = exclusive-prefix-tokens div B, so a batch's total can
+    * overshoot B by at most (max doc tokens − 1) — the standard
+    * approximate-budget semantics, exact integer arithmetic throughout.
+    *
+    * Scale shape: the x37 two-phase prefix sum — per-(bucket,
+    * hash-range-bucket) token subtotals become cumulative offsets
+    * through windows over bounded frames, the running sum window
+    * partitions corpus/(lenBuckets·nBuckets) rows; no per-length-bucket
+    * corpus-sized sort anywhere. Output: (doc_id, bucket, n_tokens,
+    * batch_id), batch ids dense per bucket. */
+  def inferenceBatchPlan(docs: DataFrame, id: Column, text: Column,
+                         maxTokensPerBatch: Long, lenBucket: Int = 32,
+                         nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokensPerBatch > 0, s"need a positive budget, got $maxTokensPerBatch")
+    require(lenBucket > 0, s"need a positive bucket width, got $lenBucket")
+    val h = docs.select(id.as("doc_id"),
+        wsTokenCount(text).as("n_tokens"),
+        fingerprint(norm(text)).as("_hk"))
+      // `div`, not floor(double /): exact at any magnitude (a double
+      // quotient can round up across the floor boundary near 2^53)
+      .withColumn("bucket", expr(s"n_tokens div ${lenBucket}L"))
+      .withColumn("_bkt", rangeBucket(col("_hk"), nBuckets))
+    val wOff = Window.partitionBy(col("bucket")).orderBy(col("_bkt"))
+    val offsets = h.groupBy("bucket", "_bkt")
+      .agg(sum(col("n_tokens")).as("_sub"))
+      .withColumn("_off", sum(col("_sub")).over(wOff) - col("_sub"))
+      .select("bucket", "_bkt", "_off")
+    val wIn = Window.partitionBy(col("bucket"), col("_bkt"))
+      .orderBy(col("_hk"), col("doc_id"))
+    h.join(offsets, Seq("bucket", "_bkt"))
+      .withColumn("_prefix",
+        col("_off") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        expr(s"_prefix div ${maxTokensPerBatch}L").as("batch_id"))
+  }
+
   /** x86 — epoch-seeded training order: [[trainOrder]]'s reproducible
     * global permutation, independently reshuffled per epoch — the
     * between-epochs re-permutation every multi-epoch training run

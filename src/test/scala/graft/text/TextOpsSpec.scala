@@ -874,4 +874,34 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(reshuffled === seqOf, "permutation must be row-order immune")
   }
+
+  test("inferenceBatchPlan: greedy fill per length bucket; bounded overshoot; row-order immune") {
+    // bucket 0 (g = 8): three 5-token docs; bucket 1: one 10-token doc
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(5, "a")), (2L, words(5, "b")), (3L, words(5, "c")),
+      (4L, words(10, "d"))
+    ).toDF("doc_id", "text")
+    val out = TextOps.inferenceBatchPlan(docs, col("doc_id"), col("text"),
+        maxTokensPerBatch = 8L, lenBucket = 8, nBuckets = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(4L) === ((1L, 10L, 0L)), "long doc batches alone in its bucket")
+    // bucket 0 in hash order: prefixes 0, 5, 10 -> batches 0, 0, 1
+    val b0 = Seq(1L, 2L, 3L).map(out(_))
+    assert(b0.forall(_._1 === 0L))
+    assert(b0.map(_._3).sorted === Seq(0L, 0L, 1L),
+      s"greedy fill must cut after two 5-token docs at budget 8: $b0")
+    // batch totals never exceed budget + (max doc tokens - 1)
+    val totals = out.values.groupBy(v => (v._1, v._3)).map(_._2.map(_._2).sum)
+    assert(totals.forall(_ <= 8 + 10 - 1), s"overshoot bound violated: $totals")
+    // row-order immunity
+    val re = TextOps.inferenceBatchPlan(docs.repartition(5), col("doc_id"),
+        col("text"), maxTokensPerBatch = 8L, lenBucket = 8, nBuckets = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(re === out)
+  }
 }
