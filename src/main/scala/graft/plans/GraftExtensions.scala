@@ -126,7 +126,9 @@ object GraftExtensions {
     fn("int_sqnorm_fold", classOf[IntSqNormFold], 1, "int_sqnorm_fold(array<int>)")(
       a => IntSqNormFold(a.head)),
     fn("misra_gries", classOf[MisraGriesAgg], 2, "misra_gries(item, k)")(
-      a => MisraGriesAgg(a.head, intArg("misra_gries", "k", a(1)))))
+      a => MisraGriesAgg(a.head, intArg("misra_gries", "k", a(1)))),
+    fn("lz78_phrases", classOf[Lz78Phrases], 1, "lz78_phrases(str)")(
+      a => Lz78Phrases(a.head)))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -201,4 +203,7 @@ object functions {
   def misra_gries(item: Column, k: Int): Column =
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.expression(item), k).toAggregateExpression())
+
+  def lz78_phrases(c: Column): Column =
+    GraftBridge.column(Lz78Phrases(GraftBridge.expression(c)))
 }

@@ -346,6 +346,59 @@ object HashUtil {
     }
     new GenericInternalRow(Array[Any](n, m.size.toLong, h))
   }
+
+  /** LZ78 incremental-parse phrase count (Lempel–Ziv complexity at the
+    * LZ78 grain): scan left to right, growing the current phrase while
+    * (phrase + next char) is already in the dictionary; on a miss, add
+    * it, count a phrase, reset. A trailing in-dictionary remainder
+    * counts as one final phrase. Empty string → 0. Codepoint grain
+    * (≡ the oracle's per-character substr fold). Purely integer/set
+    * state — any engine replays the parse identically. */
+  def lz78Phrases(s: UTF8String): Long = {
+    val str = s.toString
+    val dict = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var count = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      sb.appendCodePoint(cp)
+      val cand = sb.toString
+      if (!dict.contains(cand)) {
+        dict.add(cand)
+        count += 1
+        sb.setLength(0)
+      }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) count += 1
+    count
+  }
+}
+
+/** lz78_phrases(str): LONG — LZ78 incremental-parse phrase count (the
+  * Lempel–Ziv complexity signal: degenerate repetition parses into few
+  * long phrases → low count per char; incompressible gibberish parses
+  * into many short ones → count near the n/log n ceiling. A
+  * dictionary-compressibility quality signal the entropy (x42) and
+  * dup-n-gram (x29) proxies don't subsume: entropy is blind to ORDER —
+  * "abababab" and a random shuffle of the same chars have identical
+  * entropy but very different parse counts). One native pass per row,
+  * zero shuffles. */
+case class Lz78Phrases(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"lz78_phrases requires STRING, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.lz78Phrases(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashUtil.lz78Phrases($c);")
+  override protected def withNewChildInternal(newChild: Expression): Lz78Phrases =
+    copy(child = newChild)
+  override def prettyName: String = "lz78_phrases"
 }
 
 /** poly_hash(str): LONG — codegen'd rolling polynomial string hash. */

@@ -3309,6 +3309,43 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       TextOps.inferenceBatchPlan(Tables.documents(s, dir), col("doc_id"),
         col("text"), maxTokensPerBatch = 500L, lenBucket = 32)
+    },
+
+    // ----- Lempel-Ziv complexity (order-aware compressibility signal)
+    QueryDef("x104_lz_complexity",
+      "LZ78 incremental-parse complexity per doc: phrases, chars, phrases-per-char — the dictionary-compressibility quality gate (low = template spam that compresses away, ~1 = gibberish; order-aware where x42 entropy is not: 'abababab' and a shuffle of the same chars differ 2x here, 0x there); native codegen'd single pass, oracle replays the parse as a per-char fold with dictionary state in the accumulator")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |f AS (SELECT doc_id, len(t) AS n_chars,
+         |  CASE WHEN len(t) = 0 THEN '0' || chr(30) || chr(30)
+         |  ELSE list_reduce(
+         |    list_prepend('0' || chr(30) || chr(30),
+         |      [substr(t, i, 1) FOR i IN range(1, len(t) + 1)]),
+         |    (acc, x) -> CASE WHEN list_contains(
+         |        string_split(split_part(acc, chr(30), 2), chr(29)),
+         |        split_part(acc, chr(30), 3) || x)
+         |      THEN split_part(acc, chr(30), 1) || chr(30) ||
+         |           split_part(acc, chr(30), 2) || chr(30) ||
+         |           split_part(acc, chr(30), 3) || x
+         |      ELSE CAST(CAST(split_part(acc, chr(30), 1) AS BIGINT) + 1 AS VARCHAR)
+         |           || chr(30) ||
+         |           CASE WHEN split_part(acc, chr(30), 2) = ''
+         |                THEN split_part(acc, chr(30), 3) || x
+         |                ELSE split_part(acc, chr(30), 2) || chr(29) ||
+         |                     split_part(acc, chr(30), 3) || x END
+         |           || chr(30)
+         |      END)
+         |  END AS st FROM n),
+         |p AS (SELECT doc_id, n_chars,
+         |  CAST(split_part(st, chr(30), 1) AS BIGINT) +
+         |    (CASE WHEN split_part(st, chr(30), 3) <> '' THEN 1 ELSE 0 END) AS phrases
+         |  FROM f)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(phrases AS BIGINT) AS phrases,
+         |  CASE WHEN n_chars = 0 THEN 0.0
+         |       ELSE round(CAST(phrases AS DOUBLE) / n_chars, 6) END AS lz_ratio
+         |FROM p
+         |""".stripMargin) { (s, dir) =>
+      TextOps.lzComplexity(Tables.documents(s, dir), col("doc_id"), col("text"))
     }
   )
 

@@ -334,6 +334,27 @@ object TextOps {
         (col("_off") + row_number().over(wIn)).as("seq"))
   }
 
+  /** x104 — Lempel–Ziv (LZ78) complexity signal: phrases-per-char of
+    * the incremental parse — the dictionary-compressibility quality
+    * gate (low ratio = machine-generated repetition / template spam
+    * that compresses away; ratio near 1 = incompressible gibberish;
+    * prose sits in between). Complements x42's entropy — entropy is
+    * blind to ORDER ("abababab" and a shuffle of the same chars score
+    * identically; their parse counts differ 2×) — and x29's dup-n-gram
+    * fraction, which only sees fixed-width repeats. One native
+    * codegen'd pass per row (graft.plans.Lz78Phrases), zero shuffles;
+    * the oracle replays the same parse as a per-char fold with the
+    * dictionary state encoded in the accumulator (the BPE-oracle
+    * string-state discipline). */
+  def lzComplexity(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = norm(text)
+    docs.select(id.as("doc_id"),
+        length(t).cast(LongType).as("n_chars"),
+        graft.plans.functions.lz78_phrases(t).as("phrases"))
+      .withColumn("lz_ratio", when(col("n_chars") === 0, 0.0)
+        .otherwise(round(col("phrases").cast(DoubleType) / col("n_chars"), 6)))
+  }
+
   /** x99 — curriculum training order: [[trainOrder]] generalized with a
     * caller-supplied BAND as the major sort key — a dense permutation
     * seq ∈ [1, N] in (band, content-hash, doc_id) order, so training

@@ -904,4 +904,29 @@ class TextOpsSpec extends SparkSpec {
       .toMap
     assert(re === out)
   }
+
+  test("lzComplexity: hand-computed LZ78 parses; order-aware where entropy is blind") {
+    val docs = Seq(
+      (1L, "abababab"),  // a|b|ab|aba + trailing b  -> 5 phrases
+      (2L, "aaaaaaaa"),  // a|aa|aaa + trailing aa   -> 4
+      (3L, "qwertyui"),  // all distinct chars       -> 8
+      (4L, "   ")        // normalizes empty         -> 0, ratio 0.0
+    ).toDF("doc_id", "text")
+    val out = TextOps.lzComplexity(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((8L, 5L, 0.625)), s"got ${out(1L)}")
+    assert(out(2L) === ((8L, 4L, 0.5)), s"got ${out(2L)}")
+    assert(out(3L) === ((8L, 8L, 1.0)), s"got ${out(3L)}")
+    assert(out(4L) === ((0L, 0L, 0.0)), s"got ${out(4L)}")
+    // order-awareness: same char composition (32 a's, 32 b's), but the
+    // tighter period parses into fewer phrases — entropy scores both
+    // identically, the parse count separates them (15 vs 19)
+    val periodic = TextOps.lzComplexity(
+      Seq((8L, "ab" * 32), (9L, "abbabaab" * 8)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(periodic(8L) === 15L && periodic(9L) === 19L, s"got $periodic")
+  }
 }
