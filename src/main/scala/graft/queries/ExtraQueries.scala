@@ -3346,8 +3346,36 @@ object ExtraQueries {
          |FROM p
          |""".stripMargin) { (s, dir) =>
       TextOps.lzComplexity(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
+    // ----- Z-order layout locality (OPTIMIZE ZORDER analog)
+    QueryDef("x105_zorder_stats",
+      "Z-order (Morton) layout locality report over events (user_id x value dollars, 9-bit dims): coarse z-bucket = interleaved-bit key >> 10 (32x32 tiles), per bucket the row count and min/max bounds of BOTH dimensions — the bounding rectangle a file written from that bucket carries in its footer stats; small rectangles on both dims = scans prune on either predicate column, the Delta/Iceberg OPTIMIZE ZORDER claim made measurable; exact bit arithmetic, one map-side-combinable aggregation")(
+      s"""WITH q AS (SELECT
+         |    least(greatest(CAST(user_id AS BIGINT), 0), 511) AS ca,
+         |    least(greatest(CAST(round(value * 100, 0) AS BIGINT) // 100, 0), 511) AS cb
+         |  FROM events),
+         |m AS (SELECT ca, cb, (${mortonD("ca", "cb", 9)}) AS z FROM q)
+         |SELECT z >> 10 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(ca) AS min_a, max(ca) AS max_a,
+         |  min(cb) AS min_b, max(cb) AS max_b
+         |FROM m GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        graft.ops.Norms.cents(col("value")).as("_cents"))
+        .withColumn("_dollars", expr("_cents div 100"))
+      graft.ops.ZOrder.bucketRanges(ev, col("user_id"), col("_dollars"),
+        bits = 9, shift = 10)
     }
   )
+
+  /** Morton bit-interleave fragment for the oracle: bit i of `a` at
+    * position 2i, bit i of `b` at 2i+1 — the exact term sum
+    * [[graft.ops.ZOrder.morton]] computes with Column shifts. */
+  private def mortonD(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   /** Shared BPE-round CTE chain for the x61/x63 oracles: one
     * (pair-count, argmax, rewrite) triple per round, chained w0 → wN.
