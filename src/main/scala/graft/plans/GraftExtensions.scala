@@ -128,7 +128,9 @@ object GraftExtensions {
     fn("misra_gries", classOf[MisraGriesAgg], 2, "misra_gries(item, k)")(
       a => MisraGriesAgg(a.head, intArg("misra_gries", "k", a(1)))),
     fn("lz78_phrases", classOf[Lz78Phrases], 1, "lz78_phrases(str)")(
-      a => Lz78Phrases(a.head)))
+      a => Lz78Phrases(a.head)),
+    fn("kmv_sketch", classOf[KmvSketchAgg], 2, "kmv_sketch(hash, k)")(
+      a => KmvSketchAgg(a.head, intArg("kmv_sketch", "k", a(1)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -206,4 +208,8 @@ object functions {
 
   def lz78_phrases(c: Column): Column =
     GraftBridge.column(Lz78Phrases(GraftBridge.expression(c)))
+
+  def kmv_sketch(hash: Column, k: Int): Column =
+    GraftBridge.column(
+      KmvSketchAgg(GraftBridge.expression(hash), k).toAggregateExpression())
 }

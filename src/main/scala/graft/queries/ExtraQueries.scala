@@ -3366,6 +3366,64 @@ object ExtraQueries {
         .withColumn("_dollars", expr("_cents div 100"))
       graft.ops.ZOrder.bucketRanges(ev, col("user_id"), col("_dollars"),
         bits = 9, shift = 10)
+    },
+
+    // ----- KMV distinct sketch per source (mergeable, deterministic)
+    QueryDef("x106_kmv_distinct",
+      "KMV (k-minimum-values) distinct-user sketch per event type over length-windowed user slices: the native mergeable bottom-32 of poly-hashed keys — k*partitions shuffle regardless of cardinality; output certifies the EXACT sketch contents (mod-P value checksum) plus the (k-1)*P/h_k estimate; the sketch is a pure set bottom-k, deterministic under any partitioning, unlike sampled estimators")(
+      s"""WITH f AS (SELECT event_type AS g, user_id FROM events
+         |           WHERE user_id BETWEEN length(event_type) * 10
+         |                             AND length(event_type) * 10 + 99),
+         |d AS (SELECT DISTINCT g, (${charFoldD("CAST(user_id AS VARCHAR)")}) AS h
+         |      FROM f),
+         |s AS (SELECT g, list_sort(list(h))[1:32] AS sk FROM d GROUP BY g)
+         |SELECT g, CAST(len(sk) AS BIGINT) AS n_sk,
+         |  CAST(list_sum(sk) % 1000000007 AS BIGINT) AS sk_sum,
+         |  round(CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS DOUBLE)
+         |             ELSE 31.0 * 1000000007 / sk[32] END, 6) AS est
+         |FROM s
+         |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("user_id").between(
+        length(col("event_type")) * 10, length(col("event_type")) * 10 + 99))
+      graft.ops.Sketches.kmvDistinct(ev, col("event_type"), col("user_id"), 32)
+        .select(col("g"), col("n_sk"),
+          expr("CAST(aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a + x) % 1000000007 AS BIGINT)")
+            .as("sk_sum"),
+          col("est"))
+    },
+
+    // ----- KMV set-operation estimates (the overlap question HLL
+    //       cannot answer: union sketch + intersection via membership)
+    QueryDef("x107_kmv_overlap",
+      "cross-source overlap from KMV sketches: for every event-type pair, the union sketch (bottom-32 of merged values — itself a valid KMV sketch) gives est_union, and the fraction of its members present in BOTH input sketches gives est_inter = rho * est_union — set-operation estimates HLL cannot produce; planted length-windowed user slices make every pair's true overlap different; bounded nGroups^2 pair join over 32-value arrays")(
+      s"""WITH f AS (SELECT event_type AS g, user_id FROM events
+         |           WHERE user_id BETWEEN length(event_type) * 10
+         |                             AND length(event_type) * 10 + 99),
+         |d AS (SELECT DISTINCT g, (${charFoldD("CAST(user_id AS VARCHAR)")}) AS h
+         |      FROM f),
+         |s AS (SELECT g, list_sort(list(h))[1:32] AS sk FROM d GROUP BY g),
+         |e AS (SELECT g, sk, round(CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS DOUBLE)
+         |                    ELSE 31.0 * 1000000007 / sk[32] END, 6) AS est FROM s),
+         |p AS (SELECT a.g AS g_a, b.g AS g_b, a.sk AS ska, b.sk AS skb,
+         |             a.est AS est_a, b.est AS est_b
+         |      FROM e a JOIN e b ON a.g < b.g),
+         |u AS (SELECT g_a, g_b, est_a, est_b, ska, skb,
+         |        list_sort(list_distinct(ska || skb))[1:32] AS usk FROM p),
+         |v AS (SELECT g_a, g_b, est_a, est_b, usk,
+         |        CASE WHEN len(usk) < 32 THEN CAST(len(usk) AS DOUBLE)
+         |             ELSE 31.0 * 1000000007 / usk[32] END AS eu,
+         |        len(list_intersect(usk, list_intersect(ska, skb))) AS ni
+         |      FROM u)
+         |SELECT g_a, g_b, est_a, est_b, round(eu, 6) AS est_union,
+         |  round(CASE WHEN len(usk) = 0 THEN 0.0
+         |             ELSE ni * eu / len(usk) END, 6) AS est_inter
+         |FROM v
+         |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("user_id").between(
+        length(col("event_type")) * 10, length(col("event_type")) * 10 + 99))
+      graft.ops.Sketches.kmvOverlap(
+        graft.ops.Sketches.kmvDistinct(ev, col("event_type"), col("user_id"), 32),
+        k = 32)
     }
   )
 

@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
     "x90_novelty_curve",          // singleton max-doc-id row (range bucket)
     "x93_source_drift",           // singleton vocab-total row
     "x96_embedding_drift",        // centroid set (scaledCells) + totals row
-    "x98_prototypicality"         // centroid set (scaledCells-capped)
+    "x98_prototypicality",        // centroid set (scaledCells-capped)
+    "x107_kmv_overlap"            // nGroups^2 pair join over k-value sketches
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
