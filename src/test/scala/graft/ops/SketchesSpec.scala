@@ -56,6 +56,18 @@ class SketchesSpec extends SparkSpec {
     assert(out(("A", "B")) === ((15.0, 5.0)), s"got ${out(("A", "B"))}")
   }
 
+  test("mergeability: per-batch sketches fold to exactly the whole-corpus sketch") {
+    val whole = Sketches.kmvDistinct(rows.toDF("g", "k"), col("g"), col("k"),
+        k = 4).collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // three arbitrary batch cuts; merge rule = bottom-k of merged values
+    val batches = rows.grouped(rows.size / 3 + 1).toSeq.map(b =>
+      Sketches.kmvDistinct(b.toDF("g", "k"), col("g"), col("k"), k = 4)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap)
+    val merged = batches.flatMap(_.toSeq).groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).distinct.sorted.take(4)).toMap
+    assert(merged === whole, "sketch-of-union must equal union-of-sketches")
+  }
+
   test("kmv_sketch is callable from SQL and skips nulls") {
     GraftBridge.registerFunctions(spark)
     Seq(Some(5L), Some(3L), None, Some(3L), Some(9L))
