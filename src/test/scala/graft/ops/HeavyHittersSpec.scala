@@ -49,6 +49,28 @@ class HeavyHittersSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("misra_gries plans a PARTIAL ObjectHashAggregate (map-side k-summaries before the exchange)") {
+    val plan = stream
+      .agg(graft.plans.functions.misra_gries(col("item"), 4))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(plan.contains("partial_misra_gries"),
+      "the k*partitions-shuffle claim requires a partial mode: " + plan.take(500))
+  }
+
+  test("misra_gries composes with groupBy: per-group summaries keep the per-group guarantee") {
+    // group X: a is hot (50 of 89); group Y: b is hot (30 of 49) —
+    // per-group thresholds, not a global one
+    val grouped = (Seq.fill(50)("a") ++ (1 to 39).map(i => s"x$i")).map(("X", _)) ++
+      (Seq.fill(30)("b") ++ (1 to 19).map(i => s"y$i")).map(("Y", _))
+    val out = grouped.toDF("g", "item").repartition(5)
+      .groupBy("g").agg(graft.plans.functions.misra_gries(col("item"), 4).as("s"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))).toMap
+    assert(out("X").contains("a") && out("X").size <= 4, s"got ${out("X")}")
+    assert(out("Y").contains("b") && out("Y").size <= 4, s"got ${out("Y")}")
+  }
+
   test("misra_gries is callable from SQL; k must be a positive literal") {
     GraftBridge.registerFunctions(spark)
     stream.createOrReplaceTempView("hh_stream")

@@ -68,6 +68,14 @@ class SketchesSpec extends SparkSpec {
     assert(merged === whole, "sketch-of-union must equal union-of-sketches")
   }
 
+  test("kmvDistinct plans a PARTIAL ObjectHashAggregate (map-side k-summaries before the exchange)") {
+    val plan = Sketches.kmvDistinct(rows.toDF("g", "k"), col("g"), col("k"),
+      k = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(plan.contains("partial_kmv_sketch"),
+      "the k*partitions-shuffle claim requires a partial mode: " + plan.take(500))
+  }
+
   test("kmv_sketch is callable from SQL and skips nulls") {
     GraftBridge.registerFunctions(spark)
     Seq(Some(5L), Some(3L), None, Some(3L), Some(9L))
