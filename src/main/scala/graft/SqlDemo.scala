@@ -30,6 +30,15 @@ object SqlDemo {
         """SELECT minhash_sig(shingle_hashes('the quick brown fox', 7), 12)[0],
           |       size(winnow_hashes('the quick brown fox jumps over it', 20, 8))
           |""".stripMargin).head().toSeq.mkString(", "))
+    println("[sqldemo] lz78+entropy: " +
+      spark.sql(
+        """SELECT lz78_phrases('abababab'), lz78_phrases('qwertyui'),
+          |       char_entropy_stats('aabb').entropy
+          |""".stripMargin).head().toSeq.mkString(", "))
+    println("[sqldemo] aggregates (misra_gries + kmv_sketch over documents): " +
+      spark.sql(
+        """SELECT size(misra_gries(lang, 3)), size(kmv_sketch(poly_hash(lang), 8))
+          |FROM documents""".stripMargin).head().toSeq.mkString(", "))
     spark.sql(
       """SELECT count(DISTINCT poly_hash(lower(trim(text)))) AS distinct_fp,
         |       count(*) AS n
