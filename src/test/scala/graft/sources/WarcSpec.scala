@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WARC framing: round-trip fidelity, strict malformed-framing
+  * rejection (never resynchronize), binary payloads with embedded
+  * CRLFs, and the Spark source path end-to-end into the curation
+  * entry projection. */
+class WarcSpec extends SparkSpec {
+
+  private def rec(t: String, uri: String, body: Array[Byte]) = WarcRecord(
+    t, uri, "2026-08-14T12:00:00Z", s"<urn:uuid:$uri>", "text/html", body)
+
+  private val fixture = Seq(
+    rec("warcinfo", "", "software: graft-test\r\n".getBytes(StandardCharsets.UTF_8)),
+    rec("response", "https://example.org/a",
+      "<html><body><p>hello crawl</p></body></html>".getBytes(StandardCharsets.UTF_8)),
+    // payload containing CRLF CRLF — framing must use Content-Length,
+    // never scan for the separator
+    rec("response", "https://example.org/b",
+      "first\r\n\r\nsecond".getBytes(StandardCharsets.UTF_8)),
+    rec("request", "https://example.org/a",
+      "GET /a HTTP/1.1\r\n".getBytes(StandardCharsets.UTF_8)))
+
+  test("round-trip: write then parse preserves every record and payload byte") {
+    val parsed = Warc.parseRecords(Warc.writeRecords(fixture))
+    assert(parsed.size === 4)
+    parsed.zip(fixture).foreach { case (p, f) =>
+      assert(p.warc_type === f.warc_type)
+      assert(p.target_uri === f.target_uri)
+      assert(p.content.toSeq === f.content.toSeq)
+    }
+    assert(new String(parsed(2).content, StandardCharsets.UTF_8)
+      === "first\r\n\r\nsecond", "CRLF CRLF inside a payload must survive")
+  }
+
+  test("malformed framing is refused with a position, never resynchronized") {
+    val good = Warc.writeRecords(fixture)
+    // truncate mid-payload
+    val truncated = good.take(good.length - 30)
+    val e1 = intercept[IllegalArgumentException](Warc.parseRecords(truncated))
+    assert(e1.getMessage.contains("WARC framing error"))
+    // corrupt the version line of the second record
+    val text = new String(good, StandardCharsets.ISO_8859_1)
+    val second = text.indexOf("WARC/1.0", 1)
+    val corrupted = (text.substring(0, second) + "HTTP/1.0" +
+      text.substring(second + 8)).getBytes(StandardCharsets.ISO_8859_1)
+    val e2 = intercept[IllegalArgumentException](Warc.parseRecords(corrupted))
+    assert(e2.getMessage.contains("expected WARC version line"))
+    // bad Content-Length
+    val bad = (text.replaceFirst("Content-Length: ", "Content-Length: x"))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val e3 = intercept[IllegalArgumentException](Warc.parseRecords(bad))
+    assert(e3.getMessage.contains("Content-Length"))
+  }
+
+  test("Spark source: binaryFile -> records -> curation entry projection") {
+    val dir = Files.createTempDirectory("graft_warc")
+    Files.write(Paths.get(dir.toString, "seg-00001.warc"),
+      Warc.writeRecords(fixture))
+    Files.write(Paths.get(dir.toString, "seg-00002.warc"),
+      Warc.writeRecords(Seq(rec("response", "https://example.org/c",
+        "plain body".getBytes(StandardCharsets.UTF_8)))))
+    val all = Warc.records(spark, dir.toString + "/*.warc").collect()
+    assert(all.length === 5)
+    val resp = Warc.responses(spark, dir.toString + "/*.warc")
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(resp.map(_._1).toSeq === Seq("https://example.org/a",
+      "https://example.org/b", "https://example.org/c"))
+    assert(resp.head._2.contains("hello crawl"))
+    // composes with the x70 extraction gate
+    val extracted = graft.text.TextOps.htmlExtract(
+        Warc.responses(spark, dir.toString + "/*.warc"),
+        col("url"), col("raw_text"))
+      .filter(col("url") === "https://example.org/a")
+      .head()
+    assert(extracted.toString.contains("hello crawl"))
+  }
+}
