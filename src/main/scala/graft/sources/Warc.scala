@@ -115,6 +115,29 @@ object Warc {
       .select(col("target_uri").as("url"), col("warc_date").as("fetched_at"),
         col("content").cast("string").as("raw_text"))
 
+  /** WET conversion (the WARC → extracted-text sibling CommonCrawl
+    * publishes): run the x70 extraction gate over the response records
+    * and emit `conversion` records holding the extracted text, framed
+    * as WARC again — so a curated crawl re-exports in the ecosystem's
+    * own interchange format and round-trips through [[parseRecords]].
+    * Pages failing the extraction-ratio gate are dropped, matching
+    * WET's kept-documents-only convention. Narrow end to end: the
+    * extraction is a codegen'd projection, the conversion a
+    * partition-local map. */
+  def wetRecords(spark: SparkSession, path: String,
+                 minRatio: Double = 0.05): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val resp = responses(spark, path)
+    graft.text.TextOps.htmlExtract(resp, col("url"), col("raw_text"), minRatio)
+      .filter(col("keep"))
+      .select(col("doc_id").as("url"), col("extracted"))
+      .join(resp.select(col("url"), col("fetched_at")), "url")
+      .select(col("url"), col("fetched_at"), col("extracted"))
+      .as[(String, String, String)]
+      .map { case (u, d, t) => WarcRecord("conversion", u, d, "", "text/plain",
+        t.getBytes(StandardCharsets.UTF_8)) }
+  }
+
   /** Serialize records back to WARC bytes (round-trip fixture support
     * and re-export of filtered crawls). */
   def writeRecords(records: Seq[WarcRecord]): Array[Byte] = {

@@ -77,8 +77,22 @@ class WarcSpec extends SparkSpec {
     val extracted = graft.text.TextOps.htmlExtract(
         Warc.responses(spark, dir.toString + "/*.warc"),
         col("url"), col("raw_text"))
-      .filter(col("url") === "https://example.org/a")
+      .filter(col("doc_id") === "https://example.org/a")
       .head()
     assert(extracted.toString.contains("hello crawl"))
+  }
+
+  test("WET conversion: extracted-text records round-trip through the parser") {
+    val dir = Files.createTempDirectory("graft_wet")
+    Files.write(Paths.get(dir.toString, "seg.warc"), Warc.writeRecords(fixture))
+    val wet = Warc.wetRecords(spark, dir.toString + "/*.warc").collect()
+    // responses a, b kept (plain text passes the gate at ratio 1.0)
+    assert(wet.map(_.warc_type).toSet === Set("conversion"))
+    assert(wet.map(_.target_uri).sorted.toSeq ===
+      Seq("https://example.org/a", "https://example.org/b"))
+    val back = Warc.parseRecords(Warc.writeRecords(wet.toSeq))
+    val a = back.find(_.target_uri.endsWith("/a")).get
+    assert(new String(a.content, StandardCharsets.UTF_8) === "hello crawl",
+      "markup stripped, text framed as a conversion record")
   }
 }
