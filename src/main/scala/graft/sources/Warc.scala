@@ -106,6 +106,29 @@ object Warc {
       .flatMap(parseRecords(_))
   }
 
+  /** Streaming form: watch a crawl drop directory — each newly landed
+    * segment file becomes one micro-batch input row, parsed
+    * partition-locally exactly like the batch path (same strict
+    * framing), feeding `Pipelines.curationSink`-style foreachBatch
+    * chains. File-source semantics give exactly-once per segment (a
+    * file is processed once, tracked in the checkpoint log). */
+  def streamRecords(spark: SparkSession, path: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").schema(binaryFileSchema).load(path)
+      .select(col("content"))
+      .as[Array[Byte]](Encoders.BINARY)
+      .flatMap(parseRecords(_))
+  }
+
   /** The curation entry projection: response records as
     * (url, fetch date, payload text) — feed straight into
     * TextOps.htmlExtract / the curateBatch chain. */

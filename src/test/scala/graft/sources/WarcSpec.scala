@@ -82,6 +82,28 @@ class WarcSpec extends SparkSpec {
     assert(extracted.toString.contains("hello crawl"))
   }
 
+  test("streaming: newly landed segment files arrive as micro-batches, each parsed once") {
+    val dir = Files.createTempDirectory("graft_warc_stream")
+    Files.write(Paths.get(dir.toString, "seg-1.warc"), Warc.writeRecords(fixture))
+    val q = Warc.streamRecords(spark, dir.toString)
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_warc_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() === 4)
+      // a second segment lands: only ITS records arrive (no reprocess)
+      Files.write(Paths.get(dir.toString, "seg-2.warc"),
+        Warc.writeRecords(Seq(rec("response", "https://example.org/z",
+          "late segment".getBytes(StandardCharsets.UTF_8)))))
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() === 5)
+      assert(spark.table("warc_stream")
+        .filter(col("target_uri") === "https://example.org/z").count() === 1)
+    } finally q.stop()
+  }
+
   test("WET conversion: extracted-text records round-trip through the parser") {
     val dir = Files.createTempDirectory("graft_wet")
     Files.write(Paths.get(dir.toString, "seg.warc"), Warc.writeRecords(fixture))
