@@ -110,6 +110,54 @@ object Decontam {
           coalesce(col("max_run"), lit(0L)) >= runThreshold).as("contaminated"))
   }
 
+  /** x108 — span-level decontamination REMEDIATION: where
+    * [[fuzzyOverlap]] detects and drops, this masks — every word
+    * covered by a benchmark-matched word-n-gram is replaced in place
+    * by `sentinel`, and the document is kept. Dropping whole documents
+    * for one quoted benchmark passage throws away the surrounding
+    * (clean) text; production pipelines scrub the span and keep the
+    * page. Output: (doc_id, n_words, n_scrubbed, scrubbed_text) — the
+    * text is rebuilt in word order, so an exact string compare
+    * certifies the remediation, not just the counts.
+    *
+    * Scale shape: the benchmark gram set is a broadcast (eval-set
+    * bounded, the x24/x38 convention); matched starts expand to
+    * covered positions by pure sequence arithmetic; the word-position
+    * mask is one (doc, pos)-keyed left join against the covered set
+    * (bounded by matched volume, not corpus volume) and the rebuild is
+    * ONE doc-keyed ordered reassembly — the x36/x48 pattern. Text
+    * crosses the wire once. */
+  def scrubSpans(corpus: DataFrame, id: Column, text: Column,
+                 bench: DataFrame, benchId: Column, benchText: Column,
+                 n: Int = 8, sentinel: String = "[scrubbed]"): DataFrame = {
+    import TextOps.{fingerprint, norm}
+    require(n >= 2, "need n >= 2")
+    def starts(df: DataFrame, gid: Column, gtext: Column): DataFrame = df
+      .select(gid.as("doc_id"), split(norm(gtext), " ").as("_ws"))
+      .filter(size(col("_ws")) >= n)
+      .select(col("doc_id"), col("_ws"),
+        explode(sequence(lit(1), size(col("_ws")) - (n - 1))).as("q"))
+      .select(col("doc_id"), col("q"),
+        fingerprint(array_join(slice(col("_ws"), col("q"), lit(n)), " ")).as("h"))
+    val bset = starts(bench, benchId, benchText).select("h").distinct()
+    val matched = starts(corpus, id, text)
+      .join(broadcast(bset), Seq("h")).select("doc_id", "q")
+    val covered = matched
+      .select(col("doc_id"), explode(sequence(col("q"), col("q") + (n - 1))).as("p"))
+      .distinct().withColumn("_c", lit(true))
+    val words = corpus
+      .select(id.as("doc_id"), posexplode(split(norm(text), " ")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
+    words.join(covered, Seq("doc_id", "p"), "left")
+      .select(col("doc_id"), col("p"), col("_c"),
+        when(col("_c"), lit(sentinel)).otherwise(col("w")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("_c"), 1L).otherwise(0L)).as("n_scrubbed"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("w")))),
+          _.getField("w")), " ").as("scrubbed_text"))
+  }
+
   def cleanCorpus(corpus: DataFrame, id: Column, text: Column,
                   bench: DataFrame, benchId: Column, benchText: Column,
                   k: Int = 20, maxOverlap: Long = 10,

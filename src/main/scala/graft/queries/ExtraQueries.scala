@@ -3424,6 +3424,40 @@ object ExtraQueries {
       graft.ops.Sketches.kmvOverlap(
         graft.ops.Sketches.kmvDistinct(ev, col("event_type"), col("user_id"), 32),
         k = 32)
+    },
+
+    // ----- span-level decontamination remediation (mask, don't drop)
+    QueryDef("x108_span_scrub",
+      "span-level decontamination remediation: every word covered by a benchmark-matched 8-gram (benchmark = docs 0-2, the x38 convention) is replaced in place by [scrubbed] and the document is KEPT — production pipelines scrub the quoted passage instead of dropping the page; output rebuilds the text in word order so an exact string compare certifies the remediation; broadcast benchmark grams, (doc,pos)-keyed mask join bounded by matched volume, one ordered reassembly")(
+      s"""WITH bn AS (SELECT $normD AS t FROM documents WHERE doc_id < 3),
+         |bw AS (SELECT string_split(t, ' ') AS ws FROM bn),
+         |bg AS (SELECT DISTINCT
+         |         (${charFoldD("array_to_string(ws[q:q+7], ' ')")}) AS h
+         |       FROM (SELECT ws, unnest(range(1, len(ws) - 6)) AS q
+         |             FROM bw WHERE len(ws) >= 8)),
+         |n AS (SELECT doc_id, $normD AS t FROM documents),
+         |cw AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n),
+         |st AS (SELECT doc_id, q FROM (
+         |         SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS q
+         |         FROM cw WHERE len(ws) >= 8) s
+         |       WHERE (${charFoldD("array_to_string(s.ws[s.q:s.q+7], ' ')")})
+         |             IN (SELECT h FROM bg)),
+         |cov AS (SELECT DISTINCT doc_id, p FROM (
+         |          SELECT doc_id, unnest(range(q, q + 8)) AS p FROM st)),
+         |wrd AS (SELECT doc_id, unnest(ws) AS w,
+         |               unnest(range(1, len(ws) + 1)) AS p FROM cw),
+         |mk AS (SELECT w.doc_id, w.p,
+         |         CASE WHEN c.p IS NOT NULL THEN '[scrubbed]' ELSE w.w END AS w,
+         |         (c.p IS NOT NULL) AS sc
+         |       FROM wrd w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.p = c.p)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN sc THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+         |  array_to_string(list(w ORDER BY p), ' ') AS scrubbed_text
+         |FROM mk GROUP BY doc_id
+         |""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      graft.dedup.Decontam.scrubSpans(d, col("doc_id"), col("text"),
+        d.filter(col("doc_id") < 3), col("doc_id"), col("text"))
     }
   )
 

@@ -123,7 +123,8 @@ class PlanAuditSpec extends SparkSpec {
     "x90_novelty_curve",          // singleton max-doc-id row (range bucket)
     "x93_source_drift",           // top-V vocab (bounded) + totals row
     "x96_embedding_drift",        // centroid set (scaledCells) + totals row
-    "x98_prototypicality"         // centroid set (scaledCells-capped)
+    "x98_prototypicality",        // centroid set (scaledCells-capped)
+    "x108_span_scrub"             // benchmark gram set (eval-set bounded)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -390,4 +390,32 @@ class CurationSpec extends SparkSpec {
     val fp = (1001L to 5000L).count(probes(_))
     assert(fp < 200) // ~1% fpp on 4000 absent keys, wide slack
   }
+
+  test("scrubSpans: quoted benchmark passages mask in place, clean text survives verbatim") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val longer = passage + " iota kappa"                          // 10-word run
+    val bench = Seq((100L, longer)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"clean head words here $passage clean tail words"),
+      (2L, "completely unrelated document with enough words to gram"),
+      (3L, longer),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = graft.dedup.Decontam.scrubSpans(corpus, col("doc_id"),
+        col("text"), bench, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val s = "[scrubbed]"
+    // the 8 quoted words mask; the 4+3 clean words survive verbatim
+    assert(out(1L) === ((15L, 8L,
+      s"clean head words here ${Seq.fill(8)(s).mkString(" ")} clean tail words")),
+      s"got ${out(1L)}")
+    assert(out(2L)._2 === 0L, "clean doc untouched")
+    assert(out(2L)._3 === "completely unrelated document with enough words to gram")
+    // overlapping 8-grams cover the whole 10-word run
+    assert(out(3L) === ((10L, 10L, Seq.fill(10)(s).mkString(" "))))
+    // below gram length: passes through
+    assert(out(4L) === ((2L, 0L, "short doc")))
+  }
 }
