@@ -3458,6 +3458,41 @@ object ExtraQueries {
       val d = Tables.documents(s, dir)
       graft.dedup.Decontam.scrubSpans(d, col("doc_id"), col("text"),
         d.filter(col("doc_id") < 3), col("doc_id"), col("text"))
+    },
+
+    // ----- data-pruning frontier (quality-vs-quantity trade per decile)
+    QueryDef("x109_pruning_frontier",
+      "data-pruning frontier: corpus ranked best-first by the trained classifier score (exact micro-unit bands via the bucketed two-phase rank — no global sort) and cut into 10 equal-population deciles; per decile docs / tokens / mean score — the curve that picks a keep-rate: what keeping the top k deciles costs in tokens and buys in quality; mean aggregates exact integer micro-units, one final division")(
+      s"""WITH ${tokenHashesD("documents")},
+         |$classifierFeatsD,
+         |wt AS (SELECT list(weight ORDER BY bucket) AS wv
+         |       FROM read_parquet('${graft.text.Classifier.DefaultWeightsPath}')),
+         |sc AS (SELECT doc_id, CAST(len(hx) AS BIGINT) AS n_feats,
+         |  CAST(CASE WHEN len(hx) = 0 THEN 0
+         |       ELSE list_sum([wv[(h % ${graft.text.Classifier.Dim}) + 1] FOR h IN hx]) END AS BIGINT) AS wsum
+         |  FROM fx, wt),
+         |s2 AS (SELECT doc_id,
+         |  round(CASE WHEN n_feats = 0 THEN 0.0 ELSE CAST(wsum AS DOUBLE) / (n_feats * 1000.0) END, 6) AS score
+         |  FROM sc),
+         |nn AS (SELECT count(*) AS n FROM s2),
+         |b AS (SELECT s.doc_id, s.score,
+         |        -CAST(round(s.score * 1000000, 0) AS BIGINT) AS band,
+         |        (${charFoldD("n2.t")}) AS hk,
+         |        CAST(len(w2.ws) AS BIGINT) AS ntok
+         |      FROM s2 s JOIN n n2 ON s.doc_id = n2.doc_id
+         |                JOIN w w2 ON s.doc_id = w2.doc_id),
+         |r AS (SELECT doc_id, score, ntok,
+         |        row_number() OVER (ORDER BY band, hk NULLS FIRST, doc_id) AS seq
+         |      FROM b)
+         |SELECT ((seq - 1) * 10) // (SELECT n FROM nn) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(round(score * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         |        / count(*) / 1000000.0, 6) AS mean_score
+         |FROM r GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      TextOps.pruningFrontier(Tables.documents(s, dir), col("doc_id"),
+        col("text"), graft.text.Classifier.loadWeights(s))
     }
   )
 

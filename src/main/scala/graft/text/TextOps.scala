@@ -334,6 +334,47 @@ object TextOps {
         (col("_off") + row_number().over(wIn)).as("seq"))
   }
 
+  /** x109 — data-pruning frontier: the corpus ranked best-first by the
+    * trained classifier score and cut into `nDeciles` equal-population
+    * bands; per band, docs / tokens / mean score — the curve a
+    * curation owner reads to pick a keep-rate ("keeping the top 30%
+    * costs this many tokens at this quality"), the DataComp-style
+    * quality-vs-quantity trade made into one report. Rank order is
+    * (score desc, content-hash, id) via [[curriculumOrder]] with
+    * band = −score·10⁶ — scores are 6-dp-rounded so the micro-units
+    * band is EXACT integer arithmetic, and the rank never plans a
+    * global one-task sort (the x44 bucketed two-phase underneath).
+    * Mean score aggregates exact integer micro-units with one final
+    * double division — engine-portable without ordered folds.
+    *
+    * Scale shape: scoring is x72's zero-shuffle codegen'd projection;
+    * the rank is the bucketed two-phase; the rollup is one
+    * nDeciles-row aggregation. One sizing count (the x15/x32
+    * convention). */
+  def pruningFrontier(docs: DataFrame, id: Column, text: Column,
+                      weights: Array[Long], nDeciles: Int = 10): DataFrame = {
+    require(nDeciles > 0, s"need positive deciles, got $nDeciles")
+    val scored = classifierScore(docs, id, text, weights)
+      .select(col("doc_id"), col("score"))
+    val joined = docs.select(id.as("doc_id"), text.as("_text"),
+        wsTokenCount(norm(text)).as("n_tokens"))
+      .join(scored, "doc_id")
+      .withColumn("_micro", round(col("score") * 1000000.0, 0).cast(LongType))
+    val n = joined.count()
+    val ord = curriculumOrder(joined, col("doc_id"), col("_text"),
+      -col("_micro"))
+    joined.select("doc_id", "n_tokens", "_micro")
+      .join(ord.select("doc_id", "seq"), "doc_id")
+      .select(col("n_tokens"), col("_micro"),
+        expr(s"((seq - 1) * ${nDeciles}L) div ${n}L").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("_micro")).as("_sm"))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        round(col("_sm").cast(DoubleType) / col("n_docs") / 1000000.0, 6)
+          .as("mean_score"))
+  }
+
   /** x104 — Lempel–Ziv (LZ78) complexity signal: phrases-per-char of
     * the incremental parse — the dictionary-compressibility quality
     * gate (low ratio = machine-generated repetition / template spam

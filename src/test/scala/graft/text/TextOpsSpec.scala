@@ -905,6 +905,28 @@ class TextOpsSpec extends SparkSpec {
     assert(re === out)
   }
 
+  test("pruningFrontier: equal-population deciles, non-increasing quality, conserved totals") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = graft.text.Classifier.loadWeights(spark)
+    val out = TextOps.pruningFrontier(docs, col("doc_id"), col("text"), w)
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === (0L until 10L), "all ten deciles populated")
+    val pops = out.map(_._2)
+    assert(pops.max - pops.min <= 1, s"equal population bands: ${pops.toSeq}")
+    assert(pops.sum === docs.count(), "every document lands in exactly one band")
+    // best-first ranking: mean score never increases along the curve
+    out.map(_._4).sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"frontier must be non-increasing: ${out.map(_._4).toSeq}")
+    }
+    // row-order immunity of the whole report
+    val re = TextOps.pruningFrontier(docs.repartition(7), col("doc_id"),
+        col("text"), w)
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(re.toSeq === out.toSeq)
+  }
+
   test("lzComplexity: hand-computed LZ78 parses; order-aware where entropy is blind") {
     val docs = Seq(
       (1L, "abababab"),  // a|b|ab|aba + trailing b  -> 5 phrases
