@@ -3460,6 +3460,41 @@ object ExtraQueries {
         d.filter(col("doc_id") < 3), col("doc_id"), col("text"))
     },
 
+    // ----- filter-ablation cube (DataComp-style gate-ensemble matrix)
+    QueryDef("x110_filter_ablation",
+      "filter-ablation cube: every combination AND marginal of the five Gopher sub-gates with doc/token mass per cell (CUBE over 5 booleans -> Expand x32 over a 6-column projection, partial agg collapses to <=3^5 cells before the exchange); gid is the grouping bitmask, first gate = MSB in both engines")(
+      s"""WITH n AS (SELECT doc_id, $normD AS t FROM documents),
+         |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM n),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(length(t) - len(ws) + 1 AS DOUBLE) / len(ws) AS mwl,
+         |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |  CAST(length(t) - length(replace(t, '#', ''))
+         |     + (length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS sym,
+         |  CAST((CASE WHEN contains(' ' || t || ' ', ' the ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' a ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' of ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' and ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' to ') THEN 1 ELSE 0 END)
+         |     + (CASE WHEN contains(' ' || t || ' ', ' in ') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+         |  FROM w),
+         |f AS (SELECT doc_id, n_words,
+         |  n_words BETWEEN 50 AND 100000 AS words_ok,
+         |  mwl BETWEEN 3.0 AND 10.0 AS mwl_ok,
+         |  CAST(sym AS DOUBLE) / n_words < 0.1 AS sym_ok,
+         |  CAST(alpha_words AS DOUBLE) / n_words > 0.8 AS alpha_ok,
+         |  stop_hits >= 2 AS stops_ok
+         |  FROM m)
+         |SELECT words_ok, mwl_ok, sym_ok, alpha_ok, stops_ok,
+         |  CAST(grouping(words_ok, mwl_ok, sym_ok, alpha_ok, stops_ok) AS BIGINT) AS gid,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_tokens
+         |FROM f
+         |GROUP BY CUBE (words_ok, mwl_ok, sym_ok, alpha_ok, stops_ok)
+         |""".stripMargin) { (s, dir) =>
+      TextOps.filterAblation(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
     // ----- data-pruning frontier (quality-vs-quantity trade per decile)
     QueryDef("x109_pruning_frontier",
       "data-pruning frontier: corpus ranked best-first by the trained classifier score (exact micro-unit bands via the bucketed two-phase rank — no global sort) and cut into 10 equal-population deciles; per decile docs / tokens / mean score — the curve that picks a keep-rate: what keeping the top k deciles costs in tokens and buys in quality; mean aggregates exact integer micro-units, one final division")(

@@ -754,6 +754,33 @@ object TextOps {
       .withColumn("pass_rate_r", round(col("n_gopher_pass").cast(DoubleType)
         / col("n_docs").cast(DoubleType), 6))
 
+  /** x110 — filter-ablation cube: every 2^5 combination of the five
+    * [[gopherFlags]] sub-gates (plus every marginal — CUBE, not GROUP
+    * BY) with document and token mass per cell — the DataComp-style
+    * ablation matrix a curation engineer reads to decide which gates
+    * to keep: a gate whose failing cell carries 0.1% of tokens is
+    * dead weight; two gates whose failure sets coincide are one gate.
+    * `gid` is the grouping bitmask (first gate = MSB — Spark and
+    * DuckDB agree on this convention) disambiguating "aggregated
+    * over" from a genuine NULL gate value.
+    *
+    * Scale shape: the cube plans as Expand(×2^5 = 32) over a SIX
+    * column projection (5 booleans + the token count) — the text
+    * itself is dropped before the expand, so the blow-up multiplies
+    * ~40 bytes/row, not documents. Partial aggregation collapses each
+    * map task to ≤ 3^5 = 243 cells before the exchange; the shuffle
+    * moves kilobytes at any corpus size. The cheapest shape an
+    * ensemble-ablation report can have — no joins, no windows, one
+    * pass over the corpus. */
+  def filterAblation(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val gates = Seq("words_ok", "mwl_ok", "sym_ok", "alpha_ok", "stops_ok")
+    gopherFlags(docs, id, text)
+      .cube(gates.map(col): _*)
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"))
+  }
+
   /** Deterministic train/val/test assignment + per-(split, lang) corpus
     * budget: the content fingerprint mod 100 buckets each document
     * (< 80 train, < 90 val, else test) — the hash-based split every

@@ -951,4 +951,38 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(periodic(8L) === 15L && periodic(9L) === 19L, s"got $periodic")
   }
+
+  test("filterAblation: cube algebra — grand total, fully-grouped cells partition, marginals consistent") {
+    val good = "the quick brown fox jumps over a lazy dog and runs to the hills in spring " * 10
+    val docs = Seq(
+      (1L, good),                    // passes everything
+      (2L, good),                    // passes everything
+      (3L, "short text."),           // fails words_ok (and stops)
+      (4L, ("#### " * 40) + good)    // symbol-heavy: fails sym_ok
+    ).toDF("doc_id", "text")
+    val out = TextOps.filterAblation(docs, col("doc_id"), col("text")).collect()
+    val gates = Seq("words_ok", "mwl_ok", "sym_ok", "alpha_ok", "stops_ok")
+    def cell(r: org.apache.spark.sql.Row) =
+      (gates.map(g => Option(r.getAs[Boolean](g))), r.getAs[Long]("gid"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))
+    val cells = out.map(cell)
+    // grand total: gid = 2^5 - 1, all gates NULL, counts everything
+    val grand = cells.filter(_._2 === 31L)
+    assert(grand.length === 1 && grand.head._3 === 4L)
+    // fully-grouped cells (gid=0) partition the corpus exactly
+    val leaves = cells.filter(_._2 === 0L)
+    assert(leaves.map(_._3).sum === 4L)
+    assert(leaves.map(_._4).sum === grand.head._4)
+    // the all-pass leaf holds exactly docs 1, 2
+    val allPass = leaves.filter(_._1.forall(_.contains(true)))
+    assert(allPass.length === 1 && allPass.head._3 === 2L)
+    // every marginal over one gate sums its two leaves + aggregated rest:
+    // the words_ok=true marginal (only stops_ok... keep simple: the
+    // words_ok marginal row with all others aggregated, gid = 01111)
+    val wMarg = cells.filter(c => c._2 === 15L && c._1.head.contains(true))
+    assert(wMarg.length === 1 && wMarg.head._3 === 3L, s"got ${wMarg.toSeq}")
+    // cube emits every populated combination at every grouping level:
+    // 4 distinct docs patterns -> bounded cell count, never exceeds 3^5
+    assert(cells.length <= 243)
+  }
 }
