@@ -35,9 +35,10 @@ object SqlDemo {
         """SELECT lz78_phrases('abababab'), lz78_phrases('qwertyui'),
           |       char_entropy_stats('aabb').entropy
           |""".stripMargin).head().toSeq.mkString(", "))
-    println("[sqldemo] aggregates (misra_gries + kmv_sketch over documents): " +
+    println("[sqldemo] aggregates (misra_gries + kmv_sketch + cms_sketch over documents): " +
       spark.sql(
-        """SELECT size(misra_gries(lang, 3)), size(kmv_sketch(poly_hash(lang), 8))
+        """SELECT size(misra_gries(lang, 3)), size(kmv_sketch(poly_hash(lang), 8)),
+          |       size(cms_sketch(poly_hash(lang), 4, 64))
           |FROM documents""".stripMargin).head().toSeq.mkString(", "))
     spark.sql(
       """SELECT count(DISTINCT poly_hash(lower(trim(text)))) AS distinct_fp,

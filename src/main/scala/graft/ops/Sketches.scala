@@ -50,6 +50,45 @@ object Sketches {
     * both inputs) / k · est∪. The pair join is a bounded
     * nGroups×nGroups nested loop over k-length arrays — group counts
     * (sources, event types) are small by construction. */
+  /** x111 — CMS point-frequency certificate: build ONE Count-Min
+    * sketch ([[graft.plans.CmsSketchAgg]]) over the corpus word
+    * stream, then answer point queries for the exact top-`nProbes`
+    * words and report estimate vs truth side by side — the overcount
+    * (est − exact ≥ 0, always, by the CMS one-sided guarantee) is the
+    * sketch's measured error at this depth×width.
+    *
+    * Scale shape: the sketch pass reduces every map partition to
+    * depth·width longs before a single-row exchange — corpus- and
+    * vocabulary-independent shuffle; at 100 TB only this pass runs and
+    * point queries hit the 8 KB matrix. The exact side (word count +
+    * top-n) exists to CERTIFY the estimates and plans as one
+    * map-side-combined agg + TakeOrderedAndProject; the probe join is
+    * a broadcast of one sketch row. Every number is exact integer
+    * arithmetic — sketch counters are order-independent pure sums, so
+    * the whole report is oracle-hashable. */
+  def cmsWordFreq(docs: DataFrame, id: Column, text: Column,
+                  depth: Int, width: Int, nProbes: Int): DataFrame = {
+    val words = docs
+      .select(explode(split(graft.text.TextOps.norm(text), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("w"), graft.plans.functions.poly_hash(col("w")).as("_h"))
+    val sketch = words.agg(
+      graft.plans.functions.cms_sketch(col("_h"), depth, width).as("_sk"))
+    val probes = words.groupBy("w")
+      .agg(count(lit(1)).as("exact"), first(col("_h")).as("_h"))
+      .orderBy(col("exact").desc, col("w"))
+      .limit(nProbes)
+    val mul = graft.plans.CmsSketchAgg.rowMultipliers(depth)
+    val cmsP = graft.plans.CmsSketchAgg.P
+    val est = (0 until depth).map { r =>
+      val cell = (pmod(col("_h"), lit(cmsP)) * mul(r) + r) % cmsP % width
+      element_at(col("_sk"), (lit(r * width) + cell + 1).cast("int"))
+    }.reduce(least(_, _))
+    probes.crossJoin(broadcast(sketch))
+      .select(col("w"), col("exact"), est.as("est"),
+        (est - col("exact")).as("overcount"))
+  }
+
   def kmvOverlap(sketches: DataFrame, k: Int): DataFrame = {
     val a = sketches.select(col("g").as("g_a"), col("sk").as("sk_a"),
       col("est").as("est_a"))

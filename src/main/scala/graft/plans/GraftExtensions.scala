@@ -130,7 +130,10 @@ object GraftExtensions {
     fn("lz78_phrases", classOf[Lz78Phrases], 1, "lz78_phrases(str)")(
       a => Lz78Phrases(a.head)),
     fn("kmv_sketch", classOf[KmvSketchAgg], 2, "kmv_sketch(hash, k)")(
-      a => KmvSketchAgg(a.head, intArg("kmv_sketch", "k", a(1)))))
+      a => KmvSketchAgg(a.head, intArg("kmv_sketch", "k", a(1)))),
+    fn("cms_sketch", classOf[CmsSketchAgg], 3, "cms_sketch(hash, depth, width)")(
+      a => CmsSketchAgg(a.head, intArg("cms_sketch", "depth", a(1)),
+        intArg("cms_sketch", "width", a(2)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -212,4 +215,9 @@ object functions {
   def kmv_sketch(hash: Column, k: Int): Column =
     GraftBridge.column(
       KmvSketchAgg(GraftBridge.expression(hash), k).toAggregateExpression())
+
+  def cms_sketch(hash: Column, depth: Int, width: Int): Column =
+    GraftBridge.column(
+      CmsSketchAgg(GraftBridge.expression(hash), depth, width)
+        .toAggregateExpression())
 }

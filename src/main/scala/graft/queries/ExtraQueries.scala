@@ -3495,6 +3495,37 @@ object ExtraQueries {
       TextOps.filterAblation(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
 
+    // ----- Count-Min point-frequency certificate (third native
+    //       mergeable aggregate: cell counters are pure sums, so the
+    //       sketch is deterministic and oracle-hashable)
+    QueryDef("x111_cms_freq",
+      "Count-Min sketch point-frequency certificate: one native cms_sketch(4x256) pass over the corpus word stream (depth*width longs per map partition before a single-row exchange — shuffle independent of corpus and vocabulary), then est-vs-exact for the top-10 words; overcount >= 0 always (one-sided CMS guarantee), estimates deterministic because counters are order-independent pure sums")({
+      val d = 4; val wdt = 256
+      val mul = graft.plans.CmsSketchAgg.rowMultipliers(d)
+      val p2 = graft.plans.CmsSketchAgg.P
+      val mvals = (0 until d).map(r => s"($r, ${mul(r)})").mkString(", ")
+      s"""WITH n AS (SELECT $normD AS t FROM documents),
+         |wd AS (SELECT unnest(string_split(t, ' ')) AS w FROM n),
+         |dw AS (SELECT w, count(*) AS cnt FROM wd WHERE w <> '' GROUP BY w),
+         |hx AS (SELECT w, cnt, (${charFoldD("w")}) AS h FROM dw),
+         |m AS (SELECT * FROM (VALUES $mvals) t(r, mul)),
+         |cells AS (SELECT m.r AS r, ((h * m.mul + m.r) % $p2) % $wdt AS c,
+         |            sum(cnt) AS cn
+         |          FROM hx CROSS JOIN m GROUP BY 1, 2),
+         |pr AS (SELECT w, cnt, h FROM hx ORDER BY cnt DESC, w LIMIT 10),
+         |pe AS (SELECT p.w, p.cnt, min(c2.cn) AS est
+         |       FROM pr p CROSS JOIN m
+         |       JOIN cells c2 ON c2.r = m.r
+         |                    AND c2.c = ((p.h * m.mul + m.r) % $p2) % $wdt
+         |       GROUP BY 1, 2)
+         |SELECT w, CAST(cnt AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+         |       CAST(est - cnt AS BIGINT) AS overcount
+         |FROM pe
+         |""".stripMargin}) { (s, dir) =>
+      graft.ops.Sketches.cmsWordFreq(Tables.documents(s, dir),
+        col("doc_id"), col("text"), depth = 4, width = 256, nProbes = 10)
+    },
+
     // ----- data-pruning frontier (quality-vs-quantity trade per decile)
     QueryDef("x109_pruning_frontier",
       "data-pruning frontier: corpus ranked best-first by the trained classifier score (exact micro-unit bands via the bucketed two-phase rank — no global sort) and cut into 10 equal-population deciles; per decile docs / tokens / mean score — the curve that picks a keep-rate: what keeping the top k deciles costs in tokens and buys in quality; mean aggregates exact integer micro-units, one final division")(

@@ -84,4 +84,79 @@ class SketchesSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(got === Seq(3L, 5L), s"got $got")
   }
+
+  // ---- Count-Min sketch (x111) ----
+
+  test("cms_sketch: hand-computed cells (depth 2, width 8), nulls skipped") {
+    GraftBridge.registerFunctions(spark)
+    // h=5 twice, h=12 once. Row 0 (mul 48271): 5*48271 % P = 241355,
+    // % 8 = 3; 12*48271 = 579252, % 8 = 4. Row 1 (mul 48271^2 % P =
+    // 182605794, +1 offset): 5 -> 913028971 % 8 = 3; 12 -> 43785882
+    // % 8 = 2.
+    Seq(Some(5L), Some(12L), None, Some(5L))
+      .toDF("h").createOrReplaceTempView("cms_in")
+    val got = spark.sql("SELECT cms_sketch(h, 2, 8) FROM cms_in")
+      .head().getSeq[Long](0)
+    val want = Array.fill(16)(0L)
+    want(3) = 2L; want(4) = 1L          // row 0
+    want(8 + 3) = 2L; want(8 + 2) = 1L  // row 1
+    assert(got === want.toSeq, s"got $got")
+  }
+
+  test("cms_sketch: deterministic under any partitioning; per-batch sketches sum to the whole") {
+    val hs = (1L to 500L).map(i => i * i % 997L)
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(graft.plans.functions.cms_sketch(col("h"), 4, 64))
+        .head().getSeq[Long](0)
+    val whole = sketchOf(hs.toDF("h"))
+    for (parts <- Seq(1, 7, 32))
+      assert(sketchOf(hs.toDF("h").repartition(parts)) === whole,
+        s"parts=$parts: counters are pure sums, must be order-free")
+    // mergeability is EXACT for CMS: elementwise sum of batch sketches
+    val batches = hs.grouped(137).toSeq.map(b => sketchOf(b.toDF("h")))
+    val summed = batches.transpose.map(_.sum)
+    assert(summed === whole, "sum-of-sketches must equal sketch-of-union")
+  }
+
+  test("cms_sketch: negative hashes fold by true mod (pmod)") {
+    val p = graft.plans.CmsSketchAgg.P
+    val neg = sketch1(Seq(-3L))
+    val pos = sketch1(Seq(p - 3L))
+    assert(neg === pos, "(-3) mod P must hit the same cells as P-3")
+  }
+
+  private def sketch1(hs: Seq[Long]): Seq[Long] =
+    hs.toDF("h").agg(graft.plans.functions.cms_sketch(col("h"), 2, 16))
+      .head().getSeq[Long](0)
+
+  test("cmsWordFreq: overcount-only guarantee, exact where no collision, top-n probes") {
+    // 40 distinct words with distinct frequencies 1..40 over width 512:
+    // few enough occupied cells that the top word is collision-free
+    val docs = (1 to 40).map(f => s"w$f " * f).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Sketches.cmsWordFreq(docs, col("doc_id"), col("text"),
+      depth = 4, width = 512, nProbes = 5).collect()
+    assert(out.length === 5)
+    // probes are the exact top-5 by (count desc, word)
+    assert(out.map(_.getString(0)).toSet === Set("w40", "w39", "w38", "w37", "w36"))
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"overcount must be one-sided: $r")
+      assert(r.getLong(2) >= r.getLong(1), s"est >= exact: $r")
+    }
+    // 40 keys into 4 rows of 512 cells: every row has a collision-free
+    // cell for SOME probe with overwhelming margin — the min across
+    // rows must then be exact for at least one probe
+    assert(out.exists(r => r.getLong(3) === 0L),
+      "expected at least one collision-free point estimate")
+  }
+
+  test("cmsWordFreq plans a PARTIAL ObjectHashAggregate and a broadcast probe join") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Sketches.cmsWordFreq(docs, col("doc_id"), col("text"),
+      depth = 2, width = 8, nProbes = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_cms_sketch"),
+      "map-side sketch before the exchange: " + plan.take(500))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "one-row sketch must broadcast: " + plan.take(500))
+  }
 }
