@@ -133,7 +133,10 @@ object GraftExtensions {
       a => KmvSketchAgg(a.head, intArg("kmv_sketch", "k", a(1)))),
     fn("cms_sketch", classOf[CmsSketchAgg], 3, "cms_sketch(hash, depth, width)")(
       a => CmsSketchAgg(a.head, intArg("cms_sketch", "depth", a(1)),
-        intArg("cms_sketch", "width", a(2)))))
+        intArg("cms_sketch", "width", a(2)))),
+    fn("jl_project", classOf[JlProject], 3, "jl_project(array<float>, k, seed)")(
+      a => JlProject(a.head, intArg("jl_project", "k", a(1)),
+        intArg("jl_project", "seed", a(2)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -215,6 +218,9 @@ object functions {
   def kmv_sketch(hash: Column, k: Int): Column =
     GraftBridge.column(
       KmvSketchAgg(GraftBridge.expression(hash), k).toAggregateExpression())
+
+  def jl_project(vec: Column, k: Int, seed: Int): Column =
+    GraftBridge.column(JlProject(GraftBridge.expression(vec), k, seed))
 
   def cms_sketch(hash: Column, depth: Int, width: Int): Column =
     GraftBridge.column(

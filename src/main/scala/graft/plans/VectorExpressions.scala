@@ -207,6 +207,35 @@ object VecUtil {
     (v & 1L) == 1L
   }
 
+  /** Johnson–Lindenstrauss Rademacher projection: output dimension i is
+    * the SAME sequential left-fold Σ_d ±emb[d] that [[signBucketRH]]
+    * accumulates for its bit i — this keeps the whole VALUE where
+    * sign-LSH keeps only the sign, so projected cosines approximate
+    * true cosines (the JL inner-product guarantee for ±1 matrices,
+    * Achlioptas 2003) instead of collapsing to a bucket id. The 1/√k
+    * scale is omitted: it cancels in cosine, the only consumer. Each
+    * accumulated double rounds once to float (IEEE round-to-nearest —
+    * the same single rounding in any engine), making the projected
+    * vector itself oracle-reproducible. */
+  def jlProject(emb: ArrayData, k: Int, seed: Int): ArrayData = {
+    val n = emb.numElements()
+    val acc = new Array[Double](k)
+    var d = 0
+    while (d < n) {
+      val x = emb.getFloat(d).toDouble
+      var i = 0
+      while (i < k) {
+        acc(i) += (if (radSign(i, d, seed)) x else -x)
+        i += 1
+      }
+      d += 1
+    }
+    val out = new Array[Float](k)
+    var i = 0
+    while (i < k) { out(i) = acc(i).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Random-hyperplane sign-LSH bucket: bit i is the sign of the
     * sequential left-fold (in dimension order — oracle-reproducible) of
     * ±emb[d] with Rademacher signs. One pass over the vector accumulates
@@ -229,6 +258,29 @@ object VecUtil {
     while (i < bits) { if (acc(i) >= 0.0) bucket |= (1L << i); i += 1 }
     bucket
   }
+}
+
+/** jl_project(array<float>, k, seed): ARRAY<FLOAT> — Rademacher
+  * Johnson–Lindenstrauss projection to k dims (the dense-mixing
+  * compression axis: matryoshka truncates dims, int8 narrows elements,
+  * JL mixes ALL input dims into each output dim — robust where the
+  * head dims carry no structure). */
+case class JlProject(child: Expression, k: Int, seed: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 4096, "jl_project k must be in [1, 4096]")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jl_project requires ARRAY<FLOAT>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    VecUtil.jlProject(input.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VecUtil.jlProject($c, $k, $seed);")
+  override protected def withNewChildInternal(newChild: Expression): JlProject =
+    copy(child = newChild)
+  override def prettyName: String = "jl_project"
 }
 
 /** dot_fold(array<float>, array<float>): DOUBLE — sequential left-fold

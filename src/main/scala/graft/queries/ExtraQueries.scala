@@ -186,6 +186,19 @@ object ExtraQueries {
        |   FOR d IN range(0, len($c))], (acc, x) -> acc + x) >= 0
        |  THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0, $bits)]) AS BIGINT)""".stripMargin
 
+  /** JL Rademacher projection fragment ≡ graft.plans.JlProject: output
+    * dim i is the [[rhBucketD]] accumulator VALUE (same Lehmer-mixed
+    * signs, same dimension-order left fold) kept as a float instead of
+    * collapsed to a sign bit. Fold starts at the first element where
+    * Spark starts at 0.0 — identical under IEEE (0.0 + x = x) up to
+    * the sign of a -0.0 total, which SQL value-equality ignores. */
+  private def jlVecD(c: String, k: Int, seed: Int) =
+    s"""[CAST(list_reduce(
+       |  [CASE WHEN ((((((d+1)*(2*i+1) + 7919*($seed)) % 2147483647) * 48271 % 2147483647) * 69621 % 2147483647) & 1) = 1
+       |        THEN CAST($c[d+1] AS DOUBLE) ELSE -CAST($c[d+1] AS DOUBLE) END
+       |   FOR d IN range(0, len($c))], (acc, x) -> acc + x) AS FLOAT)
+       | FOR i IN range(0, $k)]""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- exact dedup: normalize → digest → hash-aggregate
@@ -2455,6 +2468,35 @@ object ExtraQueries {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.matryoshkaTopK(emb, queries, k = 3, dims = 16, m = 12)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    },
+
+    // ----- JL two-stage ANN (dense-mixing compression axis: every
+    //       output dim mixes ALL input dims — robust where matryoshka's
+    //       prefix carries no structure)
+    QueryDef("x112_jl_ann",
+      "JL two-stage ANN: rank by cosine in a 16-dim Rademacher projection (jl_project — deterministic Lehmer signs, no stored matrix), keep top-12 per query, re-score ONLY those with exact full-dim cosine, return top-3 — the distribution-free counterpart to x78's prefix truncation; projected corpus column scans outDims/D of the bytes, multiplicative with int8")(
+      s"""WITH pj AS (SELECT vec_id, embedding,
+         |              ${jlVecD("embedding", 16, 0)} AS pe
+         |            FROM embeddings),
+         |tr AS (
+         |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         |    ${cosD("q.pe", "v.pe")} AS tcos,
+         |    q.embedding AS qe, v.embedding AS ve
+         |  FROM pj q, pj v WHERE q.vec_id < 5),
+         |c1 AS (SELECT q_id, vec_id, qe, ve,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY tcos DESC, vec_id) AS rn
+         |       FROM tr),
+         |cand AS (SELECT q_id, vec_id, ${cosD("qe", "ve")} AS cos FROM c1 WHERE rn <= 12)
+         |SELECT q_id, vec_id, round(cos, 6) AS cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn2
+         |  FROM cand)
+         |WHERE rn2 <= 3
+         |""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.jlTopK(emb, queries, k = 3, outDims = 16, m = 12)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
     },
 

@@ -936,6 +936,39 @@ object Similarity {
     * testdata the gate documents the m-vs-recall trade honestly.
     * Output: (q_id, vec_id, cos) with k rows per query, `cos` exact
     * full-dimension cosine. */
+  /** x112 — JL two-stage ANN: stage 1 ranks by cosine in a
+    * `outDims`-dim Rademacher-projected space
+    * ([[graft.plans.JlProject]] — every output dim mixes ALL input
+    * dims, the robust counterpart to [[matryoshkaTopK]]'s prefix
+    * truncation: a matryoshka prefix is only as good as the training
+    * recipe that front-loaded the information; the JL guarantee is
+    * distribution-free), keeps the top-`m` pool per query, and stage 2
+    * re-scores only those with exact full-dim cosine. The projection
+    * is a deterministic codegen'd expression (no stored projection
+    * matrix — signs are Lehmer-mixed from (dim, outDim, seed), the
+    * sign-LSH convention), so a projected corpus column can be
+    * materialized once and scanned at outDims/D of the bytes;
+    * multiplicative with int8 on both axes. Both stages plan as the
+    * x06 shape: broadcast query batch, WindowGroupLimit below the
+    * exchange, |q|·m-row rerank. */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             outDims: Int, m: Int, seed: Int = 0): DataFrame = {
+    require(outDims > 0 && m >= k, s"need outDims > 0 and rerank pool m >= k")
+    import graft.plans.functions.jl_project
+    val cands = bruteForceTopK(
+      corpus.select(col("vec_id"),
+        jl_project(col("embedding"), outDims, seed).as("embedding")),
+      queries.select(col("q_id"),
+        jl_project(col("q_emb"), outDims, seed).as("q_emb")), m)
+      .select("q_id", "vec_id")
+    val re = cands
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perGroup(re, Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
+  }
+
   def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      dims: Int, m: Int): DataFrame = {
     require(dims > 0 && m >= k, s"need dims > 0 and rerank pool m >= k")

@@ -196,4 +196,43 @@ class Int8AnnSpec extends SparkSpec {
     assert(r.take(2).toSeq == Seq((1L, 1.0), (3L, 1.0)), s"self/dup not at +1: ${r.toSeq}")
     assert(r.last == ((2L, -1.0)), s"antipode not at -1: ${r.toSeq}")
   }
+
+  test("jlTopK: recall monotone in outDims and pool m; dense mixing beats prefix truncation at equal dims") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").persist()
+    try {
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = rs(Similarity.bruteForceTopK(emb, queries, 3))
+      def recall(outDims: Int, m: Int): Double =
+        (exact intersect rs(Similarity.jlTopK(emb, queries, 3, outDims, m)))
+          .size.toDouble / exact.size
+      // recall must be monotone in the rerank pool at fixed outDims
+      val byM = Seq(12, 48, 192).map { m =>
+        val r = recall(16, m)
+        info(f"jlTopK(outDims=16, m=$m%3d) recall@3 = $r%.3f")
+        r
+      }
+      assert(byM == byM.sorted, s"recall not monotone in m: $byM")
+      assert(byM.last >= 0.6, s"m=192 recall collapsed: $byM")
+      // ...and monotone in the projected dimensionality at fixed m
+      val byDims = Seq(8, 16, 32).map { d =>
+        val r = recall(d, 12)
+        info(f"jlTopK(outDims=$d%2d, m=12) recall@3 = $r%.3f")
+        r
+      }
+      assert(byDims == byDims.sorted, s"recall not monotone in outDims: $byDims")
+      // the distribution-free claim: on these synthetic embeddings
+      // (energy spread uniformly — matryoshka's worst case, measured
+      // 0.400 recall at dims=16/m=12) dense mixing at the SAME
+      // compressed width must do at least as well
+      val mrl = (exact intersect
+        rs(Similarity.matryoshkaTopK(emb, queries, 3, dims = 16, m = 12)))
+        .size.toDouble / exact.size
+      info(f"jl=${byDims(1)}%.3f vs matryoshka=$mrl%.3f at 16 dims, m=12")
+      assert(byDims(1) >= mrl,
+        s"JL (${byDims(1)}) below prefix truncation ($mrl) on a no-prefix-structure corpus")
+    } finally emb.unpersist()
+  }
 }
