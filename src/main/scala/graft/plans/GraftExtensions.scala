@@ -136,7 +136,9 @@ object GraftExtensions {
         intArg("cms_sketch", "width", a(2)))),
     fn("jl_project", classOf[JlProject], 3, "jl_project(array<float>, k, seed)")(
       a => JlProject(a.head, intArg("jl_project", "k", a(1)),
-        intArg("jl_project", "seed", a(2)))))
+        intArg("jl_project", "seed", a(2)))),
+    fn("gram_matrix", classOf[GramMatrixAgg], 2, "gram_matrix(array<bigint>, dim)")(
+      a => GramMatrixAgg(a.head, intArg("gram_matrix", "dim", a(1)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -226,4 +228,8 @@ object functions {
     GraftBridge.column(
       CmsSketchAgg(GraftBridge.expression(hash), depth, width)
         .toAggregateExpression())
+
+  def gram_matrix(qvec: Column, dim: Int): Column =
+    GraftBridge.column(
+      GramMatrixAgg(GraftBridge.expression(qvec), dim).toAggregateExpression())
 }

@@ -594,6 +594,34 @@ object CoreQueries {
           max_by(col("value_c"), ord).as("value_c"))
     },
 
+    // ----- D7: dbt snapshot (SCD2, check strategy) — the reference's
+    // dbt project declares a snapshots path (dbt_project.yml:19); this
+    // is the history build that path exists for
+    QueryDef("d07_scd2_snapshot",
+      "SCD type-2 history build (dbt snapshot, check strategy): per key, consecutive equal tracked values collapse into validity-interval versions with valid_from/valid_to/is_current + collapsed-row counts — one hash exchange total (both windows and the opens-side close share the key partitioning)")(
+      """WITH src AS (SELECT user_id % 100 AS k, event_type AS v, ts, event_id AS tb
+        |             FROM events),
+        |o AS (SELECT k, v, ts, tb,
+        |        row_number() OVER (PARTITION BY k ORDER BY ts, tb) AS rn,
+        |        lag(v) OVER (PARTITION BY k ORDER BY ts, tb) AS pv,
+        |        count(*) OVER (PARTITION BY k) AS tot
+        |      FROM src),
+        |op AS (SELECT *, (rn = 1 OR NOT (v IS NOT DISTINCT FROM pv)) AS is_open
+        |       FROM o),
+        |vers AS (SELECT k, v, ts, tb, rn, tot,
+        |           lead(ts) OVER (PARTITION BY k ORDER BY rn) AS valid_to,
+        |           lead(rn) OVER (PARTITION BY k ORDER BY rn) AS next_rn
+        |         FROM op WHERE is_open)
+        |SELECT k AS key, v AS tracked, ts AS valid_from, valid_to,
+        |       valid_to IS NULL AS is_current,
+        |       CAST(coalesce(next_rn, tot + 1) - rn AS BIGINT) AS n_source_rows,
+        |       tb AS anchor_id
+        |FROM vers
+        |""".stripMargin) { (s, dir) =>
+      Silver.scd2Snapshot(Tables.events(s, dir),
+        col("user_id") % 100, col("event_type"), col("ts"), col("event_id"))
+    },
+
     // ----- O1/J3: latest-row probe (tracker.py:177-180)
     QueryDef("o01_latest_row",
       "ORDER BY ts DESC LIMIT 1 — TakeOrderedAndProject, no full sort")(

@@ -168,6 +168,34 @@ object ExtraQueries {
     s"""list_reduce(list_transform(list_zip($a, $b),
        |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
 
+  /** Unrolled power-iteration fragments for the x113 PCA oracle — the
+    * same fixed-count iteration [[graft.similarity.Similarity.principalComponent]]
+    * runs on the driver, replayed CTE-by-CTE (the bpeRoundsD unrolling
+    * technique): expects `grow(i, gr)` (scaled Gram rows as DOUBLE
+    * lists) in scope; yields `v$iters(v)`. Every sum is the engines'
+    * shared left-fold convention (list_reduce ≡ acc-from-zero, the
+    * dotD/DotFold precedent); the zero-norm guard is the same fixed
+    * point the Scala side takes. Every step CTE is MATERIALIZED:
+    * DuckDB's default inlining re-expands a chained CTE per reference,
+    * which is exponential in `iters` for this recurrence (measured:
+    * fine at 8 steps, runaway at 30); materialization evaluates each
+    * step exactly once, matching the Scala loop. */
+  private def pcaItersD(dim: Int, iters: Int): String = {
+    val init =
+      s"v0 AS MATERIALIZED (SELECT [1.0/sqrt(CAST($dim AS DOUBLE)) FOR x IN range(0, $dim)] AS v)"
+    val steps = (1 to iters).map { t =>
+      s"""u$t AS MATERIALIZED (SELECT list(list_reduce(list_transform(list_zip(g.gr, v.v),
+         |    z -> z[1]*z[2]), (a, b) -> a + b) ORDER BY g.i) AS w
+         |  FROM grow g, v${t - 1} v),
+         |v$t AS MATERIALIZED (SELECT CASE
+         |    WHEN sqrt(list_reduce(list_transform(w, y -> y*y), (a, b) -> a + b)) = 0 THEN w
+         |    ELSE list_transform(w,
+         |      x -> x / sqrt(list_reduce(list_transform(w, y -> y*y), (a, b) -> a + b))) END AS v
+         |  FROM u$t)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
   /** Guarded left-fold cosine ≡ Similarity.cosine (0.0 on a zero norm). */
   private def cosD(a: String, b: String) =
     s"""CASE WHEN ${sqNormD(a)} * ${sqNormD(b)} = 0 THEN 0.0
@@ -2498,6 +2526,36 @@ object ExtraQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.jlTopK(emb, queries, k = 3, outDims = 16, m = 12)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    },
+
+    // ----- exact distributed PCA (one-pass Gram aggregate + driver
+    //       power iteration): the corpus-anisotropy readout
+    QueryDef("x113_embedding_pca",
+      "exact top-component PCA: vectors quantized on the fixed 2^15 grid, ONE gram_matrix aggregate (map-side-combinable O(dim^2) buffer — shuffle independent of corpus size), 30 deterministic driver power iterations, then a scan-speed projection with the eigenvector as a plan literal; pc1 per vector + explained-variance share")(
+      s"""WITH qt AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE)*32768.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |gm AS (SELECT i.i AS i, j.j AS j, sum(q[i.i+1]*q[j.j+1]) AS s
+         |       FROM qt, range(0,64) i(i), range(0,64) j(j) GROUP BY 1, 2),
+         |grow AS (SELECT i, list(CAST(s AS DOUBLE)/1073741824.0 ORDER BY j) AS gr
+         |         FROM gm GROUP BY i),
+         |${pcaItersD(64, 30)},
+         |gvf AS (SELECT list(list_reduce(list_transform(list_zip(g.gr, v.v),
+         |    z -> z[1]*z[2]), (a, b) -> a + b) ORDER BY g.i) AS gvl
+         |  FROM grow g, v30 v),
+         |lam AS (SELECT list_reduce(list_transform(list_zip(gvf.gvl, v.v),
+         |    z -> z[1]*z[2]), (a, b) -> a + b) AS lam FROM gvf, v30 v),
+         |tr AS (SELECT list_reduce(list(gr[i+1] ORDER BY i), (a, b) -> a + b) AS tr
+         |       FROM grow)
+         |SELECT qt.vec_id,
+         |  round(list_reduce(list_transform(list_zip(qt.q, v.v),
+         |    z -> CAST(z[1] AS DOUBLE)*z[2]), (a, b) -> a + b)/32768.0, 6) AS pc1,
+         |  round(CASE WHEN tr.tr = 0 THEN 0.0 ELSE lam.lam/tr.tr END, 6) AS ev_ratio
+         |FROM qt, v30 v, lam, tr
+         |""".stripMargin) { (s, dir) =>
+      Similarity.principalComponent(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"), dim = 64)
     },
 
     // ----- export manifest diff (incremental re-export decision table);

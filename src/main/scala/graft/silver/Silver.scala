@@ -56,6 +56,53 @@ object Silver {
     * watermark aggregate is a single row; Spark broadcasts it. On first
     * load (empty target) the null watermark passes everything through.
     * `d06`'s max_by MERGE is the companion upsert half. */
+  /** D7: dbt-snapshot (SCD type 2) history build with the `check`
+    * strategy — the reference's dbt project declares a snapshot path
+    * (`data/polymarket_analytics/dbt_project.yml:19`) for exactly this:
+    * turn an append-only change log into validity-interval versions of
+    * a slowly-changing attribute. A row OPENS a new version iff it is
+    * the key's first row or its tracked value differs (null-safe `<=>`,
+    * so null→null is NOT a change) from the previous log row; each
+    * version carries `valid_from` (opening row's ts), `valid_to` (next
+    * version's ts, null while current — dbt's `dbt_valid_to` shape),
+    * `is_current`, the count of collapsed source rows, and the opening
+    * row's id as a deterministic version anchor.
+    *
+    * Ordering within a key is (ts, tiebreak) — the tiebreak (a unique
+    * id) makes identical-timestamp bursts deterministic, which the
+    * adversarial events sweep plants on purpose.
+    *
+    * Scale shape: every window below partitions by the SAME key, so the
+    * whole operator is ONE hash exchange of the log; the version-close
+    * window runs on the already-partitioned opens subset (filter
+    * preserves distribution — no second shuffle; pinned in
+    * SilverSpec). State per key is zero — this is pure windowing, not
+    * mapGroups — so skewed keys degrade to a big sort, not OOM. */
+  def scd2Snapshot(changeLog: DataFrame, key: Column, tracked: Column,
+                   ts: Column, tiebreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = changeLog.select(key.as("k"), tracked.as("v"), ts.as("ts"),
+      tiebreak.as("tb"))
+    val byKey = Window.partitionBy(col("k")).orderBy(col("ts"), col("tb"))
+    val keyAll = Window.partitionBy(col("k"))
+    val marked = src
+      .withColumn("rn", row_number().over(byKey))
+      .withColumn("pv", lag(col("v"), 1).over(byKey))
+      .withColumn("tot", count(lit(1)).over(keyAll))
+      .withColumn("is_open", col("rn") === 1 || !(col("v") <=> col("pv")))
+    val opens = marked.filter(col("is_open"))
+    val byVer = Window.partitionBy(col("k")).orderBy(col("rn"))
+    opens
+      .withColumn("valid_to", lead(col("ts"), 1).over(byVer))
+      .withColumn("next_rn", lead(col("rn"), 1).over(byVer))
+      .select(col("k").as("key"), col("v").as("tracked"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        (coalesce(col("next_rn"), col("tot") + 1) - col("rn"))
+          .cast(LongType).as("n_source_rows"),
+        col("tb").as("anchor_id"))
+  }
+
   def incrementalAfter(source: DataFrame, target: DataFrame,
                        watermarkCol: Column, lagBack: String): DataFrame = {
     val mx = target.agg(max(watermarkCol).as("_hwm"))

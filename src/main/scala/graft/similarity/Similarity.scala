@@ -1094,4 +1094,88 @@ object Similarity {
         (col("rnk") <= floor((col("cell_n") * prunePct + lit(99))
           / lit(100.0)).cast(LongType)).as("pruned"))
   }
+
+  /** Exact distributed PCA, top component (x113): the corpus's principal
+    * embedding axis via the one-pass Gram-matrix aggregate + a
+    * deterministic driver-side power iteration. Returns every vector's
+    * projection onto the axis (`pc1`) plus the axis's explained-variance
+    * share (`ev_ratio` = Rayleigh quotient / trace — constant column).
+    * This is the corpus-level structure readout the curation tier uses
+    * for "is there one dominant direction" (anisotropy: Mu & Viswanath
+    * 2018's all-but-the-top observation) and for principal-axis
+    * binning/whitening decisions.
+    *
+    * Determinism contract (hash-comparable against the DuckDB oracle):
+    *  - vectors quantize with the fixed x74-style grid
+    *    floor(x·2¹⁵ + 0.5) — so the Gram matrix is EXACT integer sums,
+    *    order-free under any partitioning ([[graft.plans.GramMatrixAgg]]);
+    *  - the power iteration (fixed `iters`, init 1/√dim) runs
+    *    single-threaded on the model-sized (dim·(dim+1)/2 longs)
+    *    collected triangle, every sum a LEFT FOLD in index order — the
+    *    same IEEE sequence `list_reduce` replays;
+    *  - the final projection is a left-fold `aggregate` HOF against the
+    *    eigenvector as a plan literal (model-as-literal, the x72
+    *    convention — no join).
+    *
+    * Scale shape: ONE pass over the corpus reduced map-side to a 2080-
+    * long buffer (dim 64), a 1-row collect, then a scan-speed
+    * projection; shuffle volume is O(dim²), independent of corpus size.
+    * Overflow-safe to ~2³³ rows at unit-norm scale 2¹⁵ (see
+    * GramMatrixAgg). */
+  def principalComponent(corpus: DataFrame, dim: Int,
+                         iters: Int = 30): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val q = transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * lit(32768.0) + lit(0.5)).cast(LongType))
+    val quant = corpus.select(col("vec_id"), q.as("q"))
+    val tri = quant.agg(graft.plans.functions.gram_matrix(col("q"), dim))
+      .head().getSeq[Long](0).toArray // model-sized: dim*(dim+1)/2 longs
+    // expand the triangle to a full symmetric matrix, scaled by 2^-30
+    // (exact power-of-two rescale of the 2^15-grid products)
+    val g = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val x = tri(graft.plans.GramMatrixAgg.triIndex(dim, i, j)).toDouble /
+          1073741824.0
+        g(i)(j) = x; g(j)(i) = x
+        j += 1
+      }
+      i += 1
+    }
+    // power iteration: every sum a left fold in index order (the exact
+    // IEEE sequence the oracle's list_reduce replays)
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { r =>
+        var acc = 0.0; var c = 0
+        while (c < dim) { acc += g(r)(c) * v(c); c += 1 }
+        acc
+      }
+    def norm(v: Array[Double]): Double = {
+      var acc = 0.0; var r = 0
+      while (r < dim) { acc += v(r) * v(r); r += 1 }
+      math.sqrt(acc)
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var t = 0
+    while (t < iters) {
+      val w = matvec(v)
+      val n = norm(w)
+      v = if (n == 0.0) w else w.map(_ / n) // degenerate G: fixed point
+      t += 1
+    }
+    val gv = matvec(v)
+    var lam = 0.0
+    var trace = 0.0
+    i = 0
+    while (i < dim) { lam += gv(i) * v(i); trace += g(i)(i); i += 1 }
+    val evRatio = if (trace == 0.0) 0.0 else lam / trace
+    val proj = aggregate(
+      zip_with(col("q"), lit(v), (a, b) => a.cast(DoubleType) * b),
+      lit(0.0), (acc, x) => acc + x)
+    quant.select(col("vec_id"),
+      round(proj / lit(32768.0), 6).as("pc1"),
+      round(lit(evRatio), 6).as("ev_ratio"))
+  }
 }

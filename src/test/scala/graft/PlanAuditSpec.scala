@@ -77,7 +77,9 @@ class PlanAuditSpec extends SparkSpec {
     "x93_source_drift",           // singleton vocab-total row
     "x96_embedding_drift",        // centroid set (scaledCells) + totals row
     "x98_prototypicality",        // centroid set (scaledCells-capped)
-    "x107_kmv_overlap"            // nGroups^2 pair join over k-value sketches
+    "x107_kmv_overlap",           // nGroups^2 pair join over k-value sketches
+    "x111_cms_freq",              // single-row CMS sketch (depth*width longs)
+    "x112_jl_ann"                 // fixed query set (JL-projected x78 shape)
   )
 
   // queries whose ANALYZED plan may carry a ResolvedHint (broadcast of a
@@ -124,7 +126,9 @@ class PlanAuditSpec extends SparkSpec {
     "x93_source_drift",           // top-V vocab (bounded) + totals row
     "x96_embedding_drift",        // centroid set (scaledCells) + totals row
     "x98_prototypicality",        // centroid set (scaledCells-capped)
-    "x108_span_scrub"             // benchmark gram set (eval-set bounded)
+    "x108_span_scrub",            // benchmark gram set (eval-set bounded)
+    "x111_cms_freq",              // single-row CMS sketch (depth*width longs)
+    "x112_jl_ann"                 // fixed query set (JL-projected x78 shape)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {

@@ -33,4 +33,50 @@ class SilverSpec extends SparkSpec {
       .count()
     assert(got === 5L)
   }
+
+  test("scd2Snapshot collapses runs into versions with correct intervals") {
+    // key 1: A A B A  (3 versions; middle run of B, A reopens)
+    // key 2: single row (1 current version)
+    val log = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), 10L),
+      (1L, "A", ts("2024-01-02 00:00:00"), 11L),
+      (1L, "B", ts("2024-01-03 00:00:00"), 12L),
+      (1L, "A", ts("2024-01-04 00:00:00"), 13L),
+      (2L, "X", ts("2024-01-05 00:00:00"), 20L)
+    ).toDF("k", "v", "ts", "id")
+    val got = Silver.scd2Snapshot(log, col("k"), col("v"), col("ts"), col("id"))
+      .orderBy("key", "valid_from")
+      .select("key", "tracked", "valid_from", "valid_to", "is_current",
+        "n_source_rows", "anchor_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false, 2L, 10L),
+      (1L, "B", ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), false, 1L, 12L),
+      (1L, "A", ts("2024-01-04 00:00:00"), None, true, 1L, 13L),
+      (2L, "X", ts("2024-01-05 00:00:00"), None, true, 1L, 20L)))
+  }
+
+  test("scd2Snapshot: null-safe change detection and identical-ts tiebreak") {
+    val t0 = ts("2024-01-01 00:00:00")
+    // null -> null is NOT a change (one version); null -> A IS.
+    // All rows share one timestamp: order must come from the tiebreak id.
+    val log = Seq(
+      (1L, Option.empty[String], t0, 1L),
+      (1L, Option.empty[String], t0, 2L),
+      (1L, Option("A"), t0, 3L)
+    ).toDF("k", "v", "ts", "id")
+    val got = Silver.scd2Snapshot(log, col("k"), col("v"), col("ts"), col("id"))
+      .orderBy("anchor_id")
+      .collect().map(r => (Option(r.getString(1)), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq((None, 2L, 1L), (Some("A"), 1L, 3L)))
+  }
+
+  test("scd2Snapshot plans ONE exchange (both windows + close share the key partitioning)") {
+    val log = Seq((1L, "A", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "v", "ts", "id")
+    val plan = Silver.scd2Snapshot(log, col("k"), col("v"), col("ts"), col("id"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected a single hash exchange, plan:\n$plan")
+  }
 }
