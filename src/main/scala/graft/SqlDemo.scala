@@ -35,6 +35,10 @@ object SqlDemo {
         """SELECT lz78_phrases('abababab'), lz78_phrases('qwertyui'),
           |       char_entropy_stats('aabb').entropy
           |""".stripMargin).head().toSeq.mkString(", "))
+    println("[sqldemo] ac_match_counts (nested patterns, one pass): " +
+      spark.sql(
+        "SELECT ac_match_counts('ushers heard', array('he', 'she', 'hers'))"
+      ).head().toSeq.mkString(", "))
     println("[sqldemo] aggregates (misra_gries + kmv_sketch + cms_sketch over documents): " +
       spark.sql(
         """SELECT size(misra_gries(lang, 3)), size(kmv_sketch(poly_hash(lang), 8)),

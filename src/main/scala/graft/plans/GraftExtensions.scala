@@ -69,6 +69,23 @@ object GraftExtensions {
     }
   }
 
+  /** Fold a constant argument to a sequence of non-null strings (the
+    * blocklist parameter shape: the automaton is built at plan time, so
+    * the pattern set must be a literal). */
+  private def stringSeqArg(fnName: String, param: String,
+                           e: Expression): Seq[String] = {
+    requireFoldable(fnName, param, "ARRAY<STRING>", e)
+    e.eval() match {
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until arr.numElements()).map { i =>
+          if (arr.isNullAt(i))
+            badArg(fnName, param, "an array of non-null string literals")
+          arr.getUTF8String(i).toString
+        }
+      case _ => badArg(fnName, param, "a string-array literal")
+    }
+  }
+
   private def fn(name: String, cls: Class[_], arity: Int, usage: String)(
       build: Seq[Expression] => Expression) =
     (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
@@ -138,7 +155,9 @@ object GraftExtensions {
       a => JlProject(a.head, intArg("jl_project", "k", a(1)),
         intArg("jl_project", "seed", a(2)))),
     fn("gram_matrix", classOf[GramMatrixAgg], 2, "gram_matrix(array<bigint>, dim)")(
-      a => GramMatrixAgg(a.head, intArg("gram_matrix", "dim", a(1)))))
+      a => GramMatrixAgg(a.head, intArg("gram_matrix", "dim", a(1)))),
+    fn("ac_match_counts", classOf[AcMatchCounts], 2, "ac_match_counts(str, array<string>)")(
+      a => AcMatchCounts(a.head, stringSeqArg("ac_match_counts", "patterns", a(1)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -232,4 +251,7 @@ object functions {
   def gram_matrix(qvec: Column, dim: Int): Column =
     GraftBridge.column(
       GramMatrixAgg(GraftBridge.expression(qvec), dim).toAggregateExpression())
+
+  def ac_match_counts(text: Column, patterns: Seq[String]): Column =
+    GraftBridge.column(AcMatchCounts(GraftBridge.expression(text), patterns))
 }

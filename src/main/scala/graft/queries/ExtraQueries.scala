@@ -2558,6 +2558,26 @@ object ExtraQueries {
         Tables.embeddings(s, dir).select("vec_id", "embedding"), dim = 64)
     },
 
+    // ----- blocklist scan: multi-pattern matching in ONE text pass
+    //       (the C4 badword gate's audit table, at automaton speed)
+    QueryDef("x114_blocklist_scan",
+      "Aho-Corasick blocklist scan: per-pattern corpus totals (docs hit + all-occurrence hit counts, overlapping and nested-pattern matches included) from ONE automaton pass per document — O(text+matches) regardless of pattern count vs P contains-predicates scanning P times; pattern set rides the plan as a literal, single P-row partial-aggregated exchange")(
+      """WITH pats AS (SELECT * FROM (VALUES
+        |    ('able'), ('art'), ('can'), ('low'), ('slow'), ('table'), ('value')
+        |  ) p(pat)),
+        |hits AS (SELECT p.pat,
+        |    len(list_filter(range(1, len(d.text) - len(p.pat) + 2),
+        |      i -> d.text[i : i + len(p.pat) - 1] = p.pat)) AS n
+        |  FROM documents d CROSS JOIN pats p)
+        |SELECT pat AS pattern,
+        |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_hits
+        |FROM hits GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      TextOps.blocklistScan(Tables.documents(s, dir), col("text"),
+        Seq("able", "art", "can", "low", "slow", "table", "value"))
+    },
+
     // ----- export manifest diff (incremental re-export decision table);
     // version B derived deterministically in BOTH engines: %23=1 docs
     // deleted, %17=3 docs edited, %29=2 docs re-added under new ids

@@ -1899,4 +1899,39 @@ object TextOps {
           col("n_kept") >= minKeptLines).as("page_pass"),
         col("cleaned"), fingerprint(col("cleaned")).as("cleaned_fp"))
   }
+
+  /** Blocklist scan (x114): per-pattern corpus totals for a fixed term
+    * list — the C4-style badword gate's audit table (how often does each
+    * blocked term fire, and over how many documents), generalizing the
+    * reference's keyword filter (`producers/market_discovery.py:35-48`)
+    * from 4 ad-hoc `contains` to an arbitrary-size pattern set.
+    *
+    * One Aho–Corasick pass per document ([[graft.plans.AcMatchCounts]]):
+    * O(text + matches) REGARDLESS of pattern count, vs P `contains`
+    * predicates scanning the text P times — at 100 TB with a realistic
+    * multi-hundred-term blocklist that's the difference between a
+    * scan-speed funnel stage and a P-pass one. Counts are all-occurrence
+    * (overlapping included) and substring-grain, the automaton's natural
+    * semantics; nested patterns each count at every end position.
+    *
+    * Scale shape: narrow codegen'd scan → posexplode to (pattern-index,
+    * hits) → ONE partial-aggregated exchange of P rows per map
+    * partition; the pattern strings themselves join back from a plan
+    * literal (element_at on the constant array — no second input).
+    * Output: (pattern, n_docs, n_hits). */
+  def blocklistScan(docs: DataFrame, text: Column,
+                    patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "blocklistScan: empty pattern set")
+    docs
+      .select(posexplode(
+        graft.plans.functions.ac_match_counts(text, patterns))
+        .as(Seq("pidx", "hits")))
+      .groupBy(col("pidx"))
+      .agg(count(when(col("hits") > 0, 1)).as("n_docs"),
+        sum(col("hits")).as("n_hits"))
+      .select(
+        element_at(lit(patterns.toArray), col("pidx").cast(IntegerType) + 1)
+          .as("pattern"),
+        col("n_docs"), col("n_hits"))
+  }
 }
