@@ -179,19 +179,22 @@ object ExtraQueries {
     * DuckDB's default inlining re-expands a chained CTE per reference,
     * which is exponential in `iters` for this recurrence (measured:
     * fine at 8 steps, runaway at 30); materialization evaluates each
-    * step exactly once, matching the Scala loop. */
-  private def pcaItersD(dim: Int, iters: Int): String = {
+    * step exactly once, matching the Scala loop. `grow` names the CTE
+    * holding the matrix rows; `sfx` disambiguates chained uses (x115
+    * runs a second, deflated chain in the same WITH). */
+  private def pcaItersD(dim: Int, iters: Int, grow: String = "grow",
+                        sfx: String = ""): String = {
     val init =
-      s"v0 AS MATERIALIZED (SELECT [1.0/sqrt(CAST($dim AS DOUBLE)) FOR x IN range(0, $dim)] AS v)"
+      s"v0$sfx AS MATERIALIZED (SELECT [1.0/sqrt(CAST($dim AS DOUBLE)) FOR x IN range(0, $dim)] AS v)"
     val steps = (1 to iters).map { t =>
-      s"""u$t AS MATERIALIZED (SELECT list(list_reduce(list_transform(list_zip(g.gr, v.v),
+      s"""u$t$sfx AS MATERIALIZED (SELECT list(list_reduce(list_transform(list_zip(g.gr, v.v),
          |    z -> z[1]*z[2]), (a, b) -> a + b) ORDER BY g.i) AS w
-         |  FROM grow g, v${t - 1} v),
-         |v$t AS MATERIALIZED (SELECT CASE
+         |  FROM $grow g, v${t - 1}$sfx v),
+         |v$t$sfx AS MATERIALIZED (SELECT CASE
          |    WHEN sqrt(list_reduce(list_transform(w, y -> y*y), (a, b) -> a + b)) = 0 THEN w
          |    ELSE list_transform(w,
          |      x -> x / sqrt(list_reduce(list_transform(w, y -> y*y), (a, b) -> a + b))) END AS v
-         |  FROM u$t)""".stripMargin
+         |  FROM u$t$sfx)""".stripMargin
     }
     (init +: steps).mkString(",\n")
   }
@@ -2576,6 +2579,68 @@ object ExtraQueries {
         |""".stripMargin) { (s, dir) =>
       TextOps.blocklistScan(Tables.documents(s, dir), col("text"),
         Seq("able", "art", "can", "low", "slow", "table", "value"))
+    },
+
+    // ----- all-but-the-top whitening (Mu & Viswanath 2018): center,
+    //       strip the dominant axis, report the isotropy gain
+    QueryDef("x115_all_but_top",
+      "all-but-the-top embedding correction: mean + covariance from ONE gram_matrix pass via the homogeneous-coordinate trick (augment with a constant dim — per-dim sums and the count ride the same O(dim^2) map-side buffer), top covariance axis by deterministic power iteration, deflated second iteration for the post-removal spectrum; per vector the removed component (proj1) and remaining length (res_norm), plus ev_before/ev_after anisotropy — scan-speed correction with mu and v1 as plan literals")(
+      s"""WITH qt AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE)*32768.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |ag AS (SELECT list_append(q, 32768) AS a FROM qt),
+         |gm AS (SELECT i.i AS i, j.j AS j, sum(a[i.i+1]*a[j.j+1]) AS s
+         |       FROM ag, range(0,65) i(i), range(0,65) j(j) GROUP BY 1, 2),
+         |nn AS (SELECT s // 1073741824 AS n FROM gm WHERE i = 64 AND j = 64),
+         |mu AS (SELECT i, (CAST(s // 32768 AS DOUBLE) / 32768.0) / nn.n AS m
+         |       FROM gm, nn WHERE j = 64 AND i < 64),
+         |muv AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+         |cv AS (SELECT g.i AS i, g.j AS j,
+         |         (CAST(g.s AS DOUBLE) / 1073741824.0) / nn.n - mi.m * mj.m AS c
+         |       FROM gm g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
+         |       CROSS JOIN nn WHERE g.i < 64 AND g.j < 64),
+         |grow AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS gr FROM cv GROUP BY i),
+         |${pcaItersD(64, 30)},
+         |gvf AS (SELECT list(list_reduce(list_transform(list_zip(g.gr, v.v),
+         |    z -> z[1]*z[2]), (a, b) -> a + b) ORDER BY g.i) AS gvl
+         |  FROM grow g, v30 v),
+         |lam AS (SELECT list_reduce(list_transform(list_zip(gvf.gvl, v.v),
+         |    z -> z[1]*z[2]), (a, b) -> a + b) AS lam FROM gvf, v30 v),
+         |tr AS (SELECT list_reduce(list(c ORDER BY i), (a, b) -> a + b) AS tr
+         |       FROM cv WHERE i = j),
+         |grow2 AS MATERIALIZED (SELECT g.i AS i,
+         |    [g.gr[j+1] - lam.lam * v.v[g.i+1] * v.v[j+1] FOR j IN range(0, 64)] AS gr
+         |  FROM grow g, v30 v, lam),
+         |${pcaItersD(64, 30, "grow2", "b")},
+         |gvf2 AS (SELECT list(list_reduce(list_transform(list_zip(g.gr, v.v),
+         |    z -> z[1]*z[2]), (a, b) -> a + b) ORDER BY g.i) AS gvl
+         |  FROM grow2 g, v30b v),
+         |lam2 AS (SELECT list_reduce(list_transform(list_zip(gvf2.gvl, v.v),
+         |    z -> z[1]*z[2]), (a, b) -> a + b) AS lam FROM gvf2, v30b v),
+         |ev AS (SELECT
+         |    CASE WHEN tr.tr = 0 THEN 0.0 ELSE lam.lam / tr.tr END AS ev_before,
+         |    CASE WHEN tr.tr - lam.lam = 0 THEN 0.0
+         |         ELSE lam2.lam / (tr.tr - lam.lam) END AS ev_after
+         |  FROM tr, lam, lam2),
+         |pv AS (SELECT vec_id,
+         |    list_transform(list_zip(q, muv.ml),
+         |      z -> CAST(z[1] AS DOUBLE)/32768.0 - z[2]) AS c
+         |  FROM qt, muv),
+         |pr AS (SELECT vec_id, c,
+         |    list_reduce(list_transform(list_zip(c, v.v), z -> z[1]*z[2]),
+         |      (a, b) -> a + b) AS proj
+         |  FROM pv, v30 v)
+         |SELECT pr.vec_id, round(pr.proj, 6) AS proj1,
+         |  round(sqrt(list_reduce(list_transform(list_zip(pr.c, v.v),
+         |    z -> (z[1] - pr.proj*z[2]) * (z[1] - pr.proj*z[2])),
+         |    (a, b) -> a + b)), 6) AS res_norm,
+         |  round(ev.ev_before, 6) AS ev_before,
+         |  round(ev.ev_after, 6) AS ev_after
+         |FROM pr, v30 v, ev
+         |""".stripMargin) { (s, dir) =>
+      Similarity.allButTop(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"), dim = 64)
     },
 
     // ----- export manifest diff (incremental re-export decision table);

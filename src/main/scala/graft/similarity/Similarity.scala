@@ -1122,6 +1122,42 @@ object Similarity {
     * projection; shuffle volume is O(dim²), independent of corpus size.
     * Overflow-safe to ~2³³ rows at unit-norm scale 2¹⁵ (see
     * GramMatrixAgg). */
+  /** Deterministic power iteration (fixed `iters`, init 1/√dim): every
+    * sum a LEFT FOLD in index order — the exact IEEE sequence the
+    * DuckDB oracle's `list_reduce` replays. Degenerate matrix (zero
+    * matvec norm) stays at the fixed point, same guard as the SQL. */
+  private def powerIterate(g: Array[Array[Double]], dim: Int,
+                           iters: Int): Array[Double] = {
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var t = 0
+    while (t < iters) {
+      val w = matvec(g, v, dim)
+      var acc = 0.0; var r = 0
+      while (r < dim) { acc += w(r) * w(r); r += 1 }
+      val n = math.sqrt(acc)
+      v = if (n == 0.0) w else w.map(_ / n)
+      t += 1
+    }
+    v
+  }
+
+  private def matvec(g: Array[Array[Double]], v: Array[Double],
+                     dim: Int): Array[Double] =
+    Array.tabulate(dim) { r =>
+      var acc = 0.0; var c = 0
+      while (c < dim) { acc += g(r)(c) * v(c); c += 1 }
+      acc
+    }
+
+  /** Rayleigh quotient vᵀGv for a unit v (left folds, index order). */
+  private def rayleigh(g: Array[Array[Double]], v: Array[Double],
+                       dim: Int): Double = {
+    val gv = matvec(g, v, dim)
+    var lam = 0.0; var i = 0
+    while (i < dim) { lam += gv(i) * v(i); i += 1 }
+    lam
+  }
+
   def principalComponent(corpus: DataFrame, dim: Int,
                          iters: Int = 30): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
@@ -1144,32 +1180,11 @@ object Similarity {
       }
       i += 1
     }
-    // power iteration: every sum a left fold in index order (the exact
-    // IEEE sequence the oracle's list_reduce replays)
-    def matvec(v: Array[Double]): Array[Double] =
-      Array.tabulate(dim) { r =>
-        var acc = 0.0; var c = 0
-        while (c < dim) { acc += g(r)(c) * v(c); c += 1 }
-        acc
-      }
-    def norm(v: Array[Double]): Double = {
-      var acc = 0.0; var r = 0
-      while (r < dim) { acc += v(r) * v(r); r += 1 }
-      math.sqrt(acc)
-    }
-    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-    var t = 0
-    while (t < iters) {
-      val w = matvec(v)
-      val n = norm(w)
-      v = if (n == 0.0) w else w.map(_ / n) // degenerate G: fixed point
-      t += 1
-    }
-    val gv = matvec(v)
-    var lam = 0.0
+    val v = powerIterate(g, dim, iters)
+    val lam = rayleigh(g, v, dim)
     var trace = 0.0
     i = 0
-    while (i < dim) { lam += gv(i) * v(i); trace += g(i)(i); i += 1 }
+    while (i < dim) { trace += g(i)(i); i += 1 }
     val evRatio = if (trace == 0.0) 0.0 else lam / trace
     val proj = aggregate(
       zip_with(col("q"), lit(v), (a, b) => a.cast(DoubleType) * b),
@@ -1177,5 +1192,74 @@ object Similarity {
     quant.select(col("vec_id"),
       round(proj / lit(32768.0), 6).as("pc1"),
       round(lit(evRatio), 6).as("ev_ratio"))
+  }
+
+  /** All-but-the-top embedding post-processing (x115): center the
+    * corpus, find the top principal component of the COVARIANCE (not
+    * the raw Gram — x113's readout is uncentered), remove it from every
+    * vector, and report the isotropy gain (Mu & Viswanath 2018: common
+    * embedding spaces hide their signal under one dominant direction +
+    * a non-zero mean; stripping both measurably improves similarity
+    * tasks — this is the corrective the x32/x64 SemDeDup family would
+    * run first at 100 TB).
+    *
+    * ONE corpus pass via the homogeneous-coordinate trick: augment each
+    * quantized vector with the constant 2¹⁵ and take
+    * [[graft.plans.GramMatrixAgg]] at dim+1 — the extra row carries the
+    * exact per-dimension sums (cell (i,dim) = 2¹⁵·Σqᵢ) and the exact
+    * count (corner = n·2³⁰), so mean AND covariance come out of the same
+    * O(dim²) map-side-combinable buffer; no second aggregate. All
+    * driver math is fixed-order left folds on exact integers (the x113
+    * determinism contract); the deflated second component comes from a
+    * second power iteration on C − λ₁v₁v₁ᵀ.
+    *
+    * Output: per vector `proj1` (component along the top axis, the part
+    * removed) and `res_norm` (length after removal), plus the constant
+    * columns `ev_before` (λ₁/tr C) and `ev_after` (λ₂/(tr−λ₁) — the top
+    * share of what remains). Projection is a scan-speed HOF with μ and
+    * v₁ as plan literals. */
+  def allButTop(corpus: DataFrame, dim: Int, iters: Int = 30): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val qx = transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * lit(32768.0) + lit(0.5)).cast(LongType))
+    val quant = corpus.select(col("vec_id"), qx.as("q"))
+    val aug = quant.select(concat(col("q"), array(lit(32768L))).as("a"))
+    val adim = dim + 1
+    val tri = aug.agg(graft.plans.functions.gram_matrix(col("a"), adim))
+      .head().getSeq[Long](0).toArray // model-sized: (dim+1)(dim+2)/2 longs
+    def cell(i: Int, j: Int): Long =
+      tri(graft.plans.GramMatrixAgg.triIndex(adim, math.min(i, j), math.max(i, j)))
+    val n = cell(dim, dim) / 1073741824L     // corner = n * 2^30, exact
+    require(n > 0, "allButTop: empty corpus")
+    val sw = Array.tabulate(dim)(i => cell(i, dim) / 32768L) // exact sums
+    val mu = Array.tabulate(dim)(i => (sw(i).toDouble / 32768.0) / n)
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      (cell(i, j).toDouble / 1073741824.0) / n - mu(i) * mu(j)
+    }
+    val v1 = powerIterate(c, dim, iters)
+    val lam1 = rayleigh(c, v1, dim)
+    var trace = 0.0
+    var i = 0
+    while (i < dim) { trace += c(i)(i); i += 1 }
+    // deflate and re-iterate for the post-removal top share
+    val c2 = Array.tabulate(dim, dim)((r, s) => c(r)(s) - lam1 * v1(r) * v1(s))
+    val lam2 = rayleigh(c2, powerIterate(c2, dim, iters), dim)
+    val evBefore = if (trace == 0.0) 0.0 else lam1 / trace
+    val evAfter = if (trace - lam1 == 0.0) 0.0 else lam2 / (trace - lam1)
+    val centered = zip_with(col("q"), lit(mu),
+      (a, m) => a.cast(DoubleType) / lit(32768.0) - m)
+    quant
+      .withColumn("c", centered)
+      .withColumn("proj", aggregate(
+        zip_with(col("c"), lit(v1), (ci, vi) => ci * vi),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("vec_id"),
+        round(col("proj"), 6).as("proj1"),
+        round(sqrt(aggregate(
+          zip_with(col("c"), lit(v1),
+            (ci, vi) => (ci - col("proj") * vi) * (ci - col("proj") * vi)),
+          lit(0.0), (acc, x) => acc + x)), 6).as("res_norm"),
+        round(lit(evBefore), 6).as("ev_before"),
+        round(lit(evAfter), 6).as("ev_after"))
   }
 }

@@ -72,6 +72,52 @@ class PcaSpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 
+  test("allButTop strips a planted common direction (mean + dominant axis)") {
+    // vectors = big shared mean on e0 + signal on e1 + tiny comparable
+    // noise on e2/e3: after centering, the top COVARIANCE axis is e1;
+    // removing it must leave only the noise (res_norm small), and the
+    // REMAINING spectrum splits across e2/e3 (ev_after well below 1 —
+    // with a single noise direction it would rightly be 1.0)
+    val dim = 8
+    val rows = (0 until 40).map { i =>
+      val sig = 0.4f * ((i % 9) - 4)   // dominant centered variance on e1
+      val n2 = 0.01f * ((i % 3) - 1)
+      val n3 = 0.011f * (((i * 7 + 1) % 3) - 1)
+      (i.toLong, Array(0.8f, sig, n2, n3) ++ Array.fill(dim - 4)(0.0f))
+    }
+    val got = Similarity.allButTop(rows.toDF("vec_id", "embedding"), dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length === 40)
+    val (evB, evA) = (got.head._4, got.head._5)
+    assert(got.forall(g => g._4 === evB && g._5 === evA),
+      "ev columns must be constant")
+    assert(evB > 0.99, s"planted axis dominates the covariance, got $evB")
+    assert(evA < 0.9 && evA > 0.0, s"post-removal spectrum flattens, got $evA")
+    assert(got.forall(_._3 < 0.02),
+      "residual after removing mean + top axis is just the e2 noise")
+    // proj1 tracks the centered e1 signal (mean of sig over i%9 is ~0)
+    val spread = got.map(_._2)
+    assert(spread.max - spread.min > 2.0,
+      "projections spread across the planted signal range")
+  }
+
+  test("allButTop is bit-identical under repartitioning") {
+    val dim = 8
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        (((i * 29 + d * 13) % 11) - 5) / 8.0f))
+    }
+    def run(parts: Int): Seq[(Long, Double, Double, Double, Double)] =
+      Similarity.allButTop(
+          rows.toDF("vec_id", "embedding").repartition(parts), dim)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+        .sortBy(_._1).toSeq
+    assert(run(1) === run(7))
+  }
+
   test("gram_matrix plans a partial aggregate below the exchange") {
     val df = (0 until 16).map(i => (i.toLong, Seq(i.toLong, 1L)))
       .toDF("vec_id", "q").repartition(4)
