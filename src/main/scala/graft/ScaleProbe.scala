@@ -460,6 +460,19 @@ object ScaleProbe {
             .select("doc_a", "doc_b"),
           c, col("doc_id"), col("text"))
       },
+      "x113_gram_pca" -> (k =>
+        // ONE gram_matrix pass + scan-speed projection: slope should be
+        // ~linear in the corpus with the exchange a constant O(dim^2)
+        Similarity.principalComponent(embCorpus(k), dim = 64)),
+      "x115_all_but_top" -> (k =>
+        // same shape at dim+1 (augmented Gram) + two driver iterations;
+        // the driver cost is corpus-independent, so slope ~= x113's
+        Similarity.allButTop(embCorpus(k), dim = 64)),
+      "x114_blocklist" -> (k =>
+        // one automaton pass per document + a P-row exchange: pure
+        // scan slope, pattern count invisible
+        TextOps.blocklistScan(docCorpus(k), col("text"),
+          Seq("able", "art", "can", "low", "slow", "table", "value"))),
       "x100_host_rank" -> { k =>
         // host universe grows ~k (100k hosts) and edges with the corpus:
         // 3 fixed rounds of edge-join + dst-keyed sum — the slope should

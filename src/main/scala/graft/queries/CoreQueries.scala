@@ -622,6 +622,38 @@ object CoreQueries {
         col("user_id") % 100, col("event_type"), col("ts"), col("event_id"))
     },
 
+    // ----- D8: point-in-time lookup against the D7 snapshot — the
+    // query an SCD2 table exists to answer
+    QueryDef("d08_point_in_time",
+      "point-in-time dimension lookup: every fact labeled with the SCD2 version in force at its timestamp — zero-duration burst versions filtered (unique valid_from per key -> deterministic as-of in both engines), then AsOf.join's union + key-windowed carry-forward: ONE facts-union-versions hash exchange, NO range join")(
+      """WITH src AS (SELECT user_id % 100 AS k, event_type AS v, ts, event_id AS tb
+        |             FROM events),
+        |o AS (SELECT k, v, ts, tb,
+        |        row_number() OVER (PARTITION BY k ORDER BY ts, tb) AS rn,
+        |        lag(v) OVER (PARTITION BY k ORDER BY ts, tb) AS pv
+        |      FROM src),
+        |op AS (SELECT *, (rn = 1 OR NOT (v IS NOT DISTINCT FROM pv)) AS is_open
+        |       FROM o),
+        |vers AS (SELECT k, v, ts, tb, rn,
+        |           lead(ts) OVER (PARTITION BY k ORDER BY rn) AS valid_to
+        |         FROM op WHERE is_open),
+        |vv AS (SELECT k AS key, v AS tracked, ts AS valid_from, tb AS anchor_id
+        |       FROM vers WHERE valid_to IS NULL OR valid_to > ts),
+        |f AS (SELECT event_id, user_id % 100 AS key, ts FROM events)
+        |SELECT f.event_id, f.ts, v.tracked AS state_at,
+        |       v.anchor_id AS version_anchor
+        |FROM f ASOF JOIN vv v ON f.key = v.key AND f.ts >= v.valid_from
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val versions = Silver.scd2Snapshot(ev,
+        col("user_id") % 100, col("event_type"), col("ts"), col("event_id"))
+      val facts = ev.select(col("event_id"), (col("user_id") % 100).as("key"),
+        col("ts"))
+      Silver.pointInTime(facts, "ts", versions)
+        .select(col("event_id"), col("ts"), col("tracked").as("state_at"),
+          col("anchor_id").as("version_anchor"))
+    },
+
     // ----- O1/J3: latest-row probe (tracker.py:177-180)
     QueryDef("o01_latest_row",
       "ORDER BY ts DESC LIMIT 1 — TakeOrderedAndProject, no full sort")(

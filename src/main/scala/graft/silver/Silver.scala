@@ -103,6 +103,35 @@ object Silver {
         col("tb").as("anchor_id"))
   }
 
+  /** D8: point-in-time lookup against an SCD2 history ([[scd2Snapshot]]
+    * output) — label every fact with the dimension version in force at
+    * its timestamp, the query a snapshot table exists to answer.
+    *
+    * Zero-duration versions (a same-timestamp burst opens and
+    * immediately closes them; valid_to == valid_from) are filtered out
+    * first — only the burst's last version was ever observable, and
+    * dropping them makes valid_from unique per key, so the as-of match
+    * is total-order deterministic in BOTH engines (DuckDB's ASOF JOIN
+    * has no tiebreak for duplicate build timestamps).
+    *
+    * Scale shape: [[graft.ops.AsOf.join]]'s union + key-windowed
+    * carry-forward — ONE hash exchange of facts ∪ versions, no range
+    * join (Spark would plan a per-key nested loop), state zero. A
+    * version opening at exactly the fact's ts counts as in force
+    * (build sorts first on ties), matching ASOF's >= semantics.
+    * `facts` must carry a `key` column; returns the probe columns plus
+    * (tracked, anchor_id); facts before their key's first version drop
+    * (inner as-of semantics). */
+  def pointInTime(facts: DataFrame, probeTs: String,
+                  versions: DataFrame): DataFrame = {
+    val vv = versions
+      .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+      .select(col("key"), col("valid_from"), col("tracked"), col("anchor_id"))
+    graft.ops.AsOf.join(facts, vv, key = "key", probeTs = probeTs,
+      buildTs = "valid_from", buildTie = Seq("anchor_id"),
+      payload = Seq("tracked", "anchor_id"))
+  }
+
   def incrementalAfter(source: DataFrame, target: DataFrame,
                        watermarkCol: Column, lagBack: String): DataFrame = {
     val mx = target.agg(max(watermarkCol).as("_hwm"))

@@ -72,6 +72,32 @@ class SilverSpec extends SparkSpec {
     assert(got.toSeq === Seq((None, 2L, 1L), (Some("A"), 1L, 3L)))
   }
 
+  test("pointInTime labels facts with the version in force; burst versions never match") {
+    // key 1 log: null@t0(id1), A@t0(id2) — a same-ts burst: the null
+    // version is zero-duration (never observable), A is in force from t0
+    // key 1: B opens at t2
+    val t0 = ts("2024-01-01 00:00:00")
+    val t1 = ts("2024-01-02 00:00:00")
+    val t2 = ts("2024-01-03 00:00:00")
+    val log = Seq(
+      (1L, Option.empty[String], t0, 1L),
+      (1L, Option("A"), t0, 2L),
+      (1L, Option("B"), t2, 3L)
+    ).toDF("k", "v", "ts", "id")
+    val versions = Silver.scd2Snapshot(log, col("k"), col("v"), col("ts"), col("id"))
+    val facts = Seq(
+      (1L, ts("2023-12-31 00:00:00"), 100L), // before any version: drops
+      (1L, t0, 101L),                        // at the burst: A, not null
+      (1L, t1, 102L),                        // between: still A
+      (1L, t2, 103L)                         // at B's open: B
+    ).toDF("key", "fts", "fact_id")
+    val got = Silver.pointInTime(facts, "fts", versions)
+      .orderBy("fact_id")
+      .collect().map(r => (r.getAs[Long]("fact_id"),
+        r.getAs[String]("tracked"), r.getAs[Long]("anchor_id")))
+    assert(got.toSeq === Seq((101L, "A", 2L), (102L, "A", 2L), (103L, "B", 3L)))
+  }
+
   test("scd2Snapshot plans ONE exchange (both windows + close share the key partitioning)") {
     val log = Seq((1L, "A", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "v", "ts", "id")
     val plan = Silver.scd2Snapshot(log, col("k"), col("v"), col("ts"), col("id"))
