@@ -121,13 +121,24 @@ object Silver {
     * (build sorts first on ties), matching ASOF's >= semantics.
     * `facts` must carry a `key` column; returns the probe columns plus
     * (tracked, anchor_id); facts before their key's first version drop
-    * (inner as-of semantics). */
+    * (inner as-of semantics).
+    *
+    * NULL keys match NOTHING — SQL join semantics, not window-grouping
+    * semantics. [[scd2Snapshot]] deliberately gives a NULL-keyed entity
+    * a history (window partitioning groups NULLs, both engines agree);
+    * but a LOOKUP is a join, and the union + carry-forward trick would
+    * silently diverge from every SQL engine's equi-join here (found by
+    * the adversarial null-user events sweep: 25 extra Spark rows vs the
+    * ASOF oracle). Both sides filter, so the NULL-key version rows don't
+    * ride the exchange either. */
   def pointInTime(facts: DataFrame, probeTs: String,
                   versions: DataFrame): DataFrame = {
     val vv = versions
-      .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+      .filter(col("key").isNotNull &&
+        (col("valid_to").isNull || col("valid_to") > col("valid_from")))
       .select(col("key"), col("valid_from"), col("tracked"), col("anchor_id"))
-    graft.ops.AsOf.join(facts, vv, key = "key", probeTs = probeTs,
+    graft.ops.AsOf.join(facts.filter(col("key").isNotNull), vv,
+      key = "key", probeTs = probeTs,
       buildTs = "valid_from", buildTie = Seq("anchor_id"),
       payload = Seq("tracked", "anchor_id"))
   }

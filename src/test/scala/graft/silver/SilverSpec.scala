@@ -86,10 +86,11 @@ class SilverSpec extends SparkSpec {
     ).toDF("k", "v", "ts", "id")
     val versions = Silver.scd2Snapshot(log, col("k"), col("v"), col("ts"), col("id"))
     val facts = Seq(
-      (1L, ts("2023-12-31 00:00:00"), 100L), // before any version: drops
-      (1L, t0, 101L),                        // at the burst: A, not null
-      (1L, t1, 102L),                        // between: still A
-      (1L, t2, 103L)                         // at B's open: B
+      (Option(1L), ts("2023-12-31 00:00:00"), 100L), // before any version: drops
+      (Option(1L), t0, 101L),                        // at the burst: A, not null
+      (Option(1L), t1, 102L),                        // between: still A
+      (Option(1L), t2, 103L),                        // at B's open: B
+      (Option.empty[Long], t1, 104L)                 // NULL key: join semantics, drops
     ).toDF("key", "fts", "fact_id")
     val got = Silver.pointInTime(facts, "fts", versions)
       .orderBy("fact_id")
