@@ -23,66 +23,97 @@ import org.apache.spark.unsafe.types.UTF8String
   * document REGARDLESS of pattern count — the difference between a
   * scan-speed first-funnel stage and a P-pass one at 100 TB.
   *
-  * Chars are UTF-16 units; an ASCII pattern can never span a surrogate
-  * pair, so counts agree with codepoint-based engines for ASCII
-  * pattern sets (the oracle's). Dictionary-suffix outputs are merged at
-  * build time (`out(n) ++= out(fail(n))` in BFS order), so nested
-  * patterns ("he" inside "she") each count at every end position. */
+  * Hot-path shape: the automaton is compiled to a DENSE byte-level DFA
+  * (failure links folded into a 256-wide goto table per node at build
+  * time), and the scan walks the UTF8String's bytes directly — one
+  * array lookup per input byte, no per-row String decode, no
+  * allocation. Byte-level matching over UTF-8 is exact for ANY valid
+  * UTF-8 pattern (UTF-8 is uniquely decodable, so a byte-sequence match
+  * IS a character-sequence match — no surrogate caveats).
+  * Dictionary-suffix outputs are merged at build time (`out(n) ++=
+  * out(fail(n))` in BFS order), so nested patterns ("he" inside "she")
+  * each count at every end position. Memory is nodes·256·4 B — a
+  * realistic multi-thousand-term blocklist compiles to a few MB; the
+  * node cap below fails fast long before the table could strain an
+  * executor. */
 final class AcAutomaton(val patterns: Array[String]) extends Serializable {
   require(patterns.nonEmpty, "ac_match_counts: pattern set must be non-empty")
   require(patterns.forall(_.nonEmpty), "ac_match_counts: empty pattern")
   require(patterns.distinct.length == patterns.length,
     "ac_match_counts: duplicate pattern")
 
-  private val next = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
-  private val outBuf = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Int])
+  // 64 MB of goto table at the cap: the automaton rides the PLAN as a
+  // reference object, so a pattern set that compiles past this belongs
+  // in a broadcast-join formulation, not a plan literal — fail fast
+  private val MaxNodes = 65536
 
-  patterns.zipWithIndex.foreach { case (p, pid) =>
-    var node = 0
-    p.foreach { ch =>
-      node = next(node).getOrElseUpdate(ch, {
-        next += mutable.HashMap.empty[Char, Int]
-        outBuf += mutable.ArrayBuffer.empty[Int]
-        next.length - 1
-      })
-    }
-    outBuf(node) += pid
-  }
+  private val compiled = AcAutomaton.compile(patterns, MaxNodes)
+  /** goto(node << 8 | byte) = next node; failure links pre-folded. */
+  private val goto: Array[Int] = compiled._1
+  /** out(node) = pattern ids ending at this node (suffix-merged). */
+  private val out: Array[Array[Int]] = compiled._2
 
-  private val fail = new Array[Int](next.length)
-  locally { // BFS fail links + dictionary-suffix output merge
-    val queue = mutable.Queue.empty[Int]
-    next(0).valuesIterator.foreach(queue.enqueue(_)) // depth-1: fail -> root
-    while (queue.nonEmpty) {
-      val u = queue.dequeue()
-      outBuf(u) ++= outBuf(fail(u))
-      next(u).foreach { case (ch, v) =>
-        var f = fail(u)
-        while (f != 0 && !next(f).contains(ch)) f = fail(f)
-        fail(v) = next(f).get(ch).filter(_ != v).getOrElse(0)
-        queue.enqueue(v)
-      }
-    }
-  }
-
-  private val out: Array[Array[Int]] = outBuf.map(_.toArray).toArray
-
-  /** All-occurrence counts per pattern, one pass. */
+  /** All-occurrence counts per pattern, one pass over the raw bytes. */
   def matchCounts(text: UTF8String): GenericArrayData = {
     val counts = new Array[Long](patterns.length)
-    val s = text.toString
     var state = 0
     var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      while (state != 0 && !next(state).contains(ch)) state = fail(state)
-      state = next(state).getOrElse(ch, 0)
+    val n = text.numBytes()
+    while (i < n) {
+      state = goto((state << 8) | (text.getByte(i) & 0xff))
       val hits = out(state)
       var k = 0
       while (k < hits.length) { counts(hits(k)) += 1L; k += 1 }
       i += 1
     }
     new GenericArrayData(counts)
+  }
+}
+
+object AcAutomaton {
+  /** Trie + BFS failure links + dictionary-suffix merge, then the
+    * failure function folded into a dense goto table (the classic
+    * DFA-ization): goto(u, b) = child if present, else goto(fail(u), b)
+    * — computed in BFS order so the parent's resolution is final. */
+  private def compile(patterns: Array[String],
+                      maxNodes: Int): (Array[Int], Array[Array[Int]]) = {
+    val next = mutable.ArrayBuffer(mutable.HashMap.empty[Int, Int])
+    val outBuf = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pid) =>
+      var node = 0
+      p.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+        node = next(node).getOrElseUpdate(b & 0xff, {
+          require(next.length < maxNodes,
+            s"ac_match_counts: pattern set compiles past $maxNodes nodes")
+          next += mutable.HashMap.empty[Int, Int]
+          outBuf += mutable.ArrayBuffer.empty[Int]
+          next.length - 1
+        })
+      }
+      outBuf(node) += pid
+    }
+    val nNodes = next.length
+    val fail = new Array[Int](nNodes)
+    val goto = new Array[Int](nNodes << 8) // root row starts all-zero = root
+    val queue = mutable.Queue.empty[Int]
+    next(0).foreach { case (b, v) => goto(b) = v; queue.enqueue(v) }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      outBuf(u) ++= outBuf(fail(u))
+      val base = u << 8
+      var b = 0
+      while (b < 256) {
+        goto(base | b) = next(u).get(b) match {
+          case Some(v) =>
+            fail(v) = goto((fail(u) << 8) | b) // parent's row is final
+            queue.enqueue(v)
+            v
+          case None => goto((fail(u) << 8) | b)
+        }
+        b += 1
+      }
+    }
+    (goto, outBuf.map(_.toArray).toArray)
   }
 }
 

@@ -37,6 +37,13 @@ class AhoCorasickSpec extends SparkSpec {
     assert(counts(text, pats: _*) === expected)
   }
 
+  test("byte-level matching is exact for multi-byte UTF-8 patterns") {
+    assert(counts("café café", "é", "café") === Seq(2L, 2L))
+    assert(counts("ééé", "éé") === Seq(2L))
+    // CJK (3-byte) pattern inside mixed text
+    assert(counts("a世界 b世界", "世界") === Seq(2L))
+  }
+
   test("AcAutomaton rejects empty and duplicate pattern sets") {
     intercept[IllegalArgumentException](new AcAutomaton(Array.empty))
     intercept[IllegalArgumentException](new AcAutomaton(Array("a", "")))
