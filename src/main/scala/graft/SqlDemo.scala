@@ -44,6 +44,12 @@ object SqlDemo {
         """SELECT size(misra_gries(lang, 3)), size(kmv_sketch(poly_hash(lang), 8)),
           |       size(cms_sketch(poly_hash(lang), 4, 64))
           |FROM documents""".stripMargin).head().toSeq.mkString(", "))
+    println("[sqldemo] gram_matrix (2-dim triangle of sum q q^T): " +
+      spark.sql(
+        """SELECT gram_matrix(q, 2) FROM (
+          |  SELECT array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)) AS q
+          |  UNION ALL SELECT array(CAST(-1 AS BIGINT), CAST(4 AS BIGINT)))
+          |""".stripMargin).head().getSeq[Long](0).mkString(", "))
     spark.sql(
       """SELECT count(DISTINCT poly_hash(lower(trim(text)))) AS distinct_fp,
         |       count(*) AS n

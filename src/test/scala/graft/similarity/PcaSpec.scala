@@ -118,6 +118,16 @@ class PcaSpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 
+  test("gram_matrix is callable from SQL and matches the Column API") {
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    val sql = spark.sql(
+      """SELECT gram_matrix(q, 2) FROM (
+        |  SELECT array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)) AS q
+        |  UNION ALL SELECT array(CAST(-1 AS BIGINT), CAST(4 AS BIGINT)))
+        |""".stripMargin).head().getSeq[Long](0)
+    assert(sql === Seq(2L, -2L, 20L)) // [[2,-2],[-2,20]] upper triangle
+  }
+
   test("gram_matrix plans a partial aggregate below the exchange") {
     val df = (0 until 16).map(i => (i.toLong, Seq(i.toLong, 1L)))
       .toDF("vec_id", "q").repartition(4)
