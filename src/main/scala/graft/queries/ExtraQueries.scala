@@ -2643,6 +2643,37 @@ object ExtraQueries {
         Tables.embeddings(s, dir).select("vec_id", "embedding"), dim = 64)
     },
 
+    // ----- CCNet head/middle/tail buckets (Wenzek et al. 2020): each
+    //       source judged against itself, exact population terciles
+    QueryDef("x116_ccnet_buckets",
+      "CCNet perplexity bucketing: per-source LM-score rank cut into exact population terciles (head = the source's best third) — the construction CCNet ships, vs a global cut that would erase weak sources entirely; micro-unit band + doc_id rank (row-order immune), bucket = (rn-1)*3 div n exact integer split, ONE source-keyed window after the x27 scoring plan")(
+      s"""WITH n AS (SELECT doc_id, string_split($normD, ' ') AS ws FROM documents),
+         |w AS (SELECT doc_id, ws FROM n WHERE len(ws) >= 2),
+         |ix AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+         |b AS (SELECT doc_id, i AS pos, ws[i] AS w1, ws[i] || '_' || ws[i+1] AS bg FROM ix),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+         |l AS (SELECT doc_id, pos, ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS lp
+         |      FROM b JOIN c2 USING (bg) JOIN c1 USING (w1)),
+         |s AS (SELECT doc_id,
+         |        round(list_reduce(list(lp ORDER BY pos), (a, x) -> a + x) / count(*), 6)
+         |          AS lm_score
+         |      FROM l GROUP BY doc_id),
+         |r AS (SELECT s.doc_id, d.source, s.lm_score,
+         |        -CAST(round(s.lm_score * 1000000, 0) AS BIGINT) AS band
+         |      FROM s JOIN documents d ON s.doc_id = d.doc_id),
+         |k AS (SELECT doc_id, source, lm_score,
+         |        row_number() OVER (PARTITION BY source ORDER BY band, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM r)
+         |SELECT doc_id, source, lm_score,
+         |  (['head', 'middle', 'tail'])[CAST((rn - 1) * 3 // n AS INT) + 1] AS bucket
+         |FROM k
+         |""".stripMargin) { (s, dir) =>
+      TextOps.ccnetBuckets(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("source"))
+    },
+
     // ----- export manifest diff (incremental re-export decision table);
     // version B derived deterministically in BOTH engines: %23=1 docs
     // deleted, %17=3 docs edited, %29=2 docs re-added under new ids

@@ -302,6 +302,44 @@ object TextOps {
         round(col("_s") / col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** CCNet head/middle/tail bucketing (x116 — Wenzek et al. 2020): rank
+    * every document WITHIN ITS SOURCE by LM score and cut into exact
+    * population terciles — head = the source's best-scoring third. This
+    * is the construction CCNet actually ships (per-language perplexity
+    * terciles, with "head+middle kept, tail dropped or downsampled" the
+    * standard recipe); it differs from a global quality cut because each
+    * source is judged against itself — a weak source's head is still
+    * its head.
+    *
+    * Determinism: ranks order by (micro-unit score band, doc_id) — the
+    * x109 banding discipline, row-order immune; bucket = (rn−1)·3 div n
+    * (exact integer division), so tercile boundaries are exact
+    * population splits, not approximate quantiles. Docs under 2 bigrams
+    * have no LM score and are excluded (the [[lmScore]] domain).
+    *
+    * Scale shape: [[lmScore]]'s two model aggregations + scoring join,
+    * then ONE source-keyed window (rank + count share the partition).
+    * Sources are the natural partition unit of a crawl corpus; a
+    * pathologically hot source degrades to a big per-partition sort,
+    * not OOM (zero state). */
+  def ccnetBuckets(docs: DataFrame, id: Column, text: Column,
+                   source: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(docs, id, text)
+    val src = docs.select(id.as("doc_id"), source.as("source"))
+    val byScore = Window.partitionBy(col("source"))
+      .orderBy(col("band"), col("doc_id"))
+    val whole = Window.partitionBy(col("source"))
+    scored.join(src, "doc_id")
+      .withColumn("band",
+        -round(col("lm_score") * lit(1000000.0), 0).cast(LongType))
+      .withColumn("rn", row_number().over(byScore))
+      .withColumn("n", count(lit(1)).over(whole))
+      .select(col("doc_id"), col("source"), col("lm_score"),
+        element_at(lit(Array("head", "middle", "tail")),
+          expr("((rn - 1) * 3 div n) + 1").cast(IntegerType)).as("bucket"))
+  }
+
   /** Deterministic global training order: a dense permutation
     * seq ∈ [1, N] of the corpus in (content-hash, doc_id) order — the
     * "shuffle the training set reproducibly" step (hash order is

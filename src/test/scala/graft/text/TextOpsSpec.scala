@@ -315,6 +315,28 @@ class TextOpsSpec extends SparkSpec {
     assert(single.count() === 0L)
   }
 
+  test("ccnetBuckets: per-source exact terciles; a weak source still has a head") {
+    // source A: 6 scoreable docs -> 2/2/2; source B: 2 docs -> terciles
+    // (rn-1)*3 div 2 = 0,1 -> head, middle (never tail at n=2).
+    // Repetition count of "a b" drives the LM score: more repeats of the
+    // common bigram = higher mean log-prob = better rank.
+    def doc(rep: Int, tail: String) = (("a b " * rep) + tail).trim
+    val docs = Seq(
+      (1L, doc(6, ""), "A"), (2L, doc(5, "a z"), "A"), (3L, doc(4, "a y"), "A"),
+      (4L, doc(3, "a x"), "A"), (5L, doc(2, "a w"), "A"), (6L, doc(1, "a v"), "A"),
+      (10L, doc(4, ""), "B"), (11L, doc(1, "a u"), "B"),
+      (20L, "solo", "B") // unscoreable (no bigram): excluded
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.ccnetBuckets(docs, col("doc_id"), col("text"), col("source"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(3)))).toMap
+    assert(got.size === 8) // doc 20 excluded
+    assert(got(1L) === (("A", "head")) && got(2L) === (("A", "head")))
+    assert(got(3L) === (("A", "middle")) && got(4L) === (("A", "middle")))
+    assert(got(5L) === (("A", "tail")) && got(6L) === (("A", "tail")))
+    // the weak source's best doc is ITS head, judged against itself
+    assert(got(10L) === (("B", "head")) && got(11L) === (("B", "middle")))
+  }
+
   test("repetition: a constant-bigram doc scores 1.0, diverse text scores lower") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),          // one bigram repeated
