@@ -86,6 +86,17 @@ object GraftExtensions {
     }
   }
 
+  /** Fold a constant argument to a byte array (the serialized-sketch
+    * parameter shape — e.g. a Bloom filter riding the plan). */
+  private def binaryArg(fnName: String, param: String,
+                        e: Expression): Array[Byte] = {
+    requireFoldable(fnName, param, "BINARY", e)
+    e.eval() match {
+      case b: Array[Byte] if b.nonEmpty => b
+      case _ => badArg(fnName, param, "a non-empty binary literal")
+    }
+  }
+
   private def fn(name: String, cls: Class[_], arity: Int, usage: String)(
       build: Seq[Expression] => Expression) =
     (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
@@ -157,7 +168,9 @@ object GraftExtensions {
     fn("gram_matrix", classOf[GramMatrixAgg], 2, "gram_matrix(array<bigint>, dim)")(
       a => GramMatrixAgg(a.head, intArg("gram_matrix", "dim", a(1)))),
     fn("ac_match_counts", classOf[AcMatchCounts], 2, "ac_match_counts(str, array<string>)")(
-      a => AcMatchCounts(a.head, stringSeqArg("ac_match_counts", "patterns", a(1)))))
+      a => AcMatchCounts(a.head, stringSeqArg("ac_match_counts", "patterns", a(1)))),
+    fn("bloom_might_contain", classOf[BloomMightContain], 2, "bloom_might_contain(bigint, binary)")(
+      a => BloomMightContain(a.head, binaryArg("bloom_might_contain", "bloom", a(1)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */
@@ -254,4 +267,12 @@ object functions {
 
   def ac_match_counts(text: Column, patterns: Seq[String]): Column =
     GraftBridge.column(AcMatchCounts(GraftBridge.expression(text), patterns))
+
+  def bloom_might_contain(key: Column,
+                          bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    GraftBridge.column(
+      BloomMightContain(GraftBridge.expression(key), bos.toByteArray))
+  }
 }

@@ -576,6 +576,26 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(col("v_c")).as("vol_c"))
     },
 
+    // ----- J7: bloom-pruned join — the explicit runtime-filter form
+    QueryDef("j07_bloom_join",
+      "bloom-pruned shuffle join: a Bloom filter over the SELECTIVE dim side's keys (urgent orders, ~20% of the table) pushed onto the fact scan as a codegen'd literal predicate before the exchange — no false negatives makes the pre-filter semantically transparent for the inner join (false positives die in the real join), so only ~matching + fpp fact rows pay shuffle I/O; result bit-identical to the plain join the oracle runs")(
+      s"""SELECT o.o_orderpriority, count(*) AS n,
+         |       CAST(sum(${centsSql("l.l_extendedprice")}) AS BIGINT) AS rev_c
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), Norms.cents(col("l_extendedprice")).as("p_c"))
+      val dim = Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      BloomJoin.bloomPrunedJoin(fact, dim, key = "l_orderkey",
+          expectedDimKeys = 1000000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("p_c")).as("rev_c"))
+    },
+
     // ----- D2 (unique_key): upsert/latest-per-key — dbt incremental MERGE analog
     QueryDef("d06_upsert_unique_key",
       "latest row per unique key via max_by (one combinable aggregation) — the dbt unique_key MERGE semantics")(
