@@ -578,7 +578,7 @@ object CoreQueries {
 
     // ----- J7: bloom-pruned join — the explicit runtime-filter form
     QueryDef("j07_bloom_join",
-      "bloom-pruned shuffle join: a Bloom filter over the SELECTIVE dim side's keys (urgent orders, ~20% of the table) pushed onto the fact scan as a codegen'd literal predicate before the exchange — no false negatives makes the pre-filter semantically transparent for the inner join (false positives die in the real join), so only ~matching + fpp fact rows pay shuffle I/O; result bit-identical to the plain join the oracle runs")(
+      "bloom-pruned shuffle join: a Bloom filter over the SELECTIVE dim side's keys (urgent+high orders, ~40% of the table) pushed onto the fact scan as a codegen'd literal predicate before the exchange — no false negatives makes the pre-filter semantically transparent for the inner join (false positives die in the real join), so only ~matching + fpp fact rows pay shuffle I/O; result bit-identical to the plain join the oracle runs")(
       s"""SELECT o.o_orderpriority, count(*) AS n,
          |       CAST(sum(${centsSql("l.l_extendedprice")}) AS BIGINT) AS rev_c
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -672,6 +672,50 @@ object CoreQueries {
       Silver.pointInTime(facts, "ts", versions)
         .select(col("event_id"), col("ts"), col("tracked").as("state_at"),
           col("anchor_id").as("version_anchor"))
+    },
+
+    // ----- D9: dbt generic schema-test battery (violations planted
+    // deterministically — the base testdata is clean on all four)
+    QueryDef("d09_schema_tests",
+      "dbt's four generic schema tests with dbt's own violation semantics — unique (distinct duplicated key values), not_null (null rows), relationships (non-null FK orphans via ONE left-anti join), accepted_values (distinct out-of-set values); planted mutations exercise every test; passed iff 0, dbt's gate")(
+      """WITH ev AS (SELECT event_id, user_id, event_type FROM events),
+        |m1 AS (SELECT event_id, user_id + 10000000 AS user_id,
+        |              event_type || '_zz' AS event_type
+        |       FROM ev WHERE event_id % 97 = 0),
+        |m2 AS (SELECT event_id + 20000000 AS event_id, user_id,
+        |              NULL AS event_type
+        |       FROM ev WHERE event_id % 193 = 0),
+        |c AS (SELECT * FROM ev UNION ALL SELECT * FROM m1
+        |      UNION ALL SELECT * FROM m2),
+        |r AS (
+        |  SELECT 'unique' AS test, CAST(count(*) AS BIGINT) AS n_violations
+        |  FROM (SELECT event_id FROM c GROUP BY 1 HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'not_null', CAST(count(*) FILTER (event_type IS NULL) AS BIGINT)
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'relationships', CAST(count(*) AS BIGINT)
+        |  FROM c WHERE user_id IS NOT NULL
+        |    AND user_id NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'accepted_values', CAST(count(DISTINCT event_type) AS BIGINT)
+        |  FROM c WHERE event_type IS NOT NULL
+        |    AND event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view'))
+        |SELECT test, n_violations, n_violations = 0 AS passed FROM r
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val m1 = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), (col("user_id") + 10000000L).as("user_id"),
+          concat(col("event_type"), lit("_zz")).as("event_type"))
+      val m2 = ev.filter(col("event_id") % 193 === 0)
+        .select((col("event_id") + 20000000L).as("event_id"), col("user_id"),
+          lit(null).cast(StringType).as("event_type"))
+      Silver.schemaTests(ev.unionByName(m1).unionByName(m2),
+        col("event_id"), col("event_type"), col("user_id"),
+        Tables.customer(s, dir).select("c_custkey"),
+        col("event_type"),
+        Seq("click", "error", "purchase", "signup", "view"))
     },
 
     // ----- O1/J3: latest-row probe (tracker.py:177-180)

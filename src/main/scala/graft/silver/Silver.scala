@@ -143,6 +143,47 @@ object Silver {
       payload = Seq("tracked", "anchor_id"))
   }
 
+  /** D9: dbt's generic schema-test battery — the four canonical tests
+    * every dbt project declares (`unique`, `not_null`, `relationships`,
+    * `accepted_values`), each with dbt's own violation-row semantics:
+    *  - `unique`: distinct key VALUES appearing more than once (dbt's
+    *    test query is a HAVING count>1 — one row per duplicated value);
+    *  - `not_null`: rows where the column is null;
+    *  - `relationships`: child rows whose non-null FK has no parent
+    *    (dbt skips null FKs — a null never orphans);
+    *  - `accepted_values`: distinct non-null VALUES outside the set.
+    * Output: (test, n_violations, passed) — passed iff 0, dbt's gate.
+    *
+    * Scale shape: `unique` is one map-side-combinable groupBy on the
+    * key; `relationships` is one LEFT ANTI join (strategy AQE's call —
+    * a dim-sized parent broadcasts); `not_null`/`accepted_values` are
+    * single-scan conditional aggregates. Nothing collects, nothing is
+    * corpus-bounded on the driver; the four one-row results union. */
+  def schemaTests(rows: DataFrame, uniqueKey: Column, requiredCol: Column,
+                  fk: Column, parentKeys: DataFrame,
+                  acceptedCol: Column, accepted: Seq[String]): DataFrame = {
+    require(accepted.nonEmpty, "schemaTests: empty accepted_values set")
+    val u = rows.groupBy(uniqueKey.as("_v")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("unique").as("test"), col("n_violations"))
+    val nn = rows
+      .agg(count(when(requiredCol.isNull, 1)).as("n_violations"))
+      .select(lit("not_null").as("test"), col("n_violations"))
+    val rel = rows.select(fk.as("_v")).filter(col("_v").isNotNull)
+      .join(parentKeys.select(col(parentKeys.columns.head).as("_v")),
+        Seq("_v"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("relationships").as("test"), col("n_violations"))
+    val av = rows.select(acceptedCol.as("_v"))
+      .filter(col("_v").isNotNull && !col("_v").isin(accepted: _*))
+      .agg(countDistinct(col("_v")).as("n_violations"))
+      .select(lit("accepted_values").as("test"), col("n_violations"))
+    u.unionByName(nn).unionByName(rel).unionByName(av)
+      .select(col("test"), col("n_violations"),
+        (col("n_violations") === 0).as("passed"))
+  }
+
   def incrementalAfter(source: DataFrame, target: DataFrame,
                        watermarkCol: Column, lagBack: String): DataFrame = {
     val mx = target.agg(max(watermarkCol).as("_hwm"))

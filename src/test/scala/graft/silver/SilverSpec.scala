@@ -99,6 +99,33 @@ class SilverSpec extends SparkSpec {
     assert(got.toSeq === Seq((101L, "A", 2L), (102L, "A", 2L), (103L, "B", 3L)))
   }
 
+  test("schemaTests: dbt violation semantics, hand-computed") {
+    // id 1 duplicated (1 dup VALUE); one null type (1 row); fk 99 has
+    // no parent twice (2 ROWS); bad values "x","y" (2 distinct VALUES,
+    // "x" twice) — and the null fk row is NOT an orphan (dbt skips it)
+    val rows = Seq(
+      (1L, Option("a"), Option(10L)),
+      (1L, Option("a"), Option(10L)),
+      (2L, Option.empty[String], Option(10L)),
+      (3L, Option("x"), Option(99L)),
+      (4L, Option("x"), Option(99L)),
+      (5L, Option("y"), Option.empty[Long])
+    ).toDF("id", "v", "fk")
+    val parent = Seq(Tuple1(10L)).toDF("pk")
+    val got = Silver.schemaTests(rows, col("id"), col("v"), col("fk"),
+        parent, col("v"), Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      "unique" -> ((1L, false)),
+      "not_null" -> ((1L, false)),
+      "relationships" -> ((2L, false)),
+      "accepted_values" -> ((2L, false))))
+    // a clean table passes all four
+    val clean = Seq((1L, Option("a"), Option(10L))).toDF("id", "v", "fk")
+    assert(Silver.schemaTests(clean, col("id"), col("v"), col("fk"),
+      parent, col("v"), Seq("a")).collect().forall(_.getBoolean(2)))
+  }
+
   test("scd2Snapshot plans ONE exchange (both windows + close share the key partitioning)") {
     val log = Seq((1L, "A", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "v", "ts", "id")
     val plan = Silver.scd2Snapshot(log, col("k"), col("v"), col("ts"), col("id"))
