@@ -44,6 +44,27 @@ class AhoCorasickSpec extends SparkSpec {
     assert(counts("a世界 b世界", "世界") === Seq(2L))
   }
 
+  test("property: DFA counts equal the naive position scan on sampled texts") {
+    // deterministic Lehmer stream; small alphabet maximizes overlaps,
+    // nested patterns, and failure-link traffic
+    var state = 12345L
+    def nxt(n: Int): Int = {
+      state = state * 48271L % 2147483647L
+      (state % n).toInt
+    }
+    val alpha = "abc"
+    val pats = Array("a", "ab", "ba", "aba", "bab", "abc", "cc")
+    val auto = new AcAutomaton(pats)
+    (1 to 200).foreach { _ =>
+      val text = Array.fill(nxt(40) + 1)(alpha(nxt(3))).mkString
+      val expected = pats.map { p =>
+        (0 to text.length - p.length).count(i => text.startsWith(p, i)).toLong
+      }.toSeq
+      val got = auto.matchCounts(UTF8String.fromString(text)).toLongArray().toSeq
+      assert(got === expected, s"text=$text")
+    }
+  }
+
   test("AcAutomaton rejects empty and duplicate pattern sets") {
     intercept[IllegalArgumentException](new AcAutomaton(Array.empty))
     intercept[IllegalArgumentException](new AcAutomaton(Array("a", "")))
