@@ -2674,6 +2674,50 @@ object ExtraQueries {
         col("doc_id"), col("text"), col("source"))
     },
 
+    // ----- Zipf spectrum fit: the corpus-LEVEL shape statistic the
+    //       pointwise dup/repetition signals don't give
+    QueryDef("x117_zipf_fit",
+      "Zipf spectrum fit: OLS of ln(freq) on ln(rank) over the top-100 tokens — slope (the Zipf exponent, ~-1 for natural text) and R2 as a corpus-health readout (dup floods bulge the head, templates fatten the tail); one word-count aggregation + a constant-V TakeOrdered, driver OLS in rank order replayed by the oracle's ordered list folds")(
+      s"""WITH n AS (SELECT $normD AS t FROM documents),
+         |wd AS (SELECT unnest(string_split(t, ' ')) AS w FROM n),
+         |dw AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wd WHERE w <> '' GROUP BY w),
+         |rk AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM dw),
+         |tv AS (SELECT * FROM rk WHERE rank <= 100),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+         |         list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS xs,
+         |         list(ln(CAST(cnt AS DOUBLE)) ORDER BY rank) AS ys
+         |       FROM tv),
+         |f AS (SELECT v, xs, ys,
+         |        list_reduce(xs, (a, b) -> a + b) AS sx,
+         |        list_reduce(ys, (a, b) -> a + b) AS sy,
+         |        list_reduce(list_transform(xs, x -> x*x), (a, b) -> a + b) AS sxx,
+         |        list_reduce(list_transform(list_zip(xs, ys), z -> z[1]*z[2]),
+         |          (a, b) -> a + b) AS sxy
+         |      FROM st),
+         |p AS (SELECT v, xs, ys, sx, sy,
+         |        CASE WHEN v*sxx - sx*sx = 0 THEN 0.0
+         |             ELSE (v*sxy - sx*sy) / (v*sxx - sx*sx) END AS slope
+         |      FROM f),
+         |p2 AS (SELECT v, xs, ys, slope,
+         |         (sy - slope*sx) / v AS intercept, sy / v AS yb
+         |       FROM p),
+         |r2c AS (SELECT v, slope, intercept,
+         |         list_reduce(list_transform(ys, y -> (y - yb)*(y - yb)),
+         |           (a, b) -> a + b) AS sst,
+         |         list_reduce(list_transform(list_zip(xs, ys),
+         |           z -> (z[2] - (slope*z[1] + intercept))*(z[2] - (slope*z[1] + intercept))),
+         |           (a, b) -> a + b) AS sse
+         |       FROM p2)
+         |SELECT tv.rank, tv.w AS word, tv.cnt,
+         |  round(r.slope*ln(CAST(tv.rank AS DOUBLE)) + r.intercept, 6) AS fitted_log,
+         |  round(r.slope, 6) AS slope, round(r.intercept, 6) AS intercept,
+         |  round(CASE WHEN r.sst = 0 THEN 0.0 ELSE 1.0 - r.sse/r.sst END, 6) AS r2,
+         |  CAST(r.v AS BIGINT) AS n_fit
+         |FROM tv, r2c r
+         |""".stripMargin) { (s, dir) =>
+      TextOps.zipfFit(Tables.documents(s, dir), col("text"))
+    },
+
     // ----- export manifest diff (incremental re-export decision table);
     // version B derived deterministically in BOTH engines: %23=1 docs
     // deleted, %17=3 docs edited, %29=2 docs re-added under new ids

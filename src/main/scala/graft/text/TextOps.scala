@@ -340,6 +340,67 @@ object TextOps {
           expr("((rn - 1) * 3 div n) + 1").cast(IntegerType)).as("bucket"))
   }
 
+  /** Zipf spectrum fit (x117): OLS of ln(freq) on ln(rank) over the
+    * top-V corpus tokens — the Zipf exponent (slope ≈ −1 for natural
+    * text) and fit quality (R²) are a standard corpus-health readout:
+    * a duplicated or boilerplate-saturated corpus bulges its head
+    * (slope flattens, R² drops at the top), template floods fatten the
+    * tail. Complements the pointwise signals (x20 repetition, x29
+    * dup-n-grams, x104 LZ) with a corpus-LEVEL shape statistic.
+    *
+    * Determinism: the distributed part is ONE word-count aggregation +
+    * a TakeOrdered of the constant-V head ((cnt desc, word) total
+    * order); the OLS runs on the driver over the V collected rows in
+    * rank order, every sum a left fold — the exact IEEE sequence the
+    * oracle's `list_reduce(... ORDER BY rank)` replays; the output is
+    * the model-sized result re-emitted (the x113 collect convention).
+    * Degenerate spectra (all-equal frequencies → zero OLS denominator)
+    * pin slope to 0.0, matching the oracle's guard.
+    *
+    * Output: one row per fitted rank (rank, word, cnt, fitted_log) +
+    * constant (slope, intercept, r2, n_fit). */
+  def zipfFit(docs: DataFrame, text: Column, topV: Int = 100): DataFrame = {
+    require(topV >= 2, s"zipfFit: need at least 2 ranks, got $topV")
+    val spark = docs.sparkSession
+    val top = docs
+      .select(explode(split(norm(text), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(topV)
+      .collect().map(r => (r.getString(0), r.getLong(1))) // V rows, bounded
+    val v = top.length
+    val xs = Array.tabulate(v)(i => math.log((i + 1).toDouble))
+    val ys = Array.tabulate(v)(i => math.log(top(i)._2.toDouble))
+    def fold(a: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i); i += 1 }
+      acc
+    }
+    val vd = v.toDouble
+    val sx = fold(xs)
+    val sy = fold(ys)
+    val sxx = fold(xs.map(x => x * x))
+    val sxy = fold(Array.tabulate(v)(i => xs(i) * ys(i)))
+    val den = vd * sxx - sx * sx
+    val slope = if (den == 0.0) 0.0 else (vd * sxy - sx * sy) / den
+    val intercept = (sy - slope * sx) / vd
+    val yb = sy / vd
+    val sst = fold(ys.map(y => (y - yb) * (y - yb)))
+    val sse = fold(Array.tabulate(v)(i => (ys(i) - (slope * xs(i) + intercept))
+      * (ys(i) - (slope * xs(i) + intercept))))
+    val r2 = if (sst == 0.0) 0.0 else 1.0 - sse / sst
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    top.zipWithIndex.map { case ((w, cnt), i) =>
+      (i + 1L, w, cnt, r6(slope * xs(i) + intercept),
+        r6(slope), r6(intercept), r6(r2), v.toLong)
+    }.toSeq
+      .toDF("rank", "word", "cnt", "fitted_log", "slope", "intercept",
+        "r2", "n_fit")
+  }
+
   /** Deterministic global training order: a dense permutation
     * seq ∈ [1, N] of the corpus in (content-hash, doc_id) order — the
     * "shuffle the training set reproducibly" step (hash order is

@@ -337,6 +337,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got(10L) === (("B", "head")) && got(11L) === (("B", "middle")))
   }
 
+  test("zipfFit: a planted power law fits slope ~ -1 with high R2; flat spectrum guards") {
+    // counts floor(60/rank) for 8 distinct words = a near-exact power law
+    val words = ('a' to 'h').map(_.toString)
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(60 / (i + 1))(w) }.mkString(" ")
+    val got = TextOps.zipfFit(Seq(Tuple1(text)).toDF("text"), col("text"))
+      .orderBy("rank").collect()
+    assert(got.length === 8)
+    val (slope, r2, nFit) = (got.head.getDouble(4), got.head.getDouble(6),
+      got.head.getLong(7))
+    assert(nFit === 8L)
+    assert(slope < -0.9 && slope > -1.1, s"Zipf exponent ~ -1, got $slope")
+    assert(r2 > 0.99, s"near-exact power law, got $r2")
+    assert(got.head.getString(1) === "a" && got.head.getLong(2) === 60L)
+    // flat spectrum: equal counts -> slope exactly 0, R2 guard 0
+    val flat = TextOps.zipfFit(
+      Seq(Tuple1("x y z x y z")).toDF("text"), col("text"))
+      .collect().head
+    assert(flat.getDouble(4) === 0.0 && flat.getDouble(6) === 0.0)
+  }
+
   test("repetition: a constant-bigram doc scores 1.0, diverse text scores lower") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),          // one bigram repeated
