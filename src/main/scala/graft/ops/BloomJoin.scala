@@ -29,12 +29,24 @@ import org.apache.spark.sql.functions._
   * sizing. */
 object BloomJoin {
   /** Inner-join `fact` to `dim` on long-typed `key`, pre-pruning the
-    * fact side with a Bloom filter of the dim keys. */
+    * fact side with a Bloom filter of the dim keys.
+    *
+    * `expectedDimKeys` ≤ 0 (the default) sizes the filter from an exact
+    * `dim.count()` — one extra pass over the SMALL side only (the
+    * corpus-scaled-sizing convention, cf. `Similarity.scaledCells`).
+    * A hardcoded constant silently undersizes as the dim grows with the
+    * scale factor: results stay correct (no false negatives) but the
+    * effective fpp inflates and the pruning this operator exists for
+    * erodes. Pass an explicit value only when the dim's cardinality is
+    * genuinely known a priori (e.g. a fixed enum dim). */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                      expectedDimKeys: Long, fpp: Double = 0.01): DataFrame = {
-    require(expectedDimKeys > 0 && fpp > 0 && fpp < 1,
-      s"bloomPrunedJoin: bad sizing ($expectedDimKeys, $fpp)")
-    val bloom = dim.stat.bloomFilter(key, expectedDimKeys, fpp)
+                      expectedDimKeys: Long = -1L,
+                      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"bloomPrunedJoin: bad fpp ($fpp)")
+    val sized =
+      if (expectedDimKeys > 0) expectedDimKeys
+      else math.max(dim.count(), 1L)
+    val bloom = dim.stat.bloomFilter(key, sized, fpp)
     fact.filter(graft.plans.functions.bloom_might_contain(col(key), bloom))
       .join(dim, key)
   }

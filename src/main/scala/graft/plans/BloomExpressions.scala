@@ -56,4 +56,17 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
   override def prettyName: String = "bloom_might_contain"
+
+  /* Case-class equality on Array[Byte] is reference-based, which makes
+   * two semantically identical probes never `equals` — Catalyst
+   * subexpression elimination, sameResult/exchange reuse, and plan
+   * canonicalization all key on expression equality, so they'd silently
+   * miss. Structural content equality restores them. */
+  override def equals(other: Any): Boolean = other match {
+    case BloomMightContain(c, b) =>
+      child == c && java.util.Arrays.equals(bloomBytes, b)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }

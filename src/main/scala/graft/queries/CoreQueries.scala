@@ -590,8 +590,9 @@ object CoreQueries {
       val dim = Tables.orders(s, dir)
         .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      BloomJoin.bloomPrunedJoin(fact, dim, key = "l_orderkey",
-          expectedDimKeys = 1000000L)
+      // sized from dim.count() — the urgent+high slice scales with the
+      // SF, so a constant would undersize the filter past SF~2
+      BloomJoin.bloomPrunedJoin(fact, dim, key = "l_orderkey")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum(col("p_c")).as("rev_c"))
     },
@@ -689,7 +690,8 @@ object CoreQueries {
         |      UNION ALL SELECT * FROM m2),
         |r AS (
         |  SELECT 'unique' AS test, CAST(count(*) AS BIGINT) AS n_violations
-        |  FROM (SELECT event_id FROM c GROUP BY 1 HAVING count(*) > 1)
+        |  FROM (SELECT event_id FROM c WHERE event_id IS NOT NULL
+        |        GROUP BY 1 HAVING count(*) > 1)
         |  UNION ALL
         |  SELECT 'not_null', CAST(count(*) FILTER (event_type IS NULL) AS BIGINT)
         |  FROM c

@@ -146,8 +146,10 @@ object Silver {
   /** D9: dbt's generic schema-test battery — the four canonical tests
     * every dbt project declares (`unique`, `not_null`, `relationships`,
     * `accepted_values`), each with dbt's own violation-row semantics:
-    *  - `unique`: distinct key VALUES appearing more than once (dbt's
-    *    test query is a HAVING count>1 — one row per duplicated value);
+    *  - `unique`: distinct NON-NULL key VALUES appearing more than once
+    *    (dbt's test query filters `where column is not null` then
+    *    HAVING count>1 — one row per duplicated value; nulls are
+    *    not_null's job, so two null keys are NOT a unique violation);
     *  - `not_null`: rows where the column is null;
     *  - `relationships`: child rows whose non-null FK has no parent
     *    (dbt skips null FKs — a null never orphans);
@@ -163,7 +165,8 @@ object Silver {
                   fk: Column, parentKeys: DataFrame,
                   acceptedCol: Column, accepted: Seq[String]): DataFrame = {
     require(accepted.nonEmpty, "schemaTests: empty accepted_values set")
-    val u = rows.groupBy(uniqueKey.as("_v")).agg(count(lit(1)).as("_c"))
+    val u = rows.filter(uniqueKey.isNotNull)
+      .groupBy(uniqueKey.as("_v")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") > 1)
       .agg(count(lit(1)).as("n_violations"))
       .select(lit("unique").as("test"), col("n_violations"))

@@ -40,19 +40,18 @@ final class BlocklistMonitor private (val storeDir: String,
     val arr = concat(
       graft.plans.functions.ac_match_counts(coalesce(text, lit("")), patterns),
       array(lit(1L)))
-    batch0
+    val summary = batch0
       .select(posexplode(arr).as(Seq("pidx", "hits")))
       .groupBy(col("pidx"))
       .agg(count(when(col("hits") > 0, 1)).as("n_docs"),
         sum(col("hits")).as("n_hits"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$batchesDir/batch=$batchId")
+    BatchStore.writeSlot(summary, s"$batchesDir/batch=$batchId")
   }
 
   private def store(spark: SparkSession): Option[DataFrame] =
-    try Some(spark.read.parquet(batchesDir)
-      .withColumn("batch", col("batch").cast(LongType)))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+    BatchStore.readSlots(spark, batchesDir)
+      .map(_.withColumn("batch", col("batch").cast(LongType)))
 
   private def named(df: DataFrame): DataFrame = {
     val pat = when(col("pidx") < pcount,

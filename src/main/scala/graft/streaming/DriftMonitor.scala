@@ -33,14 +33,16 @@ final class DriftMonitor private (val storeDir: String,
     val row = Similarity.embeddingDrift(reference, batch, nCells)
       .agg(round(sum(col("share_delta")) / 2, 6).as("tvd"),
         sum(col("new_n")).as("n")).head()
-    Seq((row.getDouble(0), row.getLong(1)))
+    val slot = Seq((row.getDouble(0), row.getLong(1)))
       .toDF("tvd", "n").coalesce(1)
-      .write.mode("overwrite").parquet(s"$batchesDir/batch=$batchId")
+    BatchStore.writeSlot(slot, s"$batchesDir/batch=$batchId")
   }
 
   /** (batch_id, tvd, n) history, batch order. */
   def history(spark: SparkSession): DataFrame =
-    spark.read.parquet(batchesDir)
+    BatchStore.readSlots(spark, batchesDir)
+      .getOrElse(throw new IllegalStateException(
+        s"DriftMonitor: no batches ingested at $storeDir"))
       .withColumn("batch", col("batch").cast("long"))
       .select(col("batch").as("batch_id"), col("tvd"), col("n"))
       .orderBy("batch_id")

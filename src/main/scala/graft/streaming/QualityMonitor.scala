@@ -34,17 +34,16 @@ final class QualityMonitor private (val storeDir: String,
   /** foreachBatch hook: run the battery, store the 4-row verdict. */
   def ingest(batch0: DataFrame, batchId: Long, uniqueKey: Column,
              requiredCol: Column, fk: Column, acceptedCol: Column): Unit = {
-    graft.silver.Silver
+    val verdict = graft.silver.Silver
       .schemaTests(batch0, uniqueKey, requiredCol, fk, parentKeys,
         acceptedCol, accepted)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$batchesDir/batch=$batchId")
+    BatchStore.writeSlot(verdict, s"$batchesDir/batch=$batchId")
   }
 
   private def store(spark: SparkSession): Option[DataFrame] =
-    try Some(spark.read.parquet(batchesDir)
-      .withColumn("batch", col("batch").cast(LongType)))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+    BatchStore.readSlots(spark, batchesDir)
+      .map(_.withColumn("batch", col("batch").cast(LongType)))
 
   /** Per-batch verdict history: (batch_id, test, n_violations, passed). */
   def history(spark: SparkSession): DataFrame = store(spark) match {

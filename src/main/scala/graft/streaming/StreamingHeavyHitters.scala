@@ -49,13 +49,13 @@ final class StreamingHeavyHitters private (val storeDir: String, val k: Int) {
     val n = row.getLong(1)
     val spark = batch0.sparkSession
     import spark.implicits._
-    entries.toDF("item", "cnt").withColumn("btotal", lit(n))
+    val slot = entries.toDF("item", "cnt").withColumn("btotal", lit(n))
       // carry the batch total even when the summary is empty (all-null
       // batch): a single null-item marker row keeps the count
       .unionByName(Seq((null.asInstanceOf[String], 0L, n))
         .toDF("item", "cnt", "btotal"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$batchesDir/batch=$batchId")
+    BatchStore.writeSlot(slot, s"$batchesDir/batch=$batchId")
   }
 
   /** MG merge of two summaries — the Agarwal et al. rule. */
@@ -72,8 +72,9 @@ final class StreamingHeavyHitters private (val storeDir: String, val k: Int) {
   }
 
   private def store(spark: SparkSession): Seq[(Long, Map[String, Long], Long)] = {
-    val raw0 = try spark.read.parquet(batchesDir) catch {
-      case _: org.apache.spark.sql.AnalysisException => return Seq.empty
+    val raw0 = BatchStore.readSlots(spark, batchesDir) match {
+      case None => return Seq.empty
+      case Some(df) => df
     }
     // partition-column discovery infers small batch ids as INT — pin long
     val raw = raw0.withColumn("batch", col("batch").cast("long"))

@@ -100,9 +100,12 @@ final class StreamingIvf private (
       centroids = Some(init)
       init
     }
-    Similarity.assignCells(batch, "vec_id", "embedding", cents, 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode("overwrite").parquet(s"${genDir(gen)}/batch=$batchId")
+    // write-then-rename (BatchStore): readers of index() never see a
+    // torn slot between a crash and the engine's replay of the batch
+    BatchStore.writeSlot(
+      Similarity.assignCells(batch, "vec_id", "embedding", cents, 1)
+        .select(col("vec_id"), col("embedding"), col("cell")),
+      s"${genDir(gen)}/batch=$batchId")
     nBatches += 1
     if (nBatches % refineEvery == 0) refine(spark)
   }
@@ -117,9 +120,10 @@ final class StreamingIvf private (
       newCents.count()
       val next = gen + 1
       newCents.write.mode("overwrite").parquet(centsPath(next))
-      Similarity.assignCells(corpus, "vec_id", "embedding", newCents, 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-        .write.mode("overwrite").parquet(s"${genDir(next)}/batch=rebuild")
+      BatchStore.writeSlot(
+        Similarity.assignCells(corpus, "vec_id", "embedding", newCents, 1)
+          .select(col("vec_id"), col("embedding"), col("cell")),
+        s"${genDir(next)}/batch=rebuild")
       writeMarker(spark, next) // atomic cutover: marker is written LAST
       centroids.foreach(_.unpersist())
       centroids = Some(newCents)

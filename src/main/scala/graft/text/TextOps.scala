@@ -354,8 +354,11 @@ object TextOps {
     * rank order, every sum a left fold — the exact IEEE sequence the
     * oracle's `list_reduce(... ORDER BY rank)` replays; the output is
     * the model-sized result re-emitted (the x113 collect convention).
-    * Degenerate spectra (all-equal frequencies → zero OLS denominator)
-    * pin slope to 0.0, matching the oracle's guard.
+    * Degenerate spectra: the den==0 guard fires only at v==1 (a single
+    * rank — the xs = ln(rank) are distinct otherwise, so the OLS
+    * denominator never vanishes past one point); all-EQUAL frequencies
+    * zero the NUMERATOR instead and give slope ~0 through the ordinary
+    * arithmetic. Both paths match the oracle's guard.
     *
     * Output: one row per fitted rank (rank, word, cnt, fitted_log) +
     * constant (slope, intercept, r2, n_fit). */

@@ -126,6 +126,24 @@ class SilverSpec extends SparkSpec {
       parent, col("v"), Seq("a")).collect().forall(_.getBoolean(2)))
   }
 
+  test("schemaTests: NULL unique keys are not a unique violation (dbt filters them — nulls are not_null's job)") {
+    // two NULL ids: dbt's unique test applies `where column is not null`
+    // before the HAVING count>1, so the only unique violation is the
+    // duplicated 7; the nulls surface through not_null on that column
+    val rows = Seq(
+      (Option.empty[Long], Option("a"), Option(10L)),
+      (Option.empty[Long], Option("a"), Option(10L)),
+      (Option(7L), Option("a"), Option(10L)),
+      (Option(7L), Option("a"), Option(10L))
+    ).toDF("id", "v", "fk")
+    val parent = Seq(Tuple1(10L)).toDF("pk")
+    val got = Silver.schemaTests(rows, col("id"), col("id"), col("fk"),
+        parent, col("v"), Seq("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("unique") === 1L)   // just the value 7 — NOT the null pair
+    assert(got("not_null") === 2L) // the nulls report here instead
+  }
+
   test("scd2Snapshot plans ONE exchange (both windows + close share the key partitioning)") {
     val log = Seq((1L, "A", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "v", "ts", "id")
     val plan = Silver.scd2Snapshot(log, col("k"), col("v"), col("ts"), col("id"))
