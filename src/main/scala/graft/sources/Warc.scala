@@ -28,9 +28,19 @@ final case class WarcRecord(
   * Content-Length byte framing, mandatory CRLF CRLF record separator —
   * and malformed framing is REFUSED with a position-carrying error,
   * never guessed at: silently resynchronizing a mis-framed 100-TB crawl
-  * corrupts every record after the first bad byte. Per-file gzip
-  * (`.warc.gz` members) is the declared stub seam, as inter-frame
-  * codecs are for mp4.
+  * corrupts every record after the first bad byte.
+  *
+  * `.warc.gz` (what CommonCrawl actually publishes) is per-RECORD gzip:
+  * each record is its own RFC 1952 member and members concatenate, so a
+  * range request can decompress one record without its neighbors.
+  * [[parseGzipRecords]] walks the members one at a time — gzip header
+  * fields parsed from the spec, raw-deflate inflate with an exact
+  * consumed-byte count to find the member boundary, and the CRC32 +
+  * ISIZE trailer VERIFIED — then runs the same strict WARC framing on
+  * each member's bytes. A truncated or bit-rotted member is refused
+  * with its compressed byte offset, never skipped. The batch/streaming
+  * sources sniff the gzip magic per file, so a mixed `.warc`/`.warc.gz`
+  * drop directory ingests uniformly.
   *
   * Scale shape: one WARC file is one row (path, bytes) and parsing is
   * partition-local `flatMap` — embarrassingly parallel, no shuffle; a
@@ -95,15 +105,116 @@ object Warc {
     out.toSeq
   }
 
+  /** Inflate ONE gzip member (RFC 1952) starting at `start`: returns
+    * (inflated bytes, offset just past the member's trailer). Strict:
+    * header fields are parsed from the spec (FEXTRA/FNAME/FCOMMENT/FHCRC
+    * honored), the deflate stream must terminate inside the buffer, and
+    * the CRC32 + ISIZE trailer is verified against the inflated output —
+    * a truncated or corrupted member fails with its byte offset. */
+  private def inflateMember(bytes: Array[Byte], start: Int): (Array[Byte], Int) = {
+    var p = start
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"gzip member error at byte $p (member starts at $start): $msg")
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (p + 10 > bytes.length) fail("truncated gzip header")
+    if (u8(p) != 0x1f || u8(p + 1) != 0x8b)
+      fail(f"bad gzip magic ${u8(p)}%02x${u8(p + 1)}%02x")
+    if (u8(p + 2) != 8) fail(s"unsupported compression method ${u8(p + 2)}")
+    val flg = u8(p + 3)
+    p += 10 // magic(2) CM(1) FLG(1) MTIME(4) XFL(1) OS(1)
+    if ((flg & 0x04) != 0) { // FEXTRA: 2-byte LE length + payload
+      if (p + 2 > bytes.length) fail("truncated FEXTRA length")
+      val xlen = u8(p) | (u8(p + 1) << 8)
+      p += 2 + xlen
+      if (p > bytes.length) fail("truncated FEXTRA payload")
+    }
+    if ((flg & 0x08) != 0) { // FNAME: zero-terminated
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) fail("unterminated FNAME")
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT: zero-terminated
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) fail("unterminated FCOMMENT")
+      p += 1
+    }
+    if ((flg & 0x02) != 0) { // FHCRC: 2 bytes
+      p += 2
+      if (p > bytes.length) fail("truncated FHCRC")
+    }
+    val inf = new java.util.zip.Inflater(/* nowrap = */ true)
+    try {
+      inf.setInput(bytes, p, bytes.length - p)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      while (!inf.finished()) {
+        val n = try inf.inflate(buf) catch {
+          case e: java.util.zip.DataFormatException =>
+            fail(s"corrupt deflate stream: ${e.getMessage}")
+        }
+        if (n > 0) bos.write(buf, 0, n)
+        else if (inf.needsDictionary()) fail("deflate stream needs a preset dictionary")
+        else if (inf.needsInput()) fail("truncated deflate stream")
+      }
+      p += (bytes.length - p) - inf.getRemaining
+      val out = bos.toByteArray
+      if (p + 8 > bytes.length) fail("truncated gzip trailer")
+      val crcStored = u8(p).toLong | (u8(p + 1).toLong << 8) |
+        (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+      val isize = u8(p + 4).toLong | (u8(p + 5).toLong << 8) |
+        (u8(p + 6).toLong << 16) | (u8(p + 7).toLong << 24)
+      p += 8
+      val crc = new java.util.zip.CRC32()
+      crc.update(out)
+      if (crc.getValue != crcStored)
+        fail(f"CRC32 mismatch: stored $crcStored%08x, computed ${crc.getValue}%08x")
+      if (isize != (out.length.toLong & 0xffffffffL))
+        fail(s"ISIZE mismatch: stored $isize, inflated ${out.length}")
+      (out, p)
+    } finally inf.end()
+  }
+
+  /** Parse a per-record-gzip `.warc.gz` file: members walked one at a
+    * time, each member's bytes run through the same strict
+    * [[parseRecords]] framing. Framing errors inside a member carry
+    * BOTH coordinates (member ordinal + compressed offset, and the
+    * in-member byte position from parseRecords). */
+  def parseGzipRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var p = 0
+    var member = 0
+    while (p < bytes.length) {
+      val at = p
+      val (raw, next) = inflateMember(bytes, p)
+      out ++= (try parseRecords(raw) catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"in gzip member #$member at compressed byte $at: ${e.getMessage}")
+      })
+      p = next
+      member += 1
+    }
+    out.toSeq
+  }
+
+  /** Dispatch on the gzip magic: `.warc.gz` members or plain `.warc`
+    * bytes. Content-sniffed (not extension-matched) so a mixed or
+    * misnamed drop directory still parses every file correctly — a
+    * plain WARC can't start with 0x1f8b (records start "WARC/"). */
+  def parseAnyRecords(bytes: Array[Byte]): Seq[WarcRecord] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+      parseGzipRecords(bytes)
+    else parseRecords(bytes)
+
   /** Records of every WARC file under `path` (binaryFile source → one
     * partition-local flatMap; `filter("warc_type = 'response'")` and a
-    * payload decode are the usual next steps). */
+    * payload decode are the usual next steps). Plain and per-record-gzip
+    * files both parse (magic-sniffed per file). */
   def records(spark: SparkSession, path: String): Dataset[WarcRecord] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("content"))
       .as[Array[Byte]](Encoders.BINARY)
-      .flatMap(parseRecords(_))
+      .flatMap(parseAnyRecords(_))
   }
 
   /** Streaming form: watch a crawl drop directory — each newly landed
@@ -126,7 +237,7 @@ object Warc {
     spark.readStream.format("binaryFile").schema(binaryFileSchema).load(path)
       .select(col("content"))
       .as[Array[Byte]](Encoders.BINARY)
-      .flatMap(parseRecords(_))
+      .flatMap(parseAnyRecords(_))
   }
 
   /** The curation entry projection: response records as
@@ -176,6 +287,20 @@ object Warc {
       bos.write(hdr.toString.getBytes(StandardCharsets.UTF_8))
       bos.write(r.content)
       bos.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+    }
+    bos.toByteArray
+  }
+
+  /** Serialize records as per-record gzip members — the actual
+    * CommonCrawl `.warc.gz` layout (one member per record, members
+    * concatenated, so a byte-range fetch decompresses one record).
+    * Round-trips through [[parseGzipRecords]]. */
+  def writeGzipRecords(records: Seq[WarcRecord]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(writeRecords(Seq(r)))
+      gz.finish() // member trailer, without closing the shared sink
     }
     bos.toByteArray
   }

@@ -104,6 +104,80 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gzip: per-record members round-trip, one member per record") {
+    val gz = Warc.writeGzipRecords(fixture)
+    // really concatenated members: a second magic appears past the first
+    assert((gz(0) & 0xff) === 0x1f && (gz(1) & 0xff) === 0x8b)
+    assert(gz.drop(2).zip(gz.drop(3)).count {
+      case (a, b) => (a & 0xff) == 0x1f && (b & 0xff) == 0x8b } >= 3,
+      "expected one gzip member per record")
+    val parsed = Warc.parseGzipRecords(gz)
+    assert(parsed.size === 4)
+    parsed.zip(fixture).foreach { case (p, f) =>
+      assert(p.warc_type === f.warc_type)
+      assert(p.target_uri === f.target_uri)
+      assert(p.content.toSeq === f.content.toSeq)
+    }
+    // the sniffing dispatcher picks the right parser for both layouts
+    assert(Warc.parseAnyRecords(gz).size === 4)
+    assert(Warc.parseAnyRecords(Warc.writeRecords(fixture)).size === 4)
+  }
+
+  test("gzip: truncated and corrupted members are refused with a compressed offset") {
+    val gz = Warc.writeGzipRecords(fixture)
+    // truncate inside the last member's deflate data / trailer
+    val e1 = intercept[IllegalArgumentException](
+      Warc.parseGzipRecords(gz.take(gz.length - 6)))
+    assert(e1.getMessage.contains("gzip member error"))
+    // flip a bit inside the first member's DEFLATE data (header is 10
+    // bytes, FLG=0 from GZIPOutputStream): either the inflater chokes or
+    // the CRC32 verification catches the changed output — never silence
+    val flipped = gz.clone()
+    flipped(14) = (flipped(14) ^ 0x40).toByte
+    val e2 = intercept[IllegalArgumentException](Warc.parseGzipRecords(flipped))
+    assert(e2.getMessage.contains("gzip member error"))
+    // header itself truncated
+    val e3 = intercept[IllegalArgumentException](Warc.parseGzipRecords(gz.take(5)))
+    assert(e3.getMessage.contains("truncated gzip header"))
+    // a mis-framed WARC inside a VALID member carries both coordinates
+    val inner = Warc.writeRecords(fixture).take(40) // truncated WARC bytes
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(inner); g.finish()
+    val e4 = intercept[IllegalArgumentException](
+      Warc.parseGzipRecords(bos.toByteArray))
+    assert(e4.getMessage.contains("in gzip member #0"))
+    assert(e4.getMessage.contains("WARC framing error"))
+  }
+
+  test("mixed .warc/.warc.gz directory: batch and streaming ingest both layouts") {
+    val dir = Files.createTempDirectory("graft_warc_mixed")
+    Files.write(Paths.get(dir.toString, "seg-1.warc"), Warc.writeRecords(fixture))
+    Files.write(Paths.get(dir.toString, "seg-2.warc.gz"),
+      Warc.writeGzipRecords(Seq(rec("response", "https://example.org/gz",
+        "gzipped segment".getBytes(StandardCharsets.UTF_8)))))
+    val batch = Warc.records(spark, dir.toString).collect()
+    assert(batch.length === 5)
+    assert(batch.count(_.target_uri === "https://example.org/gz") === 1)
+    val q = Warc.streamRecords(spark, dir.toString)
+      .writeStream.format("memory").queryName("warc_mixed_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_warc_mixed_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_mixed_stream").count() === 5)
+      // a late gzip segment lands: only ITS records arrive
+      Files.write(Paths.get(dir.toString, "seg-3.warc.gz"),
+        Warc.writeGzipRecords(Seq(rec("response", "https://example.org/gz2",
+          "late gzip".getBytes(StandardCharsets.UTF_8)))))
+      q.processAllAvailable()
+      assert(spark.table("warc_mixed_stream").count() === 6)
+      assert(spark.table("warc_mixed_stream")
+        .filter(col("target_uri") === "https://example.org/gz2").count() === 1)
+    } finally q.stop()
+  }
+
   test("WET conversion: extracted-text records round-trip through the parser") {
     val dir = Files.createTempDirectory("graft_wet")
     Files.write(Paths.get(dir.toString, "seg.warc"), Warc.writeRecords(fixture))
