@@ -37,6 +37,22 @@ object Bench {
     // (iterative checkpoint+count loops) get the median-of-reps policy
     val iterative = Set("x23_neardup_clusters", "x46_keep_best",
       "x61_bpe_merges", "x63_bpe_encode")
+    // Hypervisor steal awareness (r14 verdict: a noisy window committed a
+    // 19.4 s reading for a 3.8 s query — min-of-reps can't save a query
+    // when EVERY rep lands under steal). /proc/stat's cpu line carries
+    // cumulative steal jiffies; deltas around each query window give the
+    // share of CPU time the hypervisor withheld while it ran.
+    def cpuStat(): (Long, Long) = try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse(return (0L, 0L))
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum) // (steal, total jiffies)
+    } catch { case _: Throwable => (0L, 0L) }
+    def stealPct(before: (Long, Long), after: (Long, Long)): Double = {
+      val dTot = after._2 - before._2
+      if (dTot <= 0) 0.0 else 100.0 * (after._1 - before._1) / dTot
+    }
+    val runStart = cpuStat()
     // Adaptive-reps measurement (r11 verdict: fixed best-of-2 could not
     // suppress this host's ambient load — identical code measured 67/104/87 s
     // across three runs). Policy: keep sampling until the reading is
@@ -78,6 +94,7 @@ object Bench {
         else if (iterative(name)) s.last / math.max(s.head, 1e-9)
         else s(1) / math.max(s.head, 1e-9)
       }
+      val qStart = cpuStat()
       val minReps = if (iterative(name)) 3 else 2
       // fail fast: a broken query (possibly the slowest in the suite)
       // must not run its multi-minute failure five times before signaling
@@ -87,12 +104,24 @@ object Bench {
       while (ok && times.size < MaxReps &&
         (spread() > StableRatio || (times.min < 1.0 && times.size < 3))) rep()
       System.gc()
+      val qSteal = stealPct(qStart, cpuStat())
       val sorted = times.sorted.toVector
+      // Steal-aware policy escalation (r14 verdict): when the reps of a
+      // min-policy query disagree by > 2× END TO END, the window was
+      // noisy and even the min may be contaminated — escalate to median
+      // so one clean rep among outliers reports the steady state, and
+      // record the escalation so the artifact names its own noise
+      // instead of misstating steady-state silently.
+      val fullSpread =
+        if (sorted.size < 2) 1.0
+        else sorted.last / math.max(sorted.head, 1e-9)
+      val escalated = ok && !iterative(name) && fullSpread > 2.0
       val value =
         if (!ok) times.max
-        else if (iterative(name)) sorted(sorted.size / 2)
+        else if (iterative(name) || escalated) sorted(sorted.size / 2)
         else sorted.head
-      (name, value, ok, times.size, if (times.size < 2) 1.0 else spread())
+      (name, value, ok, times.size,
+        if (times.size < 2) 1.0 else spread(), qSteal, escalated)
     }
     // The driver keeps only a ~2000-char tail of stdout; the JSON line must
     // fit inside it or it can never be parsed. 2-decimal per-query times
@@ -105,11 +134,11 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def code(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _, _, _) => "\"" + code(k) + "\":" + f2(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + code(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // cap the list so a mass failure can't push the JSON line past the
     // 2000-char tail (rc=1 still signals the failure either way)
-    val failedAll = results.collect { case (k, _, false, _, _) => code(k) }
+    val failedAll = results.collect { case (k, _, false, _, _, _, _) => code(k) }
     val failed = (failedAll.take(5).map("\"" + _ + "\"") ++
       (if (failedAll.size > 5) Seq("\"+" + (failedAll.size - 5) + " more\"") else Nil))
       .mkString("[", ",", "]")
@@ -119,19 +148,27 @@ object Bench {
     // A compact policy map, not a per-query field — the JSON line must
     // fit the driver's ~2000-char stdout tail
     val policy = "{\"default\":\"min\",\"median\":" +
-      results.collect { case (k, _, _, _, _) if iterative(k) => "\"" + code(k) + "\"" }
+      results.collect { case (k, _, _, _, _, _, _) if iterative(k) => "\"" + code(k) + "\"" }
         .mkString("[", ",", "]") + "}"
     // queries still unstable after MaxReps adaptive reps: residual spread
     // of the reported statistic — nonempty means read those numbers as
     // ±spread, not as regressions (normally empty; capped for the budget)
     val noisyAll = results.collect {
-      case (k, _, true, _, sp) if sp > StableRatio =>
+      case (k, _, true, _, sp, _, _) if sp > StableRatio =>
         "\"" + code(k) + "\":" + f2(sp)
     }
     val noisy = (noisyAll.take(8) ++
       (if (noisyAll.size > 8) Seq("\"more\":" + (noisyAll.size - 8)) else Nil))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"policy":$policy,"sf":"$sfDir"}"""
+    // run-level hypervisor steal + the per-query policy escalations: a
+    // reading taken under steal now names itself in the artifact
+    val runSteal = stealPct(runStart, cpuStat())
+    val escalatedAll = results.collect { case (k, _, _, _, _, _, true) => code(k) }
+    val escalatedJson = (escalatedAll.take(8).map("\"" + _ + "\"") ++
+      (if (escalatedAll.size > 8)
+        Seq("\"+" + (escalatedAll.size - 8) + " more\"") else Nil))
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"policy":$policy,"steal_pct":${f2(runSteal)},"escalated":$escalatedJson,"sf":"$sfDir"}"""
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
         "approaching the driver's 2000-char stdout tail; shorten names/precision")
@@ -140,15 +177,23 @@ object Bench {
     // round wrapper has parsed it unreliably — ADVICE r11): full query
     // names, per-query reps/spread, and a timestamp so any re-run —
     // including a judge's — leaves an auditable record next to the code.
-    val detail = results.map { case (k, v, o, n, sp) =>
-      s"""  "$k": {"sec": ${f3(v)}, "ok": $o, "reps": $n, "spread": ${f2(sp)}}"""
+    val detail = results.map { case (k, v, o, n, sp, st, esc) =>
+      val pol = if (iterative(k)) "median" else if (esc) "median(escalated)" else "min"
+      s"""  "$k": {"sec": ${f3(v)}, "ok": $o, "reps": $n, "spread": ${f2(sp)}, "steal_pct": ${f2(st)}, "policy": "$pol"}"""
     }.mkString("{\n", ",\n", "\n}")
+    // host_noisy: the artifact self-declares when it was taken in a bad
+    // window (run steal past 2% or any escalation) — the r14 failure
+    // mode was a contaminated run that LOOKED like a regular reading
+    val hostNoisy = runSteal > 2.0 || escalatedAll.nonEmpty
     val full =
       s"""{
          |"ts": "${java.time.Instant.now()}",
          |"sf": "$sfDir",
          |"cpus": $cpus,
          |"total_sec": ${f3(total)},
+         |"steal_pct": ${f2(runSteal)},
+         |"host_noisy": $hostNoisy,
+         |"escalated": ${escalatedAll.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"policy": $policy,
          |"queries": $detail
          |}""".stripMargin
