@@ -33,6 +33,14 @@ object Bench {
     // warm-up: exercise scan + shuffle + codegen paths once, untimed
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // stage the x87/x89 media fixtures untimed: one-time corpus
+    // synthesis is ingestion's cost, not the dedup queries' — a fresh
+    // checkout would otherwise charge it to x87's first rep
+    if (queries.exists(q => q._1.startsWith("x87") || q._1.startsWith("x89")))
+      try {
+        graft.multimodal.MediaFixtures.ensureImages(spark)
+        graft.multimodal.MediaFixtures.ensureAudio(spark)
+      } catch { case _: Throwable => () }
     // queries whose wall-clock is a sequence of driver-blocking rounds
     // (iterative checkpoint+count loops) get the median-of-reps policy
     val iterative = Set("x23_neardup_clusters", "x46_keep_best",

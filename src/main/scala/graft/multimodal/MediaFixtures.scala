@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Staged planted-media corpora for the x87/x89 perceptual-dedup
+  * queries (r14 verdict task: generation through REAL codec round-trips
+  * is the right proof but the wrong place — in-query, it re-encoded
+  * 15 k PNGs/WAVs on every bench rep, ~5 s of pure fixture synthesis
+  * per x87 rep that a real pipeline never pays per query).
+  *
+  * Discipline (the classifier_weights.parquet shape, adapted for a
+  * corpus too big to commit): the corpora are deterministic functions of
+  * doc_id alone, generated ONCE for the doc-id UNIVERSE (0 until 5000 —
+  * the sf0.1 superset; every smaller SF's doc_ids nest inside it),
+  * published atomically ([[graft.streaming.BatchStore.writeSlot]]) under
+  * `fixtures/media_corpus/`, and READ by the queries with a broadcast
+  * semi-join against the current SF's doc_ids (`id % 20000` recovers the
+  * base doc: planted ids are d / d+20000 / d+40000 with d < 20000).
+  * This is also the honest 100-TB shape: media is a table ingestion
+  * wrote once, not something a dedup query synthesizes.
+  *
+  * Regeneration CLI: `runMain graft.BuildMediaFixtures [dir]` (or just
+  * delete the directory — the first query rebuilds it). Determinism: the
+  * pixel/sample generators are exact integer arithmetic and the hash
+  * consumes DECODED pixels, so a re-generated fixture always reproduces
+  * the same query results even if codec bytes differ across JDKs. */
+object MediaFixtures {
+
+  /** doc-id universe the fixture covers: sf0.1's 0 until 5000; the
+    * smaller SFs' doc_ids are strict subsets (TESTDATA.md). */
+  val UniverseDocs = 5000L
+
+  def defaultDir: String = sys.env.getOrElse(
+    "GRAFT_MEDIA_FIXTURE_DIR", "/root/repo/fixtures/media_corpus")
+
+  private def imagesPath(dir: String) = s"$dir/images.parquet"
+  private def audioPath(dir: String) = s"$dir/audio.parquet"
+
+  private def committed(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new Path(p, "_SUCCESS"))
+  }
+
+  private def universe(spark: SparkSession): DataFrame =
+    spark.range(UniverseDocs).toDF("doc_id")
+
+  /** Materialize the image corpus if absent; returns its path. */
+  def ensureImages(spark: SparkSession, dir: String = defaultDir): String = {
+    val path = imagesPath(dir)
+    if (!committed(spark, path))
+      graft.streaming.BatchStore.writeSlot(
+        Multimodal.imageCorpus(universe(spark)).toDF(), path)
+    path
+  }
+
+  /** Materialize the audio corpus if absent; returns its path. */
+  def ensureAudio(spark: SparkSession, dir: String = defaultDir): String = {
+    val path = audioPath(dir)
+    if (!committed(spark, path))
+      graft.streaming.BatchStore.writeSlot(
+        Multimodal.audioCorpus(universe(spark)).toDF(), path)
+    path
+  }
+
+  private def semiJoin(fix: DataFrame, idCol: String,
+                       docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id").cast(LongType).as("_d")).distinct()
+    fix.join(broadcast(ids),
+      pmod(col(idCol), lit(20000L)) === col("_d"), "left_semi")
+  }
+
+  /** The staged image corpus restricted to `docs`' doc_ids — same rows
+    * as `Multimodal.imageCorpus(docs)`, read instead of re-encoded. */
+  def stagedImages(docs: DataFrame, dir: String = defaultDir): Dataset[ImageAsset] = {
+    val spark = docs.sparkSession
+    val path = ensureImages(spark, dir)
+    semiJoin(spark.read.parquet(path), "img_id", docs)
+      .as[ImageAsset](org.apache.spark.sql.Encoders.product[ImageAsset])
+  }
+
+  /** The staged audio corpus restricted to `docs`' doc_ids — same rows
+    * as `Multimodal.audioCorpus(docs)`, read instead of re-encoded. */
+  def stagedAudio(docs: DataFrame, dir: String = defaultDir): Dataset[AudioAsset] = {
+    val spark = docs.sparkSession
+    val path = ensureAudio(spark, dir)
+    semiJoin(spark.read.parquet(path), "aud_id", docs)
+      .as[AudioAsset](org.apache.spark.sql.Encoders.product[AudioAsset])
+  }
+}

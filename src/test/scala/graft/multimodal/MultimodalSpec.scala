@@ -359,6 +359,28 @@ class MultimodalSpec extends SparkSpec {
     assert(f.frame_checksum === 0L)
   }
 
+  test("MediaFixtures: staged corpora are byte-identical to in-query generation " +
+       "and restrict to the queried docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_fix").toString
+    val docs = mk((0L to 7L).map(d => d -> s"doc $d"): _*)
+    val gen = Multimodal.imageCorpus(docs).collect()
+      .map(a => a.img_id -> a.content.toSeq).toMap
+    val staged = MediaFixtures.stagedImages(docs, dir).collect()
+    assert(staged.length === gen.size, "staged row set must match generation")
+    staged.foreach(a => assert(a.content.toSeq === gen(a.img_id),
+      s"fixture bytes drifted for img ${a.img_id}"))
+    val genA = Multimodal.audioCorpus(docs).collect()
+      .map(a => a.aud_id -> a.content.toSeq).toMap
+    val stagedA = MediaFixtures.stagedAudio(docs, dir).collect()
+    assert(stagedA.length === genA.size)
+    stagedA.foreach(a => assert(a.content.toSeq === genA(a.aud_id)))
+    // second read hits the committed cache (no regeneration): the
+    // _SUCCESS-gated slot is already there, and a narrower doc set
+    // semi-joins down to its own rows only
+    val narrow = MediaFixtures.stagedImages(mk(3L -> "doc 3"), dir).collect()
+    assert(narrow.map(_.img_id).sorted.toSeq === Seq(3L, 20003L, 40003L))
+  }
+
   test("imagePHashPairs: re-encoded copies pair at Hamming 0; resized+brightened " +
        "pair within 3; distinct docs never pair") {
     val docs = mk((0L to 19L).map(d => d -> s"doc $d"): _*)
