@@ -45,6 +45,9 @@ final case class SceneCutStats(media_id: Long, n_frames: Long, n_cuts: Long,
 final case class KeyframeStats(media_id: Long, n_samples: Long, n_idr: Long,
                                n_sps: Long, n_pps: Long, first_idr_idx: Long,
                                idr_mask_checksum: Long)
+final case class IdrFrameSample(media_id: Long, n_samples: Long, n_idr: Long,
+                                n_selected: Long, first_sel_idx: Long,
+                                sel_idx_checksum: Long, sel_bytes: Long)
 
 /** Codec seam. PNG and WAV are decoded for real (pure-JVM
   * `javax.imageio` / `javax.sound.sampled`, no native deps): a payload
@@ -707,6 +710,53 @@ object Multimodal {
           firstIdr, cs)
       }
     }(Encoders.product[KeyframeStats])
+
+  /** IDR-gated frame sampling (x118): the composition of [[keyframeStats]]'
+    * NAL classification with [[frameSample]]'s cadence — on an
+    * INTER-CODED track, sampling every Nth sample wastes decode budget
+    * on frames that are not independently decodable (a non-IDR slice
+    * needs its reference chain), so the sampler walks the real sample
+    * table, classifies each sample by NAL type, and takes every
+    * `everyK`-th frame of the IDR SEQUENCE (cadence in keyframe-ordinal
+    * space — every selected frame is a sync point, decodable without
+    * pixels ever being touched). Emits per asset: total/IDR/selected
+    * counts, the first selected sample index, a rolling checksum of
+    * every selected sample INDEX (the oracle certifies exactly which
+    * samples got picked, not just how many), and the summed byte size
+    * of the selected samples (the decode budget actually spent).
+    *
+    * Scale shape: identical to the rest of the family — partition-local
+    * mapPartitions at the codec seam, media bytes never shuffle, one
+    * 7-field row out per asset. */
+  def idrFrameSample(ds: Dataset[MediaRow], everyK: Int): Dataset[IdrFrameSample] = {
+    require(everyK > 0, s"idrFrameSample: everyK must be positive, got $everyK")
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val samples =
+          if (m.meta.format == "mp4")
+            FakeCodec.mp4Samples(m.content).getOrElse(IndexedSeq.empty)
+          else IndexedSeq.empty
+        var nIdr = 0L; var nSel = 0L; var firstSel = -1L
+        var cs = 0L; var bytes = 0L; var idx = 0L
+        samples.foreach { case (off, sz) =>
+          val tps = FakeCodec.nalTypes(java.util.Arrays.copyOfRange(
+            m.content, off.toInt, (off + sz).toInt)).getOrElse(Seq.empty)
+          if (tps.contains(5)) {
+            if (nIdr % everyK == 0) {
+              nSel += 1
+              if (firstSel < 0) firstSel = idx
+              cs = (cs * 31 + idx) % P
+              bytes += sz
+            }
+            nIdr += 1
+          }
+          idx += 1
+        }
+        IdrFrameSample(m.media_id, samples.length.toLong, nIdr, nSel,
+          firstSel, cs, bytes)
+      }
+    }(Encoders.product[IdrFrameSample])
+  }
 
   /** Deterministic grayscale test pattern for the x87 image-dedup
     * corpus: pixel (y, x) of document `d`'s base image. Multiplicative

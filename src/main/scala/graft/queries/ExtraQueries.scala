@@ -3137,6 +3137,38 @@ object ExtraQueries {
       Multimodal.keyframeStats(media).toDF()
     },
 
+    // ----- IDR-gated frame sampling: x88's NAL classification composed
+    //       with x14's cadence — sample only decodable sync points
+    QueryDef("x118_idr_sample",
+      "IDR-gated frame sampling: walk the real mp4 sample table, classify each sample's NAL units, and take every 2nd frame of the IDR SEQUENCE (cadence in keyframe-ordinal space) — on an inter-coded track every selected frame is a sync point, decodable without its reference chain, so no decode budget lands on undecodable samples; emits selected-index rolling checksum (certifying exactly WHICH samples got picked) and the selected byte total (the budget actually spent) — oracle reproduces sample sizes and the whole selection by arithmetic, no codec")(
+      """WITH p AS (SELECT doc_id AS d, 3 + doc_id % 5 AS nf, 1 + doc_id % 3 AS gop
+        |           FROM documents),
+        |sel AS (SELECT d, i AS idx,
+        |          10 + (d + i) % 7 + CASE WHEN i = 0 THEN 16 ELSE 0 END AS sz
+        |        FROM p, range(0, 8) r(i)
+        |        WHERE i < nf AND i % gop = 0 AND (i // gop) % 2 = 0),
+        |agg AS (SELECT d, count(*) AS n_selected, min(idx) AS first_sel,
+        |          list_reduce(list(idx ORDER BY idx)::BIGINT[],
+        |                      (a, x) -> (a * 31 + x) % 1000000007) AS cs,
+        |          sum(sz) AS bytes
+        |        FROM sel GROUP BY d)
+        |SELECT p.d AS media_id, CAST(p.nf AS BIGINT) AS n_samples,
+        |  CAST((p.nf + p.gop - 1) // p.gop AS BIGINT) AS n_idr,
+        |  CAST(a.n_selected AS BIGINT) AS n_selected,
+        |  CAST(a.first_sel AS BIGINT) AS first_sel_idx,
+        |  CAST(a.cs AS BIGINT) AS sel_idx_checksum,
+        |  CAST(a.bytes AS BIGINT) AS sel_bytes
+        |FROM p JOIN agg a ON p.d = a.d
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRow(id, "video",
+          FakeCodec.avcAsset(id, (3 + id % 5).toInt, (1 + id % 3).toInt),
+          MediaMeta("mp4", 0, 0))))
+      Multimodal.idrFrameSample(media, everyK = 2).toDF()
+    },
+
     // ----- audio fingerprint near-dup: energy-gradient hash over real
     //       javax.sound WAV encode->decode round-trips (the audio member
     //       of the perceptual-dedup family: text SimHash, image dHash,

@@ -381,6 +381,28 @@ class MultimodalSpec extends SparkSpec {
     assert(narrow.map(_.img_id).sorted.toSeq === Seq(3L, 20003L, 40003L))
   }
 
+  test("idrFrameSample: cadence runs in keyframe-ordinal space and selects only IDR sync points") {
+    import spark.implicits._
+    // gop=2 over 10 frames -> IDR at sample indices 0,2,4,6,8; everyK=2
+    // selects IDR ordinals 0,2,4 -> sample indices 0,4,8
+    val media = Seq(MediaRow(7L, "video", FakeCodec.avcAsset(7L, 10, 2),
+      MediaMeta("mp4", 0, 0))).toDS()
+    val r = Multimodal.idrFrameSample(media, everyK = 2).head()
+    assert(r.n_samples === 10L)
+    assert(r.n_idr === 5L)
+    assert(r.n_selected === 3L)
+    assert(r.first_sel_idx === 0L)
+    val expCs = Seq(0L, 4L, 8L).foldLeft(0L)((a, x) => (a * 31 + x) % 1000000007L)
+    assert(r.sel_idx_checksum === expCs, "selected more than the 0,4,8 sync points")
+    // selected bytes = full sample sizes: 10+(7+i)%7 (+16 for sample 0)
+    val expBytes = Seq(0, 4, 8).map(i => 10L + (7 + i) % 7 +
+      (if (i == 0) 16L else 0L)).sum
+    assert(r.sel_bytes === expBytes)
+    // everyK=1 degenerates to "every keyframe" — n_selected == n_idr
+    val all = Multimodal.idrFrameSample(media, everyK = 1).head()
+    assert(all.n_selected === all.n_idr)
+  }
+
   test("imagePHashPairs: re-encoded copies pair at Hamming 0; resized+brightened " +
        "pair within 3; distinct docs never pair") {
     val docs = mk((0L to 19L).map(d => d -> s"doc $d"): _*)
