@@ -104,18 +104,32 @@ object Pipelines {
     df.writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch(bronzeBatchWrite(path, tsCol) _)
 
+  /** K3's per-batch write, batch-id-addressed like [[bronzeBatchWrite]]:
+    * dynamic partition overwrite on (batch_id, topic, ingest_date) makes
+    * a replayed micro-batch REPLACE its own partitions — the earlier
+    * `mode("append")` form silently duplicated every routed row when the
+    * engine redelivered a batch after a crash between the sink write and
+    * the checkpoint commit (the exact window TopologySpec's kill-restart
+    * test drives). Exposed separately so specs can replay a batch id
+    * directly. */
+  def routedBronzeBatchWrite(root: String)(batch: DataFrame, id: Long): Unit =
+    batch.select(col("topic"), col("value").cast("string").as("payload"),
+        col("timestamp").as("ingested_at"),
+        to_date(col("timestamp")).as("ingest_date"))
+      .withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "topic", "ingest_date")
+      .parquet(root)
+
   /** K3: multi-topic router — one bronze directory per topic from a single
     * subscribe-pattern source, the analog of `db_writer.py:121-136`'s
-    * 7 writer threads. Partitioning by (topic, date) keeps per-topic scans
-    * pruned. */
+    * 7 writer threads. Partitioning keeps per-topic scans pruned; the
+    * batch_id partition level carries the W7 replay-idempotence
+    * discipline (see [[routedBronzeBatchWrite]]). */
   def routedBronzeSink(raw: DataFrame, root: String, checkpoint: String): DataStreamWriter[Row] =
     raw.writeStream.option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col("topic"), col("value").cast("string").as("payload"),
-            col("timestamp").as("ingested_at"),
-            to_date(col("timestamp")).as("ingest_date"))
-          .write.mode("append").partitionBy("topic", "ingest_date").parquet(root)
-      }
+      .foreachBatch(routedBronzeBatchWrite(root) _)
 
   /** K4: error-event side channel (`user_positions_tracker.py:139-151`):
     * split one parsed stream into (good, errors) inside foreachBatch so

@@ -230,7 +230,11 @@ class PipelinesSpec extends SparkSpec {
       assert(back.select("topic").distinct().as[String].collect().toSet ===
         Set("coinbase.ticker", "polymarket.book"))
       assert(back.filter(col("topic") === "polymarket.book").count() === 1)
-      assert(new java.io.File(s"$root/topic=coinbase.ticker").isDirectory)
+      // per-topic directories nest under the batch_id partition level
+      // (the W7 replay-idempotence discipline)
+      assert(new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("batch_id="))
+        .exists(b => new java.io.File(b, "topic=coinbase.ticker").isDirectory))
     } finally q.stop()
   }
 

@@ -106,7 +106,9 @@ class KafkaPathsSpec extends SparkSpec {
       val back = spark.read.parquet(root)
       assert(back.count() === 3L)
       assert(back.filter(col("topic") === "coinbase.ticker").count() === 2L)
-      assert(new java.io.File(s"$root/topic=polymarket.book").isDirectory)
+      assert(new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("batch_id="))
+        .exists(b => new java.io.File(b, "topic=polymarket.book").isDirectory))
     } finally q.stop()
   }
 
