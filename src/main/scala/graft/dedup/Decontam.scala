@@ -201,4 +201,34 @@ object Decontam {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"), col("n_tokens"))
       .filter(col("n_overlap") < maxOverlap)
   }
+
+  /** Exact longest-substring decontamination (x119) — the Lee et al.
+    * exact-substring unit at token grain, via a generalized suffix
+    * automaton over the benchmark
+    * ([[graft.plans.SamLongestMatch]]). Fixed n-gram coverage (x24/x28/
+    * x38/x108) dilutes at paraphrase boundaries: a 50-token verbatim
+    * quote and one shared 8-gram score alike on membership; the LONGEST
+    * shared token run is the statistic an auditor ranks by, and the
+    * automaton computes it exactly in one pass per document.
+    *
+    * Output per corpus doc: (doc_id, longest_match, contaminated =
+    * longest_match >= minRun).
+    *
+    * Scale shape: the benchmark is collected ONCE (bounded — an eval
+    * set, the x38/x55 convention), compiled on the driver, and rides
+    * the plan as a reference object; scoring is a ZERO-SHUFFLE
+    * codegen'd projection over the corpus scan — the cheapest possible
+    * 100-TB shape, same as x72/x114. */
+  def exactSubstringDecontam(corpus: DataFrame, id: Column, text: Column,
+                             bench: DataFrame, benchText: Column,
+                             minRun: Long = 8L): DataFrame = {
+    import graft.text.TextOps
+    val benchSeqs: Seq[Seq[String]] = bench
+      .select(TextOps.norm(benchText).as("t")).collect()
+      .map(_.getString(0).split(" ").toSeq.filter(_.nonEmpty)).toSeq
+    val longest = graft.plans.functions.sam_longest_match(
+      TextOps.norm(text), benchSeqs)
+    corpus.select(id.as("doc_id"), longest.as("longest_match"))
+      .withColumn("contaminated", col("longest_match") >= minRun)
+  }
 }

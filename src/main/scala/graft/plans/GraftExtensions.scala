@@ -268,6 +268,10 @@ object functions {
   def ac_match_counts(text: Column, patterns: Seq[String]): Column =
     GraftBridge.column(AcMatchCounts(GraftBridge.expression(text), patterns))
 
+  def sam_longest_match(text: Column, benchTokenSeqs: Seq[Seq[String]]): Column =
+    GraftBridge.column(
+      SamLongestMatch(GraftBridge.expression(text), benchTokenSeqs))
+
   def bloom_might_contain(key: Column,
                           bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -3169,6 +3169,59 @@ object ExtraQueries {
       Multimodal.idrFrameSample(media, everyK = 2).toDF()
     },
 
+    // ----- exact longest-substring decontam via a generalized suffix
+    //       automaton over the benchmark (Lee et al. exact-substring at
+    //       token grain) — what fixed 8-gram coverage dilutes at
+    //       paraphrase boundaries
+    QueryDef("x119_sam_decontam",
+      "exact longest-substring decontamination: a generalized suffix automaton over the benchmark's token sequences (docs 0-2, the x38 convention; separator symbols keep runs from crossing doc boundaries) scores every corpus doc's LONGEST contiguous shared token run in one zero-shuffle codegen'd pass — the statistic 8-gram membership dilutes (a 50-token verbatim quote and one shared 8-gram score alike there); docs = 5 get a planted 21-token benchmark slice; reported length capped at 24 so the oracle can enumerate window lengths (the automaton itself is uncapped); contaminated = run >= 8")(
+      s"""WITH bn AS (SELECT doc_id AS bid, $normD AS t FROM documents WHERE doc_id < 3),
+         |bw AS (SELECT bid, string_split(t, ' ') AS ws FROM bn),
+         |c0 AS (SELECT doc_id, $normD AS t FROM documents WHERE doc_id >= 3),
+         |plant AS (SELECT c.doc_id,
+         |    trim(CASE WHEN c.doc_id % 5 = 0
+         |      THEN c.t || ' ' || array_to_string(b.ws[11:31], ' ')
+         |      ELSE c.t END) AS t
+         |  FROM c0 c JOIN bw b ON b.bid = c.doc_id % 3),
+         |cw AS (SELECT doc_id, string_split(t, ' ') AS ws FROM plant),
+         |bg AS (SELECT DISTINCT r.L, array_to_string(s.ws[s.p:s.p+r.L-1], ' ') AS g
+         |       FROM range(1, 25) r(L),
+         |            (SELECT ws, unnest(range(1, len(ws) + 1)) AS p FROM bw) s
+         |       WHERE s.p + r.L - 1 <= len(s.ws)
+         |         AND array_to_string(s.ws[s.p:s.p+r.L-1], ' ') <> ''),
+         |dg AS (SELECT s.doc_id, r.L, array_to_string(s.ws[s.p:s.p+r.L-1], ' ') AS g
+         |       FROM range(1, 25) r(L),
+         |            (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS p FROM cw) s
+         |       WHERE s.p + r.L - 1 <= len(s.ws)
+         |         AND array_to_string(s.ws[s.p:s.p+r.L-1], ' ') <> ''),
+         |hits AS (SELECT d.doc_id, max(d.L) AS longest
+         |         FROM dg d JOIN bg b ON d.L = b.L AND d.g = b.g
+         |         GROUP BY d.doc_id)
+         |SELECT p.doc_id, CAST(coalesce(h.longest, 0) AS BIGINT) AS longest_match,
+         |       coalesce(h.longest, 0) >= 8 AS contaminated
+         |FROM plant p LEFT JOIN hits h ON p.doc_id = h.doc_id
+         |""".stripMargin) { (s, dir) =>
+      import graft.text.TextOps
+      val d = Tables.documents(s, dir)
+      val bench = d.filter(col("doc_id") < 3)
+      val bw = bench.select((col("doc_id") % 3).as("bid"),
+        split(TextOps.norm(col("text")), " ").as("ws"))
+      val planted = d.filter(col("doc_id") >= 3)
+        .select(col("doc_id"), TextOps.norm(col("text")).as("t"),
+          (col("doc_id") % 3).as("bid"))
+        .join(broadcast(bw), "bid")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("t"), lit(" "), array_join(slice(col("ws"), 11, 21), " ")))
+            .otherwise(col("t")).as("t"))
+      graft.dedup.Decontam
+        .exactSubstringDecontam(planted, col("doc_id"), col("t"),
+          bench, col("text"), minRun = 8L)
+        .select(col("doc_id"),
+          least(col("longest_match"), lit(24L)).as("longest_match"),
+          col("contaminated"))
+    },
+
     // ----- audio fingerprint near-dup: energy-gradient hash over real
     //       javax.sound WAV encode->decode round-trips (the audio member
     //       of the perceptual-dedup family: text SimHash, image dHash,
