@@ -170,7 +170,15 @@ object GraftExtensions {
     fn("ac_match_counts", classOf[AcMatchCounts], 2, "ac_match_counts(str, array<string>)")(
       a => AcMatchCounts(a.head, stringSeqArg("ac_match_counts", "patterns", a(1)))),
     fn("bloom_might_contain", classOf[BloomMightContain], 2, "bloom_might_contain(bigint, binary)")(
-      a => BloomMightContain(a.head, binaryArg("bloom_might_contain", "bloom", a(1)))))
+      a => BloomMightContain(a.head, binaryArg("bloom_might_contain", "bloom", a(1)))),
+    // each array element is ONE benchmark document's pre-normalized text
+    // (space-separated tokens) — tokenized here, automaton built at
+    // resolution time like the DataFrame surface
+    fn("sam_longest_match", classOf[SamLongestMatch], 2,
+      "sam_longest_match(str, array<string> bench_docs)")(
+      a => SamLongestMatch(a.head,
+        stringSeqArg("sam_longest_match", "bench_docs", a(1))
+          .map(_.split(" ").toSeq.filter(_.nonEmpty)))))
 }
 
 /** DataFrame-API wrappers for the native expressions. */

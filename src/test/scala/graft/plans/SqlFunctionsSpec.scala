@@ -153,6 +153,27 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT count_occurrences('aXbXc', 'X')").head().getLong(0) === 2L)
   }
 
+  test("sam_longest_match callable from SQL and matches the Column API") {
+    GraftBridge.registerFunctions(spark)
+    val got = spark.sql(
+      """SELECT sam_longest_match('x a b c y', array('q a b c d', 'z z')),
+        |       sam_longest_match('u v', array('a b c')),
+        |       sam_longest_match(CAST(NULL AS STRING), array('a b'))"""
+        .stripMargin).head()
+    assert(got.getLong(0) === 3L)
+    assert(got.getLong(1) === 0L)
+    assert(got.isNullAt(2))
+    val api = Seq(Tuple1("x a b c y")).toDF("t")
+      .select(functions.sam_longest_match(col("t"),
+        Seq(Seq("q", "a", "b", "c", "d"), Seq("z", "z"))))
+      .head().getLong(0)
+    assert(api === 3L)
+    // non-literal benchmark rejected at analysis time, named error
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT sam_longest_match('a', array(CAST(rand() AS STRING)))").head())
+    assert(e.getMessage.contains("sam_longest_match"))
+  }
+
   test("winnow_hashes on empty input yields an empty fingerprint (engine-agreed)") {
     GraftBridge.registerFunctions(spark)
     val rows = spark.sql(
