@@ -3179,8 +3179,11 @@ object ExtraQueries {
          |bw AS (SELECT bid, string_split(t, ' ') AS ws FROM bn),
          |c0 AS (SELECT doc_id, $normD AS t FROM documents WHERE doc_id >= 3),
          |plant AS (SELECT c.doc_id,
+         |    -- coalesce: DuckDB's array_to_string(EMPTY list) is NULL
+         |    -- (not ''), and '||' with NULL nulls the whole doc — the
+         |    -- short-benchmark case the boiler adversarial sweep hits
          |    trim(CASE WHEN c.doc_id % 5 = 0
-         |      THEN c.t || ' ' || array_to_string(b.ws[11:31], ' ')
+         |      THEN c.t || ' ' || coalesce(array_to_string(b.ws[11:31], ' '), '')
          |      ELSE c.t END) AS t
          |  FROM c0 c JOIN bw b ON b.bid = c.doc_id % 3),
          |cw AS (SELECT doc_id, string_split(t, ' ') AS ws FROM plant),
