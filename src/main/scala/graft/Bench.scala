@@ -114,16 +114,19 @@ object Bench {
       System.gc()
       val qSteal = stealPct(qStart, cpuStat())
       val sorted = times.sorted.toVector
-      // Steal-aware policy escalation (r14 verdict): when the reps of a
-      // min-policy query disagree by > 2× END TO END, the window was
-      // noisy and even the min may be contaminated — escalate to median
-      // so one clean rep among outliers reports the steady state, and
-      // record the escalation so the artifact names its own noise
-      // instead of misstating steady-state silently.
-      val fullSpread =
+      // Steal-aware policy escalation (r14 verdict): a min-policy
+      // reading is trustworthy only if the SECOND-fastest rep
+      // corroborates it — when even the two fastest reps disagree > 2×
+      // after rep exhaustion, every rep (including the min) likely ran
+      // under steal, so escalate to median and record the escalation.
+      // Deliberately NOT max/min over all reps: that confuses rep-1
+      // codegen warm-up (slow first rep, converged rest — a clean
+      // window) with contamination, and systematically escalated 58
+      // sub-second queries when first measured.
+      val minSpread =
         if (sorted.size < 2) 1.0
-        else sorted.last / math.max(sorted.head, 1e-9)
-      val escalated = ok && !iterative(name) && fullSpread > 2.0
+        else sorted(1) / math.max(sorted.head, 1e-9)
+      val escalated = ok && !iterative(name) && minSpread > 2.0
       val value =
         if (!ok) times.max
         else if (iterative(name) || escalated) sorted(sorted.size / 2)
