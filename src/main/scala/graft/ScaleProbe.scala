@@ -473,6 +473,28 @@ object ScaleProbe {
         // scan slope, pattern count invisible
         TextOps.blocklistScan(docCorpus(k), col("text"),
           Seq("able", "art", "can", "low", "slow", "table", "value"))),
+      "x118_idr_sample" -> { k =>
+        // k doc-id-shifted copies are k× distinct tracks; NAL walk +
+        // IDR-ordinal selection is partition-local, one row per asset —
+        // should sit with x88/x91 at the embarrassingly-linear end
+        import org.apache.spark.sql.Encoders
+        val media = docCorpus(k).select(col("doc_id"))
+          .as[Long](Encoders.scalaLong)
+          .mapPartitions(_.map(id => graft.multimodal.MediaRow(id, "video",
+            graft.multimodal.FakeCodec.avcAsset(id, (3 + id % 5).toInt,
+              (1 + id % 3).toInt),
+            graft.multimodal.MediaMeta("mp4", 0, 0))))(
+            Encoders.product[graft.multimodal.MediaRow])
+        graft.multimodal.Multimodal.idrFrameSample(media, everyK = 2).toDF()
+      },
+      "x119_sam_decontam" -> { k =>
+        // FIXED benchmark (copy-0 docs 0-2) vs growing corpus: the
+        // automaton is plan-constant and the scorer a zero-shuffle
+        // projection, so the slope must track the corpus scan exactly
+        graft.dedup.Decontam.exactSubstringDecontam(docCorpus(k),
+          col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 3), col("text"))
+      },
       "x100_host_rank" -> { k =>
         // host universe grows ~k (100k hosts) and edges with the corpus:
         // 3 fixed rounds of edge-join + dst-keyed sum — the slope should

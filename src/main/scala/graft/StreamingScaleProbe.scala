@@ -40,6 +40,10 @@ object StreamingScaleProbe {
     val tiers = sys.env.getOrElse("SPARK_GRAFT_PROBE_TIERS", "1,8,32")
       .split(',').map(_.trim.toInt).toSeq
     val nBatches = 4
+    // optional arg: component-name substrings to probe a subset
+    val only = args.headOption.map(_.split(',').toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString
 
@@ -97,7 +101,7 @@ object StreamingScaleProbe {
     }
 
     // ---- StreamingHeavyHitters: MG summaries, k-entry bound
-    for (k <- tiers) {
+    if (selected("heavy_hitters")) for (k <- tiers) {
       val dir = tmp("ssp_hh")
       val hh = StreamingHeavyHitters.create(dir, k = 16)
       val sec = timeBatches(b => hh.ingest(tokenBatch(k, b), b, col("item")))
@@ -109,7 +113,7 @@ object StreamingScaleProbe {
     }
 
     // ---- DriftMonitor: one (tvd, n) row per batch
-    for (k <- tiers) {
+    if (selected("drift_monitor")) for (k <- tiers) {
       val dir = tmp("ssp_drift")
       val dm = DriftMonitor.create(dir, embBase,
         Similarity.scaledCells(nEmb))
@@ -122,7 +126,7 @@ object StreamingScaleProbe {
 
     // ---- BlocklistMonitor: P+1 rows per batch
     val patterns = Seq("able", "art", "can", "low", "slow", "table", "value")
-    for (k <- tiers) {
+    if (selected("blocklist_monitor")) for (k <- tiers) {
       val dir = tmp("ssp_block")
       val bm = BlocklistMonitor.create(dir, patterns)
       val sec = timeBatches(b => bm.ingest(docBatch(k, b), b, col("text")))
@@ -134,7 +138,7 @@ object StreamingScaleProbe {
 
     // ---- QualityMonitor: 4 verdict rows per batch
     val parents = spark.range(1000L).toDF("pk")
-    for (k <- tiers) {
+    if (selected("quality_monitor")) for (k <- tiers) {
       val dir = tmp("ssp_quality")
       val qm = QualityMonitor.create(dir, parents, Seq("a", "b", "c"))
       def batchOf(b: Int): DataFrame =
@@ -151,11 +155,24 @@ object StreamingScaleProbe {
       report("quality_monitor", k, sec, rows, bytes)
     }
 
+    // ---- ContaminationMonitor: one summary row per batch (the x119
+    // automaton pass is a zero-shuffle scan; benchmark is plan-constant)
+    if (selected("contamination_monitor")) for (k <- tiers) {
+      val dir = tmp("ssp_contam")
+      val cm = ContaminationMonitor.create(dir, docsBase.limit(3),
+        col("text"), minRun = 8L)
+      val sec = timeBatches(b => cm.ingest(docBatch(k, b), b, col("text")))
+      val (rows, bytes) = storeFootprint(dir)
+      require(rows == nBatches.toLong,
+        s"contamination store must hold exactly one row per batch, got $rows")
+      report("contamination_monitor", k, sec, rows, bytes)
+    }
+
     // ---- StreamingIvf: per-batch assign+append wall; driver state is
     // the centroid table (nCells rows) no matter the volume. The DATA
     // store grows with the corpus by design (it IS the index) — the
     // recorded store size documents that expected growth.
-    for (k <- tiers) {
+    if (selected("streaming_ivf")) for (k <- tiers) {
       val dir = tmp("ssp_ivf")
       val nCells = 32
       val ivf = StreamingIvf.create(dir, nCells, refineEvery = 1000)
@@ -173,7 +190,7 @@ object StreamingScaleProbe {
     val corpusIndex = Pipelines
       .corpusNearDupIndex(docsBase, "doc_id", "text").persist()
     corpusIndex.count()
-    for (k <- tiers) {
+    if (selected("curate_batch")) for (k <- tiers) {
       val sec = timeBatches { b =>
         Pipelines.curateBatch(docBatch(k, b), "doc_id", "text", corpusIndex,
           gopherMinWords = 10).queryExecution.toRdd.count(); ()
