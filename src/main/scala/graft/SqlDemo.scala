@@ -39,6 +39,11 @@ object SqlDemo {
       spark.sql(
         "SELECT ac_match_counts('ushers heard', array('he', 'she', 'hers'))"
       ).head().toSeq.mkString(", "))
+    println("[sqldemo] sam_longest_match (longest shared token run vs benchmark): " +
+      spark.sql(
+        """SELECT sam_longest_match('he wrote quick brown fox jumps here',
+          |                         array('the quick brown fox jumps over it'))
+          |""".stripMargin).head().toSeq.mkString(", "))
     println("[sqldemo] aggregates (misra_gries + kmv_sketch + cms_sketch over documents): " +
       spark.sql(
         """SELECT size(misra_gries(lang, 3)), size(kmv_sketch(poly_hash(lang), 8)),
