@@ -304,4 +304,42 @@ object Warc {
     }
     bos.toByteArray
   }
+
+  /** Distributed `.warc.gz` export — the write half of the crawl loop
+    * (read `.warc.gz` → curate → RE-EXPORT in the ecosystem's own
+    * compressed interchange layout, one segment file per partition,
+    * per-record gzip members inside each). Records stream through a
+    * partition-local writer (never collected; each task owns exactly
+    * its segment file, so the export is embarrassingly parallel and a
+    * segment is re-creatable from its partition alone). Returns the
+    * manifest (segment path, records, compressed bytes) — the
+    * shardManifest convention, and what a downstream reader lists.
+    * Segment naming is partition-indexed and deterministic; re-running
+    * the export overwrites the same names (idempotent re-export). */
+  def writeGzipShards(records: Dataset[WarcRecord], dir: String): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val manifest = records.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (!it.hasNext) Iterator.empty
+      else {
+        val path = new org.apache.hadoop.fs.Path(
+          f"$dir/segment-$pid%05d.warc.gz")
+        // executor-side FS handle from the default Hadoop conf (the
+        // session conf is not serializable; defaults resolve the same
+        // local/HDFS filesystems from the cluster's core-site)
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(path, true)
+        var n = 0L
+        try it.foreach { r =>
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          gz.write(writeRecords(Seq(r)))
+          gz.finish()
+          n += 1
+        } finally out.close()
+        Iterator((path.toString, n, fs.getFileStatus(path).getLen))
+      }
+    }.toDF("segment", "n_records", "bytes")
+    manifest.orderBy("segment")
+  }
 }
