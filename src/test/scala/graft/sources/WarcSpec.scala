@@ -150,6 +150,28 @@ class WarcSpec extends SparkSpec {
     assert(e4.getMessage.contains("WARC framing error"))
   }
 
+  test("gzip truncation property: EVERY cut inside a member is refused; cuts at member boundaries yield exactly the prefix") {
+    // per-record members: boundaries = cumulative per-record gz lengths
+    val parts = fixture.map(r => Warc.writeGzipRecords(Seq(r)))
+    val gz = parts.reduce(_ ++ _)
+    val boundaries = parts.map(_.length).scanLeft(0)(_ + _).toSet
+    var refused = 0
+    (1 until gz.length).foreach { t =>
+      if (boundaries.contains(t)) {
+        // a cut exactly between members is indistinguishable from a
+        // shorter file at this framing layer (gzip concatenation has no
+        // global footer) — the export manifest's record counts are the
+        // cross-file truncation guard; here the prefix must parse whole
+        val prefix = Warc.parseGzipRecords(gz.take(t))
+        assert(prefix.size === boundaries.count(b => b > 0 && b <= t))
+      } else {
+        intercept[IllegalArgumentException](Warc.parseGzipRecords(gz.take(t)))
+        refused += 1
+      }
+    }
+    assert(refused > gz.length - 10, s"only $refused/${gz.length} cuts refused")
+  }
+
   test("mixed .warc/.warc.gz directory: batch and streaming ingest both layouts") {
     val dir = Files.createTempDirectory("graft_warc_mixed")
     Files.write(Paths.get(dir.toString, "seg-1.warc"), Warc.writeRecords(fixture))
