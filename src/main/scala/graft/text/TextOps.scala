@@ -1401,6 +1401,95 @@ object TextOps {
     merges.toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
   }
 
+  /** Bounded-inventory BPE fast path: ONE distributed pass builds the
+    * (word, count) inventory, then ALL merge rounds run on the driver —
+    * the design HF-tokenizers-style trainers use, and the right call
+    * whenever the vocabulary is known-bounded (Heaps' law puts web-scale
+    * unique words in the millions; `maxInventory` makes the license
+    * explicit and FAILS LOUDLY past it rather than silently melting the
+    * driver). vs [[bpeMerges]]: identical output bit-for-bit (the spec
+    * pins it) — same UTF-8-binary tie order as Spark's orderBy, same
+    * leftmost-fold merge step — but ~2 Spark jobs total instead of 2 per
+    * round, which also removes the round-count × job-latency wall-clock
+    * term (x61's bench variance under host stalls is exactly that term).
+    * The distributed form stays the default: its inventory never leaves
+    * the executors, so it is safe at ANY vocabulary size. */
+  def bpeMergesLocal(docs: DataFrame, id: Column, text: Column,
+                     nMerges: Int = 12,
+                     maxInventory: Long = 2000000L): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inv0 = docs.select(explode(split(norm(text), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .persist()
+    val v = inv0.count()
+    require(v <= maxInventory,
+      s"bpeMergesLocal: inventory $v exceeds maxInventory $maxInventory — " +
+        "use the distributed bpeMerges (its rounds never collect the inventory)")
+    var inv: Array[(Array[String], Long)] = inv0.collect()
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty) :+ "</w>",
+        r.getLong(1)))
+    inv0.unpersist()
+    // Spark's string orderBy is UTF-8 binary order; String.compareTo is
+    // UTF-16 — they disagree on supplementary characters, so compare
+    // raw UTF-8 bytes to replay the distributed argmax exactly
+    def u8lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def step(syms: Array[String], l: String, r: String, m: String): Array[String] = {
+      if (syms.length < 2) return syms
+      val buf = scala.collection.mutable.ArrayBuffer(syms(0))
+      var i = 1
+      while (i < syms.length) {
+        if (buf.last == l && syms(i) == r) buf(buf.length - 1) = m
+        else buf += syms(i)
+        i += 1
+      }
+      buf.toArray
+    }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      inv.foreach { case (syms, wc) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + wc
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, rt), c) = counts.reduceLeft { (a, b) =>
+          if (b._2 > a._2) b
+          else if (b._2 < a._2) a
+          else if (u8lt(b._1._1, a._1._1)) b
+          else if (u8lt(a._1._1, b._1._1)) a
+          else if (u8lt(b._1._2, a._1._2)) b
+          else a
+        }
+        merges += ((r.toLong, l, rt, l + rt, c))
+        inv = inv.map { case (syms, wc) => (step(syms, l, rt, l + rt), wc) }
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
+  }
+
   /** The BPE training loop shared by [[bpeMerges]] (which keeps the
     * merge list) and [[bpeEncode]] (which keeps the tokenized
     * inventory). Returns (merges, final inventory (w, wc, syms)); the

@@ -722,6 +722,28 @@ class TextOpsSpec extends SparkSpec {
     assert(m.map(_._4).distinct.length === 3)
   }
 
+  test("bpeMergesLocal replays the distributed trainer bit-for-bit (ties, early stop, inventory cap)") {
+    // tie-heavy corpus: equal pair counts force the lexicographic
+    // tie-break path; mixed words exercise the merged-symbol rounds
+    val docs = Seq((1L, "abc abd ab abc abc ba ba cab"),
+      (2L, "xy xy xz zz zz"), (3L, "q qq qqq")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("merge_rank").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val dist = rows(TextOps.bpeMerges(docs, col("doc_id"), col("text"), nMerges = 8))
+    val loc = rows(TextOps.bpeMergesLocal(docs, col("doc_id"), col("text"), nMerges = 8))
+    assert(loc === dist, "the local fast path must replay the distributed merges exactly")
+    // early stop matches too
+    val tiny = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    assert(rows(TextOps.bpeMergesLocal(tiny, col("doc_id"), col("text"), nMerges = 10))
+      === rows(TextOps.bpeMerges(tiny, col("doc_id"), col("text"), nMerges = 10)))
+    // the bounded-inventory license fails loudly, not silently
+    val e = intercept[IllegalArgumentException](
+      TextOps.bpeMergesLocal(docs, col("doc_id"), col("text"),
+        nMerges = 2, maxInventory = 3L))
+    assert(e.getMessage.contains("maxInventory"))
+  }
+
   test("bpeMerges stops early when the inventory is fully merged") {
     val docs = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
     // word "aa" = [a, a, </w>]: 2 merges collapse it to one symbol;
