@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   *    fold is driver-side over batches·k rows — summary-sized, never
   *    stream-sized; state is derived purely from the store, so a
   *    restarted driver recovers by construction (no handle state to
-  *    lose). A long-lived store would compact summaries older than the
-  *    checkpoint horizon into one (mergeability makes that lossless
-  *    w.r.t. the guarantee); left as the declared retention seam.
+  *    lose). [[compact]] folds summaries older than the checkpoint
+  *    horizon into one prefix slot (mergeability makes that lossless
+  *    w.r.t. the guarantee), so a long-lived store stays
+  *    O(recent batches + 1) instead of growing with stream age.
   *  - '''Exact report''' ([[exactReport]]): the stream's candidate set
   *    ⊇ every item above N/(k+1) of the TOTAL stream (per-batch
   *    undercounts add across merges), so one exact isin-filtered count
@@ -41,6 +42,10 @@ final class StreamingHeavyHitters private (val storeDir: String, val k: Int) {
 
   /** foreachBatch hook: sketch the batch, store summary idempotently. */
   def ingest(batch0: DataFrame, batchId: Long, item: Column): Unit = {
+    val ct = compactedThrough(batch0.sparkSession)
+    require(batchId > ct,
+      s"batch $batchId is at/below the compacted horizon $ct — compact() " +
+        "must only cover batches the engine can no longer replay")
     val keyed = batch0.select(item.as("item")).filter(col("item").isNotNull)
     val row = keyed.agg(
       graft.plans.functions.misra_gries(col("item"), k).as("s"),
@@ -71,20 +76,108 @@ final class StreamingHeavyHitters private (val storeDir: String, val k: Int) {
     }
   }
 
-  private def store(spark: SparkSession): Seq[(Long, Map[String, Long], Long)] = {
-    val raw0 = BatchStore.readSlots(spark, batchesDir) match {
-      case None => return Seq.empty
-      case Some(df) => df
+  private def compactedDir = s"$storeDir/compacted"
+  private def markerPath = s"$storeDir/_COMPACTED_THROUGH"
+
+  /** Highest batch id folded into the compacted prefix (−1 = none). */
+  def compactedThrough(spark: SparkSession): Long = {
+    val p = new org.apache.hadoop.fs.Path(markerPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
     }
-    // partition-column discovery infers small batch ids as INT — pin long
-    val raw = raw0.withColumn("batch", col("batch").cast("long"))
-    raw.collect().groupBy(_.getAs[Long]("batch")).toSeq.map {
-      case (bid, rows) =>
-        val total = rows.head.getAs[Long]("btotal")
-        val entries = rows.filter(!_.isNullAt(0))
-          .map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
-        (bid, entries, total)
-    }.sortBy(_._1)
+  }
+
+  private def slotEntries(df: org.apache.spark.sql.DataFrame)
+      : (Map[String, Long], Long) = {
+    val rows = df.collect()
+    val total = rows.head.getAs[Long]("btotal")
+    (rows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap, total)
+  }
+
+  private def store(spark: SparkSession): Seq[(Long, Map[String, Long], Long)] = {
+    val ct = compactedThrough(spark)
+    val head =
+      if (ct < 0) Seq.empty
+      else {
+        val (m, t) = slotEntries(
+          spark.read.parquet(s"$compactedDir/cutoff=$ct"))
+        Seq((ct, m, t))
+      }
+    val live = BatchStore.readSlots(spark, batchesDir) match {
+      case None => Seq.empty
+      case Some(raw0) =>
+        // partition-column discovery infers small batch ids as INT — pin long
+        val raw = raw0.withColumn("batch", col("batch").cast("long"))
+        raw.collect().groupBy(_.getAs[Long]("batch")).toSeq.map {
+          case (bid, rows) =>
+            val total = rows.head.getAs[Long]("btotal")
+            val entries = rows.filter(!_.isNullAt(0))
+              .map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+            (bid, entries, total)
+        // slots at or below the marker are compacted mass awaiting
+        // cleanup (a crash between marker write and slot deletion) —
+        // folding them in would double-count
+        }.filter(_._1 > ct).sortBy(_._1)
+    }
+    head ++ live
+  }
+
+  /** Retention compaction: fold every stored summary with id <
+    * `beforeBatch` into ONE compacted prefix slot — mergeability
+    * (Agarwal et al.) makes this LOSSLESS w.r.t. the N/(k+1) guarantee,
+    * so a long-lived store stays O(recent batches + 1) instead of
+    * growing with stream age. Call with `beforeBatch` at or below the
+    * streaming checkpoint horizon: the engine only ever replays batches
+    * above it, so a replayed batch can never land inside the prefix.
+    *
+    * Crash-safe protocol (no multi-directory atomicity exists on a
+    * filesystem): (1) the merged prefix is published atomically under
+    * `compacted/cutoff=<id>`; (2) the `_COMPACTED_THROUGH` marker is
+    * renamed into place — THE commit point; (3) covered batch slots and
+    * stale compacted generations are deleted. A crash before (2) leaves
+    * an unused compacted dir (cleaned next time); after (2), readers
+    * ignore covered slots via the marker, so late deletion is cosmetic.
+    * After compaction [[batchesStored]] reports the prefix as one
+    * pseudo-batch at the cutoff id. */
+  def compact(spark: SparkSession, beforeBatch: Long): Unit = {
+    val entries = store(spark).filter(_._1 < beforeBatch)
+    if (entries.size < 2) return
+    val cutoff = entries.map(_._1).max
+    val merged = entries.map(_._2).foldLeft(Map.empty[String, Long])(mgMerge)
+    val total = entries.map(_._3).sum
+    import spark.implicits._
+    val slot = merged.toSeq.toDF("item", "cnt").withColumn("btotal", lit(total))
+      .unionByName(Seq((null.asInstanceOf[String], 0L, total))
+        .toDF("item", "cnt", "btotal"))
+      .coalesce(1)
+    BatchStore.writeSlot(slot, s"$compactedDir/cutoff=$cutoff")
+    // commit point: marker renamed into place
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/._marker_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(cutoff.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(markerPath)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"compact: marker rename failed at $dst")
+    // cleanup (safe late): covered batch slots + stale compacted gens
+    val bd = new org.apache.hadoop.fs.Path(batchesDir)
+    if (fs.exists(bd)) fs.listStatus(bd).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("batch=") &&
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ <= cutoff))
+        fs.delete(s.getPath, true)
+    }
+    val cd = new org.apache.hadoop.fs.Path(compactedDir)
+    if (fs.exists(cd)) fs.listStatus(cd).foreach { s =>
+      if (s.getPath.getName != s"cutoff=$cutoff") fs.delete(s.getPath, true)
+    }
   }
 
   /** The merged stream summary (item → lower-bound count): ≤ k items

@@ -70,6 +70,50 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(recovered.totalSeen(spark) === 156L)
   }
 
+  test("compaction: lossless prefix fold, crash-safe marker, horizon guard") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_shh3").toString
+    val hh = StreamingHeavyHitters.create(dir, k = 4)
+    def batch(items: String*): org.apache.spark.sql.DataFrame =
+      items.zipWithIndex.map { case (it, i) => Tok(i.toLong, it) }.toDF()
+    hh.ingest(batch("a", "a", "b"), 0L, col("item"))
+    hh.ingest(batch("a", "c", "c"), 1L, col("item"))
+    hh.ingest(batch("b", "b", "d"), 2L, col("item"))
+    hh.ingest(batch("a", "d"), 3L, col("item"))
+    val beforeSum = hh.summary(spark)
+    val beforeSeen = hh.totalSeen(spark)
+    // compact everything strictly below batch 3
+    hh.compact(spark, beforeBatch = 3L)
+    assert(hh.compactedThrough(spark) === 2L)
+    assert(hh.summary(spark) === beforeSum, "compaction must be lossless")
+    assert(hh.totalSeen(spark) === beforeSeen)
+    assert(hh.batchesStored(spark) === Seq(2L, 3L),
+      "prefix appears as one pseudo-batch at the cutoff id")
+    // the stream continues; a second compaction folds prefix + middle
+    hh.ingest(batch("e", "e", "e", "a"), 4L, col("item"))
+    hh.compact(spark, beforeBatch = 4L)
+    assert(hh.compactedThrough(spark) === 3L)
+    assert(hh.totalSeen(spark) === beforeSeen + 4L)
+    assert(hh.summary(spark).contains("e"))
+    // crash between marker write and slot deletion: a leftover covered
+    // slot must be IGNORED by the marker, never double-counted
+    BatchStore.writeSlot(
+      Seq(("a", 2L, 3L), (null.asInstanceOf[String], 0L, 3L))
+        .toDF("item", "cnt", "btotal").coalesce(1),
+      s"$dir/batches/batch=1")
+    assert(hh.totalSeen(spark) === beforeSeen + 4L,
+      "covered slot below the marker folded in — double count")
+    // a replayed batch at/below the horizon is refused loudly
+    val e = intercept[IllegalArgumentException](
+      hh.ingest(batch("x"), 3L, col("item")))
+    assert(e.getMessage.contains("compacted horizon"))
+    // recovery from the compacted store works unchanged
+    val rec = StreamingHeavyHitters.load(dir, k = 4)
+    assert(rec.totalSeen(spark) === beforeSeen + 4L)
+    assert(rec.summary(spark) === hh.summary(spark))
+  }
+
   test("all-null batch keeps its row count without summary entries") {
     val s = spark
     import s.implicits._
