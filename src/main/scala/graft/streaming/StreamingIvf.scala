@@ -111,7 +111,11 @@ final class StreamingIvf private (
   }
 
   /** Re-train centroids over the accumulated corpus and rebuild the
-    * assignments as generation g+1; cut over only after both land. */
+    * assignments as generation g+1; cut over only after both land, then
+    * prune superseded generations (see [[pruneGenerations]] — without
+    * it every refine would permanently DOUBLE the index's disk
+    * footprint, since the rebuild copies the whole corpus into the new
+    * generation and the old one never shrinks). */
   def refine(spark: SparkSession): Unit = synchronized {
     val corpus = index(spark).select(col("vec_id"), col("embedding")).persist()
     try {
@@ -129,6 +133,35 @@ final class StreamingIvf private (
       centroids = Some(newCents)
       gen = next
     } finally corpus.unpersist()
+    pruneGenerations(spark)
+  }
+
+  /** Delete generations superseded by the marker — data AND centroid
+    * directories below the current generation. Safe at any moment: the
+    * marker (written LAST at cutover) names the only generation readers
+    * touch, so pruning after the marker landed can never be observed;
+    * a crash mid-prune just leaves some stale directories for the next
+    * prune. In-flight queries against an OLD handle are the caller's
+    * lifecycle to drain (same contract as any compact-then-read race
+    * on generational storage). */
+  def pruneGenerations(spark: SparkSession): Unit = synchronized {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = gen
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("gen=") &&
+        scala.util.Try(n.stripPrefix("gen=").toLong).toOption.exists(_ < cur))
+        fs.delete(s.getPath, true)
+    }
+    val cents = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    if (fs.exists(cents)) fs.listStatus(cents).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("gen=") &&
+        scala.util.Try(n.stripPrefix("gen=").toLong).toOption.exists(_ < cur))
+        fs.delete(s.getPath, true)
+    }
   }
 
   /** IVF top-k over the index as of the latest complete generation —

@@ -73,6 +73,17 @@ class StreamingIvfSpec extends SparkSpec {
       .select(col("q_id"), col("vec_id")).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     assert(got2 === got, "recovered index must answer identically")
+
+    // superseded generations are pruned at cutover: without pruning,
+    // every refine would permanently double the index's disk footprint
+    val left = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("gen=")).map(_.getName).toSet
+    assert(left === Set("gen=2"),
+      s"old generations must be pruned after cutover, found $left")
+    val cLeft = new java.io.File(s"$dir/centroids").listFiles()
+      .map(_.getName).toSet
+    assert(cLeft === Set("gen=2"),
+      s"old centroid generations must be pruned, found $cLeft")
   }
 
   test("composed ingest gate: curate -> embed -> ANN near-dup check -> index, across batches") {
