@@ -110,6 +110,13 @@ object StreamingScaleProbe {
         s"heavy-hitters store grew past batches×(k+1): $rows rows")
       require(hh.summary(spark).size <= 16, "merged summary exceeded k")
       report("heavy_hitters", k, sec, rows, bytes)
+      // retention at volume: compacting the first 3 batches must keep
+      // totals exact while shrinking the store to prefix + live slot
+      val seen = hh.totalSeen(spark)
+      hh.compact(spark, beforeBatch = nBatches - 1L)
+      require(hh.totalSeen(spark) == seen, "compaction changed totals")
+      require(hh.batchesStored(spark).size == 2,
+        s"expected prefix + 1 live slot, got ${hh.batchesStored(spark)}")
     }
 
     // ---- DriftMonitor: one (tvd, n) row per batch
