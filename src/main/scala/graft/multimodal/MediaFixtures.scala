@@ -33,8 +33,11 @@ object MediaFixtures {
     * smaller SFs' doc_ids are strict subsets (TESTDATA.md). */
   val UniverseDocs = 5000L
 
+  /** Env override, else working-directory-relative (no machine-specific
+    * absolute path baked into library code). */
   def defaultDir: String = sys.env.getOrElse(
-    "GRAFT_MEDIA_FIXTURE_DIR", "/root/repo/fixtures/media_corpus")
+    "GRAFT_MEDIA_FIXTURE_DIR",
+    new java.io.File("fixtures/media_corpus").getAbsolutePath)
 
   private def imagesPath(dir: String) = s"$dir/images.parquet"
   private def audioPath(dir: String) = s"$dir/audio.parquet"
@@ -48,23 +51,28 @@ object MediaFixtures {
   private def universe(spark: SparkSession): DataFrame =
     spark.range(UniverseDocs).toDF("doc_id")
 
-  /** Materialize the image corpus if absent; returns its path. */
-  def ensureImages(spark: SparkSession, dir: String = defaultDir): String = {
-    val path = imagesPath(dir)
-    if (!committed(spark, path))
-      graft.streaming.BatchStore.writeSlot(
-        Multimodal.imageCorpus(universe(spark)).toDF(), path)
-    path
-  }
+  /** Materialize the image corpus if absent; returns its path.
+    * Synchronized: two concurrent first-touch callers would otherwise
+    * race on BatchStore's shared `.inflight-` temp for the same slot. */
+  def ensureImages(spark: SparkSession, dir: String = defaultDir): String =
+    synchronized {
+      val path = imagesPath(dir)
+      if (!committed(spark, path))
+        graft.streaming.BatchStore.writeSlot(
+          Multimodal.imageCorpus(universe(spark)).toDF(), path)
+      path
+    }
 
-  /** Materialize the audio corpus if absent; returns its path. */
-  def ensureAudio(spark: SparkSession, dir: String = defaultDir): String = {
-    val path = audioPath(dir)
-    if (!committed(spark, path))
-      graft.streaming.BatchStore.writeSlot(
-        Multimodal.audioCorpus(universe(spark)).toDF(), path)
-    path
-  }
+  /** Materialize the audio corpus if absent; returns its path.
+    * Synchronized — see [[ensureImages]]. */
+  def ensureAudio(spark: SparkSession, dir: String = defaultDir): String =
+    synchronized {
+      val path = audioPath(dir)
+      if (!committed(spark, path))
+        graft.streaming.BatchStore.writeSlot(
+          Multimodal.audioCorpus(universe(spark)).toDF(), path)
+      path
+    }
 
   private def semiJoin(fix: DataFrame, idCol: String,
                        docs: DataFrame): DataFrame = {

@@ -297,12 +297,24 @@ object Warc {
     * Round-trips through [[parseGzipRecords]]. */
   def writeGzipRecords(records: Seq[WarcRecord]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    records.foreach { r =>
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(writeRecords(Seq(r)))
-      gz.finish() // member trailer, without closing the shared sink
-    }
+    records.foreach(r => writeGzipMember(bos, writeRecords(Seq(r))))
     bos.toByteArray
+  }
+
+  /** One RFC 1952 member onto a shared sink. `close()` (not just
+    * `finish()`) must run per member or the stream's native `Deflater`
+    * is never `end()`'d and a large partition accumulates unreleased
+    * zlib memory until finalization — so the member stream wraps the
+    * sink in a close-suppressor and is closed for real. */
+  private def writeGzipMember(sink: java.io.OutputStream,
+                              payload: Array[Byte]): Unit = {
+    val noClose = new java.io.FilterOutputStream(sink) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def close(): Unit = flush() // member trailer only; sink stays open
+    }
+    val gz = new java.util.zip.GZIPOutputStream(noClose)
+    try { gz.write(payload); gz.finish() } finally gz.close()
   }
 
   /** Distributed `.warc.gz` export — the write half of the crawl loop
@@ -315,31 +327,45 @@ object Warc {
     * manifest (segment path, records, compressed bytes) — the
     * shardManifest convention, and what a downstream reader lists.
     * Segment naming is partition-indexed and deterministic; re-running
-    * the export overwrites the same names (idempotent re-export). */
+    * the export overwrites the same names (idempotent re-export).
+    *
+    * Commit protocol: each task writes to an attempt-unique dot-prefixed
+    * temp file and renames into the segment name on success, so a
+    * speculative or retried attempt can never interleave bytes with the
+    * original into a corrupt segment — the rename is atomic, the visible
+    * file is always one complete attempt's output. The export runs
+    * EAGERLY (the manifest is collected before returning): the side
+    * effect happens exactly once, not once per downstream action. */
   def writeGzipShards(records: Dataset[WarcRecord], dir: String): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
-    val manifest = records.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    val rows = records.mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       if (!it.hasNext) Iterator.empty
       else {
-        val path = new org.apache.hadoop.fs.Path(
+        val dst = new org.apache.hadoop.fs.Path(
           f"$dir/segment-$pid%05d.warc.gz")
+        val tmp = new org.apache.hadoop.fs.Path(
+          f"$dir/.inflight-segment-$pid%05d-attempt-${tc.taskAttemptId()}.warc.gz")
         // executor-side FS handle from the default Hadoop conf (the
         // session conf is not serializable; defaults resolve the same
         // local/HDFS filesystems from the cluster's core-site)
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(path, true)
+        val fs = tmp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(tmp, true)
         var n = 0L
         try it.foreach { r =>
-          val gz = new java.util.zip.GZIPOutputStream(out)
-          gz.write(writeRecords(Seq(r)))
-          gz.finish()
+          writeGzipMember(out, writeRecords(Seq(r)))
           n += 1
         } finally out.close()
-        Iterator((path.toString, n, fs.getFileStatus(path).getLen))
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new IllegalStateException(
+            s"writeGzipShards: commit rename $tmp -> $dst failed")
+        Iterator((dst.toString, n, fs.getFileStatus(dst).getLen))
       }
-    }.toDF("segment", "n_records", "bytes")
-    manifest.orderBy("segment")
+    }.collect()
+    spark.createDataset(rows.toSeq.sortBy(_._1))
+      .toDF("segment", "n_records", "bytes")
   }
 }

@@ -79,15 +79,32 @@ final class StreamingHeavyHitters private (val storeDir: String, val k: Int) {
   private def compactedDir = s"$storeDir/compacted"
   private def markerPath = s"$storeDir/_COMPACTED_THROUGH"
 
-  /** Highest batch id folded into the compacted prefix (−1 = none). */
+  /** Highest batch id folded into the compacted prefix (−1 = none).
+    *
+    * The marker is a cache of the authoritative state, not the commit
+    * point itself: a compacted slot is `_SUCCESS`-gated and published
+    * atomically by [[BatchStore.writeSlot]] BEFORE the marker is
+    * renamed into place, and re-compaction replaces the marker with a
+    * delete-then-rename — a crash between those two ops leaves no
+    * marker file. Falling back to the max committed `cutoff=<id>` slot
+    * keeps the already-deleted covered batches accounted for instead of
+    * silently undercounting [[summary]]/[[totalSeen]]. */
   def compactedThrough(spark: SparkSession): Long = {
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(markerPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) -1L
-    else {
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) {
       val in = fs.open(p)
       try new String(in.readAllBytes(), "UTF-8").trim.toLong
       finally in.close()
+    } else {
+      val cd = new org.apache.hadoop.fs.Path(compactedDir)
+      if (!fs.exists(cd)) -1L
+      else fs.listStatus(cd).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cutoff=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("cutoff=").toLong)
+        .foldLeft(-1L)(math.max)
     }
   }
 

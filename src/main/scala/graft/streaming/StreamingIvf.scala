@@ -60,11 +60,21 @@ final class StreamingIvf private (
   private def centsPath(g: Long) = s"$indexDir/centroids/gen=$g"
   private def markerPath = s"$indexDir/_LATEST_GEN"
 
+  /** Tmp+rename marker publish (the [[BatchStore]]/compact protocol) —
+    * `fs.create(overwrite=true)` would truncate-then-write, and with
+    * [[pruneGenerations]] deleting superseded generations the marker is
+    * the ONLY pointer to live data; a crash mid-write must leave the
+    * previous marker intact, not an empty file. */
   private def writeMarker(spark: SparkSession, g: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(markerPath), true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/._gen_marker_tmp")
+    val out = fs.create(tmp, true)
     try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(markerPath)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"StreamingIvf: marker rename failed at $dst")
   }
 
   /** The current centroid table (cid, c_emb) — `nCells` rows. */
@@ -206,16 +216,30 @@ object StreamingIvf {
 
   /** Recover an index from its store: reload the latest complete
     * generation's centroids (the marker is only ever written after its
-    * generation landed, so this never sees a torn rebuild). */
+    * generation landed, so this never sees a torn rebuild). The marker
+    * is a cache: if a crash landed between its delete and rename, fall
+    * back to the max `_SUCCESS`-committed centroid generation —
+    * generations only increase and are published before the marker. */
   def load(spark: SparkSession, indexDir: String, nCells: Int,
            refineEvery: Int = 4, kmeansIters: Int = 2): StreamingIvf = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_LATEST_GEN")
-    require(fs.exists(marker), s"no index marker at $indexDir")
-    val in = fs.open(marker)
-    val g = try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
+    val g =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      } else {
+        val cd = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+        require(fs.exists(cd), s"no index marker or centroids at $indexDir")
+        val gens = fs.listStatus(cd)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          .map(_.getPath.getName.stripPrefix("gen=").toLong)
+        require(gens.nonEmpty, s"no committed centroid generation at $indexDir")
+        gens.max
+      }
     val cents = spark.read.parquet(s"$indexDir/centroids/gen=$g").persist()
     cents.count()
     new StreamingIvf(indexDir, nCells, refineEvery, kmeansIters,

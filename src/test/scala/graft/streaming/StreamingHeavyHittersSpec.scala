@@ -112,6 +112,20 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     val rec = StreamingHeavyHitters.load(dir, k = 4)
     assert(rec.totalSeen(spark) === beforeSeen + 4L)
     assert(rec.summary(spark) === hh.summary(spark))
+    // crash between a re-compaction's marker delete and rename leaves NO
+    // marker file; the committed compacted slot (published before the
+    // marker) is the authority — no silent undercount of the prefix
+    val expectSum = hh.summary(spark)
+    val expectSeen = hh.totalSeen(spark)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/_COMPACTED_THROUGH")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(mp, false))
+    assert(hh.compactedThrough(spark) === 3L,
+      "marker-absent fallback must scan for the max committed cutoff slot")
+    assert(hh.totalSeen(spark) === expectSeen,
+      "missing marker silently dropped the compacted prefix")
+    assert(hh.summary(spark) === expectSum)
+    assert(StreamingHeavyHitters.load(dir, k = 4).totalSeen(spark) === expectSeen)
   }
 
   test("all-null batch keeps its row count without summary entries") {

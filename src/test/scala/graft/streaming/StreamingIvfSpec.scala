@@ -84,6 +84,17 @@ class StreamingIvfSpec extends SparkSpec {
       .map(_.getName).toSet
     assert(cLeft === Set("gen=2"),
       s"old centroid generations must be pruned, found $cLeft")
+
+    // a crash between the cutover marker's delete and rename leaves no
+    // _LATEST_GEN; load() must fall back to the max committed generation
+    assert(new java.io.File(s"$dir/_LATEST_GEN").delete())
+    val re2 = StreamingIvf.load(spark, dir, nCells = 16)
+    assert(re2.generation === 2L,
+      "marker-absent fallback must recover the max committed generation")
+    val got3 = re2.topK(queries, 3, nprobe = 4)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got3 === got, "fallback-recovered index must answer identically")
   }
 
   test("composed ingest gate: curate -> embed -> ANN near-dup check -> index, across batches") {
