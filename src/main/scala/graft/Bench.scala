@@ -42,9 +42,12 @@ object Bench {
         graft.multimodal.MediaFixtures.ensureAudio(spark)
       } catch { case _: Throwable => () }
     // queries whose wall-clock is a sequence of driver-blocking rounds
-    // (iterative checkpoint+count loops) get the median-of-reps policy
+    // (iterative checkpoint+count loops) get the median-of-reps policy.
+    // x61 left the set in r16: its auto-dispatch trainer runs ~2 Spark
+    // jobs total (driver merge rounds), so the round-latency noise term
+    // the median policy compensated for is gone.
     val iterative = Set("x23_neardup_clusters", "x46_keep_best",
-      "x61_bpe_merges", "x63_bpe_encode")
+      "x63_bpe_encode")
     // Hypervisor steal awareness (r14 verdict: a noisy window committed a
     // 19.4 s reading for a 3.8 s query — min-of-reps can't save a query
     // when EVERY rep lands under steal). /proc/stat's cpu line carries

@@ -2329,9 +2329,9 @@ object ExtraQueries {
 
     // ----- BPE merge-pair vocabulary (iterative tokenizer training)
     QueryDef("x61_bpe_merges",
-      "BPE tokenizer training: 12 rounds of most-frequent-adjacent-symbol-pair merging over the distinct-word inventory (chars + </w> start state, frequency-weighted counts, lexicographic tie-break) — corpus read once, every round a vocab-bounded pair aggregation; oracle replays each round as a materialized CTE with the same greedy leftmost fold")(
+      "BPE tokenizer training behind the probe-and-dispatch trainer: one distributed (word, count) inventory pass, then driver merge rounds when the vocabulary fits maxInventory (bit-for-bit equal to the distributed rounds — TextOpsSpec pins it) or distributed rounds otherwise; oracle replays each round as a materialized CTE with the same greedy leftmost fold")(
       bpeMergesOracleD(12)) { (s, dir) =>
-      TextOps.bpeMerges(Tables.documents(s, dir), col("doc_id"), col("text"),
+      TextOps.bpeMergesAuto(Tables.documents(s, dir), col("doc_id"), col("text"),
         nMerges = 12)
     },
 

@@ -1420,39 +1420,56 @@ object TextOps {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    val inv0 = docs.select(explode(split(norm(text), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("wc"))
-      .persist()
+    val inv0 = wordInventory(docs, text).persist()
     val v = inv0.count()
     require(v <= maxInventory,
       s"bpeMergesLocal: inventory $v exceeds maxInventory $maxInventory — " +
         "use the distributed bpeMerges (its rounds never collect the inventory)")
-    var inv: Array[(Array[String], Long)] = inv0.collect()
-      .map(r => (r.getString(0).split("").filter(_.nonEmpty) :+ "</w>",
-        r.getLong(1)))
+    val inv = inv0.collect().map(r => (r.getString(0), r.getLong(1)))
     inv0.unpersist()
-    // Spark's string orderBy is UTF-8 binary order; String.compareTo is
-    // UTF-16 — they disagree on supplementary characters, so compare
-    // raw UTF-8 bytes to replay the distributed argmax exactly
-    def u8lt(a: String, b: String): Boolean = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < x.length && i < y.length) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c < 0
-        i += 1
-      }
-      x.length < y.length
+    localMergeRounds(inv, nMerges)._1
+      .toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
+  }
+
+  /** The (w, wc) distinct-word inventory — the single corpus read every
+    * BPE training form starts from (vocabulary-bounded by Heaps' law). */
+  private def wordInventory(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(norm(text), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+
+  // Spark's string orderBy is UTF-8 binary order; String.compareTo is
+  // UTF-16 — they disagree on supplementary characters, so compare
+  // raw UTF-8 bytes to replay the distributed argmax exactly
+  private def u8lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
     }
-    def step(syms: Array[String], l: String, r: String, m: String): Array[String] = {
-      if (syms.length < 2) return syms
-      val buf = scala.collection.mutable.ArrayBuffer(syms(0))
+    x.length < y.length
+  }
+
+  /** Driver-side BPE merge rounds over a collected (w, wc) inventory —
+    * the loop [[bpeMergesLocal]] and the auto-dispatch forms share.
+    * Returns (merge list, final symbol arrays aligned 1:1 with the
+    * input order); bit-for-bit the distributed rounds' results
+    * (TextOpsSpec pins both the merges and the encode route). */
+  private def localMergeRounds(inv0: Array[(String, Long)], nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], Array[Array[String]]) = {
+    var syms: Array[Array[String]] =
+      inv0.map(_._1.split("").filter(_.nonEmpty) :+ "</w>")
+    val wcs: Array[Long] = inv0.map(_._2)
+    def step(ss: Array[String], l: String, r: String, m: String): Array[String] = {
+      if (ss.length < 2) return ss
+      val buf = scala.collection.mutable.ArrayBuffer(ss(0))
       var i = 1
-      while (i < syms.length) {
-        if (buf.last == l && syms(i) == r) buf(buf.length - 1) = m
-        else buf += syms(i)
+      while (i < ss.length) {
+        if (buf.last == l && ss(i) == r) buf(buf.length - 1) = m
+        else buf += ss(i)
         i += 1
       }
       buf.toArray
@@ -1464,13 +1481,17 @@ object TextOps {
     while (r <= nMerges && !exhausted) {
       val counts = scala.collection.mutable.HashMap
         .empty[(String, String), Long]
-      inv.foreach { case (syms, wc) =>
+      var wi = 0
+      while (wi < syms.length) {
+        val ss = syms(wi)
+        val wc = wcs(wi)
         var i = 0
-        while (i + 1 < syms.length) {
-          val k = (syms(i), syms(i + 1))
+        while (i + 1 < ss.length) {
+          val k = (ss(i), ss(i + 1))
           counts(k) = counts.getOrElse(k, 0L) + wc
           i += 1
         }
+        wi += 1
       }
       if (counts.isEmpty) exhausted = true
       else {
@@ -1483,11 +1504,11 @@ object TextOps {
           else a
         }
         merges += ((r.toLong, l, rt, l + rt, c))
-        inv = inv.map { case (syms, wc) => (step(syms, l, rt, l + rt), wc) }
+        syms = syms.map(ss => step(ss, l, rt, l + rt))
         r += 1
       }
     }
-    merges.toSeq.toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
+    (merges.toSeq, syms)
   }
 
   /** The BPE training loop shared by [[bpeMerges]] (which keeps the
@@ -1497,11 +1518,17 @@ object TextOps {
   private def bpeTrain(docs: DataFrame, text: Column, nMerges: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
-    var words = docs.select(explode(split(norm(text), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+    bpeRounds(wordInventory(docs, text)
       .withColumn("syms", concat(split(col("w"), ""), array(lit("</w>"))))
-      .persist()
+      .persist(), nMerges)
+  }
+
+  /** The distributed merge-round loop over a persisted (w, wc, syms)
+    * inventory — shared by [[bpeTrain]] and the auto-dispatch's
+    * large-vocabulary branch. */
+  private def bpeRounds(words0: DataFrame, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -1558,6 +1585,14 @@ object TextOps {
   def bpeEncode(docs: DataFrame, id: Column, text: Column,
                 nMerges: Int = 12): DataFrame = {
     val (_, inventory) = bpeTrain(docs, text, nMerges)
+    encodeWith(docs, id, text, inventory)
+  }
+
+  /** The dictionary-encode half of [[bpeEncode]]: join the corpus word
+    * stream against a segmented (w, syms) inventory (however trained)
+    * and aggregate per-document BPE statistics. */
+  private def encodeWith(docs: DataFrame, id: Column, text: Column,
+                         inventory: DataFrame): DataFrame = {
     val p = 1000000007L
     val segmented = inventory
       .select(col("w"), size(col("syms")).cast(LongType).as("_n"),
@@ -1569,6 +1604,70 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"),
         sum(col("_n")).as("n_bpe_tokens"),
         (sum(col("_fp")) % p).as("sym_sum"))
+  }
+
+  /** Probe-and-dispatch BPE training (r15 verdict task #1): build the
+    * (w, wc) inventory in ONE distributed pass, count it, and pick the
+    * training form the size licenses — driver rounds when the
+    * vocabulary fits `maxInventory` (bit-for-bit equal to the
+    * distributed rounds, ~2 Spark jobs total instead of 2 per round,
+    * which removes the rounds × job-latency wall-clock term that made
+    * x61 the suite's noise magnet), distributed rounds otherwise (the
+    * inventory never leaves the executors — safe at ANY vocabulary).
+    * The probe count reuses the inventory the chosen path trains on,
+    * so dispatch costs one count over an already-persisted aggregate. */
+  def bpeMergesAuto(docs: DataFrame, id: Column, text: Column,
+                    nMerges: Int = 12,
+                    maxInventory: Long = 2000000L): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inv0 = wordInventory(docs, text).persist()
+    val v = inv0.count()
+    if (v <= maxInventory) {
+      val inv = inv0.collect().map(r => (r.getString(0), r.getLong(1)))
+      inv0.unpersist()
+      localMergeRounds(inv, nMerges)._1
+        .toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
+    } else {
+      val (merges, words) = bpeRounds(
+        inv0.withColumn("syms",
+          concat(split(col("w"), ""), array(lit("</w>")))).persist(), nMerges)
+      words.unpersist()
+      inv0.unpersist()
+      merges.toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
+    }
+  }
+
+  /** [[bpeEncode]] behind the same probe-and-dispatch as
+    * [[bpeMergesAuto]]: when the vocabulary fits, training runs on the
+    * driver and the segmented inventory is parallelized back
+    * (vocab-bounded — exactly the model-sized-broadcast license) for
+    * the ONE distributed dictionary join; otherwise the fully
+    * distributed [[bpeEncode]] path runs unchanged. */
+  def bpeEncodeAuto(docs: DataFrame, id: Column, text: Column,
+                    nMerges: Int = 12,
+                    maxInventory: Long = 2000000L): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inv0 = wordInventory(docs, text).persist()
+    val v = inv0.count()
+    if (v <= maxInventory) {
+      val inv = inv0.collect().map(r => (r.getString(0), r.getLong(1)))
+      inv0.unpersist()
+      val (_, fin) = localMergeRounds(inv, nMerges)
+      val segmented = inv.zip(fin).toSeq
+        .map { case ((w, _), ss) => (w, ss.toSeq) }
+        .toDF("w", "syms")
+      encodeWith(docs, id, text, segmented)
+    } else {
+      val (_, inventory) = bpeRounds(
+        inv0.withColumn("syms",
+          concat(split(col("w"), ""), array(lit("</w>")))).persist(), nMerges)
+      inv0.unpersist()
+      encodeWith(docs, id, text, inventory)
+    }
   }
 
   /** x97 — tokenizer economics per language: the "tokenizer parity"
@@ -1592,7 +1691,7 @@ object TextOps {
     * is one row per language. */
   def tokenizerEconomics(docs: DataFrame, id: Column, text: Column,
                          lang: Column, nMerges: Int = 12): DataFrame = {
-    val perDoc = bpeEncode(docs, id, text, nMerges)
+    val perDoc = bpeEncodeAuto(docs, id, text, nMerges)
     val meta = docs.select(id.as("doc_id"), lang.as("lang"),
       length(norm(text)).cast(LongType).as("_chars"))
     perDoc.join(meta, "doc_id")

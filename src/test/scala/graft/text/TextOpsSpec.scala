@@ -742,6 +742,28 @@ class TextOpsSpec extends SparkSpec {
       TextOps.bpeMergesLocal(docs, col("doc_id"), col("text"),
         nMerges = 2, maxInventory = 3L))
     assert(e.getMessage.contains("maxInventory"))
+    // probe-and-dispatch: BOTH branches replay the reference trainer —
+    // default (local branch: vocab fits) and forced-distributed
+    // (maxInventory = 0 makes the probe overflow)
+    assert(rows(TextOps.bpeMergesAuto(docs, col("doc_id"), col("text"),
+      nMerges = 8)) === dist, "auto dispatch (local branch) diverged")
+    assert(rows(TextOps.bpeMergesAuto(docs, col("doc_id"), col("text"),
+      nMerges = 8, maxInventory = 0L)) === dist,
+      "auto dispatch (forced distributed branch) diverged")
+  }
+
+  test("bpeEncodeAuto: both dispatch branches reproduce bpeEncode exactly") {
+    val docs = Seq((1L, "abc abd ab abc abc ba ba cab"),
+      (2L, "xy xy xz zz zz"), (3L, "q qq qqq")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val dist = rows(TextOps.bpeEncode(docs, col("doc_id"), col("text"), nMerges = 8))
+    assert(rows(TextOps.bpeEncodeAuto(docs, col("doc_id"), col("text"),
+      nMerges = 8)) === dist, "auto encode (local branch) diverged")
+    assert(rows(TextOps.bpeEncodeAuto(docs, col("doc_id"), col("text"),
+      nMerges = 8, maxInventory = 0L)) === dist,
+      "auto encode (forced distributed branch) diverged")
   }
 
   test("bpeMerges stops early when the inventory is fully merged") {
