@@ -720,6 +720,60 @@ object CoreQueries {
         Seq("click", "error", "purchase", "signup", "view"))
     },
 
+    // ----- D10: schema-drift monitor over schema-on-read bronze — the
+    // reference's own silent accident (init.sql:44 indexes
+    // payload->>'event_type'; the producer sends 'type',
+    // polymarket_ws_manager.py:91). Planted drift: from Jan 20 the
+    // producer renames event_type -> type; every-97th payload is
+    // malformed (counts toward n_rows, contributes no keys).
+    QueryDef("d10_schema_drift",
+      "per-day arrival rate of every declared payload key read from the raw JSON envelope (json_object_keys), zero-filled when a key stops arriving, plus undeclared keys that start arriving; flags declared-rate collapse (<0.5) and novel-key arrival (>=0.05) — the drift class a fixed StructType silver nulls out silently")(
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |         CASE WHEN event_id % 97 = 0 THEN 'oops'
+        |              WHEN ts >= TIMESTAMP '2024-01-20'
+        |                THEN '{"type": "x"' || CASE WHEN value IS NOT NULL
+        |                     THEN ', "value": 1' ELSE '' END || '}'
+        |              ELSE '{"event_type": "x"' || CASE WHEN value IS NOT NULL
+        |                   THEN ', "value": 1' ELSE '' END || '}'
+        |         END AS payload
+        |  FROM events),
+        |k AS (SELECT bucket,
+        |             unnest(CASE WHEN json_valid(payload)
+        |                    THEN json_keys(payload) END) AS key
+        |      FROM b),
+        |tot AS (SELECT bucket, count(*) AS n_rows FROM b GROUP BY 1),
+        |pres AS (SELECT bucket, key, count(*) AS n_present FROM k GROUP BY 1, 2),
+        |expk AS (SELECT 'event_type' AS key UNION ALL SELECT 'value'),
+        |expected AS (
+        |  SELECT t.bucket, e.key, 'expected' AS kind,
+        |         coalesce(p.n_present, 0) AS n_present, t.n_rows
+        |  FROM tot t CROSS JOIN expk e
+        |  LEFT JOIN pres p ON p.bucket = t.bucket AND p.key = e.key),
+        |novel AS (
+        |  SELECT p.bucket, p.key, 'novel' AS kind, p.n_present, t.n_rows
+        |  FROM pres p JOIN tot t ON t.bucket = p.bucket
+        |  WHERE p.key NOT IN (SELECT key FROM expk))
+        |SELECT bucket, key, kind, n_present, n_rows,
+        |       round(CAST(n_present AS DOUBLE) / n_rows, 4) AS rate,
+        |       CASE WHEN kind = 'expected' THEN rate < 0.5
+        |            ELSE rate >= 0.05 END AS flagged
+        |FROM (SELECT * FROM expected UNION ALL SELECT * FROM novel)
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val body = when(col("value").isNotNull, lit(", \"value\": 1"))
+        .otherwise(lit(""))
+      val payload = when(col("event_id") % 97 === 0, lit("oops"))
+        .when(col("ts") >= lit("2024-01-20").cast(TimestampType),
+          concat(lit("{\"type\": \"x\""), body, lit("}")))
+        .otherwise(concat(lit("{\"event_type\": \"x\""), body, lit("}")))
+      val bronze = ev.select(
+        to_date(date_trunc("DAY", col("ts"))).as("_day"),
+        payload.as("_payload"))
+      Silver.keyArrival(bronze, col("_payload"), col("_day"),
+        Seq("event_type", "value"))
+    },
+
     // ----- O1/J3: latest-row probe (tracker.py:177-180)
     QueryDef("o01_latest_row",
       "ORDER BY ts DESC LIMIT 1 — TakeOrderedAndProject, no full sort")(

@@ -195,4 +195,60 @@ object Silver {
         watermarkCol > col("_hwm") - expr(s"INTERVAL $lagBack"))
       .drop("_hwm")
   }
+
+  /** D10: schema-drift detection over schema-on-read bronze — per
+    * `bucket`, the ARRIVAL RATE of every declared payload key, plus any
+    * undeclared key that starts arriving. The failure class this
+    * surfaces is silent on both sides of a fixed-schema silver: a
+    * producer renames a key and `from_json` just nulls the old field
+    * forever (the reference itself shipped this accident — its
+    * `payload->>'event_type'` index, `init.sql:44`, indexes a key its
+    * own producer never sends; the real key is `type`,
+    * `producers/polymarket_ws_manager.py:91`). Key PRESENCE is read
+    * from the raw JSON (`json_object_keys`), deliberately not from
+    * post-projection nullness — a key that arrives with a null VALUE is
+    * still arriving; only the envelope changing is drift.
+    *
+    * Output: one row per (bucket, key) — declared keys appear in every
+    * bucket (zero-filled when absent: "stopped arriving" IS the
+    * signal); undeclared keys appear where observed. `flagged` trips
+    * when a declared key's rate falls below `minExpectedRate` or an
+    * undeclared key's rate reaches `novelRate`. Malformed / non-object
+    * payloads count toward `n_rows` and contribute no keys.
+    *
+    * Scale shape: two bucket-keyed hash aggregations (row totals; key
+    * presence via one explode of the outer key list — bounded by keys
+    * per envelope, single-digit in practice), then a join of two
+    * bucket-count-sized aggregates; the declared-key frame is a
+    * crossJoin(broadcast(literal)) of a handful of names. Nothing
+    * corpus-sized is collected, sorted, or broadcast. */
+  def keyArrival(bronze: DataFrame, payload: Column, bucket: Column,
+                 expectedKeys: Seq[String], minExpectedRate: Double = 0.5,
+                 novelRate: Double = 0.05): DataFrame = {
+    require(expectedKeys.nonEmpty, "keyArrival: empty expected-key set")
+    val spark = bronze.sparkSession
+    import spark.implicits._
+    val base = bronze.select(bucket.as("bucket"),
+      json_object_keys(payload).as("_ks"))
+    val totals = base.groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    val present = base.select(col("bucket"), explode(col("_ks")).as("key"))
+      .groupBy("bucket", "key").agg(count(lit(1)).as("n_present"))
+    val expected = totals
+      .crossJoin(broadcast(expectedKeys.toDF("key")))
+      .join(present, Seq("bucket", "key"), "left")
+      .select(col("bucket"), col("key"), lit("expected").as("kind"),
+        coalesce(col("n_present"), lit(0L)).as("n_present"), col("n_rows"))
+    val novel = present
+      .filter(!col("key").isin(expectedKeys: _*))
+      .join(totals, "bucket")
+      .select(col("bucket"), col("key"), lit("novel").as("kind"),
+        col("n_present"), col("n_rows"))
+    expected.unionByName(novel)
+      .withColumn("rate",
+        round(col("n_present").cast(DoubleType) / col("n_rows"), 4))
+      .withColumn("flagged",
+        when(col("kind") === "expected",
+          col("rate") < minExpectedRate)
+          .otherwise(col("rate") >= novelRate))
+  }
 }

@@ -52,6 +52,7 @@ class PlanAuditSpec extends SparkSpec {
   private val intendedNestedLoop: Set[String] = Set(
     "a08_positions_fanout",       // 20-user set x distinct 15-min windows
     "d02_incremental_watermark",  // singleton high-watermark max row
+    "d10_schema_drift",           // declared-key literal set x day buckets
     "p15_empty_snapshot",         // distinct windows (bounded time range)
     "x06_cosine_topk",            // fixed query set (exact baseline)
     "x15_ann_ivf_cosine",         // centroid set (scaledCells-capped)
@@ -89,6 +90,7 @@ class PlanAuditSpec extends SparkSpec {
   private val intendedHints: Set[String] = Set(
     "a08_positions_fanout",       // bounded user x window grid
     "d02_incremental_watermark",  // singleton max
+    "d10_schema_drift",           // declared-key literal set (a few names)
     "j01_star_join",              // nation/region dims
     "j04_bucketed_join",          // hint("merge"): bucketed SMJ on purpose
     "p11_dim_lookup",             // token->outcome dim

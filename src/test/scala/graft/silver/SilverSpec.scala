@@ -151,4 +151,26 @@ class SilverSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, s"expected a single hash exchange, plan:\n$plan")
   }
+
+  test("keyArrival: zero-fill, envelope-not-value semantics, malformed/non-object accounting") {
+    val rows = Seq(
+      (1, """{"a": 1, "b": null}"""), // b arrives with null VALUE: still arriving
+      (1, """{"a": 2}"""),
+      (1, "not json"),                // counts toward n_rows, no keys
+      (1, "[1, 2]"),                  // valid JSON, not an object: no keys
+      (2, """{"c": 3}"""),            // a stops, novel c starts
+      (2, null.asInstanceOf[String])  // null payload rows still count
+    ).toDF("bucket", "payload")
+    val got = Silver.keyArrival(rows, col("payload"), col("bucket"),
+        Seq("a", "b"), minExpectedRate = 0.5, novelRate = 0.05)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(6))).toSet
+    assert(got === Set(
+      (1, "a", "expected", 2L, 4L, false),
+      (1, "b", "expected", 1L, 4L, true),  // 0.25 < 0.5
+      (2, "a", "expected", 0L, 2L, true),  // stopped arriving: zero-filled
+      (2, "b", "expected", 0L, 2L, true),
+      (2, "c", "novel", 1L, 2L, true)))
+  }
 }
