@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""sf1 validation-tier generator: a faithful 10x scale-up of sf0.1.
+
+Usage: python3 scripts/make_sf1.py [srcDir] [dstDir]
+       (defaults /root/testdata/sf0.1 -> /tmp/graft_sf1)
+
+The r15 verdict's task #3: every gate runs at sf<=0.1; one full
+167-query DuckDB compare + one bench at 10x the rows catches
+scale-sensitive constants (bloom sizing, scaledCells/scaledBits
+transitions, planted-id strides) that per-family widening misses.
+
+Construction: 10 replicas of every fact table with key-space-strided
+ids so FKs stay valid (replica r's customers are referenced by replica
+r's orders/events, etc.). Replica 0 is sf0.1 verbatim, so doc_id/key
+nesting across SFs still holds. Dimension tables (region, nation) stay
+fixed, as in TPC-H.
+
+Cross-replica corpus decorrelation — the one deliberate mutation:
+  * documents: replica r > 0 prefixes every word with "r<r>". The map
+    is applied uniformly, so any two docs' shared substrings map to
+    shared substrings (intra-replica shingle/minhash similarity is
+    preserved) while cross-replica shingles share nothing. Without
+    this, every text would appear 10x and every LSH bucket's pair
+    candidates would grow quadratically instead of linearly -- a
+    fixture artifact, not a property of 10x more web data.
+  * embeddings: replica r cyclically rotates the vector by r
+    dimensions -- norms and intra-replica cosines are preserved
+    exactly; cross-replica pairs decorrelate.
+
+Deterministic (pure arithmetic; no RNG).
+"""
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+REPLICAS = 10
+
+# key column -> stride (the key space's size at sf0.1; ids are dense
+# 0..N-1 there, so striding keeps replicas disjoint and FKs aligned)
+STRIDES = {
+    "c_custkey": 15000, "o_custkey": 15000, "user_id": 15000,
+    "o_orderkey": 150000, "l_orderkey": 150000,
+    "p_partkey": 20000, "l_partkey": 20000,
+    "s_suppkey": 1000, "l_suppkey": 1000,
+    "event_id": 100000,
+    "doc_id": 5000,
+    "vec_id": 2000,
+}
+
+COPY_ONCE = {"region", "nation"}
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def offset_keys(t: pa.Table, r: int) -> pa.Table:
+    for name, stride in STRIDES.items():
+        if name in t.column_names:
+            i = t.column_names.index(name)
+            t = t.set_column(i, name,
+                             pc.add(t.column(name), r * stride))
+    return t
+
+
+def mutate_documents(t: pa.Table, r: int) -> pa.Table:
+    if r == 0:
+        return t
+    texts = t.column("text").to_pylist()
+    pre = f"r{r}"
+    out = [None if x is None else
+           " ".join(pre + w for w in x.split(" ")) for x in texts]
+    t = t.set_column(t.column_names.index("text"), "text",
+                     pa.array(out, pa.string()))
+    if "n_chars" in t.column_names:
+        t = t.set_column(t.column_names.index("n_chars"), "n_chars",
+                         pa.array([None if x is None else len(x)
+                                   for x in out], pa.int64()))
+    return t
+
+
+def mutate_embeddings(t: pa.Table, r: int) -> pa.Table:
+    if r == 0:
+        return t
+    vecs = t.column("embedding").to_pylist()
+    out = [None if v is None or len(v) == 0
+           else v[r % len(v):] + v[:r % len(v)] for v in vecs]
+    return t.set_column(t.column_names.index("embedding"), "embedding",
+                        pa.array(out, pa.list_(pa.float32())))
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name in TABLES:
+        src = f"{SRC}/{name}.parquet"
+        base = pq.read_table(src)
+        if name in COPY_ONCE:
+            pq.write_table(base, f"{DST}/{name}.parquet")
+            print(f"{name}: copied once ({base.num_rows} rows)")
+            continue
+        parts = []
+        for r in range(REPLICAS):
+            t = offset_keys(base, r)
+            if name == "documents":
+                t = mutate_documents(t, r)
+            elif name == "embeddings":
+                t = mutate_embeddings(t, r)
+            parts.append(t)
+        out = pa.concat_tables(parts)
+        pq.write_table(out, f"{DST}/{name}.parquet")
+        print(f"{name}: {base.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

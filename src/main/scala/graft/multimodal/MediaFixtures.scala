@@ -17,8 +17,8 @@ import org.apache.spark.sql.types.LongType
   * the sf0.1 superset; every smaller SF's doc_ids nest inside it),
   * published atomically ([[graft.streaming.BatchStore.writeSlot]]) under
   * `fixtures/media_corpus/`, and READ by the queries with a broadcast
-  * semi-join against the current SF's doc_ids (`id % 20000` recovers the
-  * base doc: planted ids are d / d+20000 / d+40000 with d < 20000).
+  * semi-join against the current SF's doc_ids (`id % 20000000` recovers the
+  * base doc: planted ids are d / d+20000000 / d+40000000 with d < 20000000).
   * This is also the honest 100-TB shape: media is a table ingestion
   * wrote once, not something a dedup query synthesizes.
   *
@@ -29,9 +29,19 @@ import org.apache.spark.sql.types.LongType
   * the same query results even if codec bytes differ across JDKs. */
 object MediaFixtures {
 
-  /** doc-id universe the fixture covers: sf0.1's 0 until 5000; the
-    * smaller SFs' doc_ids are strict subsets (TESTDATA.md). */
-  val UniverseDocs = 5000L
+  /** doc-id universe the fixture covers: sf0.1's 0 until 5000 by
+    * default (the smaller SFs' doc_ids are strict subsets —
+    * TESTDATA.md); env-overridable for larger validation tiers (sf1's
+    * 50000). Must stay below the 20000000 planted-id stride, and a
+    * fixture dir is only valid for ONE universe (point
+    * GRAFT_MEDIA_FIXTURE_DIR somewhere fresh when overriding). */
+  def UniverseDocs: Long = {
+    val v = sys.env.get("GRAFT_MEDIA_UNIVERSE_DOCS")
+      .map(_.toLong).getOrElse(5000L)
+    require(v > 0 && v < 20000000L,
+      s"GRAFT_MEDIA_UNIVERSE_DOCS out of (0, 20000000): $v")
+    v
+  }
 
   /** Env override, else working-directory-relative (no machine-specific
     * absolute path baked into library code). */
@@ -78,7 +88,7 @@ object MediaFixtures {
                        docs: DataFrame): DataFrame = {
     val ids = docs.select(col("doc_id").cast(LongType).as("_d")).distinct()
     fix.join(broadcast(ids),
-      pmod(col(idCol), lit(20000L)) === col("_d"), "left_semi")
+      pmod(col(idCol), lit(20000000L)) === col("_d"), "left_semi")
   }
 
   /** The staged image corpus restricted to `docs`' doc_ids — same rows

@@ -770,10 +770,10 @@ object Multimodal {
       + y.toLong * x * (d % 7 + 1)) % 256).toInt
 
   /** Planted image near-dup corpus (x87): for each document, a base
-    * 36×32 PNG of [[imagePix]], a RE-ENCODED copy (+20000 — decode the
+    * 36×32 PNG of [[imagePix]], a RE-ENCODED copy (+20000000 — decode the
     * base PNG, encode the decoded pixels again: pixel-identical through
     * a second real codec round-trip), and a 2× nearest-neighbor UPSCALE
-    * with a +4 clamped brightness shift (+40000 — the classic thumbnail
+    * with a +4 clamped brightness shift (+40000000 — the classic thumbnail
     * / re-exposure near-dup). Every byte is produced by the REAL
     * ImageIO encode/decode pipeline; the oracle reproduces the expected
     * pixels by pure arithmetic (the x62 pattern — oracle needs no image
@@ -822,8 +822,8 @@ object Multimodal {
           }
           val resizedPng = FakeCodec.encodeRgbPng(ow, oh, up)
           Seq(ImageAsset(d, baseW, basePng),
-            ImageAsset(d + 20000, baseW, reencoded),
-            ImageAsset(d + 40000, ow, resizedPng))
+            ImageAsset(d + 20000000, baseW, reencoded),
+            ImageAsset(d + 40000000, ow, resizedPng))
         }
       }(Encoders.product[ImageAsset])
   }
@@ -881,7 +881,7 @@ object Multimodal {
     * sample mono WAV of [[audioSampleVal]], a RE-ENCODED copy
     * (+20000 — decode the base WAV, encode the decoded samples again:
     * sample-identical through a second real javax.sound round-trip),
-    * and a 2× GAIN copy with a ±1 alternate-sample dither (+40000 —
+    * and a 2× GAIN copy with a ±1 alternate-sample dither (+40000000 —
     * the re-mastered/re-compressed near-dup: gain is fingerprint-exact,
     * the dither perturbs frame energies by ≤16 of a ~260k scale, so a
     * handful of near-tie gradient bits may flip — what the Hamming
@@ -899,8 +899,8 @@ object Multimodal {
           val reencoded = FakeCodec.encodePcm16Wav(FakeCodec.pcm16Samples(baseWav))
           val gain = Array.tabulate(nSamples)(s => 2 * base(s) + (s % 2))
           Seq(AudioAsset(d, baseWav),
-            AudioAsset(d + 20000, reencoded),
-            AudioAsset(d + 40000, FakeCodec.encodePcm16Wav(gain)))
+            AudioAsset(d + 20000000, reencoded),
+            AudioAsset(d + 40000000, FakeCodec.encodePcm16Wav(gain)))
         }
       }(Encoders.product[AudioAsset])
   }

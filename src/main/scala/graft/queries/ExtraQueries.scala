@@ -32,26 +32,26 @@ object ExtraQueries {
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS text
+      |  SELECT doc_id + 10000000 AS doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS text
       |  FROM documents)""".stripMargin
 
   private val tailDupCorpusD =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, text || ' zz qq xx yy' AS text FROM documents)""".stripMargin
+      |  SELECT doc_id + 10000000 AS doc_id, text || ' zz qq xx yy' AS text FROM documents)""".stripMargin
 
   /** documents ∪ whitespace-mangled copies (normalizes equal → exact dups). */
   private def wsDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
-    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"),
+    d.unionAll(d.select((col("doc_id") + 10000000).as("doc_id"),
       concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" ")).as("text")))
   }
 
   /** documents ∪ tail-appended copies (near-dups, shingle Jaccard ≈ 0.9). */
   private def tailDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
-    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"),
+    d.unionAll(d.select((col("doc_id") + 10000000).as("doc_id"),
       concat(col("text"), lit(" zz qq xx yy")).as("text")))
   }
 
@@ -276,7 +276,7 @@ object ExtraQueries {
       "appending-crawl dedup: band the new batch and the existing corpus once each, join bands ASYMMETRICALLY (no corpus self-join), verify with exact Jaccard >= 0.5 — per-batch cost is one linear banding pass + an index probe")(
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |${shinglesKD(7)},
-         |bc AS (SELECT doc_id + 10000 AS doc_id, text || ' zz qq xx yy' AS text
+         |bc AS (SELECT doc_id + 10000000 AS doc_id, text || ' zz qq xx yy' AS text
          |       FROM documents WHERE doc_id % 10 = 0),
          |bn AS (SELECT doc_id, $normD AS t FROM bc),
          |bsh AS (SELECT doc_id, list_distinct([
@@ -314,7 +314,7 @@ object ExtraQueries {
       // near-dup (Jaccard ~0.9) of exactly one corpus doc
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val batch = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           concat(col("text"), lit(" zz qq xx yy")).as("text"))
       Dedup.incrementalNearDup(docs, col("doc_id"), col("text"),
         batch, col("doc_id"), col("text"))
@@ -668,7 +668,7 @@ object ExtraQueries {
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
          |p AS (SELECT greatest(len(bin(CAST((count(*) + 31) // 32 AS BIGINT) - 1)), 1) AS nbits FROM corpus),
          |b AS (SELECT s.seed, c.vec_id, c.embedding,
          |        ${rhBucketD("c.embedding", "p.nbits", "s.seed")} AS bucket
@@ -690,7 +690,7 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val corpus = emb.unionAll(emb.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        .select((col("vec_id") + 10000000).as("vec_id"), col("embedding")))
       // one cheap driver-side count sizes the hyperplane family to the
       // corpus (the point of the scale fix: bits grow with n, bucket
       // population stays ~constant)
@@ -705,7 +705,7 @@ object ExtraQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id,
+         |  SELECT doc_id + 10000000 AS doc_id,
          |         substr(text, 1, 120) || ' fresh tail content entirely new here' AS text
          |  FROM documents WHERE doc_id % 10 = 0),
          |n AS (SELECT doc_id, $normD AS t FROM corpus),
@@ -723,7 +723,7 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       val d = Tables.documents(s, dir).select("doc_id", "text")
       val corpus = d.unionAll(d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           concat(substring(col("text"), 1, 120),
             lit(" fresh tail content entirely new here")).as("text")))
       Dedup.winnowOverlapPairs(corpus, col("doc_id"), col("text"))
@@ -750,7 +750,7 @@ object ExtraQueries {
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
          |p AS (SELECT least(greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 8), 65536) AS nc
          |      FROM corpus),
          |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM (
@@ -780,7 +780,7 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val corpus = emb.unionAll(emb.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        .select((col("vec_id") + 10000000).as("vec_id"), col("embedding")))
       // corpus-scaled quantizer, same rationale as x15/x16: a fixed cell
       // count is the last quadratic-at-scale default in the repo
       val nCells = Similarity.scaledCells(corpus.count())
@@ -794,7 +794,7 @@ object ExtraQueries {
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
          |p AS (SELECT greatest(len(bin(CAST((count(*) + 31) // 32 AS BIGINT) - 1)), 1) AS nbits FROM corpus),
          |b AS (SELECT s.seed, c.vec_id, c.embedding,
          |        ${rhBucketD("c.embedding", "p.nbits", "s.seed")} AS bucket
@@ -809,7 +809,7 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val corpus = emb.unionAll(emb.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        .select((col("vec_id") + 10000000).as("vec_id"), col("embedding")))
       // same one-count sizing as x16: bits grow with n, bucket
       // population stays ~constant, candidate volume stays linear
       val n = corpus.count()
@@ -1373,7 +1373,7 @@ object ExtraQueries {
          |         ELSE text END AS text
          |  FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS text
+         |  SELECT doc_id + 10000000 AS doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS text
          |  FROM documents WHERE doc_id % 9 = 0),
          |u AS (SELECT doc_id, text,
          |  (length(text) - length(replace(text, chr(65533), '')))
@@ -1419,7 +1419,7 @@ object ExtraQueries {
             concat_ws(" ", slice(split(TextOps.norm(col("text")), " "), 1, 10)))
           .otherwise(col("text")).as("text"))
       val copies = d.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" ")).as("text"))
       val corpus = base.unionAll(copies)
       val uni = TextOps.unicodeGate(corpus, col("doc_id"), col("text"))
@@ -1771,7 +1771,7 @@ object ExtraQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id,
+         |  SELECT doc_id + 10000000 AS doc_id,
          |         'zq' || doc_id || ' wq' || doc_id || ' ' ||
          |         array_to_string(string_split($normD, ' ')[1:16], ' ') AS text
          |  FROM documents WHERE doc_id % 10 = 0),
@@ -1799,7 +1799,7 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       val d = Tables.documents(s, dir).select("doc_id", "text")
       val injected = d.filter(col("doc_id") % 10 === 0).select(
-        (col("doc_id") + 10000).as("doc_id"),
+        (col("doc_id") + 10000000).as("doc_id"),
         concat(lit("zq"), col("doc_id"), lit(" wq"), col("doc_id"), lit(" "),
           concat_ws(" ", slice(split(TextOps.norm(col("text")), " "), 1, 16)))
           .as("text"))
@@ -2114,7 +2114,7 @@ object ExtraQueries {
          |corpus AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
          |  UNION ALL
-         |  SELECT vec_id + 50000 AS vec_id, embedding FROM embeddings WHERE vec_id % 40 = 0),
+         |  SELECT vec_id + 50000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 40 = 0),
          |p AS (SELECT greatest(len(bin(CAST((count(*) + 31) // 32 AS BIGINT) - 1)), 1) AS nbits FROM corpus),
          |cb AS (SELECT s.seed, c.vec_id, c.embedding,
          |         ${rhBucketD("c.embedding", "p.nbits", "s.seed")} AS bucket
@@ -2134,7 +2134,7 @@ object ExtraQueries {
         .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
       val corpus = emb.filter(col("vec_id") % 20 =!= 0)
         .unionAll(emb.filter(col("vec_id") % 40 === 0)
-          .select((col("vec_id") + 50000).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + 50000000).as("vec_id"), col("embedding")))
       // one cheap count sizes the hyperplane family to the corpus (same
       // scale discipline as x16)
       val n = corpus.count()
@@ -2729,7 +2729,7 @@ object ExtraQueries {
          |    CASE WHEN doc_id % 17 = 3 THEN text || ' tampered' ELSE text END AS text
          |  FROM base WHERE doc_id % 23 <> 1
          |  UNION ALL
-         |  SELECT doc_id + 50000 AS doc_id,
+         |  SELECT doc_id + 50000000 AS doc_id,
          |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
          |  FROM base WHERE doc_id % 29 = 2),
          |an AS (SELECT doc_id, text, $normD AS t FROM base),
@@ -2763,7 +2763,7 @@ object ExtraQueries {
           when(col("doc_id") % 17 === 3, concat(col("text"), lit(" tampered")))
             .otherwise(col("text")).as("text"))
         .unionAll(base.filter(col("doc_id") % 29 === 2)
-          .select((col("doc_id") + 50000).as("doc_id"),
+          .select((col("doc_id") + 50000000).as("doc_id"),
             concat(lit("new doc "), col("doc_id").cast(StringType)).as("text")))
       val ex = graft.silver.Export
       ex.manifestDiff(
@@ -2963,11 +2963,11 @@ object ExtraQueries {
       "quality-signal calibration table: TRAINED classifier score (x72 weights) in 10 fixed-width bins x Gopher pass rate (x30) per bin over documents + planted junk — fixed-arithmetic bins (no decile window), one doc-keyed join, 10-row aggregate; monotone pass rate gated in ClassifierSpec")(
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 20000 AS doc_id,
+         |  UNION ALL SELECT doc_id + 20000000 AS doc_id,
          |    repeat('click here subscribe now free offer limited deal best price order today ', 12) AS text FROM documents
-         |  UNION ALL SELECT doc_id + 30000 AS doc_id,
+         |  UNION ALL SELECT doc_id + 30000000 AS doc_id,
          |    repeat('### $$$$$$ ... 000 ', 40) AS text FROM documents
-         |  UNION ALL SELECT doc_id + 40000 AS doc_id,
+         |  UNION ALL SELECT doc_id + 40000000 AS doc_id,
          |    repeat(CAST(doc_id AS VARCHAR) || ' 404 503 12345 99 ', 20) AS text FROM documents),
          |${tokenHashesD("corpus")},
          |$classifierFeatsD,
@@ -3082,9 +3082,9 @@ object ExtraQueries {
          |  FROM ids, range(0,32) ry(y), range(0,36) rx(x)),
          |img AS (
          |  SELECT d AS id, 36 AS w, 32 AS h, y, x, g FROM base
-         |  UNION ALL SELECT d+20000, 36, 32, y, x, g FROM base
+         |  UNION ALL SELECT d+20000000, 36, 32, y, x, g FROM base
          |  UNION ALL
-         |  SELECT d+40000 AS id, 72 AS w, 64 AS h, y, x,
+         |  SELECT d+40000000 AS id, 72 AS w, 64 AS h, y, x,
          |    least(((d*97+13)*((y//2)*5+(x//2)*11+7) + d*31
          |           + (y//2)*(x//2)*((d%7)+1)) % 256 + 4, 255) AS g
          |  FROM ids, range(0,64) ry(y), range(0,72) rx(x)),
@@ -3239,8 +3239,8 @@ object ExtraQueries {
          |  SELECT d, s, (v*v % 1000000007) % 32768 - 16384 AS a FROM mixv),
          |aud AS (
          |  SELECT d AS id, s, abs(a) AS m FROM samp
-         |  UNION ALL SELECT d+20000, s, abs(a) FROM samp
-         |  UNION ALL SELECT d+40000, s, abs(2*a + (s%2)) FROM samp),
+         |  UNION ALL SELECT d+20000000, s, abs(a) FROM samp
+         |  UNION ALL SELECT d+40000000, s, abs(2*a + (s%2)) FROM samp),
          |en AS (SELECT id, s//16 AS f, sum(m) AS e FROM aud GROUP BY id, f),
          |grid AS (SELECT id, list(e ORDER BY f) AS es FROM en GROUP BY id),
          |bnd AS (SELECT id, [
@@ -3601,7 +3601,7 @@ object ExtraQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 20000 AS doc_id, substr(text, 100, 150) AS text
+         |  SELECT doc_id + 20000000 AS doc_id, substr(text, 100, 150) AS text
          |  FROM documents WHERE doc_id % 10 = 0),
          |n AS (SELECT doc_id, $normD AS t FROM corpus),
          |hl AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN []::BIGINT[] ELSE [
@@ -3632,7 +3632,7 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       val d = Tables.documents(s, dir).select("doc_id", "text")
       val corpus = d.unionAll(d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 20000).as("doc_id"),
+        .select((col("doc_id") + 20000000).as("doc_id"),
           substring(col("text"), 100, 150).as("text")))
       val pairs = Dedup.winnowOverlapPairs(corpus, col("doc_id"), col("text"))
         .select("doc_a", "doc_b")

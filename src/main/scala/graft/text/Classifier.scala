@@ -68,21 +68,21 @@ object Classifier {
   /** Planted junk — three deterministic negative generators per document,
     * each failing a DIFFERENT Gopher rule, each expressible verbatim in
     * the x84 oracle SQL (constants + repeat + doc_id cast only):
-    *  - `+20000` boilerplate: a stopword-free marketing line repeated
+    *  - `+20000000` boilerplate: a stopword-free marketing line repeated
     *    (fails the ≥2-stopwords rule; the n-gram shape of SEO spam),
     *  - `+30000` symbol spam: `### $$$ ... 000` repeated (fails the
     *    alpha-word and symbol-ratio rules),
-    *  - `+40000` number spam: doc_id-salted numeric runs (fails the
+    *  - `+40000000` number spam: doc_id-salted numeric runs (fails the
     *    alpha-word rule; the doc_id salt spreads negative mass over the
     *    hash space instead of concentrating it in a handful of buckets). */
   def junkCorpus(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
-    val j1 = base.select((col("doc_id") + 20000).as("doc_id"),
+    val j1 = base.select((col("doc_id") + 20000000).as("doc_id"),
       repeat(lit("click here subscribe now free offer limited deal best price order today "),
         12).as("text"))
-    val j2 = base.select((col("doc_id") + 30000).as("doc_id"),
+    val j2 = base.select((col("doc_id") + 30000000).as("doc_id"),
       repeat(lit("### $$$ ... 000 "), 40).as("text"))
-    val j3 = base.select((col("doc_id") + 40000).as("doc_id"),
+    val j3 = base.select((col("doc_id") + 40000000).as("doc_id"),
       repeat(concat(col("doc_id").cast(StringType), lit(" 404 503 12345 99 ")),
         20).as("text"))
     j1.unionByName(j2).unionByName(j3)

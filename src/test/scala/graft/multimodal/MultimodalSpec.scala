@@ -378,7 +378,7 @@ class MultimodalSpec extends SparkSpec {
     // _SUCCESS-gated slot is already there, and a narrower doc set
     // semi-joins down to its own rows only
     val narrow = MediaFixtures.stagedImages(mk(3L -> "doc 3"), dir).collect()
-    assert(narrow.map(_.img_id).sorted.toSeq === Seq(3L, 20003L, 40003L))
+    assert(narrow.map(_.img_id).sorted.toSeq === Seq(3L, 20000003L, 40000003L))
   }
 
   test("idrFrameSample: cadence runs in keyframe-ordinal space and selects only IDR sync points") {
@@ -408,18 +408,18 @@ class MultimodalSpec extends SparkSpec {
     val docs = mk((0L to 19L).map(d => d -> s"doc $d"): _*)
     val pairs = Multimodal.imagePHashPairs(Multimodal.imageCorpus(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val byDelta = pairs.groupBy { case (a, b, _) => (b - a, a % 20000 == b % 20000) }
+    val byDelta = pairs.groupBy { case (a, b, _) => (b - a, a % 20000000 == b % 20000000) }
     // every re-encode round-trip is pixel-identical -> Hamming 0, all 20 pair
-    val reenc = pairs.filter { case (a, b, _) => b - a == 20000 && a < 20000 }
+    val reenc = pairs.filter { case (a, b, _) => b - a == 20000000 && a < 20000000 }
     assert(reenc.length === 20 && reenc.forall(_._3 === 0L),
       s"re-encoded pairs wrong: ${reenc.toSeq}")
     // the 2x upscale is pool-aligned, so only the +4 brightness clamp can
     // flip bits: the resized variant pairs for (nearly) every doc
-    val resized = pairs.filter { case (a, b, _) => b - a == 40000 }
+    val resized = pairs.filter { case (a, b, _) => b - a == 40000000 }
     assert(resized.length >= 18, s"only ${resized.length}/20 resized variants paired")
     // precision: no pair ever crosses documents
-    assert(pairs.forall { case (a, b, _) => a % 20000 === b % 20000 },
-      s"cross-document pair found: ${pairs.filterNot(p => p._1 % 20000 == p._2 % 20000).toSeq}")
+    assert(pairs.forall { case (a, b, _) => a % 20000000 === b % 20000000 },
+      s"cross-document pair found: ${pairs.filterNot(p => p._1 % 20000000 == p._2 % 20000000).toSeq}")
     assert(byDelta.keys.forall(_._2), "pair deltas must stay within one document")
   }
 
@@ -507,16 +507,16 @@ class MultimodalSpec extends SparkSpec {
     val pairs = Multimodal.audioFpPairs(Multimodal.audioCorpus(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // the re-encode round-trip is sample-identical -> Hamming 0, all 20 pair
-    val reenc = pairs.filter { case (a, b, _) => b - a == 20000 && a < 20000 }
+    val reenc = pairs.filter { case (a, b, _) => b - a == 20000000 && a < 20000000 }
     assert(reenc.length === 20 && reenc.forall(_._3 === 0L),
       s"re-encoded pairs wrong: ${reenc.toSeq}")
     // 2x gain is gradient-exact; only the ±1 dither (≤16 of a ~260k frame
     // energy) can flip near-tie bits — (nearly) every doc must still pair
-    val gained = pairs.filter { case (a, b, _) => b - a == 40000 }
+    val gained = pairs.filter { case (a, b, _) => b - a == 40000000 }
     assert(gained.length >= 18, s"only ${gained.length}/20 gain variants paired")
     // precision: no pair ever crosses documents
-    assert(pairs.forall { case (a, b, _) => a % 20000 === b % 20000 },
-      s"cross-document pair found: ${pairs.filterNot(p => p._1 % 20000 == p._2 % 20000).toSeq}")
+    assert(pairs.forall { case (a, b, _) => a % 20000000 === b % 20000000 },
+      s"cross-document pair found: ${pairs.filterNot(p => p._1 % 20000000 == p._2 % 20000000).toSeq}")
   }
 
   test("sceneCuts: planted scene boundaries detected exactly; within-scene drift never cuts") {
@@ -572,9 +572,9 @@ class MultimodalSpec extends SparkSpec {
     val base = FakeCodec.pcm16Samples(byId(7L))
     assert(base.length === 1040)
     assert(base.toSeq === (0 until 1040).map(s => Multimodal.audioSampleVal(7L, s)))
-    assert(FakeCodec.pcm16Samples(byId(20007L)).toSeq === base.toSeq,
+    assert(FakeCodec.pcm16Samples(byId(20000007L)).toSeq === base.toSeq,
       "re-encoded track must round-trip sample-identical")
-    assert(FakeCodec.pcm16Samples(byId(40007L)).toSeq ===
+    assert(FakeCodec.pcm16Samples(byId(40000007L)).toSeq ===
       (0 until 1040).map(s => 2 * Multimodal.audioSampleVal(7L, s) + s % 2),
       "gain track must be exactly 2x + dither")
   }
