@@ -205,6 +205,148 @@ object StreamingScaleProbe {
       report("curate_batch", k, sec, 0L, 0L)
     }
 
+    def pctl(xs: Seq[Double], p: Double): Double =
+      if (xs.isEmpty) -1.0
+      else xs.sorted.apply(math.min(xs.size - 1,
+        math.ceil(p * xs.size).toInt - 1).max(0))
+
+    // ---- ENGINE-measured per-batch processing latency (r15 verdict
+    // task 7): the sections above time the hooks directly; this drives
+    // the composed monitor stack (heavy-hitters + quality ingest per
+    // micro-batch) through a REAL MemoryStream query and reads each
+    // batch's triggerExecution from StreamingQueryListener progress —
+    // the latency a production micro-batch actually pays, including
+    // planning/offset-log/commit overhead. p95 at 1× is `require`d.
+    if (selected("monitor_latency")) for (k <- tiers) {
+      val lats = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val d = e.progress.durationMs.get("triggerExecution")
+          if (d != null && e.progress.numInputRows > 0)
+            lats.synchronized { lats += d.toDouble / 1000.0 }
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      val hhDir = tmp("ssp_lat_hh"); val qmDir = tmp("ssp_lat_qm")
+      val hh = StreamingHeavyHitters.create(hhDir, k = 16)
+      val qm = QualityMonitor.create(qmDir, parents, Seq("a", "b", "c"))
+      implicit val sqlc = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val nLatBatches = 6
+      val q = in.toDF().writeStream
+        .foreachBatch { (trigger: DataFrame, id: Long) =>
+          val b = trigger.head().getLong(0).toInt
+          hh.ingest(tokenBatch(k, b), id, col("item"))
+          qm.ingest(spark.range(20000L * k).select(
+              (col("id") + b * 10000000L).as("event_id"),
+              pmod(col("id"), lit(1200L)).as("user_id"),
+              element_at(typedLit(Seq("a", "b", "c", "z")),
+                pmod(col("id"), lit(4L)).cast("int") + 1).as("event_type")),
+            id, col("event_id"), col("event_type"), col("user_id"),
+            col("event_type"))
+        }
+        .start()
+      try (0 until nLatBatches).foreach { b =>
+        in.addData(b.toLong); q.processAllAvailable()
+      } finally q.stop()
+      // listener events are delivered async — wait for the full set
+      val deadline = System.currentTimeMillis() + 10000
+      while (lats.synchronized(lats.size) < nLatBatches &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      spark.streams.removeListener(listener)
+      val ls = lats.synchronized(lats.toVector)
+      val (p50, p95) = (pctl(ls, 0.5), pctl(ls, 0.95))
+      require(ls.size == nLatBatches, s"expected $nLatBatches progress events, got ${ls.size}")
+      if (k == 1) require(p95 <= 15.0,
+        f"monitor-stack p95 batch latency $p95%.2f s at 1x exceeds the 15 s bound")
+      println(f"monitor_latency ${k + "x"}%5s batches=$nLatBatches " +
+        f"p50=$p50%.2f s p95=$p95%.2f s")
+    }
+
+    // ---- Lifecycle state machine at width (r15 verdict task 4): W4/W5
+    // is crash-tested at a handful of markets; the reference cadence
+    // (96 markets/day) at 100× means thousands of CONCURRENT keys. Each
+    // tier drives tier×312 markets (32× ≈ 10k) through discovery →
+    // close-timer → poll → resolved on runTws (transformWithState +
+    // RocksDB + absolute timers) with a compressed clock, and records
+    //  - close-timer FIRE LATENCY (transition.atMs − the market's
+    //    endTimeMs: how late the engine's timer machinery runs when
+    //    thousands of timers go due together), p50/p95 `require`d, and
+    //  - peak state rows (must equal the market count — every key
+    //    concurrently holds state) and the resolved count (every key
+    //    must drain; resolution clears state by construction).
+    if (selected("lifecycle")) for (k <- tiers) {
+      val nMarkets = 312 * k
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val timing = Lifecycle.Timing(firstPollDelayMs = 200L,
+        baseBackoffMs = 200L, maxBackoffMs = 200L, maxAttempts = 20)
+      implicit val sqlc = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Lifecycle.MarketMsg]
+      val sinkName = s"ssp_lc_$k"
+      val q = Lifecycle.runTws(in.toDS(), timing)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+        .start()
+      def sink(): DataFrame = spark.table(sinkName)
+      def await(timeoutMs: Long)(pred: => Boolean): Boolean = {
+        val dl = System.currentTimeMillis() + timeoutMs
+        while (!pred && System.currentTimeMillis() < dl) Thread.sleep(100)
+        pred
+      }
+      var peakState = 0L
+      def notePeak(): Unit = {
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          peakState = math.max(peakState, p.stateOperators(0).numRowsTotal)
+      }
+      try {
+        val endTime = System.currentTimeMillis() + 2000L
+        in.addData((0 until nMarkets).map(i =>
+          Lifecycle.MarketMsg(s"m$i", "discovered", 1L, Seq(s"t$i"),
+            endTime, closed = false, "", 0, 0)))
+        require(await(120000) {
+          notePeak()
+          sink().filter(col("transition") === "poll_due").count() >= nMarkets
+        }, s"lifecycle@${k}x: not all $nMarkets markets reached poll_due")
+        in.addData((0 until nMarkets).map(i =>
+          Lifecycle.MarketMsg(s"m$i", "poll_result", 2L, Nil, 0L,
+            closed = true, "resolved", 0.0, 1.0)))
+        require(await(120000) {
+          notePeak()
+          sink().filter(col("transition") === "resolved").count() >= nMarkets
+        }, s"lifecycle@${k}x: not all $nMarkets markets resolved")
+        val closeLats = sink().filter(col("transition") === "close")
+          .select((col("atMs") - lit(endTime)).cast("double") / 1000.0)
+          .collect().map(_.getDouble(0)).toVector
+        require(closeLats.size == nMarkets,
+          s"expected $nMarkets close transitions, got ${closeLats.size}")
+        require(peakState == nMarkets,
+          s"peak state rows $peakState != concurrent markets $nMarkets")
+        val (p50, p95) = (pctl(closeLats, 0.5), pctl(closeLats, 0.95))
+        require(p95 <= 30.0,
+          f"close-timer p95 fire latency $p95%.2f s at ${k}x exceeds 30 s")
+        println(f"lifecycle_tws ${k + "x"}%5s markets=$nMarkets%6d " +
+          f"close_fire p50=$p50%.2f s p95=$p95%.2f s peak_state=$peakState%6d")
+      } finally {
+        q.stop()
+        prev match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
+
     spark.stop()
   }
 }

@@ -211,7 +211,10 @@ object Warc {
     * files both parse (magic-sniffed per file). */
   def records(spark: SparkSession, path: String): Dataset[WarcRecord] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    // pathGlobFilter scopes a directory load to WARC payloads so the
+    // CDX sidecars [[writeGzipShards]] co-locates are not mis-parsed
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(path)
       .select(col("content"))
       .as[Array[Byte]](Encoders.BINARY)
       .flatMap(parseAnyRecords(_))
@@ -234,7 +237,8 @@ object Warc {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
-    spark.readStream.format("binaryFile").schema(binaryFileSchema).load(path)
+    spark.readStream.format("binaryFile").schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*").load(path)
       .select(col("content"))
       .as[Array[Byte]](Encoders.BINARY)
       .flatMap(parseAnyRecords(_))
@@ -344,28 +348,93 @@ object Warc {
       val pid = tc.partitionId()
       if (!it.hasNext) Iterator.empty
       else {
-        val dst = new org.apache.hadoop.fs.Path(
-          f"$dir/segment-$pid%05d.warc.gz")
+        val segName = f"segment-$pid%05d.warc.gz"
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/$segName")
+        val cdxDst = new org.apache.hadoop.fs.Path(
+          f"$dir/segment-$pid%05d.cdx")
+        val attempt = tc.taskAttemptId()
         val tmp = new org.apache.hadoop.fs.Path(
-          f"$dir/.inflight-segment-$pid%05d-attempt-${tc.taskAttemptId()}.warc.gz")
+          f"$dir/.inflight-segment-$pid%05d-attempt-$attempt.warc.gz")
+        val cdxTmp = new org.apache.hadoop.fs.Path(
+          f"$dir/.inflight-segment-$pid%05d-attempt-$attempt.cdx")
         // executor-side FS handle from the default Hadoop conf (the
         // session conf is not serializable; defaults resolve the same
         // local/HDFS filesystems from the cluster's core-site)
         val fs = tmp.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val out = fs.create(tmp, true)
+        val cdxOut = fs.create(cdxTmp, true)
         var n = 0L
-        try it.foreach { r =>
-          writeGzipMember(out, writeRecords(Seq(r)))
-          n += 1
-        } finally out.close()
+        var pos = 0L
+        // the CDX sidecar: one line per member — (uri, segment, member
+        // byte offset, compressed length) — written INCREMENTALLY (never
+        // buffered whole), the seek index real crawl consumers range-read
+        // by. pos tracks exactly what writeGzipMember emits.
+        val counting = new java.io.FilterOutputStream(out) {
+          override def write(b: Int): Unit = { out.write(b); pos += 1 }
+          override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+            out.write(b, off, len); pos += len
+          }
+          override def close(): Unit = out.close()
+        }
+        try {
+          it.foreach { r =>
+            // WARC-Target-URI cannot contain whitespace (it would break
+            // the WARC header line itself) — enforced here so the
+            // tab-separated CDX needs no escape scheme
+            require(!r.target_uri.exists(c => c == '\t' || c == '\n' || c == '\r'),
+              s"writeGzipShards: whitespace control char in target_uri '${r.target_uri}'")
+            val offset = pos
+            writeGzipMember(counting, writeRecords(Seq(r)))
+            cdxOut.write((r.target_uri + "\t" + segName + "\t" +
+              offset + "\t" + (pos - offset) + "\n")
+              .getBytes(StandardCharsets.UTF_8))
+            n += 1
+          }
+        } finally { counting.close(); cdxOut.close() }
+        // segment renamed FIRST, sidecar second: a visible .cdx implies
+        // its segment is already committed, so index consumers can trust
+        // any sidecar they can list
         if (fs.exists(dst)) fs.delete(dst, false)
         if (!fs.rename(tmp, dst))
           throw new IllegalStateException(
             s"writeGzipShards: commit rename $tmp -> $dst failed")
+        if (fs.exists(cdxDst)) fs.delete(cdxDst, false)
+        if (!fs.rename(cdxTmp, cdxDst))
+          throw new IllegalStateException(
+            s"writeGzipShards: commit rename $cdxTmp -> $cdxDst failed")
         Iterator((dst.toString, n, fs.getFileStatus(dst).getLen))
       }
     }.collect()
     spark.createDataset(rows.toSeq.sortBy(_._1))
       .toDF("segment", "n_records", "bytes")
+  }
+
+  /** The CDX seek index over a [[writeGzipShards]] export:
+    * (uri, segment, offset, length), one row per gzip member — what a
+    * range-reading consumer lists to fetch ONE record without scanning
+    * its segment. Distributed text scan of the sidecars; all codegen'd
+    * string functions, no UDF (URIs are whitespace-free by the writer's
+    * contract, so the tab-split is exact). */
+  def cdxIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = split(col("value"), "\t")
+    spark.read.textFile(s"$dir/*.cdx").select(
+      element_at(parts, 1).as("uri"),
+      element_at(parts, 2).as("segment"),
+      element_at(parts, 3).cast("long").as("offset"),
+      element_at(parts, 4).cast("long").as("length"))
+  }
+
+  /** Random-access read: inflate and parse the ONE record whose gzip
+    * member starts at `offset` in `bytes` (a whole segment, or — the
+    * point of the CDX index — just the `length`-byte range fetched from
+    * it, passed with offset 0). Verifies the member's CRC32/ISIZE like
+    * every other read path. */
+  def recordAt(bytes: Array[Byte], offset: Long): WarcRecord = {
+    val (inflated, _) = inflateMember(bytes, offset.toInt)
+    val rs = parseRecords(inflated)
+    require(rs.size == 1,
+      s"expected exactly one record in the member at $offset, got ${rs.size}")
+    rs.head
   }
 }

@@ -232,6 +232,53 @@ class WarcSpec extends SparkSpec {
     assert(magics >= m0.getLong(1), "one gzip member per record expected")
   }
 
+  test("CDX sidecar: seek-by-offset reads back exactly the indexed record") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_warc_cdx").toString
+    val recs = (0 until 30).map(i =>
+      rec("conversion", s"https://example.org/c$i",
+        ("payload " * (i + 1) + i).getBytes(StandardCharsets.UTF_8)))
+    Warc.writeGzipShards(spark.createDataset(recs).repartition(3), dir)
+    val cdx = Warc.cdxIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(cdx.length === 30, "one CDX row per record")
+    assert(cdx.map(_._1).sorted.toSeq === recs.map(_.target_uri).sorted,
+      "every record's URI is indexed")
+    // members tile each segment exactly: offsets+lengths are contiguous
+    cdx.groupBy(_._2).foreach { case (seg, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"$seg: first member not at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._4 === b._3, s"$seg: gap/overlap after offset ${a._3}")
+        case _ =>
+      }
+      val segBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, seg))
+      assert(sorted.last._3 + sorted.last._4 === segBytes.length.toLong,
+        s"$seg: members do not tile the file")
+    }
+    // the point of the index: random-access one record WITHOUT scanning
+    // its segment — both whole-buffer + offset and the range-read form
+    val byUri = recs.map(r => r.target_uri -> r).toMap
+    cdx.sortBy(_._1).take(7).foreach { case (uri, seg, off, len) =>
+      val segBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, seg))
+      val got = Warc.recordAt(segBytes, off)
+      assert(got.target_uri === uri)
+      assert(got.content.toSeq === byUri(uri).content.toSeq,
+        s"payload mismatch at $seg:$off")
+      // simulated HTTP range request: just the [off, off+len) slice
+      val range = java.util.Arrays.copyOfRange(
+        segBytes, off.toInt, (off + len).toInt)
+      assert(Warc.recordAt(range, 0L).target_uri === uri,
+        "range-read member must parse standalone")
+    }
+    // the batch reader still ingests the directory despite the sidecars
+    assert(Warc.records(spark, dir).count() === 30L)
+  }
+
   test("WET conversion: extracted-text records round-trip through the parser") {
     val dir = Files.createTempDirectory("graft_wet")
     Files.write(Paths.get(dir.toString, "seg.warc"), Warc.writeRecords(fixture))
