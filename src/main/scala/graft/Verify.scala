@@ -24,7 +24,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce fuses into the final
+      // stage and runs the whole post-shuffle compute in ONE task (at
+      // sf1 that turned x03's candidate verification into a single-
+      // threaded hour); repartition inserts a shuffle boundary so the
+      // query runs at full parallelism and only the RESULT rows funnel
+      // into the single writer task
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
