@@ -110,8 +110,13 @@ def main() -> None:
                 t = mutate_embeddings(t, r)
             parts.append(t)
         out = pa.concat_tables(parts)
-        pq.write_table(out, f"{DST}/{name}.parquet")
-        print(f"{name}: {base.num_rows} -> {out.num_rows} rows")
+        # ~50 row groups per table: a single-row-group file is
+        # UNSPLITTABLE for Spark (one scan task no matter what
+        # maxPartitionBytes says) -- the sf1 tier's first finding
+        rg = max(1000, out.num_rows // 50)
+        pq.write_table(out, f"{DST}/{name}.parquet", row_group_size=rg)
+        print(f"{name}: {base.num_rows} -> {out.num_rows} rows "
+              f"(row_group_size={rg})")
 
 
 if __name__ == "__main__":

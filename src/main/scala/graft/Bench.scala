@@ -17,6 +17,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // single-file fixtures: a low split size keeps scans (and
+      // map-side persists of scans) parallel — see Verify.scala; the
+      // committed sf≤0.1 files are single-row-group (unsplittable), so
+      // this only matters for multi-row-group tiers like sf1
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args: query-name prefixes ("x61 x63") time just that

@@ -18,6 +18,12 @@ object Verify {
       // events.parquet has TIMESTAMP(NANOS) — readable only as raw longs;
       // Tables.events converts back to TimestampType (µs-aligned values).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // single-file fixtures: without a low split size every scan (and
+      // every map-side persist of a scan) packs into 1-2 tasks — at sf1
+      // that made shingle staging single-threaded (a 100-TB input is
+      // thousands of files, so this is a fixture artifact to neutralize,
+      // not a production setting)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
