@@ -16,12 +16,12 @@ nesting across SFs still holds. Dimension tables (region, nation) stay
 fixed, as in TPC-H.
 
 Cross-replica corpus decorrelation — the one deliberate mutation:
-  * documents: replica r > 0 prefixes every word with "r<r>". The map
-    is applied uniformly, so any two docs' shared substrings map to
-    shared substrings (intra-replica shingle/minhash similarity is
-    preserved) while cross-replica shingles share nothing. Without
-    this, every text would appear 10x and every LSH bucket's pair
-    candidates would grow quadratically instead of linearly -- a
+  * documents: replica r > 0 applies a Caesar cipher (letters rotated
+    by r). A character bijection maps every shingle 1:1, so EVERY
+    intra-replica pairwise similarity -- and the whole LSH collision
+    structure -- is exactly replica 0's, while cross-replica texts
+    share only letter-free shingles. Without decorrelation, every text
+    would appear 10x and LSH buckets would grow quadratically -- a
     fixture artifact, not a property of 10x more web data.
   * embeddings: replica r cyclically rotates the vector by r
     dimensions -- norms and intra-replica cosines are preserved
@@ -67,18 +67,26 @@ def offset_keys(t: pa.Table, r: int) -> pa.Table:
 
 
 def mutate_documents(t: pa.Table, r: int) -> pa.Table:
+    """Per-replica Caesar cipher on letters. A character-level
+    substitution maps every k-gram 1:1, so WITHIN a replica every
+    pairwise shingle-Jaccard (and the whole LSH collision structure) is
+    EXACTLY replica 0's — candidate pairs scale linearly by
+    construction. (The first attempt prefixed every word, which RAISED
+    background same-replica similarity — every inter-word region shared
+    the prefix mass — and blew LSH buckets up quadratically: x03 went
+    1.5 s -> 400+ s. A bijection on the alphabet cannot do that.)
+    Cross-replica texts share only letter-free shingles (digits,
+    punctuation) — negligible collision mass."""
     if r == 0:
         return t
+    lo = "abcdefghijklmnopqrstuvwxyz"
+    up = lo.upper()
+    tr = str.maketrans(lo + up, lo[r:] + lo[:r] + up[r:] + up[:r])
     texts = t.column("text").to_pylist()
-    pre = f"r{r}"
-    out = [None if x is None else
-           " ".join(pre + w for w in x.split(" ")) for x in texts]
+    out = [None if x is None else x.translate(tr) for x in texts]
     t = t.set_column(t.column_names.index("text"), "text",
                      pa.array(out, pa.string()))
-    if "n_chars" in t.column_names:
-        t = t.set_column(t.column_names.index("n_chars"), "n_chars",
-                         pa.array([None if x is None else len(x)
-                                   for x in out], pa.int64()))
+    # n_chars is length-preserved by construction; keep the column as-is
     return t
 
 
