@@ -57,7 +57,9 @@ object Dedup {
     graft.plans.functions.shingle_hashes(normText, k)
 
   /** MinHash signature over shingle hashes via an affine hash family:
-    * g_h(x) = (x·(2h+1) + 12345·h) mod p. Derived hashes are integer
+    * g_h(x) = (x·48271^(h+1) + 12345·h) mod p (Lehmer-power multipliers
+    * — magnitude-mixing, so no single tiny-hash common shingle can win
+    * every min; see HashUtil.minhashSig). Derived hashes are integer
     * arithmetic on the one shingle hash — nHashes× cheaper than salted
     * digests, same minwise-independence in practice.
     *

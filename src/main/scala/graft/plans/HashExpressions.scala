@@ -215,21 +215,31 @@ object HashUtil {
   }
 
   /** One-pass MinHash signature over shingle hashes via the affine
-    * family g_h(x) = (x·(2h+1) + 12345·h) mod P — the h-th output is
-    * min over the input of g_h. Identical math to the HOF form
-    * `array_min(transform(hs, x -> ...))` repeated nHashes times, but a
-    * single tight loop touches each input element once for all hashes
-    * (the HOF form walks an interpreted expression tree per element PER
-    * HASH — nHashes× the work, ~100× the per-step cost). */
+    * family g_h(x) = (x·A_h + 12345·h) mod P with A_h = 48271^(h+1)
+    * mod P (Lehmer powers) — the h-th output is min over the input of
+    * g_h. The multipliers MUST be large and well-mixed: the earlier
+    * (2h+1) family was magnitude-preserving, so one COMMON shingle
+    * whose base hash happened to be tiny won the min for EVERY h,
+    * collapsing whole signatures onto one value and turning each LSH
+    * band into a quadratic hot bucket (found by the sf1 tier: one
+    * replica's candidate pairs read 87× another's on identically
+    * distributed text). A single tight loop touches each input element
+    * once for all hashes (the HOF form walks an interpreted expression
+    * tree per element PER HASH — nHashes× the work, ~100× the per-step
+    * cost). */
   def minhashSig(hs: ArrayData, nHashes: Int): ArrayData = {
     val n = hs.numElements()
+    val as = new Array[Long](nHashes)
+    var a = 1L
+    var k = 0
+    while (k < nHashes) { a = a * 48271L % P; as(k) = a; k += 1 }
     val out = Array.fill(nHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val x = hs.getLong(i)
       var h = 0
       while (h < nHashes) {
-        val v = (x * (2 * h + 1) + 12345L * h) % P
+        val v = (x * as(h) + 12345L * h) % P
         if (v < out(h)) out(h) = v
         h += 1
       }

@@ -68,6 +68,16 @@ object ExtraQueries {
        |    FOR i IN range(1, greatest(len(t) - ${k - 1}, 1) + 1)]) AS shingles
        |  FROM n)""".stripMargin
 
+  /** Lehmer-power MinHash multipliers A_k = 48271^(k+1) mod P as a SQL
+    * list literal — MUST mirror HashUtil.minhashSig (the (2k+1) family
+    * let one tiny-hash common shingle win every min; see the sf1-tier
+    * finding in PLANS.md). */
+  private val minhashAD: String = {
+    val P = 1000000007L
+    (1 to 12).scanLeft(1L)((a, _) => a * 48271L % P).drop(1)
+      .mkString("[", ", ", "]")
+  }
+
   /** MinHash/LSH fragments for the oracle (7-char shingles reduced to
     * polynomial hashes, affine 12-hash family, 3 bands × 4 rows —
     * mirrors Dedup.scala defaults). */
@@ -76,7 +86,7 @@ object ExtraQueries {
   private val candidatesD =
     s"""$shinglesD,
        |sig AS (SELECT doc_id,
-       |  [list_min([(h * (2 * k + 1) + 12345 * k) % 1000000007 FOR h IN shingles])
+       |  [list_min([(h * ${minhashAD}[k+1] + 12345 * k) % 1000000007 FOR h IN shingles])
        |   FOR k IN range(0, 12)] AS sig
        |  FROM sh),
        |bands AS (SELECT doc_id, b AS band_id,
@@ -285,10 +295,10 @@ object ExtraQueries {
          |    FOR i IN range(1, greatest(len(t) - 6, 1) + 1)]) AS shingles
          |  FROM bn),
          |csig AS (SELECT doc_id,
-         |  [list_min([(h * (2 * q + 1) + 12345 * q) % 1000000007 FOR h IN shingles])
+         |  [list_min([(h * ${minhashAD}[q+1] + 12345 * q) % 1000000007 FOR h IN shingles])
          |   FOR q IN range(0, 12)] AS sig FROM sh),
          |bsig AS (SELECT doc_id,
-         |  [list_min([(h * (2 * q + 1) + 12345 * q) % 1000000007 FOR h IN shingles])
+         |  [list_min([(h * ${minhashAD}[q+1] + 12345 * q) % 1000000007 FOR h IN shingles])
          |   FOR q IN range(0, 12)] AS sig FROM bsh),
          |cbands AS (SELECT doc_id, b AS band_id,
          |  sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4] AS band_key

@@ -33,8 +33,10 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_id"),
         Dedup.shingleHashes(graft.text.TextOps.norm(col("text"))).as("hs"))
     val nHashes = 12
+    // Lehmer-power multipliers — mirrors HashUtil.minhashSig exactly
+    val as = (1 to nHashes).scanLeft(1L)((a, _) => a * 48271L % 1000000007L).drop(1)
     val hof = array((0 until nHashes).map { h =>
-      array_min(transform(col("hs"), x => (x * (2 * h + 1) + 12345L * h) % 1000000007L))
+      array_min(transform(col("hs"), x => (x * as(h) + 12345L * h) % 1000000007L))
     }: _*)
     val both = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("hs"), nHashes).as("native"), hof.as("hof"))
