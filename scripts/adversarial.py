@@ -19,6 +19,12 @@ Each sweep copies sfBase and replaces ONE table family:
   emb    — zero vectors, exact-duplicate + antiparallel pairs
   tpc    — one custkey with 50% of orders (skew), dangling orderkeys,
            zero/negative prices
+  hotskew— boilerplate skew: one phrase planted in ~50% of docs (the
+           r16 MinHash-family failure shape); besides the full compare,
+           asserts per-family max bucket population bounds on the
+           h01_lsh_bucket_audit dump — a magnitude-preserving hash
+           family regression fails THIS gate instead of waiting for a
+           10x validation tier to notice quadratic candidates
 """
 import datetime
 import json
@@ -234,19 +240,78 @@ def sweep_tpc():
     return dst
 
 
+def sweep_hotskew():
+    """r16-verdict standing gate: ONE boilerplate phrase planted into
+    ~50% of docs (each doc otherwise unique). A healthy MinHash family
+    keeps band buckets clique-sized on this corpus; the r16
+    magnitude-preserving multiplier family would put every boilerplate
+    doc into one bucket per band (quadratic candidate generation). The
+    post-check below asserts max bucket populations per family on the
+    h01_lsh_bucket_audit dump."""
+    random.seed(29)
+    dst = base_copy("hotskew")
+    vocab = [f"w{i}term" for i in range(240)]
+    boiler = ("subscribe to our newsletter for updates and exclusive "
+              "member offers delivered every single morning")
+    docs = []
+    for i in range(200):
+        body = [random.choice(vocab) for _ in range(random.randint(15, 40))]
+        if i % 2 == 0:
+            pos = random.randint(0, len(body))
+            docs.append(" ".join(body[:pos] + [boiler] + body[pos:]))
+        else:
+            docs.append(" ".join(body) + f" uniq{i}")
+    write_docs(dst, docs)
+    return dst
+
+
+def check_hotskew(out_dir):
+    """Per-family max-bucket bounds on the h01 dump over the hotskew
+    corpus (tailDup-doubled: 400 docs, 200 sharing the phrase).
+    Calibration (healthy families, measured on this seeded corpus):
+    minhash 8, simhash64 4, winnow 200 (the 200 phrase-sharers DO share
+    selected fingerprints — winnow hot buckets are the semantic,
+    shared-substring kind and must reach exactly the sharer count, no
+    further), sign_lsh 54 of the 500 sf0.001 embeddings (4-bit buckets
+    partition the corpus BY DESIGN; bound = 25% of vectors). Bounds are
+    2-4x the measured healthy values except winnow's, which is
+    structural (sharers + 8); a magnitude-preserving regression reads
+    minhash max_pop ≈ 200 — an order of magnitude past its bound."""
+    import duckdb
+    rows = duckdb.sql(
+        "SELECT family, max_pop FROM read_parquet("
+        f"'{out_dir}/h01_lsh_bucket_audit/*.parquet')").fetchall()
+    stats = dict(rows)
+    bounds = {"minhash": 24, "simhash64": 16, "winnow": 208, "sign_lsh": 125}
+    errs = []
+    for fam, bound in sorted(bounds.items()):
+        if fam not in stats:
+            errs.append(f"{fam}: missing from h01 dump")
+        elif stats[fam] > bound:
+            errs.append(f"{fam}: max_pop {stats[fam]} > bound {bound}")
+    return errs
+
+
 def main():
     sweeps = {"docs": sweep_docs, "dups": sweep_dups, "events": sweep_events,
               "emb": sweep_emb, "tpc": sweep_tpc, "boiler": sweep_boiler,
-              "onedoc": sweep_onedoc}
+              "onedoc": sweep_onedoc, "hotskew": sweep_hotskew}
+    post_checks = {"hotskew": check_hotskew}
     failed = []
     results = {}
     for name, gen in sweeps.items():
         d = gen()
+        out_dir = f"/tmp/graft_adv_out_{name}"
         r = subprocess.run(
-            ["python3", "scripts/compare.py", d, f"/tmp/graft_adv_out_{name}"],
+            ["python3", "scripts/compare.py", d, out_dir],
             capture_output=True, text=True, cwd="/root/repo")
         tail = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "(no output)"
         ok = r.returncode == 0
+        if ok and name in post_checks:
+            errs = post_checks[name](out_dir)
+            if errs:
+                ok = False
+                tail = f"post-check: {'; '.join(errs)}"
         print(f"[adversarial] {name}: {'OK' if ok else 'FAIL'} — {tail}")
         if not ok:
             failed.append(name)

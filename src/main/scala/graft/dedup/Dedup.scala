@@ -666,4 +666,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may agree on several bands
   }
+
+  /** h01: per-family LSH bucket-population audit — the standing gate
+    * for the r16 MinHash defect class. A magnitude-preserving hash
+    * family (or any regression that lets one common shingle/band value
+    * capture a corpus fraction) shows up here as a hot bucket BEFORE it
+    * shows up as quadratic candidate generation at scale: `max_pop` is
+    * the largest single band bucket and `gen_pairs` = Σ pop·(pop−1)/2
+    * is exactly the candidate-pair mass the bucket-join would emit.
+    * One row per family over the SAME pipelines the dedup queries run
+    * (identical expressions — not a re-implementation):
+    *   minhash  — 7-shingle → 12-hash Lehmer-power signature → 3×4
+    *              bands ([[minhashCandidates]]'s keys),
+    *   simhash64 — Manku 4×16-bit bands ([[simhashPairs]]' keys),
+    *   winnow   — selected fingerprint values ([[winnowOverlapPairs]]'
+    *              join keys),
+    *   sign_lsh — 4-bit random-hyperplane buckets over `emb`
+    *              (x07's keys; expected ~n/16 per bucket BY DESIGN —
+    *              its bound is population/2^bits, not clique-sized).
+    * All counts are exact integers (DIV 2 on the even product), so the
+    * DuckDB oracle agrees bit-for-bit; the adversarial hot-skew sweep
+    * asserts `max_pop` bounds on the dumped rows. */
+  def lshBucketAudit(docs: DataFrame, id: Column, text: Column,
+                     emb: DataFrame): DataFrame = {
+    val normed = spread(docs).select(id.as("doc_id"), TextOps.norm(text).as("_t"))
+    val mh = normed
+      .select(shingleHashes(col("_t"), 7).as("_hs"))
+      .select(minhashSignature(col("_hs"), 12).as("_sig"))
+      .select(explode(lshBands(col("_sig"), 3, 4)).as("b"))
+      .select(lit("minhash").as("family"),
+        concat(col("b.band_id").cast(StringType), lit("|"),
+          col("b.band_key")).as("bkey"))
+    val sh = normed
+      .select(bigramTokenHashes(col("_t")).as("_hx"))
+      .select(simhash64Bands(col("_hx")).as("bands"))
+      .select(explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          get(col("bands"), lit(b)).as("band_val"))): _*)).as("b"))
+      .select(lit("simhash64").as("family"),
+        concat(col("b.band_id").cast(StringType), lit("|"),
+          col("b.band_val").cast(StringType)).as("bkey"))
+    val wn = normed
+      .select(explode(winnowFingerprints(col("_t"), 20, 8)).as("h"))
+      .select(lit("winnow").as("family"), col("h").cast(StringType).as("bkey"))
+    val sg = emb
+      .select(lit("sign_lsh").as("family"),
+        graft.plans.functions.sign_bucket_rh(col("embedding"), 4, 0)
+          .cast(StringType).as("bkey"))
+    mh.unionAll(sh).unionAll(wn).unionAll(sg)
+      .groupBy("family", "bkey").agg(count(lit(1)).as("pop"))
+      .groupBy("family")
+      .agg(sum(col("pop")).as("n_entries"),
+        count(lit(1)).as("n_buckets"),
+        max(col("pop")).as("max_pop"),
+        sum(expr("pop * (pop - 1) DIV 2")).as("gen_pairs"))
+  }
 }

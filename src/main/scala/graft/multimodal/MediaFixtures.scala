@@ -52,35 +52,74 @@ object MediaFixtures {
   private def imagesPath(dir: String) = s"$dir/images.parquet"
   private def audioPath(dir: String) = s"$dir/audio.parquet"
 
-  private def committed(spark: SparkSession, path: String): Boolean = {
+  /** Planted-id stride the fixture's id scheme uses (d / d+stride /
+    * d+2·stride). Part of the reuse stamp: a fixture built under an
+    * older scheme must NOT be silently accepted. */
+  val IdStride = 20000000L
+
+  /** Expected stamp contents for the current generator + universe. */
+  private def stampText: String =
+    s"universe=$UniverseDocs;stride=$IdStride;gen=2"
+
+  private def stampPath(path: String) = new Path(path, "_graft_fixture_meta")
+
+  /** A fixture slot is reusable only if it is _SUCCESS-committed AND its
+    * stamp matches the current universe size + id stride + generator
+    * version — a dir built before the +20000 → +20000000 stride
+    * migration (or for a different GRAFT_MEDIA_UNIVERSE_DOCS) would
+    * otherwise be accepted while the semi-join now does
+    * pmod(id, 20000000), silently dropping every planted variant row. */
+  private def reusable(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(new Path(p, "_SUCCESS"))
+    if (!fs.exists(new Path(p, "_SUCCESS"))) return false
+    val sp = stampPath(path)
+    if (!fs.exists(sp)) return false
+    val in = fs.open(sp)
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    got == stampText
+  }
+
+  /** Write the reuse stamp AFTER the slot commit: a crash between the
+    * two leaves an unstamped dir that the next caller regenerates
+    * (idempotent), never a stamped dir with torn data. */
+  private def writeStamp(spark: SparkSession, path: String): Unit = {
+    val sp = stampPath(path)
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(sp, true)
+    try out.write(stampText.getBytes("UTF-8")) finally out.close()
   }
 
   private def universe(spark: SparkSession): DataFrame =
     spark.range(UniverseDocs).toDF("doc_id")
 
-  /** Materialize the image corpus if absent; returns its path.
-    * Synchronized: two concurrent first-touch callers would otherwise
-    * race on BatchStore's shared `.inflight-` temp for the same slot. */
+  /** Materialize the image corpus if absent or stamped for a different
+    * universe/stride; returns its path. Synchronized: two concurrent
+    * first-touch callers would otherwise race on BatchStore's shared
+    * `.inflight-` temp for the same slot. */
   def ensureImages(spark: SparkSession, dir: String = defaultDir): String =
     synchronized {
       val path = imagesPath(dir)
-      if (!committed(spark, path))
+      if (!reusable(spark, path)) {
         graft.streaming.BatchStore.writeSlot(
           Multimodal.imageCorpus(universe(spark)).toDF(), path)
+        writeStamp(spark, path)
+      }
       path
     }
 
-  /** Materialize the audio corpus if absent; returns its path.
-    * Synchronized — see [[ensureImages]]. */
+  /** Materialize the audio corpus if absent or stamped for a different
+    * universe/stride; returns its path. Synchronized — see
+    * [[ensureImages]]. */
   def ensureAudio(spark: SparkSession, dir: String = defaultDir): String =
     synchronized {
       val path = audioPath(dir)
-      if (!committed(spark, path))
+      if (!reusable(spark, path)) {
         graft.streaming.BatchStore.writeSlot(
           Multimodal.audioCorpus(universe(spark)).toDF(), path)
+        writeStamp(spark, path)
+      }
       path
     }
 
@@ -88,7 +127,7 @@ object MediaFixtures {
                        docs: DataFrame): DataFrame = {
     val ids = docs.select(col("doc_id").cast(LongType).as("_d")).distinct()
     fix.join(broadcast(ids),
-      pmod(col(idCol), lit(20000000L)) === col("_d"), "left_semi")
+      pmod(col(idCol), lit(IdStride)) === col("_d"), "left_semi")
   }
 
   /** The staged image corpus restricted to `docs`' doc_ids — same rows

@@ -879,7 +879,7 @@ object Multimodal {
 
   /** Planted audio near-dup corpus (x89): per document a base 1040-
     * sample mono WAV of [[audioSampleVal]], a RE-ENCODED copy
-    * (+20000 — decode the base WAV, encode the decoded samples again:
+    * (+20000000 — decode the base WAV, encode the decoded samples again:
     * sample-identical through a second real javax.sound round-trip),
     * and a 2× GAIN copy with a ±1 alternate-sample dither (+40000000 —
     * the re-mastered/re-compressed near-dup: gain is fingerprint-exact,

@@ -331,11 +331,17 @@ object ExtraQueries {
     },
 
     // ----- near-dup clusters: LSH pairs → connected components → survivors
+    // `und AS MATERIALIZED` (here and in x46/x92/x94): DuckDB inlines
+    // plain CTEs, so the recursive `reach` term re-evaluated the ENTIRE
+    // shingle→minhash→band→candidate pipeline on every recursion round —
+    // >40 min/query at sf1 (the r16 ORACLE_TIMEOUT rows). Materializing
+    // the edge list runs that pipeline once; the recursion itself is
+    // linear in edges × diameter. Measured at sf1: >2400 s → ~270 s.
     QueryDef("x23_neardup_clusters",
       "dedup clusters from MinHash-LSH pairs via min-label propagation (one survivor per cluster) — O(diameter) rounds of node-keyed joins")(
       s"""WITH RECURSIVE $tailDupCorpusD,
          |$candidatesD,
-         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |und AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand
          |        UNION ALL SELECT doc_b, doc_a FROM cand),
          |nodes AS (SELECT DISTINCT u AS node FROM und),
          |reach(node, lab) AS (
@@ -737,6 +743,52 @@ object ExtraQueries {
           concat(substring(col("text"), 1, 120),
             lit(" fresh tail content entirely new here")).as("text")))
       Dedup.winnowOverlapPairs(corpus, col("doc_id"), col("text"))
+    },
+
+    // ----- LSH bucket-population audit (the standing hot-bucket gate:
+    // the r16 MinHash multiplier defect was a magnitude-preserving hash
+    // family that sent 1,666 docs into ONE band bucket — 1.39 M
+    // candidate pairs; this query makes that failure mode a first-class
+    // OUTPUT so both the oracle compare and the adversarial hot-skew
+    // sweep's max_pop bound catch it at every SF)
+    QueryDef("h01_lsh_bucket_audit",
+      "per-family LSH bucket-population audit: for minhash bands / simhash64 bands / winnow fingerprints / sign-LSH buckets, the bucket count, max single-bucket population, and the exact candidate-pair mass sum pop*(pop-1)/2 the bucket join would emit — a magnitude-preserving family regression reads as max_pop ~ corpus fraction here before it reads as quadratic wall-clock at scale")(
+      s"""WITH keys AS (
+         |  SELECT 'minhash' AS family, band_id || '|' || band_key AS bkey
+         |  FROM (WITH $tailDupCorpusD,
+         |        $candidatesD
+         |        SELECT band_id, band_key FROM bands)
+         |  UNION ALL
+         |  SELECT 'simhash64' AS family, band_id || '|' || band_val AS bkey
+         |  FROM (WITH $tailDupCorpusD,
+         |        ${simhash64D("corpus")}
+         |        SELECT band_id, band_val FROM fb)
+         |  UNION ALL
+         |  SELECT 'winnow' AS family, CAST(h AS VARCHAR) AS bkey
+         |  FROM (WITH $tailDupCorpusD,
+         |        wn AS (SELECT doc_id, $normD AS t FROM corpus),
+         |        hl AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN []::BIGINT[] ELSE [
+         |            list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, greatest(least(20, len(t) - i + 1), 1))]::BIGINT[],
+         |                        (acc, x) -> (acc * 31 + x) % 1000000007)
+         |            FOR i IN range(1, greatest(len(t) - 19, 1) + 1)] END AS hs FROM wn),
+         |        sel AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []::BIGINT[] ELSE list_distinct([
+         |            list_min(hs[i:i+7]) FOR i IN range(1, greatest(len(hs) - 7, 1) + 1)]) END AS sel
+         |          FROM hl)
+         |        SELECT unnest(sel) AS h FROM sel)
+         |  UNION ALL
+         |  SELECT 'sign_lsh' AS family,
+         |         CAST(${rhBucketD("embedding", "4", "0")} AS VARCHAR) AS bkey
+         |  FROM embeddings),
+         |pb AS (SELECT family, bkey, CAST(count(*) AS BIGINT) AS pop
+         |       FROM keys GROUP BY 1, 2)
+         |SELECT family, CAST(sum(pop) AS BIGINT) AS n_entries,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(max(pop) AS BIGINT) AS max_pop,
+         |       CAST(sum(pop * (pop - 1) // 2) AS BIGINT) AS gen_pairs
+         |FROM pb GROUP BY family
+         |""".stripMargin) { (s, dir) =>
+      Dedup.lshBucketAudit(tailDupCorpus(s, dir), col("doc_id"), col("text"),
+        Tables.embeddings(s, dir).select("vec_id", "embedding"))
     },
 
     // ----- source-mixture reweighting manifest (DoReMi-lite)
@@ -1669,7 +1721,7 @@ object ExtraQueries {
       "canonical-representative dedup: LSH near-dup clusters keep their highest-token-count member (ties -> lowest id) — the keep-the-best-copy policy, vs x23's arbitrary min-id survivor")(
       s"""WITH RECURSIVE $tailDupCorpusD,
          |$candidatesD,
-         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |und AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand
          |        UNION ALL SELECT doc_b, doc_a FROM cand),
          |nodes AS (SELECT DISTINCT u AS node FROM und),
          |reach(node, lab) AS (
@@ -2347,9 +2399,9 @@ object ExtraQueries {
 
     // ----- corpus BPE tokenization (applying the trained merges)
     QueryDef("x63_bpe_encode",
-      "corpus tokenization with the trained BPE: segment the word inventory through the learned merge rounds, dictionary-join the doc word stream against it, per-doc BPE token counts + a mod-P segmentation-fingerprint sum — a green row certifies EVERY word's segmentation, not just counts")(
+      "corpus tokenization with the trained BPE behind the probe-and-dispatch trainer (driver merge rounds when the vocabulary fits maxInventory, bit-for-bit equal to the distributed rounds — TextOpsSpec pins both branches): segment the word inventory through the learned merge rounds, dictionary-join the doc word stream against it, per-doc BPE token counts + a mod-P segmentation-fingerprint sum — a green row certifies EVERY word's segmentation, not just counts")(
       bpeEncodeOracleD(12)) { (s, dir) =>
-      TextOps.bpeEncode(Tables.documents(s, dir), col("doc_id"), col("text"),
+      TextOps.bpeEncodeAuto(Tables.documents(s, dir), col("doc_id"), col("text"),
         nMerges = 12)
     },
 
@@ -3337,7 +3389,7 @@ object ExtraQueries {
       "cluster-aware train/val/test assignment: split key = the near-dup CLUSTER label (min-label CC over banded MinHash-LSH pairs; unpaired docs key by their own id), Lehmer-mixed and ranged over 8/1/1 cumulative weights — a whole dup clique moves as one unit, so eval-split leakage of a training doc's near-copy is impossible by construction; assignment reproducible from content alone")(
       s"""WITH RECURSIVE $tailDupCorpusD,
          |$candidatesD,
-         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |und AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand
          |        UNION ALL SELECT doc_b, doc_a FROM cand),
          |nodes AS (SELECT DISTINCT u AS node FROM und),
          |reach(node, lab) AS (
@@ -3391,7 +3443,7 @@ object ExtraQueries {
       "duplicate-cluster size spectrum: per near-dup cluster size k, how many clusters and how many documents — unpaired docs are size-1 clusters so n_docs sums to the corpus; the dedup-health histogram that catches a boilerplate-glued mega-cluster BEFORE any deletion policy runs")(
       s"""WITH RECURSIVE $tailDupCorpusD,
          |$candidatesD,
-         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |und AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand
          |        UNION ALL SELECT doc_b, doc_a FROM cand),
          |nodes AS (SELECT DISTINCT u AS node FROM und),
          |reach(node, lab) AS (

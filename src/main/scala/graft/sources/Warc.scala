@@ -390,18 +390,32 @@ object Warc {
               .getBytes(StandardCharsets.UTF_8))
             n += 1
           }
-        } finally { counting.close(); cdxOut.close() }
+        } finally {
+          // close both streams independently: if the segment stream's
+          // close throws, the .cdx stream must not leak its FS handle
+          try counting.close() finally cdxOut.close()
+        }
         // segment renamed FIRST, sidecar second: a visible .cdx implies
         // its segment is already committed, so index consumers can trust
-        // any sidecar they can list
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(tmp, dst))
-          throw new IllegalStateException(
-            s"writeGzipShards: commit rename $tmp -> $dst failed")
-        if (fs.exists(cdxDst)) fs.delete(cdxDst, false)
-        if (!fs.rename(cdxTmp, cdxDst))
-          throw new IllegalStateException(
-            s"writeGzipShards: commit rename $cdxTmp -> $cdxDst failed")
+        // any sidecar they can list. Commit is last-writer-wins but
+        // attempt-tolerant: with speculative/retried attempts two tasks
+        // can race the exists/delete/rename — every attempt writes the
+        // SAME deterministic records for this partition, so a loser
+        // whose rename fails because a peer already committed discards
+        // its temp and reports the committed file instead of failing a
+        // correct export.
+        def commit(src: org.apache.hadoop.fs.Path,
+                   target: org.apache.hadoop.fs.Path): Unit = {
+          if (fs.exists(target)) fs.delete(target, false)
+          if (!fs.rename(src, target)) {
+            if (fs.exists(target)) fs.delete(src, false)
+            else throw new IllegalStateException(
+              s"writeGzipShards: commit rename $src -> $target failed " +
+                "and no committed peer exists")
+          }
+        }
+        commit(tmp, dst)
+        commit(cdxTmp, cdxDst)
         Iterator((dst.toString, n, fs.getFileStatus(dst).getLen))
       }
     }.collect()

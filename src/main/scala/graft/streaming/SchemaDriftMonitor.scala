@@ -44,9 +44,13 @@ final class SchemaDriftMonitor private (val storeDir: String,
     import spark.implicits._
     val base = batch0.select(json_object_keys(payload).as("_ks"))
     // one row: batch size + presence count per declared key
+    // count(when(...)) not sum(when(...)): over ZERO rows sum returns
+    // null (getLong would NPE on the no-data batches Structured
+    // Streaming delivers for watermark advancement) while count returns
+    // 0 — same discipline as DriftMonitor / ContaminationMonitor.
     val aggs = count(lit(1)).as("n_rows") +:
       expectedKeys.zipWithIndex.map { case (k, i) =>
-        sum(when(array_contains(col("_ks"), k), 1L).otherwise(0L)).as(s"_k$i")
+        count(when(array_contains(col("_ks"), k), 1)).as(s"_k$i")
       }
     val row = base.agg(aggs.head, aggs.tail: _*).head()
     val nRows = row.getLong(0)

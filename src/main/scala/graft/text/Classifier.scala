@@ -70,7 +70,7 @@ object Classifier {
     * the x84 oracle SQL (constants + repeat + doc_id cast only):
     *  - `+20000000` boilerplate: a stopword-free marketing line repeated
     *    (fails the ≥2-stopwords rule; the n-gram shape of SEO spam),
-    *  - `+30000` symbol spam: `### $$$ ... 000` repeated (fails the
+    *  - `+30000000` symbol spam: `### $$$ ... 000` repeated (fails the
     *    alpha-word and symbol-ratio rules),
     *  - `+40000000` number spam: doc_id-salted numeric runs (fails the
     *    alpha-word rule; the doc_id salt spreads negative mass over the

@@ -473,4 +473,39 @@ class DedupSpec extends SparkSpec {
     // shingle (the ShingleHashes convention) — it contains nothing
     assert(out((1L, 4L)) === ((0.0, "b")), s"got ${out.get((1L, 4L))}")
   }
+
+  test("lshBucketAudit: boilerplate skew stays clique-bounded for minhash; exact pair-mass identity") {
+    // 40 docs sharing one boilerplate phrase among otherwise-unique
+    // words (the r16 magnitude-preserving-family failure shape), 40
+    // fully unique docs, plus 4 exact copies of doc 0 (a real clique).
+    val rnd = new scala.util.Random(29)
+    def body(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(200)}term").mkString(" ")
+    val boiler = "subscribe to our newsletter for exclusive member offers"
+    val docs = ((0 until 40).map(i => (i.toLong, body(12) + " " + boiler + " " + body(12))) ++
+      (40 until 80).map(i => (i.toLong, body(25) + s" uniq$i")) ++
+      (100 until 104).map(i => (i.toLong, "an exact copy clique document body")))
+      .toDF("doc_id", "text")
+    val emb = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.lshBucketAudit(docs, col("doc_id"), col("text"), emb)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set("minhash", "simhash64", "winnow", "sign_lsh"))
+    val (mhEntries, _, mhMax, _) = out("minhash")
+    // 84 docs × 3 bands; a healthy family keeps the hottest minhash
+    // bucket at the planted clique (4 copies, possibly +noise), never
+    // the 40 boilerplate-sharers
+    assert(mhEntries === 84L * 3)
+    assert(mhMax >= 4 && mhMax <= 8, s"minhash max_pop $mhMax")
+    // winnow DOES bucket the sharers together (shared-substring
+    // semantics): its hottest bucket is the sharer count exactly
+    assert(out("winnow")._3 === 40L, s"winnow ${out("winnow")}")
+    // pair-mass identity on a closed form: the 4-clique contributes
+    // C(4,2)=6 pairs per band where it is the whole bucket
+    val (_, _, _, mhPairs) = out("minhash")
+    assert(mhPairs >= 3 * 6, s"minhash gen_pairs $mhPairs")
+    // sign_lsh: 4-bit buckets over 32 vectors — all entries present
+    assert(out("sign_lsh")._1 === 32L)
+  }
 }
