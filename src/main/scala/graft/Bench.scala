@@ -148,6 +148,25 @@ object Bench {
       while (ok && times.size < MaxReps &&
         (spread() > StableRatio || (times.min < 1.0 && times.size < 3) ||
           cleanReps() < 2)) rep()
+      // Compute-vs-dump split (r16 verdict task 2): the timed reps above
+      // measure pure compute (toRdd.count — nothing is serialized to
+      // disk); Verify's single-file result dump is a separate harness
+      // cost. With SPARK_GRAFT_BENCH_DUMP=1 one untimed-rep-style dump
+      // per query is ALSO measured — the repartition(1) parquet write
+      // Verify does — so an sf1 reading like d01's can be attributed to
+      // compute vs dump from the artifact instead of by conjecture.
+      val dumpSec: Double =
+        if (!sys.env.get("SPARK_GRAFT_BENCH_DUMP").contains("1") || !ok) -1.0
+        else try {
+          val dir = java.nio.file.Files
+            .createTempDirectory("bench_dump").toString
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).repartition(1).write.mode("overwrite")
+            .parquet(s"$dir/$name")
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          t
+        } catch { case _: Throwable => -1.0 }
       System.gc()
       val qSteal = stealPct(qStart, cpuStat())
       // the statistic is computed over CLEAN reps when any exist — a rep
@@ -181,7 +200,7 @@ object Bench {
         else basis.head
       (name, value, ok, times.size,
         if (times.size < 2) 1.0 else spread(), qSteal, escalated,
-        cleanTimes.size)
+        cleanTimes.size, dumpSec)
     }
     // The driver keeps only a ~2000-char tail of stdout; the JSON line must
     // fit inside it or it can never be parsed. 2-decimal per-query times
@@ -194,11 +213,11 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def code(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _, _, _, _, _, _) => "\"" + code(k) + "\":" + f2(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _, _, _) => "\"" + code(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // cap the list so a mass failure can't push the JSON line past the
     // 2000-char tail (rc=1 still signals the failure either way)
-    val failedAll = results.collect { case (k, _, false, _, _, _, _, _) => code(k) }
+    val failedAll = results.collect { case (k, _, false, _, _, _, _, _, _) => code(k) }
     val failed = (failedAll.take(5).map("\"" + _ + "\"") ++
       (if (failedAll.size > 5) Seq("\"+" + (failedAll.size - 5) + " more\"") else Nil))
       .mkString("[", ",", "]")
@@ -208,13 +227,13 @@ object Bench {
     // A compact policy map, not a per-query field — the JSON line must
     // fit the driver's ~2000-char stdout tail
     val policy = "{\"default\":\"min\",\"median\":" +
-      results.collect { case (k, _, _, _, _, _, _, _) if iterative(k) => "\"" + code(k) + "\"" }
+      results.collect { case (k, _, _, _, _, _, _, _, _) if iterative(k) => "\"" + code(k) + "\"" }
         .mkString("[", ",", "]") + "}"
     // queries still unstable after MaxReps adaptive reps: residual spread
     // of the reported statistic — nonempty means read those numbers as
     // ±spread, not as regressions (normally empty; capped for the budget)
     val noisyAll = results.collect {
-      case (k, _, true, _, sp, _, _, _) if sp > StableRatio =>
+      case (k, _, true, _, sp, _, _, _, _) if sp > StableRatio =>
         "\"" + code(k) + "\":" + f2(sp)
     }
     val noisy = (noisyAll.take(8) ++
@@ -223,7 +242,7 @@ object Bench {
     // run-level hypervisor steal + the per-query policy escalations: a
     // reading taken under steal now names itself in the artifact
     val runSteal = stealPct(runStart, cpuStat())
-    val escalatedAll = results.collect { case (k, _, _, _, _, _, true, _) => code(k) }
+    val escalatedAll = results.collect { case (k, _, _, _, _, _, true, _, _) => code(k) }
     val escalatedJson = (escalatedAll.take(8).map("\"" + _ + "\"") ++
       (if (escalatedAll.size > 8)
         Seq("\"+" + (escalatedAll.size - 8) + " more\"") else Nil))
@@ -237,13 +256,13 @@ object Bench {
     // round wrapper has parsed it unreliably — ADVICE r11): full query
     // names, per-query reps/spread, and a timestamp so any re-run —
     // including a judge's — leaves an auditable record next to the code.
-    val detail = results.map { case (k, v, o, n, sp, st, esc, cl) =>
+    val detail = results.map { case (k, v, o, n, sp, st, esc, cl, dmp) =>
       val pol =
         if (esc) "median(escalated)"
         else if (iterative(k)) { if (cl < n) "median(clean)" else "median" }
         else if (cl < n) "min(clean)"
         else "min"
-      s"""  "$k": {"sec": ${f3(v)}, "ok": $o, "reps": $n, "clean_reps": $cl, "spread": ${f2(sp)}, "steal_pct": ${f2(st)}, "policy": "$pol"}"""
+      s"""  "$k": {"sec": ${f3(v)}, "ok": $o, "reps": $n, "clean_reps": $cl, "spread": ${f2(sp)}, "steal_pct": ${f2(st)}, "policy": "$pol"${if (dmp >= 0) s""", "dump_sec": ${f3(dmp)}""" else ""}}"""
     }.mkString("{\n", ",\n", "\n}")
     // host_noisy: the artifact self-declares when it was taken in a bad
     // window (run steal past 2% or any escalation) — the r14 failure

@@ -286,8 +286,26 @@ object StreamingScaleProbe {
       val prev = spark.conf.getOption(providerKey)
       spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Sharded close deadlines (r16 verdict task 4): all markets share
+      // ONE endTime (the 15-min boundary), so without jitter every close
+      // timer expires in a single micro-batch — p95 24.7 s at 9984 keys,
+      // and 2× more keys blows the 30 s bound. The jitter window scales
+      // with the herd so no 200 ms trigger sees more than ~400 expired
+      // timers; latency is measured against each key's OWN staggered
+      // deadline (the SLA once deadlines are sharded). The window is a
+      // compressed stand-in for production's closeJitterMs = 10 s (the
+      // reference's buffer_seconds) — at the reference's real cadence 96
+      // markets/day close per boundary, so 10 s covers ~100× that.
+      val jitterMs = math.max(2000L, nMarkets / 2L)
+      // backoff DOUBLES to a real cap (compressed 200→3200 ms, the
+      // reference's 30→300 s shape): a flat 200 ms cap made every
+      // unresolved market re-poll at trigger cadence, so at 64× a key's
+      // whole 20-attempt budget burned in ~4 s — inside the staggered
+      // poll wave — and early markets hit resolution_failed before the
+      // probe's poll_results were even injected
       val timing = Lifecycle.Timing(firstPollDelayMs = 200L,
-        baseBackoffMs = 200L, maxBackoffMs = 200L, maxAttempts = 20)
+        baseBackoffMs = 200L, maxBackoffMs = 3200L, maxAttempts = 20,
+        closeJitterMs = jitterMs)
       implicit val sqlc = spark.sqlContext
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Lifecycle.MarketMsg]
@@ -315,20 +333,32 @@ object StreamingScaleProbe {
         in.addData((0 until nMarkets).map(i =>
           Lifecycle.MarketMsg(s"m$i", "discovered", 1L, Seq(s"t$i"),
             endTime, closed = false, "", 0, 0)))
-        require(await(120000) {
+        // distinct keys, not row count: repeat polls from one market
+        // must not vouch for markets that never polled. Timeouts scale
+        // with the tier — the full poll wave spans the jitter window
+        // plus ~N×per-key processing.
+        val awaitMs = 120000L + nMarkets * 10L
+        require(await(awaitMs) {
           notePeak()
-          sink().filter(col("transition") === "poll_due").count() >= nMarkets
+          sink().filter(col("transition") === "poll_due")
+            .select("marketId").distinct().count() >= nMarkets
         }, s"lifecycle@${k}x: not all $nMarkets markets reached poll_due")
         in.addData((0 until nMarkets).map(i =>
           Lifecycle.MarketMsg(s"m$i", "poll_result", 2L, Nil, 0L,
             closed = true, "resolved", 0.0, 1.0)))
-        require(await(120000) {
+        require(await(awaitMs) {
           notePeak()
           sink().filter(col("transition") === "resolved").count() >= nMarkets
         }, s"lifecycle@${k}x: not all $nMarkets markets resolved")
+        // fire latency vs each key's OWN staggered deadline
+        // (endTime + closeStaggerMs): the engine-lateness signal, with
+        // the deliberate shard offset excluded
         val closeLats = sink().filter(col("transition") === "close")
-          .select((col("atMs") - lit(endTime)).cast("double") / 1000.0)
-          .collect().map(_.getDouble(0)).toVector
+          .select(col("marketId"), col("atMs"))
+          .collect().map { r =>
+            (r.getLong(1) - endTime -
+              Lifecycle.closeStaggerMs(r.getString(0), timing)) / 1000.0
+          }.toVector
         require(closeLats.size == nMarkets,
           s"expected $nMarkets close transitions, got ${closeLats.size}")
         require(peakState == nMarkets,
@@ -337,6 +367,7 @@ object StreamingScaleProbe {
         require(p95 <= 30.0,
           f"close-timer p95 fire latency $p95%.2f s at ${k}x exceeds 30 s")
         println(f"lifecycle_tws ${k + "x"}%5s markets=$nMarkets%6d " +
+          f"jitter=${jitterMs / 1000.0}%.1f s " +
           f"close_fire p50=$p50%.2f s p95=$p95%.2f s peak_state=$peakState%6d")
       } finally {
         q.stop()

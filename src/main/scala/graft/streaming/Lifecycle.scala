@@ -54,12 +54,43 @@ object Lifecycle {
 
   /** Timing knobs, defaulting to the reference constants
     * (`market_resolution.py:25,29-38`; README.md:75). Tests compress
-    * them to drive real processing-time timeouts in seconds. */
+    * them to drive real processing-time timeouts in seconds.
+    *
+    * `closeJitterMs` shards close deadlines: each market's close timer
+    * is staggered by a deterministic per-key offset in
+    * [0, closeJitterMs). The reference already has this semantic — its
+    * discovery cycle acts `buffer_seconds = 10` AFTER each 15-minute
+    * boundary (`market_discovery.py:118,136-137`), so no market closes
+    * at the exact boundary there either. At the reference's ~100
+    * concurrent markets the buffer is just alignment slack; at 10k+
+    * concurrent keys it is what keeps every close timer in the cluster
+    * from expiring in ONE micro-batch (the thundering-herd batch the
+    * 9984-market widening measured at p95 = 24.7 s). 0 = no stagger. */
   final case class Timing(firstPollDelayMs: Long = 60000L,
                           baseBackoffMs: Long = 30000L,
                           maxBackoffMs: Long = 300000L,
-                          maxAttempts: Int = 20)
-  val DefaultTiming: Timing = Timing()
+                          maxAttempts: Int = 20,
+                          closeJitterMs: Long = 0L)
+  /** Production preset: reference constants INCLUDING its 10 s
+    * post-boundary buffer as the close-deadline shard window. */
+  val DefaultTiming: Timing = Timing(closeJitterMs = 10000L)
+
+  /** Deterministic per-key close stagger in [0, closeJitterMs): FNV-1a
+    * over the market id. A pure function of the key, so both the
+    * message path (arming the timer) and the timeout path (scheduling
+    * the first poll) recompute the SAME offset without storing it. */
+  def closeStaggerMs(marketId: String, t: Timing = DefaultTiming): Long =
+    if (t.closeJitterMs <= 0L) 0L
+    else {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < marketId.length) {
+        h ^= marketId.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      java.lang.Math.floorMod(h, t.closeJitterMs)
+    }
 
   val FirstPollDelayMs = DefaultTiming.firstPollDelayMs
   val BaseBackoffMs = DefaultTiming.baseBackoffMs
@@ -83,7 +114,8 @@ object Lifecycle {
 
   /** Pure message-driven transitions. Messages must be in ts order. */
   def onMessages(marketId: String, msgs: Seq[MarketMsg],
-                 state: Option[MarketState]): (Option[MarketState], Seq[Transition]) =
+                 state: Option[MarketState],
+                 t: Timing = DefaultTiming): (Option[MarketState], Seq[Transition]) =
     msgs.foldLeft((state, Seq.empty[Transition])) { case ((st, out), m) =>
       m.kind match {
         case "discovered" =>
@@ -94,7 +126,8 @@ object Lifecycle {
             case _ =>
               val unsub = st.filter(_.phase == "subscribed").map(s =>
                 Transition(marketId, "unsubscribe", m.tsMs, s.tokenIds.mkString(",")))
-              val next = MarketState("subscribed", m.tokenIds, m.endTimeMs, 0, m.endTimeMs)
+              val next = MarketState("subscribed", m.tokenIds, m.endTimeMs, 0,
+                m.endTimeMs + closeStaggerMs(marketId, t))
               (Some(next),
                 out ++ unsub :+ Transition(marketId, "subscribe", m.tsMs,
                   m.tokenIds.mkString(",")))
@@ -118,9 +151,11 @@ object Lifecycle {
     state.phase match {
       case "subscribed" =>
         // close timer fired (ws_manager.py:287-299): stop streaming,
-        // schedule the first resolution poll at end + 60 s
+        // schedule the first resolution poll at end + 60 s — keeping
+        // the per-key stagger, so the poll wave stays sharded too
         val next = state.copy(phase = "awaiting_resolution", attempt = 0,
-          nextActionMs = state.endTimeMs + t.firstPollDelayMs)
+          nextActionMs = state.endTimeMs + t.firstPollDelayMs +
+            closeStaggerMs(marketId, t))
         (Some(next), Seq(Transition(marketId, "close", nowMs, "")))
       case "awaiting_resolution" =>
         if (state.attempt >= t.maxAttempts)
@@ -153,7 +188,7 @@ object Lifecycle {
     override def handleInputRows(key: String, rows: Iterator[MarketMsg],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
       val cur = if (st.exists()) Some(st.get()) else None
-      val (ns, out) = onMessages(key, rows.toSeq.sortBy(_.tsMs), cur)
+      val (ns, out) = onMessages(key, rows.toSeq.sortBy(_.tsMs), cur, timing)
       applyState(cur, ns, timerConsumed = false)
       out.iterator
     }
@@ -213,7 +248,7 @@ object Lifecycle {
           val nowMs = gs.getCurrentProcessingTimeMs()
           val (ns, out) =
             if (gs.hasTimedOut) onTimeout(key, gs.get, nowMs, timing)
-            else onMessages(key, it.toSeq.sortBy(_.tsMs), gs.getOption)
+            else onMessages(key, it.toSeq.sortBy(_.tsMs), gs.getOption, timing)
           ns match {
             case Some(s) =>
               gs.update(s)

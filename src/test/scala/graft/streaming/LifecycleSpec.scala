@@ -36,7 +36,28 @@ class LifecycleSpec extends SparkSpec {
     val (s2, out) = onTimeout("m1", s1.get, 900000L)
     assert(out.map(_.transition) === Seq("close"))
     assert(s2.get.phase === "awaiting_resolution")
-    assert(s2.get.nextActionMs === 900000L + FirstPollDelayMs)
+    // DefaultTiming shards deadlines inside the reference's 10 s
+    // post-boundary buffer — the first poll keeps the key's stagger
+    assert(s2.get.nextActionMs ===
+      900000L + FirstPollDelayMs + closeStaggerMs("m1"))
+  }
+
+  test("close deadlines shard deterministically inside the jitter buffer") {
+    val t = DefaultTiming
+    assert(t.closeJitterMs === 10000L) // the reference's buffer_seconds=10
+    val offs = (0 until 2000).map(i => closeStaggerMs(s"m$i", t))
+    assert(offs.forall(o => o >= 0L && o < t.closeJitterMs))
+    // deterministic: same key → same offset, every time
+    assert(offs === (0 until 2000).map(i => closeStaggerMs(s"m$i", t)))
+    // sharded: the herd spreads — no 100 ms slot holds more than a few
+    // percent of 2000 keys (uniform expectation: 20/slot over 100 slots)
+    val worstSlot = offs.groupBy(_ / 100L).values.map(_.size).max
+    assert(worstSlot <= 60, s"worst 100ms slot holds $worstSlot of 2000 keys")
+    // the armed deadline and the post-close poll both carry the stagger
+    val (s1, _) = onMessages("mJ", Seq(discovered(0L, Seq("a"), 900000L)), None)
+    assert(s1.get.nextActionMs === 900000L + closeStaggerMs("mJ"))
+    // jitter 0 (the compressed-clock test preset) disables sharding
+    assert(closeStaggerMs("mJ", Timing()) === 0L)
   }
 
   test("poll backoff doubles 30s→300s cap and fails after 20 attempts (market_resolution.py:29-38)") {
