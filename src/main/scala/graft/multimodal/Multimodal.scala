@@ -48,6 +48,9 @@ final case class KeyframeStats(media_id: Long, n_samples: Long, n_idr: Long,
 final case class IdrFrameSample(media_id: Long, n_samples: Long, n_idr: Long,
                                 n_selected: Long, first_sel_idx: Long,
                                 sel_idx_checksum: Long, sel_bytes: Long)
+final case class H264Pixels(media_id: Long, n_samples: Long, n_idr: Long,
+                            n_decoded: Long, width: Long, height: Long,
+                            first_checksum: Long, frames_checksum: Long)
 
 /** Codec seam. PNG and WAV are decoded for real (pure-JVM
   * `javax.imageio` / `javax.sound.sampled`, no native deps): a payload
@@ -309,6 +312,52 @@ object FakeCodec {
         mediaId * 131 + i)
       if (i == 0) nal(7, 4, mediaId) ++ nal(8, 2, mediaId + 1) ++ slice
       else slice
+    }
+    mp4Asset(samples)
+  }
+
+  /** PCM sample value k (bitstream order: 256 luma raster, 64 Cb,
+    * 64 Cr) of frame `f` in asset `mediaId` — shared by the encoder
+    * below and the DuckDB oracle, so a green row certifies the whole
+    * real H.264 round trip (Exp-Golomb headers + emulation-prevention
+    * escape → ISO-BMFF wrap → sample-table walk → [[H264]] bitstream
+    * decode) reproduces every sample byte exactly. */
+  def avcPcmSample(mediaId: Long, f: Int, k: Int): Int =
+    ((mediaId * 131 + f * 29 + k * 17 + 7) % 256).toInt
+
+  /** Spec-conformant intra-only H.264 mp4: every `gop`-th sample is a
+    * self-contained sync point — in-band SPS + PPS + an IDR slice of
+    * I_PCM macroblocks ([[H264.encodeIdrIPcm]]) over one 16×16 MB with
+    * [[avcPcmSample]] planes — and the samples between are opaque
+    * non-IDR slices (type-1 NALs), exactly the shape [[idrFrameSample]]
+    * selects from: only the sync points are independently decodable,
+    * and now they really do decode to pixels. */
+  def avcIntraAsset(mediaId: Long, nFrames: Int, gop: Int): Array[Byte] = {
+    require(nFrames > 0 && gop > 0)
+    def avcc(nal: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4)
+      bb.putInt(nal.length)
+      bb.array() ++ nal
+    }
+    def opaque(i: Int): Array[Byte] = {
+      val payloadLen = 5 + ((mediaId + i) % 7).toInt
+      val body = new Array[Byte](1 + payloadLen)
+      body(0) = ((2 << 5) | 1).toByte
+      var k = 0
+      while (k < payloadLen) {
+        body(1 + k) = (((mediaId * 131 + i) * 31 + k * 7 + 1) % 251).toByte
+        k += 1
+      }
+      avcc(body)
+    }
+    val samples = (0 until nFrames).map { f =>
+      if (f % gop == 0) {
+        val y = Array.tabulate[Byte](256)(k => avcPcmSample(mediaId, f, k).toByte)
+        val cb = Array.tabulate[Byte](64)(k => avcPcmSample(mediaId, f, 256 + k).toByte)
+        val cr = Array.tabulate[Byte](64)(k => avcPcmSample(mediaId, f, 320 + k).toByte)
+        avcc(H264.encodeSps(1, 1)) ++ avcc(H264.encodePps()) ++
+          avcc(H264.encodeIdrIPcm(1, 1, f % 16, y, cb, cr))
+      } else opaque(f)
     }
     mp4Asset(samples)
   }
@@ -757,6 +806,52 @@ object Multimodal {
       }
     }(Encoders.product[IdrFrameSample])
   }
+
+  /** Intra H.264 pixel decode (x120): the step past [[idrFrameSample]]'s
+    * selection — for every sync-point sample, actually DECODE the IDR
+    * picture through the real [[H264]] bitstream layer (RBSP unescape,
+    * Exp-Golomb SPS/PPS/slice-header parse, §7.3.5 I_PCM macroblock
+    * read) to raw 4:2:0 planes. `n_idr` counts sync points, `n_decoded`
+    * the ones whose slices were PCM-coded and parsed clean — predicted
+    * macroblocks (CAVLC residual + intra prediction) stay the declared
+    * seam and count into the gap, observable per asset. Emits the first
+    * decoded frame's dimensions + plane checksum and a mod-P sum of all
+    * decoded frames' checksums (the oracle certifies every decoded
+    * byte, not just counts).
+    *
+    * Scale shape: partition-local mapPartitions at the codec seam,
+    * media bytes never shuffle, one 8-field row out per asset. */
+  def h264IntraDecode(ds: Dataset[MediaRow]): Dataset[H264Pixels] =
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val samples =
+          if (m.meta.format == "mp4")
+            FakeCodec.mp4Samples(m.content).getOrElse(IndexedSeq.empty)
+          else IndexedSeq.empty
+        var nIdr = 0L; var nDec = 0L
+        var firstCs = -1L; var framesCs = 0L
+        var w = 0L; var h = 0L
+        samples.foreach { case (off, sz) =>
+          val bytes = java.util.Arrays.copyOfRange(
+            m.content, off.toInt, (off + sz).toInt)
+          val tps = FakeCodec.nalTypes(bytes).getOrElse(Seq.empty)
+          if (tps.contains(5)) {
+            nIdr += 1
+            H264.decodeAvccSample(bytes).foreach { fr =>
+              nDec += 1
+              var cs = 0L
+              fr.y.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
+              fr.cb.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
+              fr.cr.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
+              framesCs = (framesCs + cs) % P
+              if (firstCs < 0) { firstCs = cs; w = fr.width; h = fr.height }
+            }
+          }
+        }
+        H264Pixels(m.media_id, samples.length.toLong, nIdr, nDec, w, h,
+          math.max(firstCs, 0L), framesCs)
+      }
+    }(Encoders.product[H264Pixels])
 
   /** Deterministic grayscale test pattern for the x87 image-dedup
     * corpus: pixel (y, x) of document `d`'s base image. Multiplicative

@@ -3231,6 +3231,37 @@ object ExtraQueries {
       Multimodal.idrFrameSample(media, everyK = 2).toDF()
     },
 
+    // ----- intra H.264 pixel decode: the step past x118's selection —
+    //       sync-point samples actually decode to pixels through the
+    //       real bitstream layer (I_PCM macroblocks; prediction stays
+    //       the declared seam and counts into n_idr - n_decoded)
+    QueryDef("x120_h264_intra_decode",
+      "intra-only H.264 pixel decode: synthesize a spec-conformant AVCC mp4 per doc (5 samples, every 2nd a self-contained sync point: in-band SPS+PPS+an IDR slice of I_PCM macroblocks with arithmetic-planted 4:2:0 planes; opaque non-IDR slices between), walk the real sample table, and DECODE each sync point through the real H.264 bitstream layer — RBSP emulation-prevention unescape, Exp-Golomb SPS/PPS/slice-header parse, I_PCM macroblock read — to raw planes; the oracle recomputes every decoded byte by arithmetic, no codec, so a green row certifies the whole encode->demux->bitstream-decode round trip byte-for-byte")(
+      """WITH fr AS (SELECT unnest([0, 2, 4]) AS f),
+        |pf AS (
+        |  SELECT d.doc_id, fr.f,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(0, 384),
+        |          k -> (d.doc_id * 131 + fr.f * 29 + k * 17 + 7) % 256)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS cs
+        |  FROM documents d CROSS JOIN fr)
+        |SELECT doc_id AS media_id, CAST(5 AS BIGINT) AS n_samples,
+        |  CAST(3 AS BIGINT) AS n_idr, CAST(3 AS BIGINT) AS n_decoded,
+        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(max(CASE WHEN f = 0 THEN cs END) AS BIGINT) AS first_checksum,
+        |  CAST(sum(cs) % 1000000007 AS BIGINT) AS frames_checksum
+        |FROM pf GROUP BY doc_id
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRow(id, "video",
+          FakeCodec.avcIntraAsset(id, nFrames = 5, gop = 2),
+          MediaMeta("mp4", 0, 0))))
+      Multimodal.h264IntraDecode(media).toDF()
+    },
+
     // ----- exact longest-substring decontam via a generalized suffix
     //       automaton over the benchmark (Lee et al. exact-substring at
     //       token grain) — what fixed 8-gram coverage dilutes at
