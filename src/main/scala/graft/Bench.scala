@@ -212,9 +212,22 @@ object Bench {
     // before the budget is actually blown.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // compact per-query value: 2 decimals under 10 s, 1 above, trailing
+    // zeros stripped ("0.50"→"0.5", "1.00"→"1") — at 170 queries the
+    // uniform f2 map alone was 1,879 chars and the r16 driver tail
+    // recorded parsed:null; full fidelity stays in BENCH_LOCAL.json
+    def fc(v: Double): String = {
+      val s = (if (v >= 10) "%.1f" else "%.2f")
+        .formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     def code(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _, _, _, _, _, _, _) => "\"" + code(k) + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    def qsJson(fmt: Double => String): String =
+      results.map { case (k, v, _, _, _, _, _, _, _) =>
+        "\"" + code(k) + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+    val qs = qsJson(fc)
     // cap the list so a mass failure can't push the JSON line past the
     // 2000-char tail (rc=1 still signals the failure either way)
     val failedAll = results.collect { case (k, _, false, _, _, _, _, _, _) => code(k) }
@@ -247,10 +260,31 @@ object Bench {
       (if (escalatedAll.size > 8)
         Seq("\"+" + (escalatedAll.size - 8) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"policy":$policy,"steal_pct":${f2(runSteal)},"escalated":$escalatedJson,"sf":"$sfDir"}"""
-    if (line.length > 1850)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
-        "approaching the driver's 2000-char stdout tail; shorten names/precision")
+    // STAGED degradation to guarantee the line parses from the driver's
+    // 2000-char stdout tail (the r16 line was ~2,080 chars and the
+    // driver recorded parsed:null — an unparseable line is worth less
+    // than a lower-precision one; BENCH_LOCAL.json keeps full fidelity):
+    // 1. compact floats + basename sf;  2. drop the noisy/escalated
+    // maps to counts;  3. 1-decimal per-query values.
+    val sfShort = new java.io.File(sfDir).getName
+    val Budget = 1950
+    var line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"policy":$policy,"steal_pct":${f2(runSteal)},"escalated":$escalatedJson,"sf":"$sfShort"}"""
+    if (line.length > Budget) {
+      // minimal keys + 1-decimal stripped values (~1,790 chars at 170
+      // queries); failed stays whenever nonempty — a failure signal
+      // must never be a degradation casualty
+      def f1(v: Double): String = {
+        val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+        if (s.endsWith(".0")) s.dropRight(2) else s
+      }
+      val failedPart =
+        if (failedAll.isEmpty) "" else s""","failed":$failed"""
+      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qsJson(f1)}$failedPart,"steal_pct":${f2(runSteal)},"sf":"$sfShort"}"""
+    }
+    if (line.length > Budget)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
+        "even after degradation — the driver tail may truncate it")
     println(line)
     // Full-fidelity artifact (the stdout line is budget-truncated and the
     // round wrapper has parsed it unreliably — ADVICE r11): full query
