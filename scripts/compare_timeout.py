@@ -63,11 +63,21 @@ def main():
     if sys.argv[1] == "--one":
         run_one(sys.argv[2], sys.argv[3], sys.argv[4])
         return
-    sf = sys.argv[1]
-    out = sys.argv[2]
-    timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 600
-    jobs = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    argv = sys.argv[1:]
+    only = None
+    if argv and argv[0] == "--only":  # --only q1,q2: filtered runs
+        only = set(argv[1].split(","))
+        argv = argv[2:]
+    sf = argv[0]
+    out = argv[1]
+    timeout = int(argv[2]) if len(argv) > 2 else 600
+    jobs = int(argv[3]) if len(argv) > 3 else 4
     names = sorted(json.load(open(f"{out}/oracle_sql.json")))
+    if only is not None:
+        missing = only - set(names)
+        if missing:
+            sys.exit(f"--only names not in oracle_sql.json: {sorted(missing)}")
+        names = [n for n in names if n in only]
 
     def child(name):
         try:
@@ -88,9 +98,11 @@ def main():
         tag = "PASS" if results[name] == "OK" else "FAIL"
         print(f"{tag} {name}: {results[name]}")
     print(f"\n{npass}/{len(results)} queries match at {sf}")
+    # a filtered run must not clobber a full-suite record
+    rec = "compare_results.json" if only is None else "compare_results.partial.json"
     json.dump({"sf": sf, "pass": npass, "total": len(results),
                "results": results},
-              open(f"{out}/compare_results.json", "w"), indent=1)
+              open(f"{out}/{rec}", "w"), indent=1)
     sys.exit(0 if npass == len(results) else 1)
 
 

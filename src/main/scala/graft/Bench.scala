@@ -21,7 +21,12 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").getLines().next()
         .split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
-    val ambientBusy = ambientLoad1 > 0.15 * cpus.toDouble
+    // threshold against the HOST's core count, not SPARK_GRAFT_CPUS:
+    // load1 is machine-wide, and judging a 64-core host by a 4-thread
+    // bench config would flag idle machines as busy (and, with the
+    // overwrite hygiene below, permanently divert default-env runs)
+    val hostCores = Runtime.getRuntime.availableProcessors()
+    val ambientBusy = ambientLoad1 > 0.15 * hostCores
     if (ambientBusy)
       System.err.println(f"[bench] WARNING: ambient load1 $ambientLoad1%.1f " +
         s"on $cpus cpus at process start — another process is competing " +
@@ -155,20 +160,31 @@ object Bench {
       // per query is ALSO measured — the repartition(1) parquet write
       // Verify does — so an sf1 reading like d01's can be attributed to
       // compute vs dump from the artifact instead of by conjecture.
+      // per-query steal window closes BEFORE the dump below: the dump
+      // is harness accounting, and steal landing only inside it must
+      // not make the timed reps read as contaminated (or vice versa)
+      val qSteal = stealPct(qStart, cpuStat())
       val dumpSec: Double =
         if (!sys.env.get("SPARK_GRAFT_BENCH_DUMP").contains("1") || !ok) -1.0
-        else try {
+        else {
           val dir = java.nio.file.Files
-            .createTempDirectory("bench_dump").toString
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).repartition(1).write.mode("overwrite")
-            .parquet(s"$dir/$name")
-          val t = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          t
-        } catch { case _: Throwable => -1.0 }
+            .createTempDirectory("bench_dump").toFile
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).repartition(1).write.mode("overwrite")
+              .parquet(s"$dir/$name")
+            val t = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            t
+          } catch { case _: Throwable => -1.0 }
+          finally { // a 170-query sf1 run would otherwise strand GBs in /tmp
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(dir)
+          }
+        }
       System.gc()
-      val qSteal = stealPct(qStart, cpuStat())
       // the statistic is computed over CLEAN reps when any exist — a rep
       // measured under steal can neither be the reading nor corroborate it
       val cleanTimes = times.indices
@@ -328,10 +344,16 @@ object Bench {
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val target = {
       val p = java.nio.file.Paths.get(outPath)
+      // an existing artifact only PROTECTS the slot when it is clean
+      // AND from the same sf — a clean sf0.1 reading must not pin the
+      // file against an sf1 run (different config, not a noisier
+      // re-measurement of the same one)
       val existingClean = java.nio.file.Files.exists(p) && {
-        try !java.nio.file.Files.readString(p)
-          .contains("\"host_noisy\": true")
-        catch { case _: Throwable => false }
+        try {
+          val txt = java.nio.file.Files.readString(p)
+          !txt.contains("\"host_noisy\": true") &&
+            txt.contains(s""""sf": "$sfDir"""")
+        } catch { case _: Throwable => false }
       }
       if (!force && hostNoisy && existingClean) {
         System.err.println(s"[bench] $outPath holds a steal-clean reading " +

@@ -121,7 +121,8 @@ object H264 {
   final case class Sps(widthMbs: Int, heightMbs: Int,
                        log2MaxFrameNum: Int, pocType: Int,
                        log2MaxPocLsb: Int, frameMbsOnly: Boolean,
-                       chromaFormatIdc: Int)
+                       chromaFormatIdc: Int,
+                       deltaPocAlwaysZero: Boolean)
 
   final case class Pps(cavlc: Boolean, bottomFieldPocPresent: Boolean,
                        deblockingControlPresent: Boolean,
@@ -262,9 +263,11 @@ object H264 {
     val log2MaxFrameNum = r.ue() + 4
     val pocType = r.ue()
     var log2MaxPocLsb = 0
+    var deltaPocAlwaysZero = true
     if (pocType == 0) log2MaxPocLsb = r.ue() + 4
     else if (pocType == 1) {
-      r.u(1); r.se(); r.se()
+      deltaPocAlwaysZero = r.u(1) == 1 // gates slice delta_pic_order_cnt
+      r.se(); r.se()
       val n = r.ue()
       var i = 0
       while (i < n) { r.se(); i += 1 }
@@ -276,7 +279,7 @@ object H264 {
     val frameMbsOnly = r.u(1) == 1
     if (!frameMbsOnly) return None // field/MBAFF coding unsupported
     Some(Sps(wMbs, hMapUnits, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      frameMbsOnly, chroma))
+      frameMbsOnly, chroma, deltaPocAlwaysZero))
   } catch { case _: Throwable => None }
 
   /** §7.3.2.2; None unless CAVLC single-slice-group. */
@@ -311,6 +314,9 @@ object H264 {
     if (sps.pocType == 0) {
       r.u(sps.log2MaxPocLsb)
       if (pps.bottomFieldPocPresent) r.se()
+    } else if (sps.pocType == 1 && !sps.deltaPocAlwaysZero) {
+      r.se() // delta_pic_order_cnt[0] (§7.3.3)
+      if (pps.bottomFieldPocPresent) r.se() // delta_pic_order_cnt[1]
     }
     if (pps.redundantPicCntPresent) r.ue()
     r.u(1); r.u(1) // dec_ref_pic_marking for IDR

@@ -408,10 +408,18 @@ object Warc {
                    target: org.apache.hadoop.fs.Path): Unit = {
           if (fs.exists(target)) fs.delete(target, false)
           if (!fs.rename(src, target)) {
-            if (fs.exists(target)) fs.delete(src, false)
+            // a benign loser is one whose PEER committed the same
+            // deterministic bytes — verified by length, so a stale
+            // file from an earlier different-data export (e.g. when
+            // the delete above returned false) still fails loudly
+            // instead of silently pairing old bytes with new metadata
+            val srcLen = fs.getFileStatus(src).getLen
+            if (fs.exists(target) && fs.getFileStatus(target).getLen == srcLen)
+              fs.delete(src, false)
             else throw new IllegalStateException(
               s"writeGzipShards: commit rename $src -> $target failed " +
-                "and no committed peer exists")
+                "and the existing target does not match this attempt's " +
+                "bytes (no committed peer)")
           }
         }
         commit(tmp, dst)

@@ -101,6 +101,34 @@ class H264Spec extends AnyFunSuite {
     assert(H264.parsePps(wc.putBytes(H264.escapeRbsp(pc.result())).result()).isEmpty)
   }
 
+  test("pocType-1 slices: delta_pic_order_cnt is consumed, decode stays aligned") {
+    // SPS with pic_order_cnt_type=1 and delta_pic_order_always_zero=0:
+    // §7.3.3 puts delta_pic_order_cnt[0] in the slice header; skipping
+    // it would bit-shift every later field
+    val sps = H264.Sps(widthMbs = 1, heightMbs = 1, log2MaxFrameNum = 4,
+      pocType = 1, log2MaxPocLsb = 0, frameMbsOnly = true,
+      chromaFormatIdc = 1, deltaPocAlwaysZero = false)
+    val pps = H264.parsePps(H264.encodePps()).get
+    val y = Array.tabulate[Byte](256)(i => (i % 251).toByte)
+    val cbcr = Array.tabulate[Byte](64)(i => ((i * 3) % 251).toByte)
+    val w = new H264.BitWriter
+    w.u(0x65L, 8)
+    val p = new H264.BitWriter
+    p.ue(0); p.ue(7); p.ue(0); p.u(0L, 4); p.ue(0)
+    p.se(3) // delta_pic_order_cnt[0]
+    p.u(0L, 1); p.u(0L, 1); p.se(0)
+    p.ue(25); p.alignZero()
+    y.foreach(b => p.u((b & 0xff).toLong, 8))
+    cbcr.foreach(b => p.u((b & 0xff).toLong, 8))
+    cbcr.foreach(b => p.u((b & 0xff).toLong, 8))
+    p.trailing()
+    val nal = w.putBytes(H264.escapeRbsp(p.result())).result()
+    val fr = H264.decodeIdrIPcm(sps, pps, nal)
+    assert(fr.isDefined, "pocType-1 slice with delta_pic_order_cnt must decode")
+    assert(fr.get.y.toSeq === y.toSeq)
+    assert(fr.get.cb.toSeq === cbcr.toSeq && fr.get.cr.toSeq === cbcr.toSeq)
+  }
+
   test("avcIntraAsset: sync points decode, opaque inter samples do not") {
     val asset = FakeCodec.avcIntraAsset(42L, nFrames = 5, gop = 2)
     val samples = FakeCodec.mp4Samples(asset).get
