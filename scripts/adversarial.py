@@ -272,8 +272,9 @@ def check_hotskew(out_dir):
     minhash 8, simhash64 4, winnow 200 (the 200 phrase-sharers DO share
     selected fingerprints — winnow hot buckets are the semantic,
     shared-substring kind and must reach exactly the sharer count, no
-    further), sign_lsh 54 of the 500 sf0.001 embeddings (4-bit buckets
-    partition the corpus BY DESIGN; bound = 25% of vectors). Bounds are
+    further), sign_lsh 54 of the 500 sf0.001 embeddings (corpus-scaled
+    buckets — scaledBits(500) = 4 bits — partition the corpus BY
+    DESIGN; bound = 25% of vectors). Bounds are
     2-4x the measured healthy values except winnow's, which is
     structural (sharers + 8); a magnitude-preserving regression reads
     minhash max_pop ≈ 200 — an order of magnitude past its bound."""

@@ -709,9 +709,15 @@ object Dedup {
     val wn = normed
       .select(explode(winnowFingerprints(col("_t"), 20, 8)).as("h"))
       .select(lit("winnow").as("family"), col("h").cast(StringType).as("bkey"))
+    // corpus-scaled bits, the SAME config the sign-LSH queries run
+    // (Similarity.scaledBits, target bucket population 32): a fixed
+    // 4-bit table audits a configuration nothing uses past ~500
+    // vectors — at sf1 it read 20k vectors in 16 buckets (max_pop
+    // 1,970, 13.4M pair mass) while the real queries run 10-bit tables
     val sg = emb
       .select(lit("sign_lsh").as("family"),
-        graft.plans.functions.sign_bucket_rh(col("embedding"), 4, 0)
+        graft.plans.functions.sign_bucket_rh(col("embedding"),
+            graft.similarity.Similarity.scaledBits(emb.count()), 0)
           .cast(StringType).as("bkey"))
     mh.unionAll(sh).unionAll(wn).unionAll(sg)
       .groupBy("family", "bkey").agg(count(lit(1)).as("pop"))

@@ -777,7 +777,11 @@ object ExtraQueries {
          |        SELECT unnest(sel) AS h FROM sel)
          |  UNION ALL
          |  SELECT 'sign_lsh' AS family,
-         |         CAST(${rhBucketD("embedding", "4", "0")} AS VARCHAR) AS bkey
+         |         CAST(${rhBucketD("embedding",
+                 // corpus-scaled bits ≡ Similarity.scaledBits(n, 32):
+                 // ceil(log2(max(ceil(n/32), 2)))
+                 "(SELECT greatest(1, CAST(ceil(log2(CAST(greatest((count(*) + 31) // 32, 2) AS DOUBLE))) AS BIGINT)) FROM embeddings)",
+                 "0")} AS VARCHAR) AS bkey
          |  FROM embeddings),
          |pb AS (SELECT family, bkey, CAST(count(*) AS BIGINT) AS pop
          |       FROM keys GROUP BY 1, 2)

@@ -505,7 +505,9 @@ class DedupSpec extends SparkSpec {
     // C(4,2)=6 pairs per band where it is the whole bucket
     val (_, _, _, mhPairs) = out("minhash")
     assert(mhPairs >= 3 * 6, s"minhash gen_pairs $mhPairs")
-    // sign_lsh: 4-bit buckets over 32 vectors — all entries present
+    // sign_lsh: corpus-scaled buckets (scaledBits(32) = 1 bit → 2
+    // buckets) over 32 vectors — all entries present, table small
     assert(out("sign_lsh")._1 === 32L)
+    assert(out("sign_lsh")._2 <= 2L, s"sign_lsh ${out("sign_lsh")}")
   }
 }
