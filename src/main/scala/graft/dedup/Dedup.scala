@@ -681,9 +681,11 @@ object Dedup {
     *   simhash64 — Manku 4×16-bit bands ([[simhashPairs]]' keys),
     *   winnow   — selected fingerprint values ([[winnowOverlapPairs]]'
     *              join keys),
-    *   sign_lsh — 4-bit random-hyperplane buckets over `emb`
-    *              (x07's keys; expected ~n/16 per bucket BY DESIGN —
-    *              its bound is population/2^bits, not clique-sized).
+    *   sign_lsh — corpus-scaled random-hyperplane buckets over `emb`
+    *              ([[graft.similarity.Similarity.scaledBits]], target
+    *              bucket population 32 — the SAME config the sign-LSH
+    *              queries run; expected ~32 per bucket BY DESIGN — its
+    *              bound is population/2^bits, not clique-sized).
     * All counts are exact integers (DIV 2 on the even product), so the
     * DuckDB oracle agrees bit-for-bit; the adversarial hot-skew sweep
     * asserts `max_pop` bounds on the dumped rows. */
@@ -713,11 +715,14 @@ object Dedup {
     // (Similarity.scaledBits, target bucket population 32): a fixed
     // 4-bit table audits a configuration nothing uses past ~500
     // vectors — at sf1 it read 20k vectors in 16 buckets (max_pop
-    // 1,970, 13.4M pair mass) while the real queries run 10-bit tables
+    // 1,970, 13.4M pair mass) while the real queries run 10-bit
+    // tables. The count() fires one eager job at plan-construction
+    // time — hoisted to a val so a rebuilt audit pays it exactly once
+    // per call, never once per column reference.
+    val sgBits = graft.similarity.Similarity.scaledBits(emb.count())
     val sg = emb
       .select(lit("sign_lsh").as("family"),
-        graft.plans.functions.sign_bucket_rh(col("embedding"),
-            graft.similarity.Similarity.scaledBits(emb.count()), 0)
+        graft.plans.functions.sign_bucket_rh(col("embedding"), sgBits, 0)
           .cast(StringType).as("bkey"))
     mh.unionAll(sh).unionAll(wn).unionAll(sg)
       .groupBy("family", "bkey").agg(count(lit(1)).as("pop"))

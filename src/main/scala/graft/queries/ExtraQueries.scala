@@ -778,9 +778,11 @@ object ExtraQueries {
          |  UNION ALL
          |  SELECT 'sign_lsh' AS family,
          |         CAST(${rhBucketD("embedding",
-                 // corpus-scaled bits ≡ Similarity.scaledBits(n, 32):
-                 // ceil(log2(max(ceil(n/32), 2)))
-                 "(SELECT greatest(1, CAST(ceil(log2(CAST(greatest((count(*) + 31) // 32, 2) AS DOUBLE))) AS BIGINT)) FROM embeddings)",
+                 // corpus-scaled bits ≡ Similarity.scaledBits(n, 32) =
+                 // bitLength(m-1) with m = max(ceil(n/32), 2) — expressed
+                 // integer-only via length(bin(m-1)) so parity with the
+                 // Scala 64-nlz(m-1) never rests on libm log2 rounding
+                 "(SELECT CAST(length(bin(greatest((count(*) + 31) // 32, 2) - 1)) AS BIGINT) FROM embeddings)",
                  "0")} AS VARCHAR) AS bkey
          |  FROM embeddings),
          |pb AS (SELECT family, bkey, CAST(count(*) AS BIGINT) AS pop

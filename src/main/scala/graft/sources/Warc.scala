@@ -409,12 +409,43 @@ object Warc {
           if (fs.exists(target)) fs.delete(target, false)
           if (!fs.rename(src, target)) {
             // a benign loser is one whose PEER committed the same
-            // deterministic bytes — verified by length, so a stale
-            // file from an earlier different-data export (e.g. when
-            // the delete above returned false) still fails loudly
-            // instead of silently pairing old bytes with new metadata
-            val srcLen = fs.getFileStatus(src).getLen
-            if (fs.exists(target) && fs.getFileStatus(target).getLen == srcLen)
+            // deterministic bytes — verified by FULL byte equality
+            // (length first as the cheap reject), so a stale file from
+            // an earlier different-data export that happens to share
+            // the gzip length (e.g. when the delete above returned
+            // false) still fails loudly instead of silently pairing
+            // old bytes with new metadata. Shards are task-sized, so
+            // one streaming compare per losing attempt is bounded.
+            def sameBytes(a: org.apache.hadoop.fs.Path,
+                          b: org.apache.hadoop.fs.Path): Boolean = {
+              if (fs.getFileStatus(a).getLen != fs.getFileStatus(b).getLen)
+                return false
+              val (ia, ib) = (fs.open(a), fs.open(b))
+              try {
+                val (ba, bb) = (new Array[Byte](65536), new Array[Byte](65536))
+                var eq = true
+                var done = false
+                while (eq && !done) {
+                  val na = ia.read(ba, 0, ba.length)
+                  if (na < 0) done = true
+                  else {
+                    // fill the peer buffer to the same length (reads
+                    // may fragment differently across filesystems)
+                    var got = 0
+                    while (got < na && eq) {
+                      val nb = ib.read(bb, got, na - got)
+                      if (nb < 0) eq = false else got += nb
+                    }
+                    eq &&= got == na &&
+                      java.util.Arrays.equals(
+                        java.util.Arrays.copyOf(ba, na),
+                        java.util.Arrays.copyOf(bb, na))
+                  }
+                }
+                eq
+              } finally { try ia.close() finally ib.close() }
+            }
+            if (fs.exists(target) && sameBytes(src, target))
               fs.delete(src, false)
             else throw new IllegalStateException(
               s"writeGzipShards: commit rename $src -> $target failed " +
