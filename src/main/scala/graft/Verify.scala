@@ -10,7 +10,12 @@ object Verify {
     // single-query oracle checks (the driver always passes two args)
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_NO_CODEGEN=1: run the whole dump fully interpreted
+    // (wholeStage off, NO_CODEGEN factories) so the DuckDB compare can
+    // certify the eval() path of every native expression — the dual-path
+    // parity mode (see CodegenSuiteParitySpec for the in-JVM gate)
+    val noCodegen = sys.env.get("SPARK_GRAFT_NO_CODEGEN").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,8 +29,13 @@ object Verify {
       // thousands of files, so this is a fixture artifact to neutralize,
       // not a production setting)
       .config("spark.sql.files.maxPartitionBytes", "4m")
-      .getOrCreate()
+    val spark = (if (noCodegen)
+      builder.config("spark.sql.codegen.wholeStage", "false")
+        .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (noCodegen) System.err.println(
+      "[verify] NO_CODEGEN mode: all queries run interpreted")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
