@@ -51,6 +51,10 @@ final case class IdrFrameSample(media_id: Long, n_samples: Long, n_idr: Long,
 final case class H264Pixels(media_id: Long, n_samples: Long, n_idr: Long,
                             n_decoded: Long, width: Long, height: Long,
                             first_checksum: Long, frames_checksum: Long)
+final case class H264MixedPixels(media_id: Long, n_samples: Long, n_idr: Long,
+                                 n_decoded: Long, n_seam: Long,
+                                 width: Long, height: Long,
+                                 i16_checksum: Long, pcm_checksum: Long)
 
 /** Codec seam. PNG and WAV are decoded for real (pure-JVM
   * `javax.imageio` / `javax.sound.sampled`, no native deps): a payload
@@ -360,6 +364,62 @@ object FakeCodec {
       } else opaque(f)
     }
     mp4Asset(samples)
+  }
+
+  /** Planted Intra16x16DCLevel coefficient (zigzag scan position `k`)
+    * for the mixed asset's predicted sync point — shared with the
+    * DuckDB oracle. Nonzero at every (id+k)%3==0 position (≤6 per MB,
+    * inside the verified short-codeword CAVLC region), values in
+    * {-2,-1,1,2} so trailing-one signs, regular levels, total_zeros
+    * and run_before all get exercised on every document. */
+  def i16DcLevel(mediaId: Long, k: Int): Int =
+    if ((mediaId + k) % 3 != 0) 0
+    else {
+      val v = ((mediaId * 31 + k * 7) % 4).toInt
+      if (v < 2) v - 2 else v - 1
+    }
+
+  /** Seam-extent fixture (x121): five samples spanning every decode
+    * class of the [[H264]] layer —
+    *   0: SPS+PPS+IDR of ONE Intra_16x16 macroblock, DC prediction,
+    *      DC-only CAVLC residual ([[i16DcLevel]]) → decodes through
+    *      the PREDICTED-macroblock path (the r17 seam, now real);
+    *   1: opaque non-IDR slice (inter frame; never decodable here);
+    *   2: SPS+PPS+IDR of I_PCM macroblocks ([[avcPcmSample]] planes)
+    *      → decodes through the PCM path;
+    *   3: SPS+PPS+IDR whose first mb_type is I_4x4 → None (the
+    *      remaining intra-partition seam, pinned);
+    *   4: SPS+CABAC-PPS+IDR → None (the entropy seam, pinned).
+    * The per-class counts and both decoded-pixel checksums are exactly
+    * reproducible by arithmetic — the oracle holds the decoder to
+    * byte-level truth AND pins the seam's extent (2 of 4 IDRs). */
+  def avcMixedAsset(mediaId: Long): Array[Byte] = {
+    def avcc(nal: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4)
+      bb.putInt(nal.length)
+      bb.array() ++ nal
+    }
+    val i16 = avcc(H264.encodeSps(1, 1)) ++ avcc(H264.encodePps()) ++
+      avcc(H264.encodeIdrI16Dc(1, 1, 0,
+        (_, _) => Array.tabulate(16)(k => i16DcLevel(mediaId, k))))
+    val opaque = {
+      val body = new Array[Byte](6)
+      body(0) = ((2 << 5) | 1).toByte
+      (1 until 6).foreach(k => body(k) = ((mediaId * 31 + k) % 251).toByte)
+      avcc(body)
+    }
+    val pcm = {
+      val y = Array.tabulate[Byte](256)(k => avcPcmSample(mediaId, 2, k).toByte)
+      val cb = Array.tabulate[Byte](64)(k => avcPcmSample(mediaId, 2, 256 + k).toByte)
+      val cr = Array.tabulate[Byte](64)(k => avcPcmSample(mediaId, 2, 320 + k).toByte)
+      avcc(H264.encodeSps(1, 1)) ++ avcc(H264.encodePps()) ++
+        avcc(H264.encodeIdrIPcm(1, 1, 2, y, cb, cr))
+    }
+    val i4x4 = avcc(H264.encodeSps(1, 1)) ++ avcc(H264.encodePps()) ++
+      avcc(H264.encodeIdrI4x4Stub(3))
+    val cabac = avcc(H264.encodeSps(1, 1)) ++ avcc(H264.encodePpsCabac()) ++
+      avcc(H264.encodeIdrI4x4Stub(4))
+    mp4Asset(Seq(i16, opaque, pcm, i4x4, cabac))
   }
 
   private def isMp4(content: Array[Byte]): Boolean =
@@ -852,6 +912,50 @@ object Multimodal {
           math.max(firstCs, 0L), framesCs)
       }
     }(Encoders.product[H264Pixels])
+
+  /** x121: walk a [[FakeCodec.avcMixedAsset]]-shaped sample table and
+    * decode every IDR through the full [[H264]] layer — the first
+    * decodable sync point is the Intra_16x16 CAVLC-coded one (checksum
+    * certifies prediction + dequant + inverse transforms), the second
+    * is I_PCM; the I_4x4 and CABAC sync points return None and land in
+    * `n_seam`, so the decoder's remaining envelope is a pinned, oracle-
+    * checked NUMBER instead of prose. Same scale shape as
+    * [[h264IntraDecode]]: partition-local, media bytes never shuffle. */
+  def h264MixedDecode(ds: Dataset[MediaRow]): Dataset[H264MixedPixels] =
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val samples =
+          if (m.meta.format == "mp4")
+            FakeCodec.mp4Samples(m.content).getOrElse(IndexedSeq.empty)
+          else IndexedSeq.empty
+        var nIdr = 0L; var nDec = 0L; var nSeam = 0L
+        var i16Cs = 0L; var pcmCs = 0L
+        var w = 0L; var h = 0L
+        samples.foreach { case (off, sz) =>
+          val bytes = java.util.Arrays.copyOfRange(
+            m.content, off.toInt, (off + sz).toInt)
+          val tps = FakeCodec.nalTypes(bytes).getOrElse(Seq.empty)
+          if (tps.contains(5)) {
+            nIdr += 1
+            H264.decodeAvccSample(bytes) match {
+              case Some(fr) =>
+                nDec += 1
+                var cs = 0L
+                fr.y.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
+                fr.cb.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
+                fr.cr.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
+                // first decodable sync point is the Intra_16x16 one,
+                // second the PCM one (fixture order)
+                if (nDec == 1) { i16Cs = cs; w = fr.width; h = fr.height }
+                else if (nDec == 2) pcmCs = cs
+              case None => nSeam += 1
+            }
+          }
+        }
+        H264MixedPixels(m.media_id, samples.length.toLong, nIdr, nDec, nSeam,
+          w, h, i16Cs, pcmCs)
+      }
+    }(Encoders.product[H264MixedPixels])
 
   /** Deterministic grayscale test pattern for the x87 image-dedup
     * corpus: pixel (y, x) of document `d`'s base image. Multiplicative

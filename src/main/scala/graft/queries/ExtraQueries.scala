@@ -3268,6 +3268,69 @@ object ExtraQueries {
       Multimodal.h264IntraDecode(media).toDF()
     },
 
+    // ----- H.264 seam-extent decode: x120's layer extended past I_PCM —
+    //       a CAVLC-coded Intra_16x16 sync point decodes through REAL
+    //       prediction + dequant + inverse transforms, while I_4x4 and
+    //       CABAC sync points stay None and are COUNTED, so the
+    //       decoder's remaining envelope is an oracle-pinned number
+    QueryDef("x121_h264_i16_decode",
+      "H.264 predicted-macroblock decode + seam extent: per doc a 5-sample mp4 spanning every decode class — an Intra_16x16 IDR (DC prediction, DC-only CAVLC residual: coeff_token, trailing-one signs, levels, total_zeros, run_before all real), an opaque inter frame, an I_PCM IDR, an I_4x4 IDR and a CABAC IDR; the first two IDR classes decode to pixels (checksums = prediction + Hadamard/dequant + inverse-transform arithmetic, byte-for-byte), the last two return None and land in n_seam = 2 — the oracle recomputes every decoded byte AND the seam counts by arithmetic, no codec")(
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+        |lv AS (SELECT d, k,
+        |         CASE WHEN (d + k) % 3 = 0 THEN
+        |           CASE WHEN (d*31 + k*7) % 4 < 2 THEN (d*31 + k*7) % 4 - 2
+        |                ELSE (d*31 + k*7) % 4 - 1 END
+        |         ELSE 0 END AS lvl
+        |       FROM ids, range(0,16) rk(k)),
+        |-- zigzag scatter: c in 4x4 raster order
+        |cl AS (SELECT d, list(lvl ORDER BY [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15][k+1]) AS c
+        |       FROM lv GROUP BY d),
+        |-- f = A * c * A (4x4 Hadamard, entries +-1)
+        |f AS (SELECT cl.d, i.i, j.j,
+        |        sum([1,1,1,1, 1,1,-1,-1, 1,-1,-1,1, 1,-1,1,-1][i.i*4 + u.u + 1]
+        |          * c[u.u*4 + v.v + 1]
+        |          * [1,1,1,1, 1,1,-1,-1, 1,-1,-1,1, 1,-1,1,-1][v.v*4 + j.j + 1]) AS f
+        |      FROM cl, range(0,4) i(i), range(0,4) j(j),
+        |           range(0,4) u(u), range(0,4) v(v)
+        |      GROUP BY cl.d, i.i, j.j),
+        |-- dc = (f*16*13 + 2) >> 2, resid = (dc + 32) >> 6 (QP 26);
+        |-- arithmetic >> is FLOOR division and DuckDB // truncates, so
+        |-- both shifts use the exact integer floor-div idiom
+        |dcv AS (SELECT d, i, j,
+        |          (f*208 + 2 - (((f*208 + 2) % 4) + 4) % 4) // 4 AS dc
+        |        FROM f),
+        |rs AS (SELECT d, i, j,
+        |         (dc + 32 - (((dc + 32) % 64) + 64) % 64) // 64 AS resid
+        |       FROM dcv),
+        |bp AS (SELECT d, list(least(greatest(128 + resid, 0), 255)
+        |                      ORDER BY i*4 + j) AS blockpix
+        |       FROM rs GROUP BY d),
+        |cs1 AS (SELECT d, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(blockpix[((k // 16) // 4) * 4 + ((k % 16) // 4) + 1] AS BIGINT)
+        |           FOR k IN range(0,256)]
+        |          || [CAST(128 AS BIGINT) FOR k IN range(0,128)]),
+        |          (a, b) -> (a * 31 + b) % 1000000007) AS i16cs
+        |        FROM bp),
+        |pc AS (SELECT d, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         [CAST((d*131 + 58 + k*17 + 7) % 256 AS BIGINT) FOR k IN range(0,384)]),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS pcmcs
+        |       FROM ids)
+        |SELECT c1.d AS media_id, CAST(5 AS BIGINT) AS n_samples,
+        |  CAST(4 AS BIGINT) AS n_idr, CAST(2 AS BIGINT) AS n_decoded,
+        |  CAST(2 AS BIGINT) AS n_seam,
+        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(c1.i16cs AS BIGINT) AS i16_checksum,
+        |  CAST(p.pcmcs AS BIGINT) AS pcm_checksum
+        |FROM cs1 c1 JOIN pc p ON c1.d = p.d
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRow(id, "video",
+          FakeCodec.avcMixedAsset(id), MediaMeta("mp4", 0, 0))))
+      Multimodal.h264MixedDecode(media).toDF()
+    },
+
     // ----- exact longest-substring decontam via a generalized suffix
     //       automaton over the benchmark (Lee et al. exact-substring at
     //       token grain) — what fixed 8-gram coverage dilutes at
