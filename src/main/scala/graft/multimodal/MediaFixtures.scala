@@ -49,8 +49,8 @@ object MediaFixtures {
     "GRAFT_MEDIA_FIXTURE_DIR",
     new java.io.File("fixtures/media_corpus").getAbsolutePath)
 
-  private def imagesPath(dir: String) = s"$dir/images.parquet"
-  private def audioPath(dir: String) = s"$dir/audio.parquet"
+  private[graft] def imagesPath(dir: String) = s"$dir/images.parquet"
+  private[graft] def audioPath(dir: String) = s"$dir/audio.parquet"
 
   /** Planted-id stride the fixture's id scheme uses (d / d+stride /
     * d+2·stride). Part of the reuse stamp: a fixture built under an
@@ -69,7 +69,7 @@ object MediaFixtures {
     * migration (or for a different GRAFT_MEDIA_UNIVERSE_DOCS) would
     * otherwise be accepted while the semi-join now does
     * pmod(id, 20000000), silently dropping every planted variant row. */
-  private def reusable(spark: SparkSession, path: String): Boolean = {
+  private[graft] def reusable(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(p, "_SUCCESS"))) return false

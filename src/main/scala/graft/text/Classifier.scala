@@ -65,6 +65,40 @@ object Classifier {
   /** The committed trained artifact (see scripts in README / TrainClassifier). */
   val DefaultWeightsPath = "/root/repo/fixtures/classifier_weights.parquet"
 
+  /** Planted-junk doc_id offsets — shared by [[junkCorpus]], the x84
+    * oracle SQL, and the fixture stamp below. */
+  val JunkBoilerplateOffset = 20000000L
+  val JunkSymbolOffset = 30000000L
+  val JunkNumberOffset = 40000000L
+
+  /** Generator constants the committed artifact was trained under — the
+    * MediaFixtures stamp discipline applied to the classifier weights:
+    * if any of these change at HEAD, the committed parquet silently
+    * stops matching the features/oracles that read it, so the stamp
+    * (a `.meta` sidecar — the artifact itself is a single parquet
+    * FILE) must be regenerated WITH the artifact (TrainClassifier),
+    * and FixtureStampSpec fails until it is. */
+  def stampText: String =
+    s"dim=$Dim;structDim=$StructDim;" +
+      s"junk=$JunkBoilerplateOffset,$JunkSymbolOffset,$JunkNumberOffset;gen=1"
+
+  private def stampPath(path: String) = path + ".meta"
+
+  /** Does the artifact's stamp sidecar match HEAD's generator
+    * constants? Missing sidecar → false (an unstamped artifact cannot
+    * vouch for its own constants). */
+  def stampOk(spark: SparkSession, path: String = DefaultWeightsPath): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val sp = new Path(stampPath(path))
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(sp) && {
+      val in = fs.open(sp)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      got == stampText
+    }
+  }
+
   /** Planted junk — three deterministic negative generators per document,
     * each failing a DIFFERENT Gopher rule, each expressible verbatim in
     * the x84 oracle SQL (constants + repeat + doc_id cast only):
@@ -77,12 +111,12 @@ object Classifier {
     *    hash space instead of concentrating it in a handful of buckets). */
   def junkCorpus(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
-    val j1 = base.select((col("doc_id") + 20000000).as("doc_id"),
+    val j1 = base.select((col("doc_id") + JunkBoilerplateOffset).as("doc_id"),
       repeat(lit("click here subscribe now free offer limited deal best price order today "),
         12).as("text"))
-    val j2 = base.select((col("doc_id") + 30000000).as("doc_id"),
+    val j2 = base.select((col("doc_id") + JunkSymbolOffset).as("doc_id"),
       repeat(lit("### $$$ ... 000 "), 40).as("text"))
-    val j3 = base.select((col("doc_id") + 40000000).as("doc_id"),
+    val j3 = base.select((col("doc_id") + JunkNumberOffset).as("doc_id"),
       repeat(concat(col("doc_id").cast(StringType), lit(" 404 503 12345 99 ")),
         20).as("text"))
     j1.unionByName(j2).unionByName(j3)
@@ -193,6 +227,12 @@ object Classifier {
     require(fs.rename(part.head.getPath, new Path(path)),
       s"rename ${part.head.getPath} -> $path failed")
     fs.delete(new Path(tmp), true)
+    // stamp AFTER the artifact commit (MediaFixtures discipline): a
+    // crash between the two leaves an unstamped artifact that
+    // FixtureStampSpec rejects, never a stamped stale one
+    val sp = new Path(stampPath(path))
+    val out = fs.create(sp, true)
+    try out.write(stampText.getBytes("UTF-8")) finally out.close()
     cache.synchronized { cache.remove(path) }
   }
 
