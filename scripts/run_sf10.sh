@@ -1,0 +1,41 @@
+#!/bin/bash
+# sf10 SPOT-tier runner (r17 verdict task #4): Spark-side wall clock
+# for the superlinear suspects, ONE query per JVM so a pathological
+# query is isolable and every finished query's reading survives a
+# later hang. No DuckDB compare at this tier (the CC oracles already
+# need ~270 s at sf1); h01 + wall growth are the instruments.
+# Usage: bash scripts/run_sf10.sh [outJsonl] [queries...]
+set -e
+cd "$(dirname "$0")/.."
+SF=${SPARK_GRAFT_SF10_DIR:-/tmp/graft_sf10}
+OUT=${1:-/tmp/sf10_results.jsonl}
+shift || true
+
+if [ ! -f "$SF/documents.parquet" ]; then
+  python3 scripts/make_sf10.py /root/testdata/sf0.1 "$SF"
+fi
+if ! grep -q "target/scala" /tmp/graft_cp.txt 2>/dev/null; then
+  sbt -batch "export Runtime/fullClasspath" 2>/dev/null | tail -1 > /tmp/graft_cp.txt.tmp
+  grep -q "target/scala" /tmp/graft_cp.txt.tmp || {
+    echo "[sf10] classpath export failed"; rm -f /tmp/graft_cp.txt.tmp; exit 1; }
+  mv /tmp/graft_cp.txt.tmp /tmp/graft_cp.txt
+fi
+ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+
+QUERIES=("$@")
+if [ ${#QUERIES[@]} -eq 0 ]; then
+  QUERIES=(x02_minhash_lsh x03_jaccard_verify x04_simhash x05_simhash_pairs \
+           x34_winnow_overlap x16_embedding_neardup x64_semdedup_banded \
+           x23_neardup_clusters x46_keep_best x92_cluster_splits \
+           x94_cluster_spectrum h01_lsh_bucket_audit)
+fi
+
+: > "$OUT"
+for q in "${QUERIES[@]}"; do
+  echo "[sf10] $q ..." >&2
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  java $ADD_OPENS -Xmx48g -cp "$(cat /tmp/graft_cp.txt)" \
+    graft.Bench "$q" 2>/tmp/sf10_q_err.log | grep '"metric"' >> "$OUT" \
+    || echo "{\"failed\":\"$q\"}" >> "$OUT"
+done
+echo "[sf10] done -> $OUT" >&2

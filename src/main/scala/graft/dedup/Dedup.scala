@@ -296,15 +296,37 @@ object Dedup {
     * doc, so the join count IS the intersection size). The join key
     * cardinality grows with corpus content diversity — the same
     * bounded-bucket banding contract as minhashCandidates, never an
-    * all-pairs scan. Output: (doc_a, doc_b, shared). */
+    * all-pairs scan.
+    *
+    * `maxDf` drops fingerprints selected by more than that many
+    * documents before pairing — MOSS's own over-common-fingerprint
+    * rule. A fingerprint shared by B docs emits B·(B−1)/2 pairs; at
+    * web scale B is boilerplate (a footer, a license line, a template
+    * tail — the sf10 spot tier measured exactly this: one 37-char tail
+    * shared by 50k docs drove the join's agg past 10 min before the
+    * cap existed), and a quotation/overlap signal lives in LOW-df
+    * fingerprints (a chunk shared by two docs has df 2). Capped
+    * fingerprints lose only pairs whose EVERY shared fingerprint is
+    * boilerplate-grade — template noise, not quotation. The cap is a
+    * declared semantic: every oracle of a caller mirrors it
+    * (`HAVING count(*) <= maxDf` on the exploded fingerprints).
+    * Output: (doc_a, doc_b, shared). */
   def winnowOverlapPairs(docs: DataFrame, id: Column, text: Column,
                          k: Int = 20, w: Int = 8,
-                         minShared: Long = 3L): DataFrame = {
+                         minShared: Long = 3L,
+                         maxDf: Long = 64L): DataFrame = {
+    require(maxDf > 1, s"maxDf must exceed 1, got $maxDf")
     val e = spread(docs)
       .select(id.as("doc_id"), TextOps.norm(text).as("_t"))
       .select(col("doc_id"), explode_outer(winnowFingerprints(col("_t"), k, w)).as("h"))
       .persist() // self-joined; cache contract as on the class scaladoc
-    e.as("a").join(e.as("b"),
+    // per-doc selected sets are distinct, so count(*) per h IS the
+    // document frequency
+    val capped = e.join(
+      e.groupBy("h").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select("h"),
+      Seq("h"), "left_semi")
+    capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
@@ -613,23 +635,85 @@ object Dedup {
     * co-locate; exact Hamming over the carried bands then filters the
     * candidates. Mirrors the minhashCandidates banding design. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-                   maxHamming: Int = 3): DataFrame =
-    bandedHammingPairs(simhash64Fingerprints(docs, id, text), maxHamming)
+                   maxHamming: Int = 3, blocks: Int = 4): DataFrame =
+    bandedHammingPairs(simhash64Fingerprints(docs, id, text), maxHamming,
+      blocks = blocks)
+
+  /** Corpus-scaled Manku block count for [[bandedHammingPairs]] at
+    * maxHamming = 3. The 4×16-bit split's RANDOM band collisions are
+    * ~4·n²/2¹⁷ pairs — linear-class (≤ 8n) only while n ≤ 2¹⁸. Past
+    * that the bands saturate (every 16-bit value taken many times
+    * over) and candidate mass goes quadratic even on a fully
+    * decorrelated corpus — the sf10 spot tier read x05 at 15.8× for a
+    * 10× step exactly here. The 6-block scheme joins on 3-block
+    * combination keys (~33 bits): random mass ~20·n²/2³⁴, linear-class
+    * to n ≈ 2³², far past any single shard a 100-TB run would band in
+    * one pass. Same OUTPUT either way — both schemes are
+    * pigeonhole-complete for Hamming ≤ 3 and the exact-Hamming filter
+    * runs on every candidate — so oracles never depend on the choice. */
+  def scaledBlocks(n: Long): Int = if (n <= (1L << 18)) 4 else 6
+
+  /** The 6 Manku blocks (widths 11,11,11,11,10,10 over the 64
+    * fingerprint bits) extracted directly from the 4×16-bit `bands`
+    * layout with small-integer arithmetic — no packed-64-bit value is
+    * ever built, so every intermediate stays positive and the same
+    * formulas run on any engine whose BIGINT shifts differ on the sign
+    * bit (the [[graft.plans.HashUtil.simhash64Bands]] portability
+    * rule). Block i covers fingerprint bits [off_i, off_i + w_i) where
+    * band b holds bits [16b, 16b+16). */
+  private[graft] def manku6Blocks(bands: Column): Seq[Column] = {
+    def b(i: Int) = get(bands, lit(i))
+    Seq(
+      b(0).bitwiseAND(lit(2047L)),                                        // bits 0-10
+      shiftright(b(0), 11).bitwiseOR(b(1).bitwiseAND(lit(63L)) * 32L),    // 11-21
+      shiftright(b(1), 6).bitwiseOR(b(2).bitwiseAND(lit(1L)) * 1024L),    // 22-32
+      shiftright(b(2), 1).bitwiseAND(lit(2047L)),                         // 33-43
+      shiftright(b(2), 12).bitwiseOR(b(3).bitwiseAND(lit(63L)) * 16L),    // 44-53
+      shiftright(b(3), 6)                                                 // 54-63
+    )
+  }
+
+  /** All C(6,3) = 20 three-element subsets of 0..5, fixed order; any
+    * pair differing in ≤ 3 blocks agrees on every block of at least
+    * one subset (pigeonhole: ≥ 3 blocks are identical). */
+  private[graft] val manku6Combos: Seq[(Int, Int, Int)] =
+    for (i <- 0 to 3; j <- (i + 1) to 4; k <- (j + 1) to 5) yield (i, j, k)
 
   /** Banded Hamming-LSH pairing over ANY 4×16-bit fingerprint table
     * (doc_id, bands) — text SimHash and image dHash share this exact
     * machinery ([[simhashPairs]], [[graft.multimodal.Multimodal
-    * .imagePHashPairs]]): explode the 4 bands, equi-join on (band_id,
-    * band_value), exact-Hamming-filter the candidates. Never an
-    * all-pairs scan; band-value cardinality grows with corpus diversity
-    * so bucket sizes stay bounded at scale. */
+    * .imagePHashPairs]]): explode the candidate keys, equi-join on
+    * (band_id, band_value), exact-Hamming-filter the candidates. Never
+    * an all-pairs scan; `blocks` picks the key scheme (4 = the bands
+    * themselves, 6 = Manku 3-block combinations for corpora past 2¹⁸
+    * rows — [[scaledBlocks]]); the output pair set is identical either
+    * way, both schemes are pigeonhole-complete for Hamming ≤ 3. */
   def bandedHammingPairs(fp0: DataFrame, maxHamming: Int = 3,
-                         maxBucket: Option[Long] = None): DataFrame = {
+                         maxBucket: Option[Long] = None,
+                         blocks: Int = 4): DataFrame = {
+    require(blocks == 4 || blocks == 6,
+      s"blocks must be 4 (bands-as-keys) or 6 (3-block combo keys), got $blocks")
+    require(blocks == 4 || maxHamming <= 3,
+      s"the 6-block combo scheme is pigeonhole-complete only for maxHamming <= 3, got $maxHamming")
+    // candidate keys: at blocks=4 each 16-bit band is a key (complete
+    // for Hamming <= 3 by pigeonhole over 4 bands); at blocks=6 the
+    // keys are the 20 three-block combinations (~33 bits each) — same
+    // guarantee, ~2^17x fewer random collisions (see [[scaledBlocks]])
+    val keyStructs =
+      if (blocks == 4)
+        (0 until 4).map { b =>
+          struct(lit(b).as("band_id"), get(col("bands"), lit(b)).as("band_val"))
+        }
+      else {
+        val blk = manku6Blocks(col("bands"))
+        manku6Combos.zipWithIndex.map { case ((i, j, k), cid) =>
+          struct(lit(cid).as("band_id"),
+            (blk(i) * 4194304L + blk(j) * 2048L + blk(k)).as("band_val"))
+        }
+      }
     val exploded = fp0
       .select(col("doc_id"), col("bands"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band_id"), get(col("bands"), lit(b)).as("band_val"))
-        }: _*)).as("b"))
+        explode(array(keyStructs: _*)).as("b"))
       .select(col("doc_id"), col("bands"), col("b.band_id"), col("b.band_val"))
     // optional hot-bucket cap: a band value shared by a large fraction
     // of the corpus (all-silence audio → flat contour → band 0; a blank
@@ -678,9 +762,15 @@ object Dedup {
     * (identical expressions — not a re-implementation):
     *   minhash  — 7-shingle → 12-hash Lehmer-power signature → 3×4
     *              bands ([[minhashCandidates]]'s keys),
-    *   simhash64 — Manku 4×16-bit bands ([[simhashPairs]]' keys),
+    *   simhash64 — Manku bands at the corpus-scaled block count
+    *              ([[scaledBlocks]]: 4×16-bit bands to 2¹⁸ docs,
+    *              3-block combo keys past that — [[simhashPairs]]'
+    *              actual join keys at this corpus size),
     *   winnow   — selected fingerprint values ([[winnowOverlapPairs]]'
-    *              join keys),
+    *              join keys, PRE-`maxDf`-cap: this family is the
+    *              detector for boilerplate-driven quadratic mass, the
+    *              cap is the defense — reading raw mass here while
+    *              x34 stays flat is the instrument working),
     *   sign_lsh — corpus-scaled random-hyperplane buckets over `emb`
     *              ([[graft.similarity.Similarity.scaledBits]], target
     *              bucket population 32 — the SAME config the sign-LSH
@@ -699,12 +789,29 @@ object Dedup {
       .select(lit("minhash").as("family"),
         concat(col("b.band_id").cast(StringType), lit("|"),
           col("b.band_key")).as("bkey"))
+    // corpus-scaled Manku blocks, the SAME config simhashPairs runs at
+    // this corpus size ([[scaledBlocks]]): past 2^18 docs the queries
+    // join on 3-block combo keys, so auditing the 4x16 bands there
+    // would measure a configuration nothing runs — the r17 sign-LSH
+    // strawman all over again. One eager count at plan construction,
+    // hoisted (the sgBits precedent below).
+    val shBlocks = scaledBlocks(docs.count())
+    val shKeys =
+      if (shBlocks == 4)
+        (0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            get(col("bands"), lit(b)).as("band_val")))
+      else {
+        val blk = manku6Blocks(col("bands"))
+        manku6Combos.zipWithIndex.map { case ((i, j, k), cid) =>
+          struct(lit(cid).as("band_id"),
+            (blk(i) * 4194304L + blk(j) * 2048L + blk(k)).as("band_val"))
+        }
+      }
     val sh = normed
       .select(bigramTokenHashes(col("_t")).as("_hx"))
       .select(simhash64Bands(col("_hx")).as("bands"))
-      .select(explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_id"),
-          get(col("bands"), lit(b)).as("band_val"))): _*)).as("b"))
+      .select(explode(array(shKeys: _*)).as("b"))
       .select(lit("simhash64").as("family"),
         concat(col("b.band_id").cast(StringType), lit("|"),
           col("b.band_val").cast(StringType)).as("bkey"))

@@ -377,7 +377,17 @@ object ExtraQueries {
          |         ON a.band_id = k.band_id AND a.band_val = k.band_val AND a.doc_id < k.doc_id)
          |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3
          |""".stripMargin) { (s, dir) =>
-      Dedup.simhashPairs(tailDupCorpus(s, dir), col("doc_id"), col("text"))
+      // corpus-scaled candidate keys (Dedup.scaledBlocks): 4x16-bit
+      // bands to 2^18 docs, 3-block combo keys past that. The OUTPUT
+      // is the complete Hamming<=3 pair set either way (both schemes
+      // pigeonhole-complete + exact-Hamming-filtered), so the oracle's
+      // 4-band candidate generation stays valid at every SF — only the
+      // candidate MASS changes (sf10 read 15.8x for 10x rows on
+      // saturated 16-bit bands; the combo keys return it to linear).
+      // One cheap eager count at plan construction (the h01 precedent).
+      val corpus = tailDupCorpus(s, dir)
+      Dedup.simhashPairs(corpus, col("doc_id"), col("text"),
+        blocks = Dedup.scaledBlocks(corpus.count()))
     },
 
     // ----- brute-force cosine top-k (exact ANN baseline)
@@ -733,8 +743,10 @@ object ExtraQueries {
          |    list_min(hs[i:i+7]) FOR i IN range(1, greatest(len(hs) - 7, 1) + 1)]) END AS sel
          |  FROM hl),
          |e AS (SELECT doc_id, unnest(sel) AS h FROM sel),
+         |ec AS (SELECT e.doc_id, e.h FROM e
+         |       JOIN (SELECT h FROM e GROUP BY h HAVING count(*) <= 64) ok USING (h)),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
-         |      FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |      FROM ec a JOIN ec b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT doc_a, doc_b, shared FROM p WHERE shared >= 3
          |""".stripMargin) { (s, dir) =>
       val d = Tables.documents(s, dir).select("doc_id", "text")
@@ -742,6 +754,14 @@ object ExtraQueries {
         .select((col("doc_id") + 10000000).as("doc_id"),
           concat(substring(col("text"), 1, 120),
             lit(" fresh tail content entirely new here")).as("text")))
+      // maxDf = 64 (the winnowOverlapPairs default, mirrored in the
+      // oracle's HAVING): this query's own planted constant tail IS
+      // the boilerplate case at bench SFs — 10% of the corpus shares
+      // one 37-char suffix, so its selected fingerprints' buckets grow
+      // with the corpus and their pair mass quadratically (sf10: 50k
+      // docs -> ~1.2B pairs, the join's agg ran past 10 min). The df
+      // cap drops exactly those buckets; source<->plant prefix overlap
+      // (df 2 per fingerprint) is untouched.
       Dedup.winnowOverlapPairs(corpus, col("doc_id"), col("text"))
     },
 
@@ -761,8 +781,31 @@ object ExtraQueries {
          |  UNION ALL
          |  SELECT 'simhash64' AS family, band_id || '|' || band_val AS bkey
          |  FROM (WITH $tailDupCorpusD,
-         |        ${simhash64D("corpus")}
-         |        SELECT band_id, band_val FROM fb)
+         |        ${simhash64D("corpus")},
+         |        -- corpus-scaled Manku keys ≡ Dedup.scaledBlocks: the
+         |        -- 4x16-bit bands to 2^18 docs, the 20 three-block
+         |        -- combination keys (blocks 11,11,11,11,10,10 wide,
+         |        -- extracted band-local so no packed 64-bit value is
+         |        -- built) past that — the SAME keys simhashPairs joins
+         |        -- on at this corpus size; combo rows generated from
+         |        -- Dedup.manku6Combos so the two sides cannot drift
+         |        blk AS (SELECT doc_id, [
+         |            bands[1] & 2047,
+         |            (bands[1] >> 11) | ((bands[2] & 63) * 32),
+         |            (bands[2] >> 6) | ((bands[3] & 1) * 1024),
+         |            (bands[3] >> 1) & 2047,
+         |            (bands[3] >> 12) | ((bands[4] & 63) * 16),
+         |            bands[4] >> 6 ] AS bl FROM fp64),
+         |        fb6 AS (SELECT c.cid AS band_id,
+         |                (bl[c.i + 1] * 4194304) + (bl[c.j + 1] * 2048) + bl[c.k + 1] AS band_val
+         |                FROM blk, (VALUES ${Dedup.manku6Combos.zipWithIndex
+                            .map { case ((i, j, k), cid) => s"($cid,$i,$j,$k)" }
+                            .mkString(",")}) c(cid, i, j, k))
+         |        SELECT band_id, band_val FROM fb
+         |        WHERE (SELECT count(*) FROM corpus) <= 262144
+         |        UNION ALL
+         |        SELECT band_id, band_val FROM fb6
+         |        WHERE (SELECT count(*) FROM corpus) > 262144)
          |  UNION ALL
          |  SELECT 'winnow' AS family, CAST(h AS VARCHAR) AS bkey
          |  FROM (WITH $tailDupCorpusD,
@@ -3774,8 +3817,10 @@ object ExtraQueries {
          |    list_min(hs[i:i+7]) FOR i IN range(1, greatest(len(hs) - 7, 1) + 1)]) END AS sel
          |  FROM hl),
          |e AS (SELECT doc_id, unnest(sel) AS h FROM sel),
+         |ec AS (SELECT e.doc_id, e.h FROM e
+         |       JOIN (SELECT h FROM e GROUP BY h HAVING count(*) <= 64) ok USING (h)),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |      FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      FROM ec a JOIN ec b ON a.h = b.h AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2 HAVING count(*) >= 3),
          |sh AS (SELECT doc_id, list_distinct([
          |    list_reduce([ord(substr(t, i + j, 1)) FOR j IN range(0, greatest(least(7, len(t) - i + 1), 1))]::BIGINT[],

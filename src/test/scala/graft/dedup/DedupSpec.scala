@@ -510,4 +510,95 @@ class DedupSpec extends SparkSpec {
     assert(out("sign_lsh")._1 === 32L)
     assert(out("sign_lsh")._2 <= 2L, s"sign_lsh ${out("sign_lsh")}")
   }
+
+  test("winnowOverlapPairs maxDf drops boilerplate-grade fingerprints, keeps quotation pairs") {
+    // docs 1/2 share a genuine low-df span; docs 10..17 all end in the
+    // SAME constant tail (the x34 planted-corpus shape that went
+    // quadratic at sf10: one 37-char suffix shared by 50k docs)
+    val span = "this exact shared passage is long enough to guarantee selection"
+    val tail = "identical boilerplate footer shared by every template document here"
+    val docs = (Seq(
+      (1L, s"unique leading material before $span and unique trailing words"),
+      (2L, s"totally different start then $span plus another distinct ending")) ++
+      (10L to 17L).map(d => (d, s"document body number $d stands alone $tail")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.winnowOverlapPairs(docs, col("doc_id"), col("text"),
+        maxDf = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // without an effective cap the 8 tail-sharers pair quadratically
+    assert(uncapped.count { case (a, _) => a >= 10L } === 28, s"got $uncapped")
+    val capped = Dedup.winnowOverlapPairs(docs, col("doc_id"), col("text"),
+        maxDf = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // df-8 tail fingerprints dropped; the df-2 quotation pair survives
+    assert(capped === Set((1L, 2L)), s"got $capped")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowOverlapPairs(docs, col("doc_id"), col("text"), maxDf = 1L)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("manku6Blocks: block extraction equals bit-slicing the packed 64-bit fingerprint") {
+    // adversarial band values: all-ones, alternating, high-bit-set, and
+    // a few arbitrary patterns — block i must equal bits
+    // [off_i, off_i + w_i) of (b0 | b1<<16 | b2<<32 | b3<<48)
+    val cases = Seq(
+      Seq(0xFFFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL),
+      Seq(0xAAAAL, 0x5555L, 0xAAAAL, 0x5555L),
+      Seq(0x8001L, 0x8001L, 0x8001L, 0x8001L),
+      Seq(12345L, 54321L, 65535L, 1L),
+      Seq(0L, 0L, 0L, 0x8000L))
+    val df = cases.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("doc_id", "bands")
+    val blk = Dedup.manku6Blocks(col("bands"))
+    val out = df.select(col("doc_id"), array(blk: _*).as("blk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val offs = Seq(0, 11, 22, 33, 44, 54)
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    cases.zipWithIndex.foreach { case (b, i) =>
+      val fp = b(0) | (b(1) << 16) | (b(2) << 32) | (b(3) << 48)
+      val expect = offs.zip(widths).map { case (o, w) =>
+        (fp >>> o) & ((1L << w) - 1)
+      }
+      assert(out(i.toLong) === expect, s"case $i bands $b")
+    }
+  }
+
+  test("6-block combo scheme returns the identical pair set as 4-band keys") {
+    // a mixed corpus: exact dups (Hamming 0), a near-dup pair (few
+    // token swaps), and unrelated docs — both candidate schemes must
+    // produce the SAME final Hamming<=3 pair set (pigeonhole
+    // completeness both ways + the exact filter)
+    val docs = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "totally unrelated words entirely different content here now"),
+      (5L, "another independent document with its own vocabulary choices")) ++
+      (6L to 40L).map(d => (d, s"filler document $d with words ${d * 7} and ${d * 13} mixed in")))
+      .toDF("doc_id", "text")
+    def pairs(blocks: Int) =
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p4 = pairs(4)
+    spark.catalog.clearCache()
+    val p6 = pairs(6)
+    spark.catalog.clearCache()
+    assert(p4 === p6, s"4-band $p4 vs 6-block $p6")
+    assert(p4.contains((1L, 2L)) && p4((1L, 2L)) === 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), blocks = 5)
+    }
+  }
+
+  test("scaledBlocks: 4 bands to 2^18 docs, 6 blocks past (linear-class random-collision bound)") {
+    assert(Dedup.scaledBlocks(1L) === 4)
+    assert(Dedup.scaledBlocks(1L << 18) === 4)
+    assert(Dedup.scaledBlocks((1L << 18) + 1) === 6)
+    assert(Dedup.scaledBlocks(500000L) === 6)
+    // the bound the rule encodes: expected random candidate mass <= 8n
+    // at the switch point for 4x16 keys (4 * n^2 / 2^17 = 8n at n=2^18)
+    val n = (1L << 18).toDouble
+    assert(math.abs(4 * n * n / math.pow(2, 17) - 8 * n) < 1e-6)
+  }
 }
