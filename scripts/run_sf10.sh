@@ -38,4 +38,14 @@ for q in "${QUERIES[@]}"; do
     graft.Bench "$q" 2>/tmp/sf10_q_err.log | grep '"metric"' >> "$OUT" \
     || echo "{\"failed\":\"$q\"}" >> "$OUT"
 done
+
+# the tier's self-check: dump h01's bucket audit at this tier and
+# assert the linear-class gen_pairs bounds (check_sf10_audit.py) —
+# wall-clock says "slow", the audit says WHICH family went quadratic
+echo "[sf10] h01 audit bounds ..." >&2
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+java $ADD_OPENS -Xmx48g -cp "$(cat /tmp/graft_cp.txt)" \
+  graft.Verify "$SF" /tmp/graft_verify_sf10 h01_lsh_bucket_audit \
+  2>/tmp/sf10_q_err.log >/dev/null
+python3 scripts/check_sf10_audit.py /tmp/graft_verify_sf10/h01_lsh_bucket_audit
 echo "[sf10] done -> $OUT" >&2
