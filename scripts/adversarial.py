@@ -283,7 +283,12 @@ def check_hotskew(out_dir):
         "SELECT family, max_pop FROM read_parquet("
         f"'{out_dir}/h01_lsh_bucket_audit/*.parquet')").fetchall()
     stats = dict(rows)
-    bounds = {"minhash": 24, "simhash64": 16, "winnow": 208, "sign_lsh": 125}
+    # winnow_capped: the 200-phrase-sharer bucket exceeds the df <= 64
+    # cap and must VANISH from the defense row — max_pop there is
+    # bounded by the cap itself, the executable detector-vs-defense
+    # split (PLANS.md r18)
+    bounds = {"minhash": 24, "simhash64": 16, "winnow": 208,
+              "winnow_capped": 64, "sign_lsh": 125}
     errs = []
     for fam, bound in sorted(bounds.items()):
         if fam not in stats:

@@ -35,7 +35,10 @@ con = duckdb.connect()
 rows = con.sql(
     f"SELECT family, n_entries, n_buckets, max_pop, gen_pairs "
     f"FROM read_parquet('{d}/*.parquet')").fetchall()
-bounds = {"minhash": 8, "simhash64": 8, "sign_lsh": 32}
+# winnow_capped's 32x is the cap's own arithmetic: pop <= 64 forces
+# gen_pairs/entries <= (64-1)/2 = 31.5 — a violated bound means the
+# df cap itself regressed
+bounds = {"minhash": 8, "simhash64": 8, "sign_lsh": 32, "winnow_capped": 32}
 fail = 0
 for family, entries, buckets, max_pop, pairs in sorted(rows):
     if family in bounds:

@@ -771,6 +771,10 @@ object Dedup {
     *              detector for boilerplate-driven quadratic mass, the
     *              cap is the defense — reading raw mass here while
     *              x34 stays flat is the instrument working),
+    *   winnow_capped — the same keys POST-cap (df ≤ 64), i.e. the
+    *              join keys x34 actually pairs on: gen_pairs here is
+    *              bounded by construction (pop ≤ 64 ⇒ ≤ 31.5·entries),
+    *              so a cap regression reads as winnow_capped ≈ winnow,
     *   sign_lsh — corpus-scaled random-hyperplane buckets over `emb`
     *              ([[graft.similarity.Similarity.scaledBits]], target
     *              bucket population 32 — the SAME config the sign-LSH
@@ -815,9 +819,24 @@ object Dedup {
       .select(lit("simhash64").as("family"),
         concat(col("b.band_id").cast(StringType), lit("|"),
           col("b.band_val").cast(StringType)).as("bkey"))
-    val wn = normed
+    // winnow keys are read three times (raw family, df table, capped
+    // probe) — persist under the class cache contract
+    val wnK = normed
       .select(explode(winnowFingerprints(col("_t"), 20, 8)).as("h"))
+      .persist()
+    val wn = wnK
       .select(lit("winnow").as("family"), col("h").cast(StringType).as("bkey"))
+    // the DEFENSE row next to the detector row: the same keys after
+    // winnowOverlapPairs' df <= 64 boilerplate cap. Its mass is bounded
+    // BY CONSTRUCTION (pop <= 64 ⇒ gen_pairs <= 31.5 × entries), so a
+    // cap regression reads here as winnow_capped ≈ winnow while the
+    // raw winnow row keeps its early-warning role.
+    val wnCap = wnK
+      .join(wnK.groupBy("h").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= 64).select("h"),
+        Seq("h"), "left_semi")
+      .select(lit("winnow_capped").as("family"),
+        col("h").cast(StringType).as("bkey"))
     // corpus-scaled bits, the SAME config the sign-LSH queries run
     // (Similarity.scaledBits, target bucket population 32): a fixed
     // 4-bit table audits a configuration nothing uses past ~500
@@ -831,7 +850,7 @@ object Dedup {
       .select(lit("sign_lsh").as("family"),
         graft.plans.functions.sign_bucket_rh(col("embedding"), sgBits, 0)
           .cast(StringType).as("bkey"))
-    mh.unionAll(sh).unionAll(wn).unionAll(sg)
+    mh.unionAll(sh).unionAll(wn).unionAll(wnCap).unionAll(sg)
       .groupBy("family", "bkey").agg(count(lit(1)).as("pop"))
       .groupBy("family")
       .agg(sum(col("pop")).as("n_entries"),

@@ -807,7 +807,7 @@ object ExtraQueries {
          |        SELECT band_id, band_val FROM fb6
          |        WHERE (SELECT count(*) FROM corpus) > 262144)
          |  UNION ALL
-         |  SELECT 'winnow' AS family, CAST(h AS VARCHAR) AS bkey
+         |  SELECT fam2 AS family, CAST(h AS VARCHAR) AS bkey
          |  FROM (WITH $tailDupCorpusD,
          |        wn AS (SELECT doc_id, $normD AS t FROM corpus),
          |        hl AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN []::BIGINT[] ELSE [
@@ -816,8 +816,15 @@ object ExtraQueries {
          |            FOR i IN range(1, greatest(len(t) - 19, 1) + 1)] END AS hs FROM wn),
          |        sel AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []::BIGINT[] ELSE list_distinct([
          |            list_min(hs[i:i+7]) FOR i IN range(1, greatest(len(hs) - 7, 1) + 1)]) END AS sel
-         |          FROM hl)
-         |        SELECT unnest(sel) AS h FROM sel)
+         |          FROM hl),
+         |        e AS MATERIALIZED (SELECT unnest(sel) AS h FROM sel)
+         |        -- detector row (raw keys) + defense row (the df <= 64
+         |        -- capped keys x34 actually pairs on) from ONE
+         |        -- materialized explode
+         |        SELECT 'winnow' AS fam2, h FROM e
+         |        UNION ALL
+         |        SELECT 'winnow_capped' AS fam2, e.h FROM e
+         |        JOIN (SELECT h FROM e GROUP BY h HAVING count(*) <= 64) ok USING (h))
          |  UNION ALL
          |  SELECT 'sign_lsh' AS family,
          |         CAST(${rhBucketD("embedding",

@@ -491,7 +491,13 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.lshBucketAudit(docs, col("doc_id"), col("text"), emb)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(out.keySet === Set("minhash", "simhash64", "winnow", "sign_lsh"))
+    assert(out.keySet === Set(
+      "minhash", "simhash64", "winnow", "winnow_capped", "sign_lsh"))
+    // at this corpus the hottest winnow bucket (40 sharers) sits under
+    // the df <= 64 cap, so the defense row must EQUAL the detector row
+    // (the hotskew sweep asserts the 200-sharer case where they differ)
+    assert(out("winnow_capped") === out("winnow"),
+      s"capped ${out("winnow_capped")} vs raw ${out("winnow")}")
     val (mhEntries, _, mhMax, _) = out("minhash")
     // 84 docs × 3 bands; a healthy family keeps the hottest minhash
     // bucket at the planted clique (4 copies, possibly +noise), never
