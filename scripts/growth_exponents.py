@@ -24,7 +24,15 @@ tiers = [(0.1, "BENCH_LOCAL.json"), (1.0, "BENCH_SF1.json"), (10.0, SF10)]
 data = []
 for sf, f in tiers:
     with open(f) as fh:
-        data.append((sf, json.load(fh)["queries"]))
+        doc = json.load(fh)
+    if "queries" in doc:  # full Bench artifact (BENCH_LOCAL/SF1 shape)
+        data.append((sf, doc["queries"]))
+    else:  # the committed BENCH_SF10.json: per-phase spot-tier maps
+        merged = {}
+        for key in ("queries_before_fix", "queries_after_fix",
+                    "queries_completeness_sweep"):
+            merged.update(doc.get(key, {}))
+        data.append((sf, merged))
 
 names = sorted(set(data[-1][1]))
 print(f"{'query':28s} {'sf0.1':>7s} {'sf1':>7s} {'sf10':>7s} "

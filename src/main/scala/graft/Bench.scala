@@ -306,13 +306,22 @@ object Bench {
           val recordedSf = """"sf":\s*"([^"]*)"""".r
             .findFirstMatchIn(txt).map(_.group(1))
           !txt.contains("\"host_noisy\": true") &&
-            recordedSf.exists(r => norm(r) == norm(sfDir))
+            recordedSf.exists(r => norm(r) == norm(sfDir)) &&
+            // the artifact must also COVER this run's queries: in a
+            // one-query-per-JVM loop every run shares outPath for the
+            // same sf, so query B's noisy line must not point at a
+            // "clean" file holding only query A's reading (the exact
+            // wrong-file failure the pointer exists to close)
+            queries.forall { case (q, _) => txt.contains("\"" + q + "\":") }
         } catch { case _: Throwable => false }
       }
     }
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val noisyPart =
       if (!hostNoisy) ""
-      else if (existingClean) s""","host_noisy":true,"clean_artifact":"$outPath""""
+      // no pointer under FORCE: the noisy full artifact is about to
+      // replace the clean reading the pointer would name
+      else if (existingClean && !force) s""","host_noisy":true,"clean_artifact":"$outPath""""
       else ""","host_noisy":true"""
     // STAGED degradation to guarantee the line parses from the driver's
     // 2000-char stdout tail (the r16 line was ~2,080 chars and the
@@ -375,7 +384,6 @@ object Bench {
     // file against an sf1 run) and this run is host_noisy, the noisy
     // reading goes to a `.noisy.json` sibling (kept, never lost) and
     // the clean artifact stands. SPARK_GRAFT_BENCH_FORCE=1 overrides.
-    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val target = {
       val p = java.nio.file.Paths.get(outPath)
       if (!force && hostNoisy && existingClean) {

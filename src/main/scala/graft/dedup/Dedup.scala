@@ -314,7 +314,7 @@ object Dedup {
   def winnowOverlapPairs(docs: DataFrame, id: Column, text: Column,
                          k: Int = 20, w: Int = 8,
                          minShared: Long = 3L,
-                         maxDf: Long = 64L): DataFrame = {
+                         maxDf: Long = DefaultWinnowMaxDf): DataFrame = {
     require(maxDf > 1, s"maxDf must exceed 1, got $maxDf")
     val e = spread(docs)
       .select(id.as("doc_id"), TextOps.norm(text).as("_t"))
@@ -679,6 +679,32 @@ object Dedup {
   private[graft] val manku6Combos: Seq[(Int, Int, Int)] =
     for (i <- 0 to 3; j <- (i + 1) to 4; k <- (j + 1) to 5) yield (i, j, k)
 
+  /** The candidate-key structs (band_id, band_val) for a `bands`
+    * column under either scheme — THE single construction both
+    * [[bandedHammingPairs]] (the join) and [[lshBucketAudit]] (the
+    * audit) use, so the audit can never drift onto keys the join does
+    * not run. */
+  private def bandKeys(blocks: Int): Seq[Column] =
+    if (blocks == 4)
+      (0 until 4).map { b =>
+        struct(lit(b).as("band_id"), get(col("bands"), lit(b)).as("band_val"))
+      }
+    else {
+      val blk = manku6Blocks(col("bands"))
+      manku6Combos.zipWithIndex.map { case ((i, j, k), cid) =>
+        struct(lit(cid).as("band_id"),
+          (blk(i) * 4194304L + blk(j) * 2048L + blk(k)).as("band_val"))
+      }
+    }
+
+  /** The winnow boilerplate document-frequency cap —
+    * [[winnowOverlapPairs]]' default AND the bound the audit's
+    * `winnow_capped` row measures; mirrored as the literal 64 in the
+    * x34/x102/h01 oracle `HAVING`s, scripts/check_sf10_audit.py's
+    * 31.5×-entries identity, and scripts/adversarial.py's hotskew
+    * max_pop bound — change all of them together. */
+  val DefaultWinnowMaxDf: Long = 64L
+
   /** Banded Hamming-LSH pairing over ANY 4×16-bit fingerprint table
     * (doc_id, bands) — text SimHash and image dHash share this exact
     * machinery ([[simhashPairs]], [[graft.multimodal.Multimodal
@@ -699,21 +725,9 @@ object Dedup {
     // for Hamming <= 3 by pigeonhole over 4 bands); at blocks=6 the
     // keys are the 20 three-block combinations (~33 bits each) — same
     // guarantee, ~2^17x fewer random collisions (see [[scaledBlocks]])
-    val keyStructs =
-      if (blocks == 4)
-        (0 until 4).map { b =>
-          struct(lit(b).as("band_id"), get(col("bands"), lit(b)).as("band_val"))
-        }
-      else {
-        val blk = manku6Blocks(col("bands"))
-        manku6Combos.zipWithIndex.map { case ((i, j, k), cid) =>
-          struct(lit(cid).as("band_id"),
-            (blk(i) * 4194304L + blk(j) * 2048L + blk(k)).as("band_val"))
-        }
-      }
     val exploded = fp0
       .select(col("doc_id"), col("bands"),
-        explode(array(keyStructs: _*)).as("b"))
+        explode(array(bandKeys(blocks): _*)).as("b"))
       .select(col("doc_id"), col("bands"), col("b.band_id"), col("b.band_val"))
     // optional hot-bucket cap: a band value shared by a large fraction
     // of the corpus (all-silence audio → flat contour → band 0; a blank
@@ -800,22 +814,10 @@ object Dedup {
     // strawman all over again. One eager count at plan construction,
     // hoisted (the sgBits precedent below).
     val shBlocks = scaledBlocks(docs.count())
-    val shKeys =
-      if (shBlocks == 4)
-        (0 until 4).map(b =>
-          struct(lit(b).as("band_id"),
-            get(col("bands"), lit(b)).as("band_val")))
-      else {
-        val blk = manku6Blocks(col("bands"))
-        manku6Combos.zipWithIndex.map { case ((i, j, k), cid) =>
-          struct(lit(cid).as("band_id"),
-            (blk(i) * 4194304L + blk(j) * 2048L + blk(k)).as("band_val"))
-        }
-      }
     val sh = normed
       .select(bigramTokenHashes(col("_t")).as("_hx"))
       .select(simhash64Bands(col("_hx")).as("bands"))
-      .select(explode(array(shKeys: _*)).as("b"))
+      .select(explode(array(bandKeys(shBlocks): _*)).as("b"))
       .select(lit("simhash64").as("family"),
         concat(col("b.band_id").cast(StringType), lit("|"),
           col("b.band_val").cast(StringType)).as("bkey"))
@@ -833,7 +835,7 @@ object Dedup {
     // raw winnow row keeps its early-warning role.
     val wnCap = wnK
       .join(wnK.groupBy("h").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= 64).select("h"),
+          .filter(col("_df") <= DefaultWinnowMaxDf).select("h"),
         Seq("h"), "left_semi")
       .select(lit("winnow_capped").as("family"),
         col("h").cast(StringType).as("bkey"))

@@ -436,10 +436,10 @@ object Warc {
                       val nb = ib.read(bb, got, na - got)
                       if (nb < 0) eq = false else got += nb
                     }
+                    // range overload: compares prefixes in place, no
+                    // per-chunk 64 KB copies under the commit race
                     eq &&= got == na &&
-                      java.util.Arrays.equals(
-                        java.util.Arrays.copyOf(ba, na),
-                        java.util.Arrays.copyOf(bb, na))
+                      java.util.Arrays.equals(ba, 0, na, bb, 0, na)
                   }
                 }
                 eq

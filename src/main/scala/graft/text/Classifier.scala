@@ -243,6 +243,14 @@ object Classifier {
   def loadWeights(spark: SparkSession, path: String = DefaultWeightsPath): Array[Long] =
     cache.synchronized {
       cache.getOrElseUpdate(path, {
+        // gate at LOAD time, not only in FixtureStampSpec: a weights
+        // artifact regenerated under older constants (or with a stale
+        // sidecar) must fail the run that would silently score with
+        // it — the MediaFixtures.reusable discipline applied here
+        require(stampOk(spark, path),
+          s"classifier weights at $path carry no stamp matching HEAD's " +
+            s"generator constants ('$stampText') — regenerate with " +
+            "TrainClassifier so the artifact and code agree")
         val rows = spark.read.parquet(path).select("bucket", "weight").collect()
         require(rows.nonEmpty, s"empty classifier weight table at $path")
         val dim = rows.iterator.map(_.getInt(0)).max + 1
