@@ -460,6 +460,38 @@ object H264 {
     * chroma-DC table; nC ≥ 8 the 6-bit FLC (§9.2.1); nC ∈ [2,8) throws
     * (→ None via the decode catch) — that VLC class is outside the
     * implemented envelope, see the table scaladoc. */
+  // VLC entry tables are static — build each (len, bits, value) entry
+  // sequence ONCE instead of per readCoeffToken/total_zeros/run_before
+  // call (the per-sample decode loop previously allocated and rescanned
+  // a fresh ~54-element Seq per block)
+  private def tokenEntries(len: Array[Int], bits: Array[Int],
+                           maxTc: Int): IndexedSeq[(Int, Int, Int)] =
+    (for {
+      tc <- 0 to maxTc; t1 <- 0 to math.min(3, tc)
+      if len(tc * 4 + t1) > 0
+    } yield (len(tc * 4 + t1), bits(tc * 4 + t1), tc * 16 + t1)).toIndexedSeq
+  private lazy val chromaDcTokenEntries =
+    tokenEntries(chromaDcTokenLen, chromaDcTokenBits, 4)
+  private lazy val coeffTokenEntries =
+    tokenEntries(coeffTokenLen, coeffTokenBits, 16)
+  private lazy val chromaDcTzEntries =
+    Array.tabulate(chromaDcTzLen.length) { t =>
+      val row = chromaDcTzLen(t)
+      row.indices.map(j => (row(j), chromaDcTzBits(t)(j), j))
+    }
+  private lazy val totalZerosEntries =
+    Array.tabulate(totalZerosLen.length) { t =>
+      val row = totalZerosLen(t)
+      row.indices.collect {
+        case j if row(j) > 0 => (row(j), totalZerosBits(t)(j), j)
+      }: IndexedSeq[(Int, Int, Int)]
+    }
+  private lazy val runBeforeEntries =
+    Array.tabulate(runBeforeLen.length) { t =>
+      val row = runBeforeLen(t)
+      row.indices.map(j => (row(j), runBeforeBits(t)(j), j))
+    }
+
   private def readCoeffToken(r: BitReader, nC: Int): (Int, Int) = {
     if (nC >= 8) {
       val code = r.u(6)
@@ -467,13 +499,7 @@ object H264 {
     }
     require(nC == -1 || (nC >= 0 && nC < 2),
       s"coeff_token context nC=$nC not implemented (nC in [2,8))")
-    val (len, bits, maxTc) =
-      if (nC == -1) (chromaDcTokenLen, chromaDcTokenBits, 4)
-      else (coeffTokenLen, coeffTokenBits, 16)
-    val entries = for {
-      tc <- 0 to maxTc; t1 <- 0 to math.min(3, tc)
-      if len(tc * 4 + t1) > 0
-    } yield (len(tc * 4 + t1), bits(tc * 4 + t1), tc * 16 + t1)
+    val entries = if (nC == -1) chromaDcTokenEntries else coeffTokenEntries
     val v = readVlc(r, entries)
     (v / 16, v % 16)
   }
@@ -514,15 +540,8 @@ object H264 {
     }
     val totalZeros =
       if (total == maxNumCoeff) 0
-      else if (nC == -1) {
-        val row = chromaDcTzLen(total - 1)
-        readVlc(r, row.indices.map(j => (row(j), chromaDcTzBits(total - 1)(j), j)))
-      } else {
-        val row = totalZerosLen(total - 1)
-        readVlc(r, row.indices.collect {
-          case j if row(j) > 0 => (row(j), totalZerosBits(total - 1)(j), j)
-        })
-      }
+      else if (nC == -1) readVlc(r, chromaDcTzEntries(total - 1))
+      else readVlc(r, totalZerosEntries(total - 1))
     var zerosLeft = totalZeros
     var pos = totalZeros + total - 1
     i = 0
@@ -531,11 +550,9 @@ object H264 {
       coeff(pos) = level(i)
       val run =
         if (i == total - 1) zerosLeft
-        else if (zerosLeft > 0) {
-          val zl = math.min(zerosLeft, 7) - 1
-          val row = runBeforeLen(zl)
-          readVlc(r, row.indices.map(j => (row(j), runBeforeBits(zl)(j), j)))
-        } else 0
+        else if (zerosLeft > 0)
+          readVlc(r, runBeforeEntries(math.min(zerosLeft, 7) - 1))
+        else 0
       zerosLeft -= run
       pos -= 1 + run
       i += 1
