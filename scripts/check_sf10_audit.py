@@ -51,4 +51,10 @@ for family, entries, buckets, max_pop, pairs in sorted(rows):
     else:
         print(f"INFO {family}: gen_pairs {pairs:,} (pre-cap detector, "
               f"unbounded by design; buckets {buckets:,}, max_pop {max_pop})")
+# a bounded family that VANISHES (zero rows, or renamed) must fail too —
+# otherwise a regression that empties e.g. winnow_capped passes silently
+missing = sorted(set(bounds) - {r[0] for r in rows})
+for family in missing:
+    print(f"FAIL {family}: bounded family missing from the audit rows")
+    fail = 1
 sys.exit(1 if fail else 0)

@@ -47,7 +47,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+# abspath: symlink targets are resolved relative to the LINK's dir, so a
+# relative srcDir would create links that dangle from inside DST
+SRC = os.path.abspath(sys.argv[1] if len(sys.argv) > 1
+                      else "/root/testdata/sf0.1")
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf10"
 REPLICAS = 100
 

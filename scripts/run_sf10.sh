@@ -6,6 +6,9 @@
 # need ~270 s at sf1); h01 + wall growth are the instruments.
 # Usage: bash scripts/run_sf10.sh [outJsonl] [queries...]
 set -e
+# pipefail: without it the loop's status is grep's, so a Bench JVM that
+# prints its metric line and then dies in teardown would record as success
+set -o pipefail
 cd "$(dirname "$0")/.."
 SF=${SPARK_GRAFT_SF10_DIR:-/tmp/graft_sf10}
 OUT=${1:-/tmp/sf10_results.jsonl}

@@ -305,9 +305,13 @@ object Dedup {
     * tail — the sf10 spot tier measured exactly this: one 37-char tail
     * shared by 50k docs drove the join's agg past 10 min before the
     * cap existed), and a quotation/overlap signal lives in LOW-df
-    * fingerprints (a chunk shared by two docs has df 2). Capped
-    * fingerprints lose only pairs whose EVERY shared fingerprint is
-    * boilerplate-grade — template noise, not quotation. The cap is a
+    * fingerprints (a chunk shared by two docs has df 2). Because
+    * `shared` is counted over the surviving (low-df) fingerprints
+    * only, a capped pair passes the gate only if it still shares
+    * ≥ `minShared` low-df fingerprints: a pair whose low-df overlap
+    * falls below `minShared` is dropped even when boilerplate
+    * fingerprints would have carried its total past the threshold —
+    * template noise never rescues a weak quotation signal. The cap is a
     * declared semantic: every oracle of a caller mirrors it
     * (`HAVING count(*) <= maxDf` on the exploded fingerprints).
     * Output: (doc_a, doc_b, shared). */

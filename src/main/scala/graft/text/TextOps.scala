@@ -1359,7 +1359,7 @@ object TextOps {
     * semantics, measured 2.3×/1.6× faster x61/x63 medians at sf0.1. */
   private[text] def bpeMergeStep(syms: Column, l: String, r: String,
                                  m: String): Column = {
-    val sep = " "
+    val sep = " "
     val hasPair = concat(lit(sep), array_join(syms, sep), lit(sep))
       .contains(lit(sep + l + sep + r + sep))
     when(size(syms) < 2 || !hasPair, syms)
