@@ -30,6 +30,10 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Refusal threshold for [[semanticDedup]]'s ⌈√n⌉-cell route — see
+    * its scaladoc for the sizing argument. */
+  val DefaultSemanticDedupMaxCorpus: Long = 2000000L
+
   /** Left-fold dot product of two float arrays in double precision —
     * native codegen'd expression (graft.plans.DotFold); the HOF form of
     * the same fold is CodegenFallback and ~10× slower. */
@@ -775,10 +779,28 @@ object Similarity {
     * way x16's hyperplane buckets do, but with data-adaptive boundaries
     * (trained centroids follow density; hyperplanes cannot). For a
     * strictly linear candidate bound at the cost of that locality, use
-    * [[neardupPairs]]; the two share the exact-cosine gate. */
+    * [[neardupPairs]]; the two share the exact-cosine gate.
+    *
+    * `maxCorpus` is the [[graft.text.TextOps.bpeMergesLocal]] discipline
+    * applied to the one remaining by-design-superlinear route: nothing
+    * else STOPS a caller from running the ⌈√n⌉-cell O(n^1.5) pair join
+    * at corpus scale, so past `maxCorpus` rows this operator refuses
+    * loudly and names [[semanticDedupBanded]] (linear candidate mass by
+    * construction) as the scale path. 2 M rows keeps ~n^1.5/2 candidate
+    * pairs under ~1.5 × 10⁹ — the edge of single-pass affordability and
+    * an order of magnitude above every gate SF (sf10's embeddings tier
+    * is 2 × 10⁵ rows, measured 10.5×/decade within the design ceiling).
+    * Raise it explicitly to opt in beyond that. */
   def semanticDedup(corpus: DataFrame, nCells: Int = 8, minCos: Double = 0.999,
                     kmeansIters: Int = 0,
-                    checkpointDir: Option[String] = None): DataFrame = {
+                    checkpointDir: Option[String] = None,
+                    maxCorpus: Long = DefaultSemanticDedupMaxCorpus): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxCorpus,
+      s"semanticDedup: corpus $n rows exceeds maxCorpus $maxCorpus — the " +
+        "cell route's within-cell pair mass is O(n^1.5) BY DESIGN and past " +
+        "this size the linear-candidate semanticDedupBanded is the scale " +
+        "path (pass a larger maxCorpus to opt in to the superlinear join)")
     val init = corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
     val cents = if (kmeansIters > 0)

@@ -316,6 +316,21 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semanticDedup refuses past maxCorpus and names the banded scale path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(emb, nCells = 4, maxCorpus = n - 1)
+    }
+    assert(e.getMessage.contains("semanticDedupBanded"))
+    assert(e.getMessage.contains("O(n^1.5)"))
+    // the explicit opt-in admits the same corpus the default would refuse
+    val out = Similarity.semanticDedup(emb, nCells = 4, maxCorpus = n)
+    assert(out.count() === n)
+    spark.catalog.clearCache()
+  }
+
   test("semanticDedupBanded agrees with the cell route on planted exact copies") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
