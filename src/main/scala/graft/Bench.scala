@@ -89,6 +89,32 @@ object Bench {
       if (dTot <= 0) 0.0 else 100.0 * (after._1 - before._1) / dTot
     }
     val runStart = cpuStat()
+    // Fixed reference probe (r18 verdict task 1): a deterministic pure-
+    // compute workload — no IO, no data dependence, one reduce — timed
+    // per bench run so round-over-round comparisons can normalize out
+    // ambient host-speed drift (the r18 sf0.1 wall moved 86.6→105.8 s
+    // with 89% of queries slower by a median 1.22×, including untouched
+    // code: exactly the signature this probe makes measurable instead
+    // of arguable). Median of 3 reps; ~1 s on a quiet 32-thread host.
+    // The artifact reports the probe wall AND total/probe alongside raw
+    // seconds — raw stays authoritative, normalized is the drift lens.
+    def referenceProbe(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: ANSI mode makes a long sum of 640 M hashes
+      // overflow; xor is closed over Long and just as unfoldable
+      spark.range(0L, 640000000L, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) as s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeSec: Double = {
+      try { referenceProbe(); () } catch { case _: Throwable => () } // warm
+      val reps = try Seq.fill(3)(referenceProbe()).sorted
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] reference probe FAILED: $e")
+                   Seq(-1.0)
+                 }
+      reps(reps.size / 2)
+    }
     // Adaptive-reps measurement (r11 verdict: fixed best-of-2 could not
     // suppress this host's ambient load — identical code measured 67/104/87 s
     // across three runs). Policy: keep sampling until the reading is
@@ -279,7 +305,11 @@ object Bench {
     // host_noisy: the artifact self-declares when it was taken in a bad
     // window (run steal past 2% or any escalation) — the r14 failure
     // mode was a contaminated run that LOOKED like a regular reading
-    val hostNoisy = runSteal > 2.0 || escalatedAll.nonEmpty || ambientBusy
+    // SPARK_GRAFT_BENCH_FAKE_NOISY=1 is a TEST HOOK: it forces the
+    // host_noisy refusal path so the clean-embed line below is
+    // exercisable on a quiet host (steal/ambient load can't be staged)
+    val hostNoisy = runSteal > 2.0 || escalatedAll.nonEmpty || ambientBusy ||
+      sys.env.get("SPARK_GRAFT_BENCH_FAKE_NOISY").contains("1")
     // When THIS run is noisy but a committed steal-clean full-fidelity
     // artifact for the same sf already stands, the stdout line (= the
     // driver's per-round BENCH_r{N}.json) carries an explicit pointer
@@ -289,9 +319,15 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       // a filtered run must not overwrite the full-suite artifact
       if (args.isEmpty) "BENCH_LOCAL.json" else "BENCH_SUBSET.json")
-    val existingClean = {
+    // the clean artifact's headline numbers + a checksum binding them to
+    // the exact file bytes: on refusal these are EMBEDDED in the stdout
+    // line (r18 verdict task 6 — the driver's BENCH_r{N}.json must stand
+    // alone with the authoritative reading, not just a pointer to it)
+    case class CleanInfo(total: String, steal: String, ts: String, sha: String)
+    val cleanInfo: Option[CleanInfo] = {
       val p = java.nio.file.Paths.get(outPath)
-      java.nio.file.Files.exists(p) && {
+      if (!java.nio.file.Files.exists(p)) None
+      else {
         try {
           val txt = java.nio.file.Files.readString(p)
           // compare NORMALIZED sf paths, not raw strings: a trailing
@@ -305,7 +341,7 @@ object Bench {
           }
           val recordedSf = """"sf":\s*"([^"]*)"""".r
             .findFirstMatchIn(txt).map(_.group(1))
-          !txt.contains("\"host_noisy\": true") &&
+          val covers = !txt.contains("\"host_noisy\": true") &&
             recordedSf.exists(r => norm(r) == norm(sfDir)) &&
             // the artifact must also COVER this run's queries: in a
             // one-query-per-JVM loop every run shares outPath for the
@@ -313,15 +349,39 @@ object Bench {
             // "clean" file holding only query A's reading (the exact
             // wrong-file failure the pointer exists to close)
             queries.forall { case (q, _) => txt.contains("\"" + q + "\":") }
-        } catch { case _: Throwable => false }
+          if (!covers) None
+          else {
+            // first match of each key is the artifact's top-level field
+            // (the per-query detail map comes after them in the file)
+            def field(k: String): Option[String] =
+              (""""""" + k + """":\s*([0-9.]+)""").r
+                .findFirstMatchIn(txt).map(_.group(1))
+            val ts = """"ts":\s*"([^"]*)"""".r
+              .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+            val sha = {
+              val d = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(java.nio.file.Files.readAllBytes(p))
+              d.take(8).map("%02x".format(_)).mkString
+            }
+            for (t <- field("total_sec"); s <- field("steal_pct"))
+              yield CleanInfo(t, s, ts, sha)
+          }
+        } catch { case _: Throwable => None }
       }
     }
+    val existingClean = cleanInfo.isDefined
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val noisyPart =
       if (!hostNoisy) ""
       // no pointer under FORCE: the noisy full artifact is about to
       // replace the clean reading the pointer would name
-      else if (existingClean && !force) s""","host_noisy":true,"clean_artifact":"$outPath""""
+      else if (existingClean && !force) {
+        // self-contained refusal: the clean artifact's total/steal/ts
+        // plus a 16-hex sha256 prefix of its exact bytes, so the
+        // driver's captured line carries the authoritative reading
+        val c = cleanInfo.get
+        s""","host_noisy":true,"clean_artifact":"$outPath","clean":{"total":${c.total},"steal_pct":${c.steal},"ts":"${c.ts}","sha256_16":"${c.sha}"}"""
+      }
       else ""","host_noisy":true"""
     // STAGED degradation to guarantee the line parses from the driver's
     // 2000-char stdout tail (the r16 line was ~2,080 chars and the
@@ -332,7 +392,7 @@ object Bench {
     val sfShort = new java.io.File(sfDir).getName
     val Budget = 1950
     var line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"policy":$policy,"steal_pct":${f2(runSteal)},"escalated":$escalatedJson$noisyPart,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"policy":$policy,"steal_pct":${f2(runSteal)},"probe":${f2(probeSec)},"escalated":$escalatedJson$noisyPart,"sf":"$sfShort"}"""
     if (line.length > Budget) {
       // minimal keys + 1-decimal stripped values (~1,790 chars at 170
       // queries); failed stays whenever nonempty — a failure signal
@@ -345,7 +405,16 @@ object Bench {
       }
       val failedPart =
         if (failedAll.isEmpty) "" else s""","failed":$failed"""
-      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qsJson(f1)}$failedPart,"steal_pct":${f2(runSteal)}$noisyPart,"sf":"$sfShort"}"""
+      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qsJson(f1)}$failedPart,"steal_pct":${f2(runSteal)},"probe":${f2(probeSec)}$noisyPart,"sf":"$sfShort"}"""
+    }
+    if (line.length > Budget && hostNoisy && existingClean && !force) {
+      // stage 3, refusal only: this run's per-query numbers are noise
+      // (they live in the .noisy.json sibling) — drop them rather than
+      // risk truncating the embedded clean reading, which is the part
+      // of the line the driver actually needs
+      val failedPart =
+        if (failedAll.isEmpty) "" else s""","failed":$failed"""
+      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"$failedPart,"steal_pct":${f2(runSteal)},"probe":${f2(probeSec)}$noisyPart,"sf":"$sfShort"}"""
     }
     if (line.length > Budget)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
@@ -369,6 +438,8 @@ object Bench {
          |"sf": "$sfDir",
          |"cpus": $cpus,
          |"total_sec": ${f3(total)},
+         |"probe_sec": ${f3(probeSec)},
+         |"total_per_probe": ${if (probeSec > 0) f3(total / probeSec) else "-1"},
          |"steal_pct": ${f2(runSteal)},
          |"ambient_load1": ${f2(ambientLoad1)},
          |"host_noisy": $hostNoisy,
