@@ -13,10 +13,10 @@ package graft.multimodal
   * compliant decoder reproduces the same pixels — and the decode side
   * parses those bits back rather than assuming them.
   *
-  * Also real (round 18): the CAVLC entropy layer (§9.2 — coeff_token
-  * VLC for nC < 2 + the chroma-DC table + the exact nC ≥ 8 FLC
-  * (nC ∈ [2,8) is declared out of envelope, not guessed — see the
-  * table scaladoc), trailing-one signs, level_prefix/suffix decoding
+  * Also real (rounds 18-19): the CAVLC entropy layer (§9.2 — the FULL
+  * coeff_token context family: all three Table 9-5 VLC columns
+  * (nC < 2, nC ∈ [2,4), nC ∈ [4,8)), the chroma-DC table, the exact
+  * nC ≥ 8 FLC, trailing-one signs, level_prefix/suffix decoding
   * with suffix-length adaptation and both escape forms, total_zeros,
   * run_before) and the Intra_16x16
   * macroblock class: mb_type 1–24 partitioned into prediction mode /
@@ -309,12 +309,114 @@ object H264 {
     w.putBytes(escapeRbsp(p.result())).result()
   }
 
-  /** IDR slice whose first macroblock is I_4x4 (mb_type 0) — a VALID
-    * H.264 construct this decoder deliberately does not reconstruct
-    * (sub-16x16 intra partitions are the remaining seam); used by the
-    * seam-extent fixture to pin decodable-vs-None classes. The MB body
-    * after mb_type is not spec-complete (the decoder bails at mb_type
-    * before reading it). */
+  /** IDR slice of Intra_16x16 macroblocks with FULL luma residual
+    * (CodedBlockPatternLuma 15): DC luma prediction, DC chroma, per MB
+    * `dcLevels` gives the 16 zigzag Intra16x16DCLevel coefficients and
+    * `acLevels(mbX, mbY, blkIdx)` the 15 zigzag AC coefficients of
+    * each 4x4 block. mb_type = 15 (pred DC, cbp_luma 15, cbp_chroma 0
+    * per §7.4.5). The encoder tracks the CAVLC nC neighbor context
+    * exactly as the decoder does — with dense AC blocks the contexts
+    * walk through every Table 9-5 column (nC 0, [2,4), [4,8), ≥ 8). */
+  def encodeIdrI16Ac(widthMbs: Int, heightMbs: Int, idrPicId: Int,
+                     dcLevels: (Int, Int) => Array[Int],
+                     acLevels: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+    val w = new BitWriter
+    w.u(0x65L, 8)
+    val p = new BitWriter
+    p.ue(0); p.ue(7); p.ue(0)
+    p.u(0L, 4)
+    p.ue(idrPicId)
+    p.u(0L, 1); p.u(0L, 1)
+    p.se(0) // slice_qp_delta → QPy = 26
+    val lumaNnz = Array.ofDim[Int](heightMbs * 4, widthMbs * 4)
+    var mb = 0
+    while (mb < widthMbs * heightMbs) {
+      val mbX = mb % widthMbs; val mbY = mb / widthMbs
+      val dc = dcLevels(mbX, mbY)
+      require(dc.length == 16, "16 zigzag DC levels per MB")
+      p.ue(15) // mb_type: Intra_16x16, pred DC, cbp_luma 15, cbp_chroma 0
+      p.ue(0) // intra_chroma_pred_mode: DC
+      p.se(0) // mb_qp_delta
+      writeCavlcBlock(p, dc, nCtx(lumaNnz, mbX * 4, mbY * 4))
+      var blk = 0
+      while (blk < 16) {
+        val gx = mbX * 4 + Blk4x(blk); val gy = mbY * 4 + Blk4y(blk)
+        val ac = acLevels(mbX, mbY, blk)
+        require(ac.length == 15, "15 zigzag AC levels per block")
+        lumaNnz(gy)(gx) = writeCavlcBlock(p, ac, nCtx(lumaNnz, gx, gy))
+        blk += 1
+      }
+      mb += 1
+    }
+    p.trailing()
+    w.putBytes(escapeRbsp(p.result())).result()
+  }
+
+  /** IDR slice of I_4x4 macroblocks (mb_type 0): per-block prediction
+    * `modes(mbX, mbY, blkIdx)` (§8.3.1.2 mode numbers 0-8; the caller
+    * must respect neighbor availability — asserted here through the
+    * same [[intra4x4Predict]] gate the decoder uses), 16-coefficient
+    * zigzag residual per block via `coeffs(mbX, mbY, blkIdx)`,
+    * CodedBlockPatternLuma 15 / chroma 0 (codeNum 2 in Table 9-4), DC
+    * chroma prediction, QPy 26. Mode bits use the real §8.3.1.1
+    * prediction (prev_intra4x4_pred_mode_flag / rem). */
+  def encodeIdrI4x4(widthMbs: Int, heightMbs: Int, idrPicId: Int,
+                    modes: (Int, Int, Int) => Int,
+                    coeffs: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+    val w = new BitWriter
+    w.u(0x65L, 8)
+    val p = new BitWriter
+    p.ue(0); p.ue(7); p.ue(0)
+    p.u(0L, 4)
+    p.ue(idrPicId)
+    p.u(0L, 1); p.u(0L, 1)
+    p.se(0) // slice_qp_delta → QPy = 26
+    val lumaNnz = Array.ofDim[Int](heightMbs * 4, widthMbs * 4)
+    val lumaMode = Array.fill(heightMbs * 4, widthMbs * 4)(-1)
+    var mb = 0
+    while (mb < widthMbs * heightMbs) {
+      val mbX = mb % widthMbs; val mbY = mb / widthMbs
+      p.ue(0) // mb_type: I_4x4
+      var b4 = 0
+      while (b4 < 16) {
+        val gx = mbX * 4 + Blk4x(b4); val gy = mbY * 4 + Blk4y(b4)
+        val mode = modes(mbX, mbY, b4)
+        require(mode >= 0 && mode <= 8, s"invalid intra4x4 mode $mode")
+        // availability gate mirrors the decoder: a mode the neighbors
+        // cannot support would decode to None
+        require(intra4x4Predict(mode, new Array[Int](8), new Array[Int](4),
+          0, gy > 0, gx > 0) != null,
+          s"mode $mode unavailable at block ($gx,$gy)")
+        val predicted = predIntra4x4Mode(lumaMode, gx, gy)
+        if (mode == predicted) p.bit(1)
+        else {
+          p.bit(0)
+          p.u((if (mode < predicted) mode else mode - 1).toLong, 3)
+        }
+        lumaMode(gy)(gx) = mode
+        b4 += 1
+      }
+      p.ue(0) // intra_chroma_pred_mode: DC
+      p.ue(CbpIntraInv(15)) // coded_block_pattern 15 (luma 15, chroma 0)
+      p.se(0) // mb_qp_delta (cbp > 0 → present)
+      b4 = 0
+      while (b4 < 16) {
+        val gx = mbX * 4 + Blk4x(b4); val gy = mbY * 4 + Blk4y(b4)
+        val sc = coeffs(mbX, mbY, b4)
+        require(sc.length == 16, "16 zigzag coefficients per 4x4 block")
+        lumaNnz(gy)(gx) = writeCavlcBlock(p, sc, nCtx(lumaNnz, gx, gy))
+        b4 += 1
+      }
+      mb += 1
+    }
+    p.trailing()
+    w.putBytes(escapeRbsp(p.result())).result()
+  }
+
+  /** IDR slice whose first macroblock CLAIMS I_4x4 but carries an
+    * opaque non-spec body — historically the I_4x4 seam probe; the
+    * r19 decoder parses real I_4x4, so this stub now only serves the
+    * CABAC sample (where the PPS refuses before the slice is read). */
   def encodeIdrI4x4Stub(idrPicId: Int): Array[Byte] = {
     val w = new BitWriter
     w.u(0x65L, 8)
@@ -333,17 +435,15 @@ object H264 {
   // ------------------------------------------------------------ CAVLC §9.2
 
   /** Table 9-5 coeff_token VLC for nC ∈ [0,2), (len, bits) indexed
-    * [TotalCoeff*4 + T1s], plus the 4:2:0 chroma-DC table (nC == -1);
-    * nC ≥ 8 is the exact 6-bit FLC handled in code. The nC ∈ [2,8)
-    * VLC tables are deliberately NOT transcribed — with no normative
-    * reference available offline, an unverifiable table is a silent
-    * wrong-pixels risk, so blocks landing in that context class return
-    * None instead (decode envelope: every stream this module's own
-    * encoders emit keeps neighbor TotalCoeff at 0 or 16, so nC is
-    * always <2 or ≥8; see [[decodeIdrIntra]]). H264Spec asserts
-    * prefix-freeness and Kraft completeness on everything retained —
-    * the structural gates that caught two transcription slips in
-    * review. len 0 marks invalid (T1s > TotalCoeff). */
+    * [TotalCoeff*4 + T1s], plus the nC ∈ [2,4) and nC ∈ [4,8) columns
+    * below, the 4:2:0 chroma-DC table (nC == -1), and the exact nC ≥ 8
+    * 6-bit FLC handled in code — the full §9.2.1 context family.
+    * H264Spec asserts prefix-freeness and the spec's exact Kraft
+    * deficit on every column (each coeff_token column is complete
+    * except ONE unused near-max-length slot: 1/32768, 1/8192, 1/1024
+    * respectively) — the structural gates that caught two
+    * transcription slips in review. len 0 marks invalid
+    * (T1s > TotalCoeff). */
   private val coeffTokenLen: Array[Int] = Array(
     1, 0, 0, 0,
     6, 2, 0, 0, 8, 6, 3, 0, 9, 8, 7, 5, 10, 9, 8, 6,
@@ -356,6 +456,32 @@ object H264 {
     7, 6, 5, 4, 15, 6, 5, 4, 11, 14, 5, 4, 8, 10, 13, 4,
     15, 14, 9, 4, 11, 10, 13, 12, 15, 14, 9, 12, 11, 10, 13, 8,
     15, 1, 9, 12, 11, 14, 13, 8, 7, 10, 9, 12, 4, 6, 5, 8)
+  // Table 9-5 column 2 ≤ nC < 4 (same [TotalCoeff*4 + T1s] indexing)
+  private val coeffTokenLenNc2: Array[Int] = Array(
+    2, 0, 0, 0,
+    6, 2, 0, 0, 6, 5, 3, 0, 7, 6, 6, 4, 8, 6, 6, 4,
+    8, 7, 7, 5, 9, 8, 8, 6, 11, 9, 9, 6, 11, 11, 11, 7,
+    12, 11, 11, 9, 12, 12, 12, 11, 12, 12, 12, 11, 13, 13, 13, 12,
+    13, 13, 13, 13, 13, 14, 13, 13, 14, 14, 14, 13, 14, 14, 14, 14)
+  private val coeffTokenBitsNc2: Array[Int] = Array(
+    3, 0, 0, 0,
+    11, 2, 0, 0, 7, 7, 3, 0, 7, 10, 9, 5, 7, 6, 5, 4,
+    4, 6, 5, 6, 7, 6, 5, 8, 15, 6, 5, 4, 11, 14, 13, 4,
+    15, 10, 9, 4, 11, 14, 13, 12, 8, 10, 9, 8, 15, 14, 13, 12,
+    11, 10, 9, 12, 7, 11, 6, 8, 9, 8, 10, 1, 7, 6, 5, 4)
+  // Table 9-5 column 4 ≤ nC < 8
+  private val coeffTokenLenNc4: Array[Int] = Array(
+    4, 0, 0, 0,
+    6, 4, 0, 0, 6, 5, 4, 0, 6, 5, 5, 4, 7, 5, 5, 4,
+    7, 5, 5, 4, 7, 6, 6, 4, 7, 6, 6, 4, 8, 7, 7, 5,
+    8, 8, 7, 6, 9, 8, 8, 7, 9, 9, 8, 8, 9, 9, 9, 8,
+    10, 9, 9, 9, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10)
+  private val coeffTokenBitsNc4: Array[Int] = Array(
+    15, 0, 0, 0,
+    15, 14, 0, 0, 11, 15, 13, 0, 8, 12, 14, 12, 15, 10, 11, 11,
+    11, 8, 9, 10, 9, 14, 13, 9, 8, 10, 9, 8, 15, 14, 13, 13,
+    11, 14, 10, 12, 15, 10, 13, 12, 11, 14, 9, 12, 8, 10, 13, 8,
+    13, 7, 9, 12, 9, 12, 11, 10, 5, 8, 7, 6, 1, 4, 3, 2)
   // chroma DC (nC == -1, 4:2:0): TotalCoeff 0..4
   private val chromaDcTokenLen = Array(
     2, 0, 0, 0, 6, 1, 0, 0, 6, 6, 3, 0, 6, 7, 7, 6, 6, 8, 8, 7)
@@ -426,6 +552,8 @@ object H264 {
         (len(tc * 4 + t1), bits(tc * 4 + t1))))
     Seq(
       "coeff_token_nc0" -> tok(coeffTokenLen, coeffTokenBits, 16),
+      "coeff_token_nc2" -> tok(coeffTokenLenNc2, coeffTokenBitsNc2, 16),
+      "coeff_token_nc4" -> tok(coeffTokenLenNc4, coeffTokenBitsNc4, 16),
       "coeff_token_chroma_dc" -> tok(chromaDcTokenLen, chromaDcTokenBits, 4)) ++
       totalZerosLen.indices.map(i =>
         s"total_zeros_tc${i + 1}" ->
@@ -474,6 +602,10 @@ object H264 {
     tokenEntries(chromaDcTokenLen, chromaDcTokenBits, 4)
   private lazy val coeffTokenEntries =
     tokenEntries(coeffTokenLen, coeffTokenBits, 16)
+  private lazy val coeffTokenEntriesNc2 =
+    tokenEntries(coeffTokenLenNc2, coeffTokenBitsNc2, 16)
+  private lazy val coeffTokenEntriesNc4 =
+    tokenEntries(coeffTokenLenNc4, coeffTokenBitsNc4, 16)
   private lazy val chromaDcTzEntries =
     Array.tabulate(chromaDcTzLen.length) { t =>
       val row = chromaDcTzLen(t)
@@ -497,9 +629,12 @@ object H264 {
       val code = r.u(6)
       return if (code == 3) (0, 0) else ((code >> 2) + 1, code & 3)
     }
-    require(nC == -1 || (nC >= 0 && nC < 2),
-      s"coeff_token context nC=$nC not implemented (nC in [2,8))")
-    val entries = if (nC == -1) chromaDcTokenEntries else coeffTokenEntries
+    require(nC >= -1, s"invalid coeff_token context nC=$nC")
+    val entries =
+      if (nC == -1) chromaDcTokenEntries
+      else if (nC < 2) coeffTokenEntries
+      else if (nC < 4) coeffTokenEntriesNc2
+      else coeffTokenEntriesNc4
     val v = readVlc(r, entries)
     (v / 16, v % 16)
   }
@@ -586,9 +721,12 @@ object H264 {
       require(total <= 4, "chroma DC block: TotalCoeff > 4")
       writeVlc(p, chromaDcTokenLen(total * 4 + t1s), chromaDcTokenBits(total * 4 + t1s))
     } else {
-      require(nC >= 0 && nC < 2,
-        s"coeff_token context nC=$nC not implemented (nC in [2,8))")
-      writeVlc(p, coeffTokenLen(total * 4 + t1s), coeffTokenBits(total * 4 + t1s))
+      require(nC >= 0, s"invalid coeff_token context nC=$nC")
+      val (lenT, bitsT) =
+        if (nC < 2) (coeffTokenLen, coeffTokenBits)
+        else if (nC < 4) (coeffTokenLenNc2, coeffTokenBitsNc2)
+        else (coeffTokenLenNc4, coeffTokenBitsNc4)
+      writeVlc(p, lenT(total * 4 + t1s), bitsT(total * 4 + t1s))
     }
     if (total == 0) return 0
     var i = 0
@@ -764,6 +902,116 @@ object H264 {
   // luma4x4BlkIdx → 4x4-block (x, y) within the MB (§6.4.3 ordering)
   private val Blk4x = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
   private val Blk4y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+  // inverse: (by * 4 + bx) → luma4x4BlkIdx (decode order of that block)
+  private val BlkIdxOf: Array[Int] = {
+    val m = new Array[Int](16)
+    var i = 0
+    while (i < 16) { m(Blk4y(i) * 4 + Blk4x(i)) = i; i += 1 }
+    m
+  }
+
+  /** Table 9-4 coded_block_pattern me(v) mapping for ChromaArrayType
+    * 1/2, Intra_4x4 column: codeNum → cbp (luma low 4 bits, chroma
+    * high 2). Inverse built for the encoder. */
+  private val CbpIntra: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+  private val CbpIntraInv: Array[Int] = {
+    val m = Array.fill(48)(-1)
+    CbpIntra.indices.foreach(i => m(CbpIntra(i)) = i)
+    m
+  }
+  /** Structural access for H264Spec: the mapping must be a bijection
+    * 0..47 → 0..47 with the published head (0→47, 1→31, 2→15, 3→0). */
+  private[multimodal] def cbpIntraTable: Array[Int] = CbpIntra.clone()
+
+  /** §8.3.1.2 Intra_4x4 sample prediction, all nine modes. `top` holds
+    * p[0..7,-1] (the caller substitutes p[3,-1] for x ≥ 4 when the
+    * top-right is unavailable, per the §8.3.1.2 substitution rule),
+    * `left` p[-1,0..3], `corner` p[-1,-1]. Returns null when the
+    * mode's required neighbors are unavailable (an invalid stream —
+    * the decoder maps it to None). Output raster pred(y*4+x). */
+  private[multimodal] def intra4x4Predict(
+      mode: Int, top: Array[Int], left: Array[Int], corner: Int,
+      topOk: Boolean, leftOk: Boolean): Array[Int] = {
+    val needTop = Set(0, 3, 7)
+    val needLeft = Set(1, 8)
+    val needBoth = Set(4, 5, 6)
+    if (needTop(mode) && !topOk) return null
+    if (needLeft(mode) && !leftOk) return null
+    if (needBoth(mode) && !(topOk && leftOk)) return null
+    // t/l with index -1 = the corner sample (used by modes 4/5/6)
+    def t(i: Int): Int = if (i < 0) corner else top(i)
+    def l(i: Int): Int = if (i < 0) corner else left(i)
+    val p = new Array[Int](16)
+    var y = 0
+    while (y < 4) {
+      var x = 0
+      while (x < 4) {
+        p(y * 4 + x) = mode match {
+          case 0 => top(x) // Vertical
+          case 1 => left(y) // Horizontal
+          case 2 => // DC (§8.3.1.2.3)
+            if (topOk && leftOk)
+              (top(0) + top(1) + top(2) + top(3) +
+                left(0) + left(1) + left(2) + left(3) + 4) >> 3
+            else if (topOk) (top(0) + top(1) + top(2) + top(3) + 2) >> 2
+            else if (leftOk) (left(0) + left(1) + left(2) + left(3) + 2) >> 2
+            else 128
+          case 3 => // Diagonal-Down-Left (§8.3.1.2.4)
+            if (x == 3 && y == 3) (top(6) + 3 * top(7) + 2) >> 2
+            else (top(x + y) + 2 * top(x + y + 1) + top(x + y + 2) + 2) >> 2
+          case 4 => // Diagonal-Down-Right (§8.3.1.2.5)
+            if (x > y) (t(x - y - 2) + 2 * t(x - y - 1) + t(x - y) + 2) >> 2
+            else if (x < y) (l(y - x - 2) + 2 * l(y - x - 1) + l(y - x) + 2) >> 2
+            else (top(0) + 2 * corner + left(0) + 2) >> 2
+          case 5 => // Vertical-Right (§8.3.1.2.6)
+            val zVR = 2 * x - y
+            if (zVR >= 0 && zVR % 2 == 0)
+              (t(x - (y >> 1) - 1) + t(x - (y >> 1)) + 1) >> 1
+            else if (zVR >= 0)
+              (t(x - (y >> 1) - 2) + 2 * t(x - (y >> 1) - 1) + t(x - (y >> 1)) + 2) >> 2
+            else if (zVR == -1) (left(0) + 2 * corner + top(0) + 2) >> 2
+            else (l(y - 1) + 2 * l(y - 2) + l(y - 3) + 2) >> 2
+          case 6 => // Horizontal-Down (§8.3.1.2.7)
+            val zHD = 2 * y - x
+            if (zHD >= 0 && zHD % 2 == 0)
+              (l(y - (x >> 1) - 1) + l(y - (x >> 1)) + 1) >> 1
+            else if (zHD >= 0)
+              (l(y - (x >> 1) - 2) + 2 * l(y - (x >> 1) - 1) + l(y - (x >> 1)) + 2) >> 2
+            else if (zHD == -1) (left(0) + 2 * corner + top(0) + 2) >> 2
+            else (t(x - 1) + 2 * t(x - 2) + t(x - 3) + 2) >> 2
+          case 7 => // Vertical-Left (§8.3.1.2.8)
+            if (y % 2 == 0) (top(x + (y >> 1)) + top(x + (y >> 1) + 1) + 1) >> 1
+            else (top(x + (y >> 1)) + 2 * top(x + (y >> 1) + 1) +
+              top(x + (y >> 1) + 2) + 2) >> 2
+          case 8 => // Horizontal-Up (§8.3.1.2.9)
+            val zHU = x + 2 * y
+            if (zHU <= 4 && zHU % 2 == 0)
+              (left(y + (x >> 1)) + left(y + (x >> 1) + 1) + 1) >> 1
+            else if (zHU <= 3)
+              (left(y + (x >> 1)) + 2 * left(y + (x >> 1) + 1) +
+                left(y + (x >> 1) + 2) + 2) >> 2
+            else if (zHU == 5) (left(2) + 3 * left(3) + 2) >> 2
+            else left(3)
+          case _ => return null
+        }
+        x += 1
+      }
+      y += 1
+    }
+    p
+  }
+
+  /** §8.3.1.1 Intra4x4PredMode prediction: min of the neighbor modes,
+    * with 2 (DC) substituted when a neighbor is unavailable or its MB
+    * is not I_4x4 (grid value -1). */
+  private def predIntra4x4Mode(grid: Array[Array[Int]], gx: Int, gy: Int): Int = {
+    val a = if (gx > 0 && grid(gy)(gx - 1) >= 0) grid(gy)(gx - 1) else 2
+    val b = if (gy > 0 && grid(gy - 1)(gx) >= 0) grid(gy - 1)(gx) else 2
+    math.min(a, b)
+  }
 
   /** §7.3.2.1.1, both the baseline path and the high-profile
     * chroma_format branch; None for field-coded streams. */
@@ -896,10 +1144,186 @@ object H264 {
     Some(Frame(w16, h16, y, cb, cr))
   } catch { case _: Throwable => None }
 
+  /** §9.2.1 nC from stored neighbor TotalCoeff counts: mean of the
+    * available left/top (rounded up), else the available one, else 0. */
+  private def nCtx(grid: Array[Array[Int]], gx: Int, gy: Int): Int = {
+    val a = if (gx > 0) grid(gy)(gx - 1) else -1
+    val b = if (gy > 0) grid(gy - 1)(gx) else -1
+    if (a >= 0 && b >= 0) (a + b + 1) >> 1
+    else if (a >= 0) a else if (b >= 0) b else 0
+  }
+
+  /** §7.3.5.3 chroma residual parse (DC both planes, then AC when
+    * CodedBlockPatternChroma == 2) + §8.3.4 prediction + §8.5.11-12
+    * reconstruction for one macroblock — shared by the Intra_16x16 and
+    * I_4x4 branches of [[decodeIdrIntra]]. Must be called at the
+    * bitstream position right after the luma residual. Returns false
+    * when the prediction mode needs unavailable neighbors. */
+  private def decodeChroma(r: BitReader, cbpChroma: Int, chromaPredMode: Int,
+                           qpC: Int, mbX: Int, mbY: Int, w16: Int,
+                           cb: Array[Byte], cr: Array[Byte],
+                           cbNnz: Array[Array[Int]], crNnz: Array[Array[Int]],
+                           topOk: Boolean, leftOk: Boolean): Boolean = {
+    val chromaDc = Array.ofDim[Int](2, 4)
+    val chromaAc = Array.ofDim[Int](2, 4, 15)
+    if (cbpChroma > 0) {
+      var pl = 0
+      while (pl < 2) { // ChromaDCLevel, Cb then Cr; nC = -1
+        chromaDc(pl) = readCavlcBlock(r, -1, 4)._1; pl += 1
+      }
+    }
+    var pl = 0
+    while (pl < 2) {
+      val grid = if (pl == 0) cbNnz else crNnz
+      var b = 0
+      while (b < 4) {
+        val gx = mbX * 2 + b % 2; val gy = mbY * 2 + b / 2
+        if (cbpChroma == 2) {
+          val (ac, tc) = readCavlcBlock(r, nCtx(grid, gx, gy), 15)
+          chromaAc(pl)(b) = ac; grid(gy)(gx) = tc
+        } else grid(gy)(gx) = 0
+        b += 1
+      }
+      pl += 1
+    }
+    // ---- prediction + reconstruction (8x8 per component)
+    val wC = w16 / 2
+    pl = 0
+    while (pl < 2) {
+      val plane = if (pl == 0) cb else cr
+      def cAt(py: Int, px: Int): Int = plane(py * wC + px) & 0xff
+      val cPred = new Array[Int](64)
+      chromaPredMode match {
+        case 0 => // DC, per-4x4-block neighbor rules (§8.3.4.1)
+          var byy = 0
+          while (byy < 2) {
+            var bxx = 0
+            while (bxx < 2) {
+              var sT = 0; var sL = 0
+              if (topOk) {
+                var k = 0
+                while (k < 4) {
+                  sT += cAt(mbY * 8 - 1, mbX * 8 + bxx * 4 + k); k += 1
+                }
+              }
+              if (leftOk) {
+                var k = 0
+                while (k < 4) {
+                  sL += cAt(mbY * 8 + byy * 4 + k, mbX * 8 - 1); k += 1
+                }
+              }
+              val corner = (bxx == byy) // (0,0) and (1,1) blocks
+              val dc =
+                if (corner) {
+                  if (topOk && leftOk) (sT + sL + 4) >> 3
+                  else if (leftOk) (sL + 2) >> 2
+                  else if (topOk) (sT + 2) >> 2
+                  else 128
+                } else if (bxx == 1 && byy == 0) {
+                  if (topOk) (sT + 2) >> 2
+                  else if (leftOk) (sL + 2) >> 2
+                  else 128
+                } else { // (0,1)
+                  if (leftOk) (sL + 2) >> 2
+                  else if (topOk) (sT + 2) >> 2
+                  else 128
+                }
+              var py = 0
+              while (py < 4) {
+                var px = 0
+                while (px < 4) {
+                  cPred((byy * 4 + py) * 8 + bxx * 4 + px) = dc; px += 1
+                }
+                py += 1
+              }
+              bxx += 1
+            }
+            byy += 1
+          }
+        case 1 => // Horizontal
+          if (!leftOk) return false
+          var yy = 0
+          while (yy < 8) {
+            val l = cAt(mbY * 8 + yy, mbX * 8 - 1)
+            var x = 0
+            while (x < 8) { cPred(yy * 8 + x) = l; x += 1 }
+            yy += 1
+          }
+        case 2 => // Vertical
+          if (!topOk) return false
+          var x = 0
+          while (x < 8) {
+            val t = cAt(mbY * 8 - 1, mbX * 8 + x)
+            var yy = 0
+            while (yy < 8) { cPred(yy * 8 + x) = t; yy += 1 }
+            x += 1
+          }
+        case _ => // Plane (§8.3.4.4, 4:2:0)
+          if (!topOk || !leftOk) return false
+          def t(x: Int): Int =
+            if (x < 0) cAt(mbY * 8 - 1, mbX * 8 - 1)
+            else cAt(mbY * 8 - 1, mbX * 8 + x)
+          def l(yy: Int): Int =
+            if (yy < 0) cAt(mbY * 8 - 1, mbX * 8 - 1)
+            else cAt(mbY * 8 + yy, mbX * 8 - 1)
+          var hAcc = 0; var vAcc = 0
+          var k = 0
+          while (k < 4) {
+            hAcc += (k + 1) * (t(4 + k) - t(2 - k))
+            vAcc += (k + 1) * (l(4 + k) - l(2 - k))
+            k += 1
+          }
+          val a = 16 * (t(7) + l(7))
+          val bB = (34 * hAcc + 32) >> 6
+          val cC = (34 * vAcc + 32) >> 6
+          var yy = 0
+          while (yy < 8) {
+            var x = 0
+            while (x < 8) {
+              cPred(yy * 8 + x) = math.max(0, math.min(255,
+                (a + bB * (x - 3) + cC * (yy - 3) + 16) >> 5))
+              x += 1
+            }
+            yy += 1
+          }
+      }
+      val dcC = chromaDcDequant(chromaDc(pl), qpC)
+      var b = 0
+      while (b < 4) {
+        val bxx = b % 2; val byy = b / 2
+        val cBlock = new Array[Int](16)
+        var s2 = 1
+        while (s2 < 16) {
+          cBlock(Zigzag4x4(s2)) = chromaAc(pl)(b)(s2 - 1); s2 += 1
+        }
+        val d = dequant4x4(cBlock, qpC)
+        d(0) = dcC(byy * 2 + bxx)
+        val g = inverseTransform4x4(d)
+        var py = 0
+        while (py < 4) {
+          var px = 0
+          while (px < 4) {
+            val yy = byy * 4 + py; val xx = bxx * 4 + px
+            plane((mbY * 8 + yy) * wC + mbX * 8 + xx) =
+              clip255(cPred(yy * 8 + xx) + ((g(py * 4 + px) + 32) >> 6))
+            px += 1
+          }
+          py += 1
+        }
+        b += 1
+      }
+      pl += 1
+    }
+    true
+  }
+
   /** Decode one IDR I slice containing any mix of I_PCM (§7.3.5 PCM
-    * path) and Intra_16x16 (mb_type 1–24: CAVLC residual per §9.2,
+    * path), Intra_16x16 (mb_type 1–24: CAVLC residual per §9.2,
     * §8.3.3 luma + §8.3.4 chroma prediction, §8.5.10-12 transforms)
-    * macroblocks. I_4x4 (mb_type 0) and anything else → None — the
+    * and I_4x4 (mb_type 0: §8.3.1.1 mode derivation, all nine
+    * §8.3.1.2 per-block prediction modes, Table 9-4 coded_block_
+    * pattern, per-block CAVLC residual with the full nC context
+    * family) macroblocks. Anything else (I_8x8, inter) → None — the
     * remaining declared seam. Single slice per picture (first_mb 0). */
   def decodeIdrIntra(sps: Sps, pps: Pps, nal: Array[Byte]): Option[Frame] = try {
     if (sps.chromaFormatIdc != 1) return None // 4:2:0 only
@@ -919,12 +1343,9 @@ object H264 {
     val lumaNnz = Array.ofDim[Int](hMb * 4, wMb * 4)
     val cbNnz = Array.ofDim[Int](hMb * 2, wMb * 2)
     val crNnz = Array.ofDim[Int](hMb * 2, wMb * 2)
-    def nCtx(grid: Array[Array[Int]], gx: Int, gy: Int): Int = {
-      val a = if (gx > 0) grid(gy)(gx - 1) else -1
-      val b = if (gy > 0) grid(gy - 1)(gx) else -1
-      if (a >= 0 && b >= 0) (a + b + 1) >> 1
-      else if (a >= 0) a else if (b >= 0) b else 0
-    }
+    // per-4x4 Intra4x4PredMode grid for §8.3.1.1 derivation; -1 marks
+    // blocks of non-I_4x4 macroblocks (predicted as DC there)
+    val lumaMode = Array.fill(hMb * 4, wMb * 4)(-1)
     var mb = 0
     val nMbs = wMb * hMb
     while (mb < nMbs) {
@@ -995,28 +1416,9 @@ object H264 {
           blk += 1
         }
         val qpC = chromaQp(qpY + pps.chromaQpOffset)
-        val chromaDc = Array.ofDim[Int](2, 4)
-        val chromaAc = Array.ofDim[Int](2, 4, 15)
-        if (cbpChroma > 0) {
-          var pl = 0
-          while (pl < 2) { // ChromaDCLevel, Cb then Cr; nC = -1
-            chromaDc(pl) = readCavlcBlock(r, -1, 4)._1; pl += 1
-          }
-        }
-        var pl = 0
-        while (pl < 2) {
-          val grid = if (pl == 0) cbNnz else crNnz
-          var b = 0
-          while (b < 4) {
-            val gx = mbX * 2 + b % 2; val gy = mbY * 2 + b / 2
-            if (cbpChroma == 2) {
-              val (ac, tc) = readCavlcBlock(r, nCtx(grid, gx, gy), 15)
-              chromaAc(pl)(b) = ac; grid(gy)(gx) = tc
-            } else grid(gy)(gx) = 0
-            b += 1
-          }
-          pl += 1
-        }
+        if (!decodeChroma(r, cbpChroma, chromaPredMode, qpC, mbX, mbY, w16,
+          cb, cr, cbNnz, crNnz, topOk = mbY > 0, leftOk = mbX > 0))
+          return None
         // ---- luma prediction (§8.3.3) from already-reconstructed
         // neighbor pixels
         val topOk = mbY > 0; val leftOk = mbX > 0
@@ -1112,135 +1514,105 @@ object H264 {
           }
           blk += 1
         }
-        // ---- chroma prediction + reconstruction (8x8 per component)
-        val wC = w16 / 2
-        pl = 0
-        while (pl < 2) {
-          val plane = if (pl == 0) cb else cr
-          def cAt(py: Int, px: Int): Int = plane(py * wC + px) & 0xff
-          val cPred = new Array[Int](64)
-          chromaPredMode match {
-            case 0 => // DC, per-4x4-block neighbor rules (§8.3.4.1)
-              var byy = 0
-              while (byy < 2) {
-                var bxx = 0
-                while (bxx < 2) {
-                  var sT = 0; var sL = 0
-                  if (topOk) {
-                    var k = 0
-                    while (k < 4) {
-                      sT += cAt(mbY * 8 - 1, mbX * 8 + bxx * 4 + k); k += 1
-                    }
-                  }
-                  if (leftOk) {
-                    var k = 0
-                    while (k < 4) {
-                      sL += cAt(mbY * 8 + byy * 4 + k, mbX * 8 - 1); k += 1
-                    }
-                  }
-                  val corner = (bxx == byy) // (0,0) and (1,1) blocks
-                  val dc =
-                    if (corner) {
-                      if (topOk && leftOk) (sT + sL + 4) >> 3
-                      else if (leftOk) (sL + 2) >> 2
-                      else if (topOk) (sT + 2) >> 2
-                      else 128
-                    } else if (bxx == 1 && byy == 0) {
-                      if (topOk) (sT + 2) >> 2
-                      else if (leftOk) (sL + 2) >> 2
-                      else 128
-                    } else { // (0,1)
-                      if (leftOk) (sL + 2) >> 2
-                      else if (topOk) (sT + 2) >> 2
-                      else 128
-                    }
-                  var py = 0
-                  while (py < 4) {
-                    var px = 0
-                    while (px < 4) {
-                      cPred((byy * 4 + py) * 8 + bxx * 4 + px) = dc; px += 1
-                    }
-                    py += 1
-                  }
-                  bxx += 1
-                }
-                byy += 1
-              }
-            case 1 => // Horizontal
-              if (!leftOk) return None
-              var yy = 0
-              while (yy < 8) {
-                val l = cAt(mbY * 8 + yy, mbX * 8 - 1)
-                var x = 0
-                while (x < 8) { cPred(yy * 8 + x) = l; x += 1 }
-                yy += 1
-              }
-            case 2 => // Vertical
-              if (!topOk) return None
-              var x = 0
-              while (x < 8) {
-                val t = cAt(mbY * 8 - 1, mbX * 8 + x)
-                var yy = 0
-                while (yy < 8) { cPred(yy * 8 + x) = t; yy += 1 }
-                x += 1
-              }
-            case _ => // Plane (§8.3.4.4, 4:2:0)
-              if (!topOk || !leftOk) return None
-              def t(x: Int): Int =
-                if (x < 0) cAt(mbY * 8 - 1, mbX * 8 - 1)
-                else cAt(mbY * 8 - 1, mbX * 8 + x)
-              def l(yy: Int): Int =
-                if (yy < 0) cAt(mbY * 8 - 1, mbX * 8 - 1)
-                else cAt(mbY * 8 + yy, mbX * 8 - 1)
-              var hAcc = 0; var vAcc = 0
-              var k = 0
-              while (k < 4) {
-                hAcc += (k + 1) * (t(4 + k) - t(2 - k))
-                vAcc += (k + 1) * (l(4 + k) - l(2 - k))
-                k += 1
-              }
-              val a = 16 * (t(7) + l(7))
-              val bB = (34 * hAcc + 32) >> 6
-              val cC = (34 * vAcc + 32) >> 6
-              var yy = 0
-              while (yy < 8) {
-                var x = 0
-                while (x < 8) {
-                  cPred(yy * 8 + x) = math.max(0, math.min(255,
-                    (a + bB * (x - 3) + cC * (yy - 3) + 16) >> 5))
-                  x += 1
-                }
-                yy += 1
-              }
-          }
-          val dcC = chromaDcDequant(chromaDc(pl), qpC)
-          var b = 0
-          while (b < 4) {
-            val bxx = b % 2; val byy = b / 2
-            val cBlock = new Array[Int](16)
-            var s2 = 1
-            while (s2 < 16) {
-              cBlock(Zigzag4x4(s2)) = chromaAc(pl)(b)(s2 - 1); s2 += 1
+      } else if (mbType == 0) {
+        // ---- I_4x4 (§7.3.5.1 mb_pred + §7.4.5 cbp + §7.3.5.3 residual)
+        // 16 prediction modes, §8.3.1.1 derivation against the mode grid
+        val modes = new Array[Int](16)
+        var b4 = 0
+        while (b4 < 16) {
+          val gx = mbX * 4 + Blk4x(b4); val gy = mbY * 4 + Blk4y(b4)
+          val predicted = predIntra4x4Mode(lumaMode, gx, gy)
+          val mode =
+            if (r.bit() == 1) predicted // prev_intra4x4_pred_mode_flag
+            else {
+              val rem = r.u(3) // rem_intra4x4_pred_mode
+              if (rem < predicted) rem else rem + 1
             }
-            val d = dequant4x4(cBlock, qpC)
-            d(0) = dcC(byy * 2 + bxx)
-            val g = inverseTransform4x4(d)
-            var py = 0
-            while (py < 4) {
-              var px = 0
-              while (px < 4) {
-                val yy = byy * 4 + py; val xx = bxx * 4 + px
-                plane((mbY * 8 + yy) * wC + mbX * 8 + xx) =
-                  clip255(cPred(yy * 8 + xx) + ((g(py * 4 + px) + 32) >> 6))
-                px += 1
-              }
-              py += 1
-            }
-            b += 1
-          }
-          pl += 1
+          modes(b4) = mode
+          lumaMode(gy)(gx) = mode // §8.3.1.1 reads modes of DECODED blocks
+          b4 += 1
         }
-      } else return None // I_4x4 (0) / out-of-range: the remaining seam
+        val chromaPredMode = r.ue()
+        if (chromaPredMode > 3) return None
+        val cbpCode = r.ue() // coded_block_pattern, me(v) Table 9-4
+        if (cbpCode > 47) return None
+        val cbp = CbpIntra(cbpCode)
+        val cbpLuma = cbp & 15; val cbpChroma = cbp >> 4
+        if (cbp != 0) qpY = (qpY + r.se() + 52) % 52 // mb_qp_delta
+        // ---- per-block residual parse + §8.3.1.2 prediction +
+        // §8.5.12 reconstruction, strictly in §6.4.3 decode order
+        // (prediction reads already-reconstructed neighbor samples)
+        def yAt(py: Int, px: Int): Int = y(py * w16 + px) & 0xff
+        b4 = 0
+        while (b4 < 16) {
+          val bx = Blk4x(b4); val by = Blk4y(b4)
+          val gx = mbX * 4 + bx; val gy = mbY * 4 + by
+          val coeffScan =
+            if ((cbpLuma & (1 << (b4 / 4))) != 0) {
+              val (sc, tc) = readCavlcBlock(r, nCtx(lumaNnz, gx, gy), 16)
+              lumaNnz(gy)(gx) = tc
+              sc
+            } else { lumaNnz(gy)(gx) = 0; new Array[Int](16) }
+          val x0 = mbX * 16 + bx * 4; val y0 = mbY * 16 + by * 4
+          val topOk4 = gy > 0
+          val leftOk4 = gx > 0
+          val corner =
+            if (topOk4 && leftOk4) yAt(y0 - 1, x0 - 1) else 0
+          val left4 = new Array[Int](4)
+          if (leftOk4) {
+            var i = 0
+            while (i < 4) { left4(i) = yAt(y0 + i, x0 - 1); i += 1 }
+          }
+          val top8 = new Array[Int](8)
+          if (topOk4) {
+            var i = 0
+            while (i < 4) { top8(i) = yAt(y0 - 1, x0 + i); i += 1 }
+            // top-right p[4..7,-1]: available when those samples lie in
+            // the picture AND their block is already decoded (§6.4.3:
+            // previous MB rows always are; within this MB row, earlier
+            // MBs are, and within this MB a block with smaller decode
+            // index is); otherwise substitute p[3,-1] (§8.3.1.2)
+            val trMbX = (gx + 1) / 4
+            val trAvail = gx + 1 < wMb * 4 && (
+              gy % 4 == 0 || // top row of this MB → previous MB row
+                trMbX < mbX || // earlier MB this row
+                (trMbX == mbX && // within this MB: earlier decode index
+                  BlkIdxOf((by - 1) * 4 + (bx + 1)) < b4))
+            if (trAvail) {
+              var i = 4
+              while (i < 8) { top8(i) = yAt(y0 - 1, x0 + i); i += 1 }
+            } else {
+              var i = 4
+              while (i < 8) { top8(i) = top8(3); i += 1 }
+            }
+          }
+          val pred = intra4x4Predict(modes(b4), top8, left4, corner,
+            topOk4, leftOk4)
+          if (pred == null) return None
+          val cBlock = new Array[Int](16)
+          var s2 = 0
+          while (s2 < 16) {
+            cBlock(Zigzag4x4(s2)) = coeffScan(s2); s2 += 1
+          }
+          val g = inverseTransform4x4(dequant4x4(cBlock, qpY))
+          var py = 0
+          while (py < 4) {
+            var px = 0
+            while (px < 4) {
+              y((y0 + py) * w16 + x0 + px) =
+                clip255(pred(py * 4 + px) + ((g(py * 4 + px) + 32) >> 6))
+              px += 1
+            }
+            py += 1
+          }
+          b4 += 1
+        }
+        val qpC = chromaQp(qpY + pps.chromaQpOffset)
+        if (!decodeChroma(r, cbpChroma, chromaPredMode, qpC, mbX, mbY, w16,
+          cb, cr, cbNnz, crNnz, topOk = mbY > 0, leftOk = mbX > 0))
+          return None
+      } else return None // I_8x8 via transform_size flag / out-of-range:
+      // inter frames and 8x8 partitions are the remaining seam
       mb += 1
     }
     Some(Frame(w16, h16, y, cb, cr))

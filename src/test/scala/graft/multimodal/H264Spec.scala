@@ -139,6 +139,8 @@ class H264Spec extends AnyFunSuite {
     // exact Kraft deficit is pinned so a regression can't hide there.
     val knownIncomplete = Map(
       "coeff_token_nc0" -> BigDecimal(1) / 32768, // one 15-bit slot unused
+      "coeff_token_nc2" -> BigDecimal(1) / 8192, // one 13-bit slot unused
+      "coeff_token_nc4" -> BigDecimal(1) / 1024, // the all-zeros 10-bit slot
       "total_zeros_tc1" -> BigDecimal(1) / 512,
       "run_before_zl7" -> BigDecimal(1) / 2048)
     H264.vlcTables.foreach { case (name, entries) =>
@@ -175,6 +177,24 @@ class H264Spec extends AnyFunSuite {
     val w = new H264.BitWriter
     w.bit(0); w.bit(1); w.trailing()
     assert(H264.readCavlcBlock(new H264.BitReader(w.result()), -1, 4)._2 === 0)
+    // published short codewords of the r19 columns: TC=0 is "11" for
+    // nC ∈ [2,4) and "1111" for nC ∈ [4,8) — a column swap or offset
+    // slip cannot survive these
+    assert(decode("11", 2) === (0, 0))
+    assert(decode("11", 3) === (0, 0))
+    assert(decode("1111", 4) === (0, 0))
+    assert(decode("1111", 7) === (0, 0))
+    // nC ∈ [2,4): (TC=1, T1=1) is "10" + sign bit; one +1 coefficient
+    val w2 = new H264.BitWriter
+    "10".foreach(c => w2.bit(c - '0'))
+    w2.bit(0) // trailing_ones_sign_flag: positive
+    // total_zeros(TC=1): 15 zeros below → the tc1 table's last entry
+    (0 until 8).foreach(_ => w2.bit(0)); w2.bit(1) // "000000001" = tz 15
+    w2.trailing()
+    // decode succeeds structurally; exact zero placement asserted via
+    // the round-trip shapes above — here the TOKEN is the subject
+    val (c2, t2) = H264.readCavlcBlock(new H264.BitReader(w2.result()), 2, 16)
+    assert(t2 === 1 && c2.count(_ != 0) === 1 && c2.sum === 1)
   }
 
   test("CAVLC block round-trip across coefficient shapes and contexts") {
@@ -189,6 +209,15 @@ class H264Spec extends AnyFunSuite {
       ("max-levels", Array(7, -7, 6, -6, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), 0, 16),
       ("full16", Array(1, -1, 1, -1, 2, -2, 2, -2, 1, -1, 1, -1, 3, -3, 1, -1), 0, 16),
       ("nc1", Array(0, 2, 0, -1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), 1, 16),
+      // the r19 nC ∈ [2,8) columns: every context value 2..7, varied shapes
+      ("nc2-empty", Array.fill(16)(0), 2, 16),
+      ("nc2", Array(3, 0, -1, 1, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0), 2, 16),
+      ("nc3", Array(1, -1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -2, 0), 3, 16),
+      ("nc4-empty", Array.fill(16)(0), 4, 16),
+      ("nc4", Array(-2, 1, 0, 0, 1, 0, 0, -1, 0, 0, 0, 1, 0, 0, 0, 0), 4, 16),
+      ("nc5-full16", Array(1, -1, 1, -1, 2, -2, 2, -2, 1, -1, 1, -1, 3, -3, 1, -1), 5, 16),
+      ("nc6-ac15", Array(0, 1, 0, -2, 0, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0), 6, 15),
+      ("nc7-max-levels", Array(7, -7, 6, -6, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), 7, 16),
       ("flc-nc8", Array(2, -1, 0, 1, 0, 0, -3, 0, 0, 0, 0, 0, 0, 0, 1, 0), 8, 16),
       ("flc-nc16-empty", Array.fill(16)(0), 16, 16),
       ("ac15", Array(0, 1, 0, -2, 0, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0), 0, 15),
@@ -335,16 +364,275 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
-  test("honesty: nC in [2,8) context and I_4x4 mb_type decode to None, never garbage") {
+  test("honesty: truncated I_4x4 bodies and CABAC decode to None, never garbage") {
     val sps = H264.parseSps(H264.encodeSps(1, 1)).get
     val pps = H264.parsePps(H264.encodePps()).get
+    // the legacy stub CLAIMS I_4x4 but carries a 16-bit opaque body —
+    // the real parser runs out of bits inside mb_pred/residual → None
     assert(H264.decodeIdrIntra(sps, pps, H264.encodeIdrI4x4Stub(0)).isEmpty)
     // CABAC PPS still refuses at parse time
     assert(H264.parsePps(H264.encodePpsCabac()).isEmpty)
-    // writeCavlcBlock refuses the un-transcribed context class loudly
+    // invalid coeff_token context refuses loudly on the encode side
     val p = new H264.BitWriter
     intercept[IllegalArgumentException] {
-      H264.writeCavlcBlock(p, Array.fill(16)(0), 4)
+      H264.writeCavlcBlock(p, Array.fill(16)(0), -2)
+    }
+  }
+
+  test("intra4x4Predict: all nine modes against hand-computed spec arithmetic") {
+    // ramp neighbors: top p[0..7,-1], left p[-1,0..3], corner p[-1,-1]
+    val top = Array(0, 8, 16, 24, 32, 40, 48, 56)
+    val left = Array(4, 12, 20, 28)
+    val corner = 2
+    def pr(mode: Int): Array[Int] =
+      H264.intra4x4Predict(mode, top, left, corner, true, true)
+    def at(p: Array[Int], y: Int, x: Int): Int = p(y * 4 + x)
+    val v = pr(0); assert(at(v, 0, 0) === 0 && at(v, 3, 3) === 24)
+    val h = pr(1); assert(at(h, 0, 0) === 4 && at(h, 3, 1) === 28)
+    val dc = pr(2); assert(dc.forall(_ === 14)) // (48+64+4)>>3
+    val ddl = pr(3)
+    assert(at(ddl, 0, 0) === 8) // (t0+2t1+t2+2)>>2 = 34>>2
+    assert(at(ddl, 0, 3) === 32) // (t3+2t4+t5+2)>>2 = 130>>2
+    assert(at(ddl, 3, 3) === 54) // (t6+3t7+2)>>2 = 218>>2
+    val ddr = pr(4)
+    assert(at(ddr, 0, 0) === 2) // (t0+2c+l0+2)>>2 = 10>>2
+    assert(at(ddr, 0, 2) === 8) // x>y: (t0+2t1+t2+2)>>2
+    assert(at(ddr, 2, 0) === 12) // x<y: (l0+2l1+l2+2)>>2 = 50>>2
+    val vr = pr(5)
+    assert(at(vr, 0, 0) === 1) // zVR 0: (c+t0+1)>>1 = 3>>1
+    assert(at(vr, 1, 1) === 3) // zVR 1: (c+2t0+t1+2)>>2 = 12>>2
+    assert(at(vr, 1, 0) === 2) // zVR -1: (l0+2c+t0+2)>>2 = 10>>2
+    assert(at(vr, 2, 0) === 6) // zVR -2: (l1+2l0+c+2)>>2 = 24>>2
+    val hd = pr(6)
+    assert(at(hd, 0, 0) === 3) // zHD 0: (c+l0+1)>>1 = 7>>1
+    assert(at(hd, 0, 1) === 2) // zHD -1: (l0+2c+t0+2)>>2
+    assert(at(hd, 0, 2) === 3) // zHD -2: (t1+2t0+c+2)>>2 = 12>>2
+    val vl = pr(7)
+    assert(at(vl, 0, 0) === 4) // (t0+t1+1)>>1 = 9>>1
+    assert(at(vl, 1, 0) === 8) // (t0+2t1+t2+2)>>2
+    assert(at(vl, 3, 3) === 40) // (t4+2t5+t6+2)>>2 = 162>>2
+    val hu = pr(8)
+    assert(at(hu, 0, 0) === 8) // zHU 0: (l0+l1+1)>>1 = 17>>1
+    assert(at(hu, 1, 1) === 20) // zHU 3: (l1+2l2+l3+2)>>2 = 82>>2
+    assert(at(hu, 2, 0) === 24) // zHU 4: (l2+l3+1)>>1 = 49>>1
+    assert(at(hu, 2, 1) === 26) // zHU 5: (l2+3l3+2)>>2 = 106>>2
+    assert(at(hu, 3, 2) === 28) // zHU 9 > 5: l3
+    // availability refusals: null, never a guess
+    assert(H264.intra4x4Predict(0, top, left, corner, false, true) == null)
+    assert(H264.intra4x4Predict(1, top, left, corner, true, false) == null)
+    assert(H264.intra4x4Predict(4, top, left, corner, true, false) == null)
+    // flat neighborhood is a fixed point of every mode (weights sum
+    // to the divisor): catches indexing slips across the whole grid
+    val ft = Array.fill(8)(77); val fl = Array.fill(4)(77)
+    (0 to 8).foreach { m =>
+      assert(H264.intra4x4Predict(m, ft, fl, 77, true, true).forall(_ === 77),
+        s"mode $m not flat-preserving")
+    }
+  }
+
+  test("Table 9-4 intra CBP mapping is a 0..47 bijection with the published head") {
+    val t = H264.cbpIntraTable
+    assert(t.length === 48)
+    assert(t.toSet === (0 until 48).toSet)
+    assert(t(0) === 47 && t(1) === 31 && t(2) === 15 && t(3) === 0)
+  }
+
+  /** Independent I_4x4 luma model: sequential §6.4.3 reconstruction
+    * with matrix-form inverse transform (doubled-integer halves — the
+    * decoder uses butterflies) and straight-line V/H/DC prediction.
+    * Valid for even dequantized coefficients (fixture QP 26 ensures
+    * it) and modes 0-2. */
+  private def expectedI4x4Luma(modes: Int => Int,
+                               zig: Int => Array[Int]): Array[Int] = {
+    val zz = H264.Zigzag4x4
+    val blk4x = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+    val blk4y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+    val ls = Array.tabulate(16) { k =>
+      val i = k / 4; val j = k % 4
+      if (i % 2 == 0 && j % 2 == 0) 208 else if (i % 2 == 1 && j % 2 == 1) 320
+      else 256 // qp 26: 16 * {13, 20, 16}
+    }
+    // inverse core as M * D * M^T with doubled integers (exact for
+    // even D): rows of 2*M are (2,2,2,1), (2,1,-2,-2), (2,-1,-2,2),
+    // (2,-2,2,-1)
+    val m2 = Array(
+      Array(2, 2, 2, 1), Array(2, 1, -2, -2),
+      Array(2, -1, -2, 2), Array(2, -2, 2, -1))
+    val pix = new Array[Int](256)
+    for (b <- 0 until 16) {
+      val bx = blk4x(b); val by = blk4y(b)
+      val sc = zig(b)
+      val d = new Array[Int](16)
+      for (s <- 0 until 16) d(zz(s)) = sc(s) * ls(zz(s))
+      val g = Array.ofDim[Int](4, 4)
+      for (i <- 0 until 4; j <- 0 until 4) {
+        var acc = 0
+        for (u <- 0 until 4; v2 <- 0 until 4)
+          acc += m2(i)(u) * d(u * 4 + v2) * m2(j)(v2)
+        assert(acc % 4 == 0, "doubled transform inexact — odd input")
+        g(i)(j) = acc / 4
+      }
+      val x0 = bx * 4; val y0 = by * 4
+      val topOk = by > 0; val leftOk = bx > 0
+      val pred = Array.ofDim[Int](4, 4)
+      modes(b) match {
+        case 0 =>
+          for (y <- 0 until 4; x <- 0 until 4)
+            pred(y)(x) = pix((y0 - 1) * 16 + x0 + x)
+        case 1 =>
+          for (y <- 0 until 4; x <- 0 until 4)
+            pred(y)(x) = pix((y0 + y) * 16 + x0 - 1)
+        case 2 =>
+          val sT = if (topOk) (0 until 4).map(i => pix((y0 - 1) * 16 + x0 + i)).sum else 0
+          val sL = if (leftOk) (0 until 4).map(i => pix((y0 + i) * 16 + x0 - 1)).sum else 0
+          val v =
+            if (topOk && leftOk) (sT + sL + 4) >> 3
+            else if (topOk) (sT + 2) >> 2
+            else if (leftOk) (sL + 2) >> 2
+            else 128
+          for (y <- 0 until 4; x <- 0 until 4) pred(y)(x) = v
+        case m => fail(s"model only covers modes 0-2, got $m")
+      }
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val r = {
+          val t = g(y)(x) + 32
+          // arithmetic >> 6 is floor division
+          if (t >= 0) t >> 6 else -((-t + 63) / 64)
+        }
+        pix((y0 + y) * 16 + x0 + x) =
+          math.max(0, math.min(255, pred(y)(x) + r))
+      }
+    }
+    pix
+  }
+
+  test("I_4x4 IDR: V/H/DC-mode MB decodes to the independent sequential model") {
+    val sps = H264.parseSps(H264.encodeSps(1, 1)).get
+    val pps = H264.parsePps(H264.encodePps()).get
+    def mode(b: Int): Int = {
+      val bx = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)(b)
+      val by = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)(b)
+      if (bx == 0 && by == 0) 2
+      else if (by == 0) Seq(1, 2)((b + 1) % 2)
+      else if (bx == 0) Seq(0, 2)(b % 2)
+      else Seq(0, 1, 2)(b % 3)
+    }
+    def zig(b: Int): Array[Int] = Array.tabulate(16) { k =>
+      if ((b * 7 + k) % 5 != 0) 0
+      else { val v = (b * 13 + k * 7) % 4; if (v < 2) v - 2 else v - 1 }
+    }
+    val nal = H264.encodeIdrI4x4(1, 1, 0, (_, _, b) => mode(b),
+      (_, _, b) => zig(b))
+    val fr = H264.decodeIdrIntra(sps, pps, nal)
+    assert(fr.isDefined, "I_4x4 slice must decode")
+    val want = expectedI4x4Luma(mode, zig)
+    (0 until 256).foreach { k =>
+      assert((fr.get.y(k) & 0xff) === want(k), s"luma byte $k")
+    }
+    // chroma: cbp_chroma 0 + DC prediction with no neighbors = flat 128
+    assert(fr.get.cb.forall(b => (b & 0xff) === 128))
+    assert(fr.get.cr.forall(b => (b & 0xff) === 128))
+  }
+
+  test("I_4x4 2x2-MB slice: modes 3-8 on interior blocks decode (flat fixed point)") {
+    val sps = H264.parseSps(H264.encodeSps(2, 2)).get
+    val pps = H264.parsePps(H264.encodePps()).get
+    // zero residual everywhere: with an all-flat reconstruction (DC
+    // from no neighbors = 128 seeds it), EVERY mode must reproduce the
+    // flat value — exercises the directional modes' neighbor indexing
+    // (incl. top-right substitution) across real MB boundaries
+    def mode(mbX: Int, mbY: Int, b: Int): Int = {
+      val bx = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)(b)
+      val by = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)(b)
+      val gx = mbX * 4 + bx; val gy = mbY * 4 + by
+      if (gx == 0 && gy == 0) 2
+      else if (gy == 0) 1 // top picture row: H
+      else if (gx == 0) 0 // left picture col: V
+      else 3 + ((gx * 5 + gy * 3 + b) % 6) // interior: modes 3..8
+    }
+    val nal = H264.encodeIdrI4x4(2, 2, 0, (mx, my, b) => mode(mx, my, b),
+      (_, _, _) => Array.fill(16)(0))
+    val fr = H264.decodeIdrIntra(sps, pps, nal)
+    assert(fr.isDefined)
+    assert(fr.get.y.forall(b => (b & 0xff) === 128), "flat fixed point broken")
+  }
+
+  test("Intra_16x16 AC residual (cbp_luma 15): nC contexts walk all Table 9-5 columns") {
+    val sps = H264.parseSps(H264.encodeSps(1, 1)).get
+    val pps = H264.parsePps(H264.encodePps()).get
+    def dc(k: Int): Int = if (k % 3 == 0) 1 - (k % 2) * 2 else 0
+    // density by blk%3 drives neighbor TotalCoeff through 0-8+
+    def ac(b: Int, k0: Int): Int = {
+      val k = k0 + 1 // zigzag position 1..15
+      val dense = b % 3
+      val hit =
+        if (dense == 0) (b + k) % 5 == 0
+        else if (dense == 1) (b + k) % 3 == 0
+        else k % 2 == 1
+      if (!hit) 0
+      else { val v = (b * 11 + k * 3) % 4; if (v < 2) v - 2 else v - 1 }
+    }
+    val nal = H264.encodeIdrI16Ac(1, 1, 0,
+      (_, _) => Array.tabulate(16)(dc),
+      (_, _, b) => Array.tabulate(15)(k0 => ac(b, k0)))
+    val fr = H264.decodeIdrIntra(sps, pps, nal)
+    assert(fr.isDefined, "AC Intra_16x16 slice must decode")
+    // expected pixels rebuilt longhand: matrix-form Hadamard for the
+    // DC path (as in expectedI16DcLuma), §8.5.12 butterflies written
+    // out from the spec text for the AC-bearing blocks (the doubled-
+    // matrix trick is inexact here because the Hadamard-path d(0) can
+    // be odd), explicit floor shifts throughout
+    val zz = H264.Zigzag4x4
+    val ls = Array.tabulate(16) { k =>
+      val i = k / 4; val j = k % 4
+      if (i % 2 == 0 && j % 2 == 0) 208 else if (i % 2 == 1 && j % 2 == 1) 320
+      else 256
+    }
+    val blk4x = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+    val blk4y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+    for (b <- 0 until 16) {
+      // rebuild the block's full transform (DC from the Hadamard path
+      // + AC) exactly as the decoder composes them
+      val dcRaster = new Array[Int](16)
+      for (s <- 0 until 16) dcRaster(zz(s)) = dc(s)
+      val A = Array(Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+        Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+      val f = Array.ofDim[Int](4, 4)
+      for (i <- 0 until 4; j <- 0 until 4)
+        f(i)(j) = (for (u <- 0 until 4; v <- 0 until 4)
+          yield A(i)(u) * dcRaster(u * 4 + v) * A(v)(j)).sum
+      val bx = blk4x(b); val by = blk4y(b)
+      val d = new Array[Int](16)
+      d(0) = (f(by)(bx) * 208 + 2) >> 2 // §8.5.10 DC dequant, qp 26
+      for (s <- 1 until 16) d(zz(s)) = ac(b, s - 1) * ls(zz(s))
+      def inv(src: Array[Int]): Array[Int] = {
+        val e = new Array[Int](16)
+        for (i <- 0 until 4) {
+          val d0 = src(i * 4); val d1 = src(i * 4 + 1)
+          val d2 = src(i * 4 + 2); val d3 = src(i * 4 + 3)
+          e(i * 4) = (d0 + d2) + (d1 + (d3 >> 1))
+          e(i * 4 + 1) = (d0 - d2) + ((d1 >> 1) - d3)
+          e(i * 4 + 2) = (d0 - d2) - ((d1 >> 1) - d3)
+          e(i * 4 + 3) = (d0 + d2) - (d1 + (d3 >> 1))
+        }
+        val g = new Array[Int](16)
+        for (j <- 0 until 4) {
+          val d0 = e(j); val d1 = e(4 + j); val d2 = e(8 + j); val d3 = e(12 + j)
+          g(j) = (d0 + d2) + (d1 + (d3 >> 1))
+          g(4 + j) = (d0 - d2) + ((d1 >> 1) - d3)
+          g(8 + j) = (d0 - d2) - ((d1 >> 1) - d3)
+          g(12 + j) = (d0 + d2) - (d1 + (d3 >> 1))
+        }
+        g
+      }
+      val g = inv(d)
+      for (py <- 0 until 4; px <- 0 until 4) {
+        val t = g(py * 4 + px) + 32
+        val resid = if (t >= 0) t >> 6 else -((-t + 63) / 64)
+        val want = math.max(0, math.min(255, 128 + resid))
+        val got = fr.get.y((by * 4 + py) * 16 + bx * 4 + px) & 0xff
+        assert(got === want, s"block $b pixel ($py,$px)")
+      }
     }
   }
 
