@@ -28,14 +28,21 @@ package graft.multimodal
   * chroma-QP mapping, with CAVLC nC neighbor-context tracking across
   * the slice (I_PCM neighbors count 16 per spec).
   *
-  * What is NOT here, deliberately: I_4x4 / I_8x8 intra prediction,
+  * Also real (round 19): I_4x4 macroblocks — §8.3.1.1 prediction-mode
+  * derivation (prev/rem syntax, DC substitution for non-I_4x4
+  * neighbors), all nine §8.3.1.2 prediction modes with the top-right
+  * sample substitution rule, the Table 9-4 intra coded_block_pattern
+  * me(v) mapping, per-block CAVLC residuals across the full nC
+  * context family, and sequential §6.4.3 reconstruction.
+  *
+  * What is NOT here, deliberately: I_8x8 (transform_size_8x8_flag),
   * CABAC entropy, and all inter-frame machinery. A slice containing
   * any such macroblock returns None — classified honestly as
   * undecodable-here, never guessed. This narrows the repo's one
-  * declared multimodal seam from "predicted macroblocks" (r17) to
-  * "sub-16x16 intra partitions and inter frames" (reference seam note:
-  * `requirements.txt:1-12` ships no codec either; the reference never
-  * decodes video at all).
+  * declared multimodal seam from "predicted macroblocks" (r17) via
+  * "sub-16x16 partitions" (r18) to "CABAC/I_8x8/inter" (reference
+  * seam note: `requirements.txt:1-12` ships no codec either; the
+  * reference never decodes video at all).
   */
 object H264 {
 

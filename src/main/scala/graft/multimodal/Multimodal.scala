@@ -54,7 +54,8 @@ final case class H264Pixels(media_id: Long, n_samples: Long, n_idr: Long,
 final case class H264MixedPixels(media_id: Long, n_samples: Long, n_idr: Long,
                                  n_decoded: Long, n_seam: Long,
                                  width: Long, height: Long,
-                                 i16_checksum: Long, pcm_checksum: Long)
+                                 i16_checksum: Long, pcm_checksum: Long,
+                                 i4_checksum: Long)
 
 /** Codec seam. PNG and WAV are decoded for real (pure-JVM
   * `javax.imageio` / `javax.sound.sampled`, no native deps): a payload
@@ -379,20 +380,74 @@ object FakeCodec {
       if (v < 2) v - 2 else v - 1
     }
 
+  /** Planted Intra_16x16 AC coefficient at zigzag position `k` (1..15)
+    * of luma block `blk` — shared with the DuckDB oracle. Density
+    * class by blk % 3 (sparse / medium / every-other-coefficient) so
+    * the CAVLC nC neighbor contexts of one macroblock walk through
+    * every Table 9-5 column on every document; values in {-2,-1,1,2}. */
+  def i16AcLevel(mediaId: Long, blk: Int, k: Int): Int = {
+    val hit = (blk % 3: @unchecked) match {
+      case 0 => (mediaId + blk + k) % 5 == 0
+      case 1 => (mediaId + blk + k) % 3 == 0
+      case 2 => k % 2 == 1
+    }
+    if (!hit) 0
+    else {
+      val v = ((mediaId * 29 + blk * 11 + k * 3) % 4).toInt
+      if (v < 2) v - 2 else v - 1
+    }
+  }
+
+  private val Blk4x = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+  private val Blk4y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+
+  /** Planted Intra_4x4 prediction mode for block `blk` of the mixed
+    * asset's single-MB I_4x4 sync point — restricted to V/H/DC so the
+    * DuckDB oracle can replay the sequential reconstruction in a
+    * recursive CTE (the DECODER implements all nine §8.3.1.2 modes;
+    * H264Spec pins modes 3-8 against hand-computed arithmetic).
+    * Availability-correct by construction: the top-left block is DC,
+    * the top row never needs a top neighbor, the left column never a
+    * left one. */
+  def i4x4Mode(mediaId: Long, blk: Int): Int = {
+    val bx = Blk4x(blk); val by = Blk4y(blk)
+    if (blk == 0) 2
+    else if (by == 0) { if ((mediaId + blk) % 2 == 0) 1 else 2 }
+    else if (bx == 0) { if ((mediaId + blk) % 2 == 0) 0 else 2 }
+    else ((mediaId + blk) % 3).toInt
+  }
+
+  /** Planted Intra_4x4 residual coefficient at zigzag position `k`
+    * (0..15, DC included) of block `blk`; blocks with blk % 4 == 3 are
+    * dense (every even position) so neighbor nC contexts reach the
+    * [4,8) and ≥ 8 classes; values in {-2,-1,1,2}. */
+  def i4x4Level(mediaId: Long, blk: Int, k: Int): Int = {
+    val hit = (mediaId + blk * 7 + k) % 5 == 0 ||
+      (blk % 4 == 3 && k % 2 == 0)
+    if (!hit) 0
+    else {
+      val v = ((mediaId * 31 + blk * 13 + k * 7) % 4).toInt
+      if (v < 2) v - 2 else v - 1
+    }
+  }
+
   /** Seam-extent fixture (x121): five samples spanning every decode
     * class of the [[H264]] layer —
     *   0: SPS+PPS+IDR of ONE Intra_16x16 macroblock, DC prediction,
-    *      DC-only CAVLC residual ([[i16DcLevel]]) → decodes through
-    *      the PREDICTED-macroblock path (the r17 seam, now real);
+    *      FULL luma residual (cbp_luma 15: [[i16DcLevel]] DC +
+    *      [[i16AcLevel]] AC whose densities walk the nC context
+    *      through every Table 9-5 column) → the predicted-MB path;
     *   1: opaque non-IDR slice (inter frame; never decodable here);
     *   2: SPS+PPS+IDR of I_PCM macroblocks ([[avcPcmSample]] planes)
     *      → decodes through the PCM path;
-    *   3: SPS+PPS+IDR whose first mb_type is I_4x4 → None (the
-    *      remaining intra-partition seam, pinned);
+    *   3: SPS+PPS+IDR of ONE real I_4x4 macroblock ([[i4x4Mode]]
+    *      V/H/DC modes + [[i4x4Level]] residual) → the sub-16x16
+    *      intra-partition path (the r18 seam, now real);
     *   4: SPS+CABAC-PPS+IDR → None (the entropy seam, pinned).
-    * The per-class counts and both decoded-pixel checksums are exactly
-    * reproducible by arithmetic — the oracle holds the decoder to
-    * byte-level truth AND pins the seam's extent (2 of 4 IDRs). */
+    * The per-class counts and all three decoded-pixel checksums are
+    * exactly reproducible by arithmetic — the oracle holds the decoder
+    * to byte-level truth AND pins the seam's extent (1 of 4 IDRs:
+    * CABAC only). */
   def avcMixedAsset(mediaId: Long): Array[Byte] = {
     def avcc(nal: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(4)
@@ -400,8 +455,9 @@ object FakeCodec {
       bb.array() ++ nal
     }
     val i16 = avcc(H264.encodeSps(1, 1)) ++ avcc(H264.encodePps()) ++
-      avcc(H264.encodeIdrI16Dc(1, 1, 0,
-        (_, _) => Array.tabulate(16)(k => i16DcLevel(mediaId, k))))
+      avcc(H264.encodeIdrI16Ac(1, 1, 0,
+        (_, _) => Array.tabulate(16)(k => i16DcLevel(mediaId, k)),
+        (_, _, blk) => Array.tabulate(15)(k0 => i16AcLevel(mediaId, blk, k0 + 1))))
     val opaque = {
       val body = new Array[Byte](6)
       body(0) = ((2 << 5) | 1).toByte
@@ -416,7 +472,9 @@ object FakeCodec {
         avcc(H264.encodeIdrIPcm(1, 1, 2, y, cb, cr))
     }
     val i4x4 = avcc(H264.encodeSps(1, 1)) ++ avcc(H264.encodePps()) ++
-      avcc(H264.encodeIdrI4x4Stub(3))
+      avcc(H264.encodeIdrI4x4(1, 1, 3,
+        (_, _, blk) => i4x4Mode(mediaId, blk),
+        (_, _, blk) => Array.tabulate(16)(k => i4x4Level(mediaId, blk, k))))
     val cabac = avcc(H264.encodeSps(1, 1)) ++ avcc(H264.encodePpsCabac()) ++
       avcc(H264.encodeIdrI4x4Stub(4))
     mp4Asset(Seq(i16, opaque, pcm, i4x4, cabac))
@@ -916,11 +974,13 @@ object Multimodal {
   /** x121: walk a [[FakeCodec.avcMixedAsset]]-shaped sample table and
     * decode every IDR through the full [[H264]] layer — the first
     * decodable sync point is the Intra_16x16 CAVLC-coded one (checksum
-    * certifies prediction + dequant + inverse transforms), the second
-    * is I_PCM; the I_4x4 and CABAC sync points return None and land in
-    * `n_seam`, so the decoder's remaining envelope is a pinned, oracle-
-    * checked NUMBER instead of prose. Same scale shape as
-    * [[h264IntraDecode]]: partition-local, media bytes never shuffle. */
+    * certifies prediction + dequant + inverse transforms through every
+    * Table 9-5 nC column), the second is I_PCM, the third the real
+    * I_4x4 reconstruction; only the CABAC sync point returns None and
+    * lands in `n_seam`, so the decoder's remaining envelope is a
+    * pinned, oracle-checked NUMBER instead of prose. Same scale shape
+    * as [[h264IntraDecode]]: partition-local, media bytes never
+    * shuffle. */
   def h264MixedDecode(ds: Dataset[MediaRow]): Dataset[H264MixedPixels] =
     ds.mapPartitions { it =>
       it.map { m =>
@@ -929,7 +989,7 @@ object Multimodal {
             FakeCodec.mp4Samples(m.content).getOrElse(IndexedSeq.empty)
           else IndexedSeq.empty
         var nIdr = 0L; var nDec = 0L; var nSeam = 0L
-        var i16Cs = 0L; var pcmCs = 0L
+        var i16Cs = 0L; var pcmCs = 0L; var i4Cs = 0L
         var w = 0L; var h = 0L
         samples.foreach { case (off, sz) =>
           val bytes = java.util.Arrays.copyOfRange(
@@ -944,16 +1004,17 @@ object Multimodal {
                 fr.y.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
                 fr.cb.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
                 fr.cr.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
-                // first decodable sync point is the Intra_16x16 one,
-                // second the PCM one (fixture order)
+                // decodable sync points in fixture order: Intra_16x16,
+                // I_PCM, I_4x4
                 if (nDec == 1) { i16Cs = cs; w = fr.width; h = fr.height }
                 else if (nDec == 2) pcmCs = cs
+                else if (nDec == 3) i4Cs = cs
               case None => nSeam += 1
             }
           }
         }
         H264MixedPixels(m.media_id, samples.length.toLong, nIdr, nDec, nSeam,
-          w, h, i16Cs, pcmCs)
+          w, h, i16Cs, pcmCs, i4Cs)
       }
     }(Encoders.product[H264MixedPixels])
 

@@ -3324,8 +3324,9 @@ object ExtraQueries {
     //       CABAC sync points stay None and are COUNTED, so the
     //       decoder's remaining envelope is an oracle-pinned number
     QueryDef("x121_h264_i16_decode",
-      "H.264 predicted-macroblock decode + seam extent: per doc a 5-sample mp4 spanning every decode class — an Intra_16x16 IDR (DC prediction, DC-only CAVLC residual: coeff_token, trailing-one signs, levels, total_zeros, run_before all real), an opaque inter frame, an I_PCM IDR, an I_4x4 IDR and a CABAC IDR; the first two IDR classes decode to pixels (checksums = prediction + Hadamard/dequant + inverse-transform arithmetic, byte-for-byte), the last two return None and land in n_seam = 2 — the oracle recomputes every decoded byte AND the seam counts by arithmetic, no codec")(
-      """WITH ids AS (SELECT doc_id AS d FROM documents),
+      "H.264 predicted-macroblock decode + seam extent: per doc a 5-sample mp4 spanning every decode class — an Intra_16x16 IDR with FULL luma residual (cbp_luma 15: DC Hadamard path + per-block AC whose densities walk the CAVLC nC context through every Table 9-5 column), an opaque inter frame, an I_PCM IDR, a REAL I_4x4 IDR (per-block V/H/DC prediction modes, 16-coefficient residuals, sequential in-MB reconstruction) and a CABAC IDR; three IDR classes decode to pixels (checksums = prediction + dequant + inverse-transform arithmetic, byte-for-byte — the I_4x4 one replayed by a 16-step recursive CTE), only CABAC returns None → n_seam = 1 — the oracle recomputes every decoded byte AND the seam count by arithmetic, no codec")(
+      """WITH RECURSIVE ids AS (SELECT doc_id AS d FROM documents),
+        |-- ---- Intra_16x16 DC path (planted zigzag DC levels -> Hadamard)
         |lv AS (SELECT d, k,
         |         CASE WHEN (d + k) % 3 = 0 THEN
         |           CASE WHEN (d*31 + k*7) % 4 < 2 THEN (d*31 + k*7) % 4 - 2
@@ -3343,35 +3344,148 @@ object ExtraQueries {
         |      FROM cl, range(0,4) i(i), range(0,4) j(j),
         |           range(0,4) u(u), range(0,4) v(v)
         |      GROUP BY cl.d, i.i, j.j),
-        |-- dc = (f*16*13 + 2) >> 2, resid = (dc + 32) >> 6 (QP 26);
-        |-- arithmetic >> is FLOOR division and DuckDB // truncates, so
-        |-- both shifts use the exact integer floor-div idiom
+        |-- dc = (f*16*13 + 2) >> 2 (QP 26); arithmetic >> is FLOOR division
+        |-- and DuckDB // truncates, so shifts use the floor-div idiom
         |dcv AS (SELECT d, i, j,
         |          (f*208 + 2 - (((f*208 + 2) % 4) + 4) % 4) // 4 AS dc
         |        FROM f),
-        |rs AS (SELECT d, i, j,
-        |         (dc + 32 - (((dc + 32) % 64) + 64) % 64) // 64 AS resid
-        |       FROM dcv),
-        |bp AS (SELECT d, list(least(greatest(128 + resid, 0), 255)
-        |                      ORDER BY i*4 + j) AS blockpix
-        |       FROM rs GROUP BY d),
+        |-- ---- per-block dequantized coefficient lists, raster order.
+        |-- Position scales at QP 26: 208/320/256 by (row,col) parity.
+        |-- i16 blocks: position 0 carries the Hadamard-path DC; AC from
+        |-- the i16AcLevel plant (zigzag k=1..15, density class blk%3).
+        |i16rows AS (
+        |  SELECT i.d, rb.b, rk.k,
+        |    [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15][rk.k+1] AS r,
+        |    CASE WHEN rk.k = 0 THEN 0 ELSE
+        |      [208,256,208,256,256,320,256,320,208,256,208,256,256,320,256,320]
+        |        [[0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15][rk.k+1] + 1]
+        |      * (CASE WHEN (CASE WHEN rb.b % 3 = 0 THEN CASE WHEN (i.d + rb.b + rk.k) % 5 = 0 THEN 1 ELSE 0 END
+        |                    WHEN rb.b % 3 = 1 THEN CASE WHEN (i.d + rb.b + rk.k) % 3 = 0 THEN 1 ELSE 0 END
+        |                    ELSE rk.k % 2 END) = 1
+        |         THEN CASE WHEN (i.d*29 + rb.b*11 + rk.k*3) % 4 < 2
+        |                   THEN (i.d*29 + rb.b*11 + rk.k*3) % 4 - 2
+        |                   ELSE (i.d*29 + rb.b*11 + rk.k*3) % 4 - 1 END
+        |         ELSE 0 END) END AS dv
+        |  FROM ids i, range(0,16) rb(b), range(0,16) rk(k)),
+        |i16dl AS (
+        |  SELECT w.d, w.b,
+        |    list(CASE WHEN w.r = 0 THEN v.dc ELSE w.dv END ORDER BY w.r) AS dl
+        |  FROM i16rows w JOIN dcv v ON v.d = w.d
+        |    AND v.i = [0,0,1,1,0,0,1,1,2,2,3,3,2,2,3,3][w.b+1]
+        |    AND v.j = [0,1,0,1,2,3,2,3,0,1,0,1,2,3,2,3][w.b+1]
+        |  GROUP BY w.d, w.b),
+        |-- i4 blocks: all 16 zigzag positions from the i4x4Level plant
+        |-- (dense every-even-position blocks at blk%4==3)
+        |i4rows AS (
+        |  SELECT i.d, rb.b, rk.k,
+        |    [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15][rk.k+1] AS r,
+        |    [208,256,208,256,256,320,256,320,208,256,208,256,256,320,256,320]
+        |      [[0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15][rk.k+1] + 1]
+        |    * (CASE WHEN (i.d + rb.b*7 + rk.k) % 5 = 0
+        |              OR (rb.b % 4 = 3 AND rk.k % 2 = 0)
+        |       THEN CASE WHEN (i.d*31 + rb.b*13 + rk.k*7) % 4 < 2
+        |                 THEN (i.d*31 + rb.b*13 + rk.k*7) % 4 - 2
+        |                 ELSE (i.d*31 + rb.b*13 + rk.k*7) % 4 - 1 END
+        |       ELSE 0 END) AS dv
+        |  FROM ids i, range(0,16) rb(b), range(0,16) rk(k)),
+        |i4dl AS (SELECT d, b, list(dv ORDER BY r) AS dl
+        |         FROM i4rows GROUP BY d, b),
+        |-- ---- shared 8.5.12 inverse core transform + (g+32)>>6 residual.
+        |-- Every halved entry is even by construction (AC = level *
+        |-- even scale; the possibly-odd Hadamard DC sits at position 0,
+        |-- which the butterflies never halve), so // is exact there.
+        |alldl AS (
+        |  SELECT 0 AS fam, d, b, dl FROM i16dl
+        |  UNION ALL SELECT 1, d, b, dl FROM i4dl),
+        |el AS (SELECT fam, d, b,
+        |  flatten([[ (dl[i*4+1]+dl[i*4+3]) + (dl[i*4+2] + dl[i*4+4]//2),
+        |             (dl[i*4+1]-dl[i*4+3]) + (dl[i*4+2]//2 - dl[i*4+4]),
+        |             (dl[i*4+1]-dl[i*4+3]) - (dl[i*4+2]//2 - dl[i*4+4]),
+        |             (dl[i*4+1]+dl[i*4+3]) - (dl[i*4+2] + dl[i*4+4]//2)]
+        |           FOR i IN range(0,4)]) AS e
+        |  FROM alldl),
+        |rl AS (SELECT fam, d, b,
+        |  [CASE (k//4)
+        |     WHEN 0 THEN ((e[k%4+1]+e[k%4+9]) + (e[k%4+5] + e[k%4+13]//2) + 32
+        |       - ((((e[k%4+1]+e[k%4+9]) + (e[k%4+5] + e[k%4+13]//2) + 32) % 64) + 64) % 64) // 64
+        |     WHEN 1 THEN ((e[k%4+1]-e[k%4+9]) + (e[k%4+5]//2 - e[k%4+13]) + 32
+        |       - ((((e[k%4+1]-e[k%4+9]) + (e[k%4+5]//2 - e[k%4+13]) + 32) % 64) + 64) % 64) // 64
+        |     WHEN 2 THEN ((e[k%4+1]-e[k%4+9]) - (e[k%4+5]//2 - e[k%4+13]) + 32
+        |       - ((((e[k%4+1]-e[k%4+9]) - (e[k%4+5]//2 - e[k%4+13]) + 32) % 64) + 64) % 64) // 64
+        |     ELSE ((e[k%4+1]+e[k%4+9]) - (e[k%4+5] + e[k%4+13]//2) + 32
+        |       - ((((e[k%4+1]+e[k%4+9]) - (e[k%4+5] + e[k%4+13]//2) + 32) % 64) + 64) % 64) // 64
+        |   END FOR k IN range(0,16)] AS resid
+        |  FROM el),
+        |-- ---- Intra_16x16 pixels: DC prediction with no neighbors = 128
+        |i16p AS (SELECT d, list(resid ORDER BY b) AS rb
+        |         FROM rl WHERE fam = 0 GROUP BY d),
         |cs1 AS (SELECT d, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |          [CAST(blockpix[((k // 16) // 4) * 4 + ((k % 16) // 4) + 1] AS BIGINT)
+        |          [CAST(least(greatest(128 +
+        |             rb[[0,1,4,5,2,3,6,7,8,9,12,13,10,11,14,15]
+        |                  [((k//16)//4)*4 + ((k%16)//4) + 1] + 1]
+        |               [((k//16)%4)*4 + ((k%16)%4) + 1], 0), 255) AS BIGINT)
         |           FOR k IN range(0,256)]
         |          || [CAST(128 AS BIGINT) FOR k IN range(0,128)]),
         |          (a, b) -> (a * 31 + b) % 1000000007) AS i16cs
-        |        FROM bp),
+        |        FROM i16p),
+        |-- ---- I_4x4: sequential 6.4.3 reconstruction as a 16-step
+        |-- recursion; prediction (V/H/DC by the i4x4Mode plant) reads
+        |-- the already-reconstructed pixel state
+        |i4rec AS (
+        |  SELECT d, 0 AS step,
+        |         [CAST(0 AS BIGINT) FOR k IN range(0,256)] AS pix
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT d, step + 1,
+        |    [CASE WHEN (k//16)//4 = by AND (k%16)//4 = bx
+        |       THEN least(greatest(
+        |         CASE md
+        |           WHEN 0 THEN pix[(by*4 - 1)*16 + (k%16) + 1]
+        |           WHEN 1 THEN pix[(k//16)*16 + bx*4]
+        |           ELSE dcval END
+        |         + resid[((k//16)%4)*4 + (k%16)%4 + 1], 0), 255)
+        |       ELSE pix[k+1] END FOR k IN range(0,256)] AS pix
+        |  FROM (
+        |    SELECT q.*, r.resid,
+        |      CASE WHEN q.by > 0 AND q.bx > 0 THEN (q.st + q.sl + 4)//8
+        |           WHEN q.by > 0 THEN (q.st + 2)//4
+        |           WHEN q.bx > 0 THEN (q.sl + 2)//4
+        |           ELSE 128 END AS dcval
+        |    FROM (
+        |      SELECT d, step, pix, bx, by,
+        |        CASE WHEN step = 0 THEN 2
+        |             WHEN by = 0 THEN CASE WHEN (d + step) % 2 = 0 THEN 1 ELSE 2 END
+        |             WHEN bx = 0 THEN CASE WHEN (d + step) % 2 = 0 THEN 0 ELSE 2 END
+        |             ELSE (d + step) % 3 END AS md,
+        |        CASE WHEN by > 0 THEN
+        |          list_sum([pix[(by*4 - 1)*16 + bx*4 + i + 1] FOR i IN range(0,4)])
+        |        ELSE 0 END AS st,
+        |        CASE WHEN bx > 0 THEN
+        |          list_sum([pix[(by*4 + i)*16 + bx*4] FOR i IN range(0,4)])
+        |        ELSE 0 END AS sl
+        |      FROM (
+        |        SELECT d, step, pix,
+        |          [0,1,0,1,2,3,2,3,0,1,0,1,2,3,2,3][step+1] AS bx,
+        |          [0,0,1,1,0,0,1,1,2,2,3,3,2,2,3,3][step+1] AS by
+        |        FROM i4rec WHERE step < 16) q0) q
+        |    JOIN rl r ON r.fam = 1 AND r.d = q.d AND r.b = q.step) z),
+        |cs4 AS (SELECT d, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(pix[k+1] AS BIGINT) FOR k IN range(0,256)]
+        |          || [CAST(128 AS BIGINT) FOR k IN range(0,128)]),
+        |          (a, b) -> (a * 31 + b) % 1000000007) AS i4cs
+        |        FROM i4rec WHERE step = 16),
         |pc AS (SELECT d, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |         [CAST((d*131 + 58 + k*17 + 7) % 256 AS BIGINT) FOR k IN range(0,384)]),
         |         (a, b) -> (a * 31 + b) % 1000000007) AS pcmcs
         |       FROM ids)
         |SELECT c1.d AS media_id, CAST(5 AS BIGINT) AS n_samples,
-        |  CAST(4 AS BIGINT) AS n_idr, CAST(2 AS BIGINT) AS n_decoded,
-        |  CAST(2 AS BIGINT) AS n_seam,
+        |  CAST(4 AS BIGINT) AS n_idr, CAST(3 AS BIGINT) AS n_decoded,
+        |  CAST(1 AS BIGINT) AS n_seam,
         |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
         |  CAST(c1.i16cs AS BIGINT) AS i16_checksum,
-        |  CAST(p.pcmcs AS BIGINT) AS pcm_checksum
-        |FROM cs1 c1 JOIN pc p ON c1.d = p.d
+        |  CAST(p.pcmcs AS BIGINT) AS pcm_checksum,
+        |  CAST(c4.i4cs AS BIGINT) AS i4_checksum
+        |FROM cs1 c1 JOIN pc p ON c1.d = p.d JOIN cs4 c4 ON c4.d = c1.d
         |""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
