@@ -54,10 +54,18 @@ SRC = os.path.abspath(sys.argv[1] if len(sys.argv) > 1
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf10"
 REPLICAS = 100
 
-STRIDES = {"doc_id": 5000, "vec_id": 2000}
-SCALED = ("documents", "embeddings")
-LINKED = ("region nation customer supplier part orders lineitem "
-          "events").split()
+# events joins the scaled set in r19 (verdict task 3): the reference-
+# surface families (j05 range join, w03 sessions, a05/s02 book HOFs,
+# f-family windows) previously had only two decades of evidence. The
+# construction mirrors make_sf1.py exactly — key strides only, no
+# payload mutation — so the three tiers form one consistent growth
+# family: replicas carry disjoint user/event key spaces (per-key group
+# sizes stay constant; per-time-bucket density grows 100x, which is
+# the honest stress for the time-keyed aggregations).
+STRIDES = {"doc_id": 5000, "vec_id": 2000,
+           "event_id": 100000, "user_id": 15000}
+SCALED = ("documents", "embeddings", "events")
+LINKED = "region nation customer supplier part orders lineitem".split()
 UNITS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]  # (Z/26)* in order
 
 
@@ -116,13 +124,20 @@ def main() -> None:
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{name}.parquet", dst)
     for name in SCALED:
+        # a pre-r19 tier dir symlinked events; never write THROUGH a
+        # stale symlink into the (read-only) source tree
+        if os.path.islink(f"{DST}/{name}.parquet"):
+            os.remove(f"{DST}/{name}.parquet")
         base = pq.read_table(f"{SRC}/{name}.parquet")
         writer = None
         total = 0
         for r in range(REPLICAS):
             t = offset_keys(base, r)
-            t = (mutate_documents(t, r) if name == "documents"
-                 else mutate_embeddings(t, r))
+            if name == "documents":
+                t = mutate_documents(t, r)
+            elif name == "embeddings":
+                t = mutate_embeddings(t, r)
+            # events: key strides only (mirrors make_sf1.py)
             if writer is None:
                 writer = pq.ParquetWriter(f"{DST}/{name}.parquet",
                                           t.schema)

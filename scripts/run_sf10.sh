@@ -14,7 +14,9 @@ SF=${SPARK_GRAFT_SF10_DIR:-/tmp/graft_sf10}
 OUT=${1:-/tmp/sf10_results.jsonl}
 shift || true
 
-if [ ! -f "$SF/documents.parquet" ]; then
+# regenerate when absent OR when the dir predates the r19 events tier
+# (events was a symlink then; it is a scaled table now)
+if [ ! -f "$SF/documents.parquet" ] || [ -L "$SF/events.parquet" ]; then
   python3 scripts/make_sf10.py /root/testdata/sf0.1 "$SF"
 fi
 if ! grep -q "target/scala" /tmp/graft_cp.txt 2>/dev/null; then
@@ -30,7 +32,11 @@ if [ ${#QUERIES[@]} -eq 0 ]; then
   QUERIES=(x02_minhash_lsh x03_jaccard_verify x04_simhash x05_simhash_pairs \
            x34_winnow_overlap x16_embedding_neardup x64_semdedup_banded \
            x23_neardup_clusters x46_keep_best x92_cluster_splits \
-           x94_cluster_spectrum h01_lsh_bucket_audit)
+           x94_cluster_spectrum h01_lsh_bucket_audit \
+           j05_range_join w03_session_window a05_book_summary \
+           s02_ws_json_roundtrip f01_price_momentum f02_volatility \
+           f03_imbalance_signal f04_whale_deltas f05_concentration_hhi \
+           f06_top_share f07_ewma)
 fi
 
 : > "$OUT"
@@ -51,4 +57,9 @@ java $ADD_OPENS -Xmx48g -cp "$(cat /tmp/graft_cp.txt)" \
   graft.Verify "$SF" /tmp/graft_verify_sf10 h01_lsh_bucket_audit \
   2>/tmp/sf10_q_err.log >/dev/null
 python3 scripts/check_sf10_audit.py /tmp/graft_verify_sf10/h01_lsh_bucket_audit
+# the growth-exponent gate (r18 verdict task 4): a fitted exponent past
+# its class bound is a RED exit, not a number someone has to notice.
+# Red-teamed via `python3 scripts/check_growth.py --selftest`.
+echo "[sf10] growth-exponent gate ..." >&2
+python3 scripts/check_growth.py "$OUT"
 echo "[sf10] done -> $OUT" >&2
