@@ -100,8 +100,10 @@ object ScaleProbe {
         // within-cell pair join stays ~linear once cells grow with the
         // corpus — the fixed nCells=8 it replaced was quadratic here
         val c = embCorpus(k)
+        val n = c.count()
         Similarity.semanticDedup(c,
-          nCells = Similarity.scaledCells(c.count()), minCos = 0.999)
+          nCells = Similarity.scaledCells(n), minCos = 0.999,
+          knownCount = Some(n))
       },
       "x64_semdedup_banded" -> { k =>
         // the strictly-linear SemDeDup route: candidates from corpus-

@@ -204,6 +204,24 @@ object H264 {
     w.putBytes(escapeRbsp(p.result())).result()
   }
 
+  /** The §7.3.3 IDR I-slice header every encoder here shares: first_mb
+    * 0, slice_type 7 (I), pps 0, frame_num 0 (4 bits), idr_pic_id,
+    * pic_order_cnt_type 2 → no POC syntax, IDR dec_ref_pic_marking
+    * (no_output_of_prior_pics / long_term_reference both 0), and
+    * slice_qp_delta 0 → QPy = pic_init_qp = 26. deblocking control is
+    * absent (flag 0 in the PPS). */
+  private def writeISliceHeader(p: BitWriter, idrPicId: Int): Unit = {
+    p.ue(0) // first_mb_in_slice
+    p.ue(7) // slice_type: I (all slices of the picture)
+    p.ue(0) // pic_parameter_set_id
+    p.u(0L, 4) // frame_num (log2_max_frame_num = 4)
+    p.ue(idrPicId) // idr_pic_id
+    p.u(0L, 1) // no_output_of_prior_pics_flag (dec_ref_pic_marking, IDR)
+    p.u(0L, 1) // long_term_reference_flag
+    p.se(0) // slice_qp_delta
+    ()
+  }
+
   /** IDR slice whose macroblocks are ALL I_PCM: slice header (§7.3.3)
     * + per-MB `mb_type`=25, alignment bits, raw 256+64+64 samples.
     * Planes are full-frame raster 4:2:0; the encoder interleaves them
@@ -217,16 +235,7 @@ object H264 {
     val w = new BitWriter
     w.u(0x65L, 8) // nal header: ref_idc 3 | type 5 (IDR slice)
     val p = new BitWriter
-    p.ue(0) // first_mb_in_slice
-    p.ue(7) // slice_type: I (all slices of the picture)
-    p.ue(0) // pic_parameter_set_id
-    p.u(0L, 4) // frame_num (log2_max_frame_num = 4)
-    p.ue(idrPicId) // idr_pic_id
-    // pic_order_cnt_type 2 → no POC syntax
-    p.u(0L, 1) // no_output_of_prior_pics_flag  (dec_ref_pic_marking, IDR)
-    p.u(0L, 1) // long_term_reference_flag
-    p.se(0) // slice_qp_delta
-    // deblocking_filter_control_present_flag = 0 → nothing more
+    writeISliceHeader(p, idrPicId)
     var mb = 0
     val nMbs = widthMbs * heightMbs
     while (mb < nMbs) {
@@ -292,13 +301,7 @@ object H264 {
     val w = new BitWriter
     w.u(0x65L, 8) // nal header: ref_idc 3 | type 5 (IDR slice)
     val p = new BitWriter
-    p.ue(0) // first_mb_in_slice
-    p.ue(7) // slice_type: I
-    p.ue(0) // pic_parameter_set_id
-    p.u(0L, 4) // frame_num
-    p.ue(idrPicId)
-    p.u(0L, 1); p.u(0L, 1) // dec_ref_pic_marking (IDR)
-    p.se(0) // slice_qp_delta → QPy = 26
+    writeISliceHeader(p, idrPicId)
     // CAVLC nC context for the DC blocks: only AC counts are stored
     // (§9.2.1) and cbp_luma is 0 here, so every stored count is 0 and
     // every DC block's nC is 0 — no tracking needed.
@@ -330,11 +333,7 @@ object H264 {
     val w = new BitWriter
     w.u(0x65L, 8)
     val p = new BitWriter
-    p.ue(0); p.ue(7); p.ue(0)
-    p.u(0L, 4)
-    p.ue(idrPicId)
-    p.u(0L, 1); p.u(0L, 1)
-    p.se(0) // slice_qp_delta → QPy = 26
+    writeISliceHeader(p, idrPicId)
     val lumaNnz = Array.ofDim[Int](heightMbs * 4, widthMbs * 4)
     var mb = 0
     while (mb < widthMbs * heightMbs) {
@@ -373,11 +372,7 @@ object H264 {
     val w = new BitWriter
     w.u(0x65L, 8)
     val p = new BitWriter
-    p.ue(0); p.ue(7); p.ue(0)
-    p.u(0L, 4)
-    p.ue(idrPicId)
-    p.u(0L, 1); p.u(0L, 1)
-    p.se(0) // slice_qp_delta → QPy = 26
+    writeISliceHeader(p, idrPicId)
     val lumaNnz = Array.ofDim[Int](heightMbs * 4, widthMbs * 4)
     val lumaMode = Array.fill(heightMbs * 4, widthMbs * 4)(-1)
     var mb = 0
@@ -428,11 +423,7 @@ object H264 {
     val w = new BitWriter
     w.u(0x65L, 8)
     val p = new BitWriter
-    p.ue(0); p.ue(7); p.ue(0)
-    p.u(0L, 4)
-    p.ue(idrPicId)
-    p.u(0L, 1); p.u(0L, 1)
-    p.se(0)
+    writeISliceHeader(p, idrPicId)
     p.ue(0) // mb_type: I_4x4 — decoder classifies and returns None here
     p.u(0x5555L, 16) // opaque filler standing in for the unparsed body
     p.trailing()
@@ -906,9 +897,14 @@ object H264 {
 
   private def clip255(v: Int): Byte = math.max(0, math.min(255, v)).toByte
 
-  // luma4x4BlkIdx → 4x4-block (x, y) within the MB (§6.4.3 ordering)
-  private val Blk4x = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
-  private val Blk4y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+  // luma4x4BlkIdx → 4x4-block (x, y) within the MB (§6.4.3 ordering).
+  // private[multimodal]: the fixture plants (FakeCodec) and the spec's
+  // fixture helpers must use the SAME ordering constant as the codec —
+  // only the x121 DuckDB oracle keeps an independent copy, as the pin.
+  private[multimodal] val Blk4x =
+    Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+  private[multimodal] val Blk4y =
+    Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
   // inverse: (by * 4 + bx) → luma4x4BlkIdx (decode order of that block)
   private val BlkIdxOf: Array[Int] = {
     val m = new Array[Int](16)
@@ -939,15 +935,19 @@ object H264 {
     * `left` p[-1,0..3], `corner` p[-1,-1]. Returns null when the
     * mode's required neighbors are unavailable (an invalid stream —
     * the decoder maps it to None). Output raster pred(y*4+x). */
+  // availability requirement bitmasks by mode (hot path: one predict
+  // call per 4x4 block — no per-call allocation)
+  private final val NeedTopMask = (1 << 0) | (1 << 3) | (1 << 7)
+  private final val NeedLeftMask = (1 << 1) | (1 << 8)
+  private final val NeedBothMask = (1 << 4) | (1 << 5) | (1 << 6)
+
   private[multimodal] def intra4x4Predict(
       mode: Int, top: Array[Int], left: Array[Int], corner: Int,
       topOk: Boolean, leftOk: Boolean): Array[Int] = {
-    val needTop = Set(0, 3, 7)
-    val needLeft = Set(1, 8)
-    val needBoth = Set(4, 5, 6)
-    if (needTop(mode) && !topOk) return null
-    if (needLeft(mode) && !leftOk) return null
-    if (needBoth(mode) && !(topOk && leftOk)) return null
+    if (mode < 0 || mode > 8) return null
+    if ((NeedTopMask >> mode & 1) == 1 && !topOk) return null
+    if ((NeedLeftMask >> mode & 1) == 1 && !leftOk) return null
+    if ((NeedBothMask >> mode & 1) == 1 && !(topOk && leftOk)) return null
     // t/l with index -1 = the corner sample (used by modes 4/5/6)
     def t(i: Int): Int = if (i < 0) corner else top(i)
     def l(i: Int): Int = if (i < 0) corner else left(i)
@@ -1575,14 +1575,15 @@ object H264 {
             var i = 0
             while (i < 4) { top8(i) = yAt(y0 - 1, x0 + i); i += 1 }
             // top-right p[4..7,-1]: available when those samples lie in
-            // the picture AND their block is already decoded (§6.4.3:
-            // previous MB rows always are; within this MB row, earlier
-            // MBs are, and within this MB a block with smaller decode
-            // index is); otherwise substitute p[3,-1] (§8.3.1.2)
+            // the picture AND their block is already decoded — exactly
+            // two reachable cases (§6.4.3 order): the block's top row is
+            // the MB's top row (samples in the previous, fully-decoded MB
+            // row — including the top-RIGHT MB when bx == 3), or the
+            // top-right block is within THIS MB with a smaller decode
+            // index; otherwise substitute p[3,-1] (§8.3.1.2)
             val trMbX = (gx + 1) / 4
             val trAvail = gx + 1 < wMb * 4 && (
               gy % 4 == 0 || // top row of this MB → previous MB row
-                trMbX < mbX || // earlier MB this row
                 (trMbX == mbX && // within this MB: earlier decode index
                   BlkIdxOf((by - 1) * 4 + (bx + 1)) < b4))
             if (trAvail) {

@@ -398,9 +398,6 @@ object FakeCodec {
     }
   }
 
-  private val Blk4x = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
-  private val Blk4y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
-
   /** Planted Intra_4x4 prediction mode for block `blk` of the mixed
     * asset's single-MB I_4x4 sync point — restricted to V/H/DC so the
     * DuckDB oracle can replay the sequential reconstruction in a
@@ -410,7 +407,7 @@ object FakeCodec {
     * the top row never needs a top neighbor, the left column never a
     * left one. */
   def i4x4Mode(mediaId: Long, blk: Int): Int = {
-    val bx = Blk4x(blk); val by = Blk4y(blk)
+    val bx = H264.Blk4x(blk); val by = H264.Blk4y(blk)
     if (blk == 0) 2
     else if (by == 0) { if ((mediaId + blk) % 2 == 0) 1 else 2 }
     else if (bx == 0) { if ((mediaId + blk) % 2 == 0) 0 else 2 }

@@ -901,8 +901,10 @@ object ExtraQueries {
         .select((col("vec_id") + 10000000).as("vec_id"), col("embedding")))
       // corpus-scaled quantizer, same rationale as x15/x16: a fixed cell
       // count is the last quadratic-at-scale default in the repo
-      val nCells = Similarity.scaledCells(corpus.count())
-      Similarity.semanticDedup(corpus, nCells = nCells, minCos = 0.999)
+      val n = corpus.count()
+      val nCells = Similarity.scaledCells(n)
+      Similarity.semanticDedup(corpus, nCells = nCells, minCos = 0.999,
+        knownCount = Some(n))
     },
 
     // ----- SemDeDup, strictly-linear candidate path (the x32 32x-probe

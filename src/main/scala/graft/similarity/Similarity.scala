@@ -790,12 +790,15 @@ object Similarity {
     * pairs under ~1.5 × 10⁹ — the edge of single-pass affordability and
     * an order of magnitude above every gate SF (sf10's embeddings tier
     * is 2 × 10⁵ rows, measured 10.5×/decade within the design ceiling).
-    * Raise it explicitly to opt in beyond that. */
+    * Raise it explicitly to opt in beyond that. Callers that already
+    * counted the corpus (every production site does, to size nCells)
+    * pass `knownCount` so the guard costs no extra scan. */
   def semanticDedup(corpus: DataFrame, nCells: Int = 8, minCos: Double = 0.999,
                     kmeansIters: Int = 0,
                     checkpointDir: Option[String] = None,
-                    maxCorpus: Long = DefaultSemanticDedupMaxCorpus): DataFrame = {
-    val n = corpus.count()
+                    maxCorpus: Long = DefaultSemanticDedupMaxCorpus,
+                    knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(corpus.count())
     require(n <= maxCorpus,
       s"semanticDedup: corpus $n rows exceeds maxCorpus $maxCorpus — the " +
         "cell route's within-cell pair mass is O(n^1.5) BY DESIGN and past " +

@@ -445,6 +445,9 @@ class H264Spec extends AnyFunSuite {
   private def expectedI4x4Luma(modes: Int => Int,
                                zig: Int => Array[Int]): Array[Int] = {
     val zz = H264.Zigzag4x4
+    // deliberate literal copies of the 6.4.3 ordering: the model stays
+    // independent of the codec's constant (the x121 SQL oracle is the
+    // other independent pin)
     val blk4x = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
     val blk4y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
     val ls = Array.tabulate(16) { k =>
@@ -510,8 +513,7 @@ class H264Spec extends AnyFunSuite {
     val sps = H264.parseSps(H264.encodeSps(1, 1)).get
     val pps = H264.parsePps(H264.encodePps()).get
     def mode(b: Int): Int = {
-      val bx = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)(b)
-      val by = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)(b)
+      val bx = H264.Blk4x(b); val by = H264.Blk4y(b)
       if (bx == 0 && by == 0) 2
       else if (by == 0) Seq(1, 2)((b + 1) % 2)
       else if (bx == 0) Seq(0, 2)(b % 2)
@@ -542,8 +544,7 @@ class H264Spec extends AnyFunSuite {
     // flat value — exercises the directional modes' neighbor indexing
     // (incl. top-right substitution) across real MB boundaries
     def mode(mbX: Int, mbY: Int, b: Int): Int = {
-      val bx = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)(b)
-      val by = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)(b)
+      val bx = H264.Blk4x(b); val by = H264.Blk4y(b)
       val gx = mbX * 4 + bx; val gy = mbY * 4 + by
       if (gx == 0 && gy == 0) 2
       else if (gy == 0) 1 // top picture row: H
@@ -588,8 +589,7 @@ class H264Spec extends AnyFunSuite {
       if (i % 2 == 0 && j % 2 == 0) 208 else if (i % 2 == 1 && j % 2 == 1) 320
       else 256
     }
-    val blk4x = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
-    val blk4y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+    val blk4x = H264.Blk4x; val blk4y = H264.Blk4y
     for (b <- 0 until 16) {
       // rebuild the block's full transform (DC from the Hadamard path
       // + AC) exactly as the decoder composes them
