@@ -3,8 +3,16 @@
 (r18 verdict task 4: "the next quadratic costs a red gate, not 628 s
 of judge wall-clock").
 
-Usage: python3 scripts/check_growth.py [sf10_results.jsonl]
+Usage: python3 scripts/check_growth.py sf10_results.jsonl
        python3 scripts/check_growth.py --selftest
+
+The jsonl path is REQUIRED (r19 judge finding: the old default of
+/tmp/sf10_results.jsonl silently produced verdicts from a stale file
+left by a previous session). Gate coverage is two-sided: every query
+in the jsonl must have lower-tier readings, and every family in
+EXPECTED_GATED (the committed run_sf10.sh default list) must appear
+in the jsonl — a rename, crash, or QUERIES-list edit cannot silently
+ungate a family in either direction.
 
 Reads the committed BENCH_LOCAL.json (sf0.1) and BENCH_SF1.json (sf1)
 full-fidelity artifacts plus the sf10 spot-tier jsonl (one Bench JSON
@@ -33,6 +41,15 @@ import math
 import sys
 
 CC_FAMILY = {"x23", "x46", "x92", "x94"}
+# the committed gated-family set — MUST match run_sf10.sh's default
+# QUERIES list; a full-tier jsonl missing any of these is a hard FAIL
+EXPECTED_GATED = {
+    "x02", "x03", "x04", "x05", "x34", "x16", "x64",
+    "x23", "x46", "x92", "x94", "h01",
+    "j05", "w03", "a05", "s02",
+    "f01", "f02", "f03", "f04", "f05", "f06", "f07",
+    "x120", "x121",
+}
 CC_BOUND = 1.00
 DEFAULT_BOUND = 1.15
 MIN_SF10_SEC = 1.0
@@ -89,7 +106,14 @@ def selftest():
 def main():
     if "--selftest" in sys.argv:
         selftest()
-    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_results.jsonl"
+    partial = "--partial" in sys.argv
+    paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(paths) != 1:
+        print("usage: check_growth.py [--partial] sf10_results.jsonl\n"
+              "(the path is required: a default would silently read a "
+              "stale file from a previous session)", file=sys.stderr)
+        sys.exit(2)
+    path = paths[0]
     with open("BENCH_LOCAL.json") as fh:
         local = json.load(fh)["queries"]
     with open("BENCH_SF1.json") as fh:
@@ -126,6 +150,13 @@ def main():
     if not rows and not fail:
         print("FAIL: no sf10 readings found in", path)
         fail = 1
+    if not partial:
+        seen = {code for code, *_ in rows}
+        for code in sorted(EXPECTED_GATED - seen):
+            print(f"FAIL {code}: expected gated family has no sf10 "
+                  f"reading in {path} — dropped from the QUERIES list, "
+                  f"renamed, or crashed before its metric line")
+            fail = 1
     sys.exit(fail)
 
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""sf10 SPOT tier: documents + embeddings ONLY, at 100x sf0.1.
+"""sf10 SPOT tier: documents + embeddings + events + lineitem at 100x.
 
 Usage: python3 scripts/make_sf10.py [srcDir] [dstDir]
        (defaults /root/testdata/sf0.1 -> /tmp/graft_sf10)
@@ -63,9 +63,20 @@ REPLICAS = 100
 # sizes stay constant; per-time-bucket density grows 100x, which is
 # the honest stress for the time-keyed aggregations).
 STRIDES = {"doc_id": 5000, "vec_id": 2000,
-           "event_id": 100000, "user_id": 15000}
-SCALED = ("documents", "embeddings", "events")
-LINKED = "region nation customer supplier part orders lineitem".split()
+           "event_id": 100000, "user_id": 15000,
+           # lineitem joined the scaled set in r20 (r19 advice, medium):
+           # a05/s02 read ONLY lineitem, and with it LINKED their sf10
+           # input was 10x SMALLER than the sf1 point — the fitted
+           # exponent was meaningless and the gate could not detect a
+           # superlinear regression in that family. Strides mirror
+           # make_sf1.py so the three tiers form one growth family.
+           "l_orderkey": 150000, "l_partkey": 20000, "l_suppkey": 1000}
+SCALED = ("documents", "embeddings", "events", "lineitem")
+# NB: orders/part/supplier stay LINKED — lineitem FKs for replicas
+# r > 0 dangle against them. No sf10-gated query joins lineitem to a
+# dim (a05/s02 group lineitem by l_orderkey standalone); anyone adding
+# such a query to run_sf10.sh's list must move its dims into SCALED.
+LINKED = "region nation customer supplier part orders".split()
 UNITS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]  # (Z/26)* in order
 
 

@@ -88,7 +88,6 @@ object Bench {
       val dTot = after._2 - before._2
       if (dTot <= 0) 0.0 else 100.0 * (after._1 - before._1) / dTot
     }
-    val runStart = cpuStat()
     // Fixed reference probe (r18 verdict task 1): a deterministic pure-
     // compute workload — no IO, no data dependence, one reduce — timed
     // per bench run so round-over-round comparisons can normalize out
@@ -115,6 +114,12 @@ object Bench {
                  }
       reps(reps.size / 2)
     }
+    // run-level steal window opens AFTER the probe (r19 advice): the
+    // ~4 s probe is harness accounting, and for short filtered runs
+    // (the sf10 one-query-per-JVM loop) including it would be a
+    // sizeable fraction of the window — host_noisy must keep the
+    // semantics of prior-round artifacts (measured queries only)
+    val runStart = cpuStat()
     // Adaptive-reps measurement (r11 verdict: fixed best-of-2 could not
     // suppress this host's ambient load — identical code measured 67/104/87 s
     // across three runs). Policy: keep sampling until the reading is

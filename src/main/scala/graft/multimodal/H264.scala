@@ -583,9 +583,9 @@ object H264 {
   }
 
   /** coeff_token → (TotalCoeff, TrailingOnes). nC == -1 selects the
-    * chroma-DC table; nC ≥ 8 the 6-bit FLC (§9.2.1); nC ∈ [2,8) throws
-    * (→ None via the decode catch) — that VLC class is outside the
-    * implemented envelope, see the table scaladoc. */
+    * chroma-DC table; nC ≥ 8 the 6-bit FLC (§9.2.1); nC ∈ [0,2), [2,4)
+    * and [4,8) dispatch to the three transcribed Table 9-5 columns
+    * (full family since r19 — Kraft deficits pinned by H264Spec). */
   // VLC entry tables are static — build each (len, bits, value) entry
   // sequence ONCE instead of per readCoeffToken/total_zeros/run_before
   // call (the per-sample decode loop previously allocated and rescanned
