@@ -45,13 +45,38 @@ else
 fi
 
 : > "$OUT"
+# per-query FULL-fidelity artifacts (reps/spread/steal/policy — the
+# r19 verdict's evidentiary-standard gap: events-tier readings were
+# single-shot stdout lines while the doc families carried rep fields)
+FULLDIR=${SPARK_GRAFT_SF10_FULL:-/tmp/sf10_full}
+mkdir -p "$FULLDIR"
 for q in "${QUERIES[@]}"; do
   echo "[sf10] $q ..." >&2
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  SPARK_GRAFT_BENCH_OUT="$FULLDIR/$q.json" \
   java $ADD_OPENS -Xmx48g -cp "$(cat /tmp/graft_cp.txt)" \
     graft.Bench "$q" 2>/tmp/sf10_q_err.log | grep '"metric"' >> "$OUT" \
     || echo "{\"failed\":\"$q\"}" >> "$OUT"
 done
+# merge the per-query rep detail into one reviewable document
+python3 - "$FULLDIR" "${QUERIES[@]}" <<'EOF'
+import json, os, sys
+d, qs = sys.argv[1], sys.argv[2:]
+out = {}
+for q in qs:
+    p = os.path.join(d, q + ".json")
+    if not os.path.exists(p):
+        out[q] = {"missing": True}
+        continue
+    doc = json.load(open(p))
+    det = doc.get("queries", {}).get(q, {})
+    det["host_noisy"] = doc.get("host_noisy", False)
+    det["probe_sec"] = doc.get("probe_sec", -1)
+    out[q] = det
+with open(os.path.join(d, "detail.json"), "w") as fh:
+    json.dump(out, fh, indent=1)
+print("[sf10] rep detail ->", os.path.join(d, "detail.json"))
+EOF
 
 # the tier's self-check: dump h01's bucket audit at this tier and
 # assert the linear-class gen_pairs bounds (check_sf10_audit.py) —

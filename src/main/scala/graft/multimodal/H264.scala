@@ -35,14 +35,22 @@ package graft.multimodal
   * me(v) mapping, per-block CAVLC residuals across the full nC
   * context family, and sequential §6.4.3 reconstruction.
   *
+  * Also real (round 20): CABAC entropy for the I-slice subset — the
+  * §9.3.3/§9.3.4 arithmetic engines, context init and selection,
+  * binarizations and residual coding live in [[Cabac]];
+  * [[decodeIdrIntra]] dispatches slices under a CABAC PPS there and
+  * the reconstruction halves of this file (reconstructI16Luma,
+  * reconI4x4Block, reconstructChroma) are shared by both entropy
+  * paths.
+  *
   * What is NOT here, deliberately: I_8x8 (transform_size_8x8_flag),
-  * CABAC entropy, and all inter-frame machinery. A slice containing
-  * any such macroblock returns None — classified honestly as
-  * undecodable-here, never guessed. This narrows the repo's one
-  * declared multimodal seam from "predicted macroblocks" (r17) via
-  * "sub-16x16 partitions" (r18) to "CABAC/I_8x8/inter" (reference
-  * seam note: `requirements.txt:1-12` ships no codec either; the
-  * reference never decodes video at all).
+  * I_PCM inside a CABAC slice (the §9.3.1.2 engine re-init), and all
+  * inter-frame machinery. A slice containing any such macroblock
+  * returns None — classified honestly as undecodable-here, never
+  * guessed. The seam narrowed from "predicted macroblocks" (r17) via
+  * "sub-16x16 partitions" (r18) and "CABAC" (r19) to "I_8x8/inter"
+  * (reference seam note: `requirements.txt:1-12` ships no codec
+  * either; the reference never decodes video at all).
   */
 object H264 {
 
@@ -69,6 +77,9 @@ object H264 {
     def se(v: Int): this.type = ue(if (v <= 0) -2 * v else 2 * v - 1)
     /** pcm_alignment_zero_bit / rbsp_alignment_zero_bit run. */
     def alignZero(): this.type = { while (nbits != 0) bit(0); this }
+    /** cabac_alignment_one_bit run (§7.3.4: slice data under CABAC
+      * starts byte-aligned, padded with ONE bits). */
+    def alignOne(): this.type = { while (nbits != 0) bit(1); this }
     /** rbsp_trailing_bits: stop bit then zero-align (§7.3.2.11). */
     def trailing(): this.type = { bit(1); alignZero() }
     def putBytes(bs: Array[Byte]): this.type = {
@@ -210,7 +221,7 @@ object H264 {
     * (no_output_of_prior_pics / long_term_reference both 0), and
     * slice_qp_delta 0 → QPy = pic_init_qp = 26. deblocking control is
     * absent (flag 0 in the PPS). */
-  private def writeISliceHeader(p: BitWriter, idrPicId: Int): Unit = {
+  private[multimodal] def writeISliceHeader(p: BitWriter, idrPicId: Int): Unit = {
     p.ue(0) // first_mb_in_slice
     p.ue(7) // slice_type: I (all slices of the picture)
     p.ue(0) // pic_parameter_set_id
@@ -272,9 +283,9 @@ object H264 {
     w.putBytes(escapeRbsp(p.result())).result()
   }
 
-  /** CAVLC PPS variant flagging CABAC entropy — structurally valid but
-    * deliberately outside this decoder's envelope (parsePps → None), for
-    * the seam-extent fixture. */
+  /** PPS variant flagging CABAC entropy — pairs with
+    * [[Cabac.encodeIdrI4x4]]/[[Cabac.encodeIdrI16Ac]] slices;
+    * [[decodeIdrIntra]] dispatches slices under it to the §9.3 layer. */
   def encodePpsCabac(): Array[Byte] = {
     val w = new BitWriter
     w.u(0x68L, 8)
@@ -416,9 +427,11 @@ object H264 {
   }
 
   /** IDR slice whose first macroblock CLAIMS I_4x4 but carries an
-    * opaque non-spec body — historically the I_4x4 seam probe; the
-    * r19 decoder parses real I_4x4, so this stub now only serves the
-    * CABAC sample (where the PPS refuses before the slice is read). */
+    * opaque non-spec body — historically the I_4x4 seam probe (r18);
+    * since r19 the real I_4x4 parser runs out of bits inside it →
+    * None, which is exactly what H264Spec's truncation-honesty test
+    * pins. No fixture class uses it anymore (the CABAC sample has
+    * been a real §9.3 slice since r20). */
   def encodeIdrI4x4Stub(idrPicId: Int): Array[Byte] = {
     val w = new BitWriter
     w.u(0x65L, 8)
@@ -890,7 +903,7 @@ object H264 {
   private val QpcTable = Array(
     29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38, 38,
     39, 39, 39, 39)
-  private def chromaQp(qpi: Int): Int = {
+  private[multimodal] def chromaQp(qpi: Int): Int = {
     val q = math.max(0, math.min(51, qpi))
     if (q < 30) q else QpcTable(q - 30)
   }
@@ -1014,7 +1027,7 @@ object H264 {
   /** §8.3.1.1 Intra4x4PredMode prediction: min of the neighbor modes,
     * with 2 (DC) substituted when a neighbor is unavailable or its MB
     * is not I_4x4 (grid value -1). */
-  private def predIntra4x4Mode(grid: Array[Array[Int]], gx: Int, gy: Int): Int = {
+  private[multimodal] def predIntra4x4Mode(grid: Array[Array[Int]], gx: Int, gy: Int): Int = {
     val a = if (gx > 0 && grid(gy)(gx - 1) >= 0) grid(gy)(gx - 1) else 2
     val b = if (gy > 0 && grid(gy - 1)(gx) >= 0) grid(gy - 1)(gx) else 2
     math.min(a, b)
@@ -1059,7 +1072,7 @@ object H264 {
       frameMbsOnly, chroma, deltaPocAlwaysZero))
   } catch { case _: Throwable => None }
 
-  /** §7.3.2.2; None unless CAVLC single-slice-group. */
+  /** §7.3.2.2; None unless single-slice-group. */
   def parsePps(nal: Array[Byte]): Option[Pps] = try {
     val r = new BitReader(unescapeRbsp(nal, 1))
     r.ue(); r.ue() // pps id, sps id
@@ -1074,13 +1087,14 @@ object H264 {
     val deblock = r.u(1) == 1
     r.u(1) // constrained_intra_pred_flag
     val redundant = r.u(1) == 1
-    if (!cavlc) return None // CABAC entropy unsupported
+    // CABAC PPSes are accepted since r20: decodeIdrIntra dispatches the
+    // slice to the §9.3 entropy layer in [[Cabac]]
     Some(Pps(cavlc, bottomPoc, deblock, redundant, picInitQp, chromaQpOffset))
   } catch { case _: Throwable => None }
 
   /** §7.3.3 IDR I-slice header; Some(initial QPy) on success (QPy =
     * pic_init_qp + slice_qp_delta — the SliceQPY of §7.4.3). */
-  private def parseISliceHeader(r: BitReader, sps: Sps, pps: Pps): Option[Int] = {
+  private[multimodal] def parseISliceHeader(r: BitReader, sps: Sps, pps: Pps): Option[Int] = {
     if (r.ue() != 0) return None // first_mb_in_slice: single-slice only
     val sliceType = r.ue()
     if (sliceType != 2 && sliceType != 7) return None // I slices only
@@ -1193,9 +1207,24 @@ object H264 {
       }
       pl += 1
     }
+    reconstructChroma(chromaDc, chromaAc, chromaPredMode, qpC, mbX, mbY,
+      w16, cb, cr, topOk, leftOk)
+  }
+
+  /** §8.3.4 chroma prediction + §8.5.11-12 reconstruction for one MB
+    * from already-parsed residuals (`chromaDc`: per-plane 4 raster DC
+    * coefficients; `chromaAc`: per-plane, per-4x4-block 15 zigzag AC
+    * coefficients) — the entropy-independent half of [[decodeChroma]],
+    * shared with the CABAC path in [[Cabac]]. Returns false when the
+    * prediction mode needs unavailable neighbors. */
+  private[multimodal] def reconstructChroma(
+      chromaDc: Array[Array[Int]], chromaAc: Array[Array[Array[Int]]],
+      chromaPredMode: Int, qpC: Int, mbX: Int, mbY: Int, w16: Int,
+      cb: Array[Byte], cr: Array[Byte],
+      topOk: Boolean, leftOk: Boolean): Boolean = {
     // ---- prediction + reconstruction (8x8 per component)
     val wC = w16 / 2
-    pl = 0
+    var pl = 0
     while (pl < 2) {
       val plane = if (pl == 0) cb else cr
       def cAt(py: Int, px: Int): Int = plane(py * wC + px) & 0xff
@@ -1334,6 +1363,7 @@ object H264 {
     * remaining declared seam. Single slice per picture (first_mb 0). */
   def decodeIdrIntra(sps: Sps, pps: Pps, nal: Array[Byte]): Option[Frame] = try {
     if (sps.chromaFormatIdc != 1) return None // 4:2:0 only
+    if (!pps.cavlc) return Cabac.decodeISlice(sps, pps, nal) // §9.3 entropy
     val r = new BitReader(unescapeRbsp(nal, 1))
     var qpY = parseISliceHeader(r, sps, pps) match {
       case Some(q) => q
@@ -1408,10 +1438,6 @@ object H264 {
         // stored in the context (only AC counts are, per §9.2.1)
         val dcScan = readCavlcBlock(r,
           nCtx(lumaNnz, mbX * 4, mbY * 4), 16)._1
-        val dcRaster = new Array[Int](16)
-        var s = 0
-        while (s < 16) { dcRaster(Zigzag4x4(s)) = dcScan(s); s += 1 }
-        val dcY = lumaDcDequant(dcRaster, qpY)
         val lumaAc = Array.ofDim[Int](16, 15)
         var blk = 0
         while (blk < 16) {
@@ -1426,101 +1452,8 @@ object H264 {
         if (!decodeChroma(r, cbpChroma, chromaPredMode, qpC, mbX, mbY, w16,
           cb, cr, cbNnz, crNnz, topOk = mbY > 0, leftOk = mbX > 0))
           return None
-        // ---- luma prediction (§8.3.3) from already-reconstructed
-        // neighbor pixels
-        val topOk = mbY > 0; val leftOk = mbX > 0
-        def yAt(py: Int, px: Int): Int = y(py * w16 + px) & 0xff
-        val pred = new Array[Int](256)
-        predMode match {
-          case 0 => // Vertical
-            if (!topOk) return None
-            var x = 0
-            while (x < 16) {
-              val t = yAt(mbY * 16 - 1, mbX * 16 + x)
-              var yy = 0
-              while (yy < 16) { pred(yy * 16 + x) = t; yy += 1 }
-              x += 1
-            }
-          case 1 => // Horizontal
-            if (!leftOk) return None
-            var yy = 0
-            while (yy < 16) {
-              val l = yAt(mbY * 16 + yy, mbX * 16 - 1)
-              var x = 0
-              while (x < 16) { pred(yy * 16 + x) = l; x += 1 }
-              yy += 1
-            }
-          case 2 => // DC
-            var sum = 0; var n = 0
-            if (topOk) {
-              var x = 0
-              while (x < 16) { sum += yAt(mbY * 16 - 1, mbX * 16 + x); x += 1 }
-              n += 16
-            }
-            if (leftOk) {
-              var yy = 0
-              while (yy < 16) { sum += yAt(mbY * 16 + yy, mbX * 16 - 1); yy += 1 }
-              n += 16
-            }
-            val dc =
-              if (n == 32) (sum + 16) >> 5
-              else if (n == 16) (sum + 8) >> 4
-              else 128
-            java.util.Arrays.fill(pred, dc)
-          case _ => // Plane (§8.3.3.4)
-            if (!topOk || !leftOk) return None
-            def t(x: Int): Int =
-              if (x < 0) yAt(mbY * 16 - 1, mbX * 16 - 1)
-              else yAt(mbY * 16 - 1, mbX * 16 + x)
-            def l(yy: Int): Int =
-              if (yy < 0) yAt(mbY * 16 - 1, mbX * 16 - 1)
-              else yAt(mbY * 16 + yy, mbX * 16 - 1)
-            var hAcc = 0; var vAcc = 0
-            var k = 0
-            while (k < 8) {
-              hAcc += (k + 1) * (t(8 + k) - t(6 - k))
-              vAcc += (k + 1) * (l(8 + k) - l(6 - k))
-              k += 1
-            }
-            val a = 16 * (t(15) + l(15))
-            val bB = (5 * hAcc + 32) >> 6
-            val cC = (5 * vAcc + 32) >> 6
-            var yy = 0
-            while (yy < 16) {
-              var x = 0
-              while (x < 16) {
-                pred(yy * 16 + x) = math.max(0, math.min(255,
-                  (a + bB * (x - 7) + cC * (yy - 7) + 16) >> 5))
-                x += 1
-              }
-              yy += 1
-            }
-        }
-        // ---- luma reconstruction: per 4x4 block DC + AC
-        blk = 0
-        while (blk < 16) {
-          val bx = Blk4x(blk); val by = Blk4y(blk)
-          val cBlock = new Array[Int](16)
-          var s2 = 1
-          while (s2 < 16) {
-            cBlock(Zigzag4x4(s2)) = lumaAc(blk)(s2 - 1); s2 += 1
-          }
-          val d = dequant4x4(cBlock, qpY)
-          d(0) = dcY(by * 4 + bx)
-          val g = inverseTransform4x4(d)
-          var py = 0
-          while (py < 4) {
-            var px = 0
-            while (px < 4) {
-              val yy = by * 4 + py; val xx = bx * 4 + px
-              y((mbY * 16 + yy) * w16 + mbX * 16 + xx) =
-                clip255(pred(yy * 16 + xx) + ((g(py * 4 + px) + 32) >> 6))
-              px += 1
-            }
-            py += 1
-          }
-          blk += 1
-        }
+        if (!reconstructI16Luma(predMode, dcScan, lumaAc, qpY, mbX, mbY, w16, y))
+          return None
       } else if (mbType == 0) {
         // ---- I_4x4 (§7.3.5.1 mb_pred + §7.4.5 cbp + §7.3.5.3 residual)
         // 16 prediction modes, §8.3.1.1 derivation against the mode grid
@@ -1549,70 +1482,17 @@ object H264 {
         // ---- per-block residual parse + §8.3.1.2 prediction +
         // §8.5.12 reconstruction, strictly in §6.4.3 decode order
         // (prediction reads already-reconstructed neighbor samples)
-        def yAt(py: Int, px: Int): Int = y(py * w16 + px) & 0xff
         b4 = 0
         while (b4 < 16) {
-          val bx = Blk4x(b4); val by = Blk4y(b4)
-          val gx = mbX * 4 + bx; val gy = mbY * 4 + by
+          val gx = mbX * 4 + Blk4x(b4); val gy = mbY * 4 + Blk4y(b4)
           val coeffScan =
             if ((cbpLuma & (1 << (b4 / 4))) != 0) {
               val (sc, tc) = readCavlcBlock(r, nCtx(lumaNnz, gx, gy), 16)
               lumaNnz(gy)(gx) = tc
               sc
             } else { lumaNnz(gy)(gx) = 0; new Array[Int](16) }
-          val x0 = mbX * 16 + bx * 4; val y0 = mbY * 16 + by * 4
-          val topOk4 = gy > 0
-          val leftOk4 = gx > 0
-          val corner =
-            if (topOk4 && leftOk4) yAt(y0 - 1, x0 - 1) else 0
-          val left4 = new Array[Int](4)
-          if (leftOk4) {
-            var i = 0
-            while (i < 4) { left4(i) = yAt(y0 + i, x0 - 1); i += 1 }
-          }
-          val top8 = new Array[Int](8)
-          if (topOk4) {
-            var i = 0
-            while (i < 4) { top8(i) = yAt(y0 - 1, x0 + i); i += 1 }
-            // top-right p[4..7,-1]: available when those samples lie in
-            // the picture AND their block is already decoded — exactly
-            // two reachable cases (§6.4.3 order): the block's top row is
-            // the MB's top row (samples in the previous, fully-decoded MB
-            // row — including the top-RIGHT MB when bx == 3), or the
-            // top-right block is within THIS MB with a smaller decode
-            // index; otherwise substitute p[3,-1] (§8.3.1.2)
-            val trMbX = (gx + 1) / 4
-            val trAvail = gx + 1 < wMb * 4 && (
-              gy % 4 == 0 || // top row of this MB → previous MB row
-                (trMbX == mbX && // within this MB: earlier decode index
-                  BlkIdxOf((by - 1) * 4 + (bx + 1)) < b4))
-            if (trAvail) {
-              var i = 4
-              while (i < 8) { top8(i) = yAt(y0 - 1, x0 + i); i += 1 }
-            } else {
-              var i = 4
-              while (i < 8) { top8(i) = top8(3); i += 1 }
-            }
-          }
-          val pred = intra4x4Predict(modes(b4), top8, left4, corner,
-            topOk4, leftOk4)
-          if (pred == null) return None
-          val cBlock = new Array[Int](16)
-          var s2 = 0
-          while (s2 < 16) {
-            cBlock(Zigzag4x4(s2)) = coeffScan(s2); s2 += 1
-          }
-          val g = inverseTransform4x4(dequant4x4(cBlock, qpY))
-          var py = 0
-          while (py < 4) {
-            var px = 0
-            while (px < 4) {
-              y((y0 + py) * w16 + x0 + px) =
-                clip255(pred(py * 4 + px) + ((g(py * 4 + px) + 32) >> 6))
-              px += 1
-            }
-            py += 1
-          }
+          if (!reconI4x4Block(modes(b4), coeffScan, qpY, mbX, mbY, b4, wMb, w16, y))
+            return None
           b4 += 1
         }
         val qpC = chromaQp(qpY + pps.chromaQpOffset)
@@ -1625,6 +1505,183 @@ object H264 {
     }
     Some(Frame(w16, h16, y, cb, cr))
   } catch { case _: Throwable => None }
+
+  /** §8.3.3 Intra_16x16 luma prediction + §8.5.10/12 reconstruction for
+    * one MB from parsed syntax (`dcScan`: the 16 zigzag
+    * Intra16x16DCLevel coefficients; `lumaAc`: per-4x4-block 15 zigzag
+    * AC coefficients) — the entropy-independent half of the Intra_16x16
+    * branch of [[decodeIdrIntra]], shared with [[Cabac]]. Returns false
+    * when the prediction mode needs unavailable neighbors. */
+  private[multimodal] def reconstructI16Luma(
+      predMode: Int, dcScan: Array[Int], lumaAc: Array[Array[Int]],
+      qpY: Int, mbX: Int, mbY: Int, w16: Int, y: Array[Byte]): Boolean = {
+    val dcRaster = new Array[Int](16)
+    var s = 0
+    while (s < 16) { dcRaster(Zigzag4x4(s)) = dcScan(s); s += 1 }
+    val dcY = lumaDcDequant(dcRaster, qpY)
+    val topOk = mbY > 0; val leftOk = mbX > 0
+    def yAt(py: Int, px: Int): Int = y(py * w16 + px) & 0xff
+    val pred = new Array[Int](256)
+    predMode match {
+      case 0 => // Vertical
+        if (!topOk) return false
+        var x = 0
+        while (x < 16) {
+          val t = yAt(mbY * 16 - 1, mbX * 16 + x)
+          var yy = 0
+          while (yy < 16) { pred(yy * 16 + x) = t; yy += 1 }
+          x += 1
+        }
+      case 1 => // Horizontal
+        if (!leftOk) return false
+        var yy = 0
+        while (yy < 16) {
+          val l = yAt(mbY * 16 + yy, mbX * 16 - 1)
+          var x = 0
+          while (x < 16) { pred(yy * 16 + x) = l; x += 1 }
+          yy += 1
+        }
+      case 2 => // DC
+        var sum = 0; var n = 0
+        if (topOk) {
+          var x = 0
+          while (x < 16) { sum += yAt(mbY * 16 - 1, mbX * 16 + x); x += 1 }
+          n += 16
+        }
+        if (leftOk) {
+          var yy = 0
+          while (yy < 16) { sum += yAt(mbY * 16 + yy, mbX * 16 - 1); yy += 1 }
+          n += 16
+        }
+        val dc =
+          if (n == 32) (sum + 16) >> 5
+          else if (n == 16) (sum + 8) >> 4
+          else 128
+        java.util.Arrays.fill(pred, dc)
+      case _ => // Plane (§8.3.3.4)
+        if (!topOk || !leftOk) return false
+        def t(x: Int): Int =
+          if (x < 0) yAt(mbY * 16 - 1, mbX * 16 - 1)
+          else yAt(mbY * 16 - 1, mbX * 16 + x)
+        def l(yy: Int): Int =
+          if (yy < 0) yAt(mbY * 16 - 1, mbX * 16 - 1)
+          else yAt(mbY * 16 + yy, mbX * 16 - 1)
+        var hAcc = 0; var vAcc = 0
+        var k = 0
+        while (k < 8) {
+          hAcc += (k + 1) * (t(8 + k) - t(6 - k))
+          vAcc += (k + 1) * (l(8 + k) - l(6 - k))
+          k += 1
+        }
+        val a = 16 * (t(15) + l(15))
+        val bB = (5 * hAcc + 32) >> 6
+        val cC = (5 * vAcc + 32) >> 6
+        var yy = 0
+        while (yy < 16) {
+          var x = 0
+          while (x < 16) {
+            pred(yy * 16 + x) = math.max(0, math.min(255,
+              (a + bB * (x - 7) + cC * (yy - 7) + 16) >> 5))
+            x += 1
+          }
+          yy += 1
+        }
+    }
+    // ---- luma reconstruction: per 4x4 block DC + AC
+    var blk = 0
+    while (blk < 16) {
+      val bx = Blk4x(blk); val by = Blk4y(blk)
+      val cBlock = new Array[Int](16)
+      var s2 = 1
+      while (s2 < 16) {
+        cBlock(Zigzag4x4(s2)) = lumaAc(blk)(s2 - 1); s2 += 1
+      }
+      val d = dequant4x4(cBlock, qpY)
+      d(0) = dcY(by * 4 + bx)
+      val g = inverseTransform4x4(d)
+      var py = 0
+      while (py < 4) {
+        var px = 0
+        while (px < 4) {
+          val yy = by * 4 + py; val xx = bx * 4 + px
+          y((mbY * 16 + yy) * w16 + mbX * 16 + xx) =
+            clip255(pred(yy * 16 + xx) + ((g(py * 4 + px) + 32) >> 6))
+          px += 1
+        }
+        py += 1
+      }
+      blk += 1
+    }
+    true
+  }
+
+  /** §8.3.1.2 prediction + §8.5.12 reconstruction of ONE I_4x4 luma
+    * block (decode-order index `b4`) from its parsed 16-coefficient
+    * zigzag residual — the entropy-independent half of the I_4x4
+    * branch, shared with [[Cabac]]. Must be called in §6.4.3 decode
+    * order (prediction reads already-reconstructed neighbor samples,
+    * including the top-right availability rule). Returns false when
+    * the mode needs unavailable neighbors. */
+  private[multimodal] def reconI4x4Block(
+      mode: Int, coeffScan: Array[Int], qpY: Int, mbX: Int, mbY: Int,
+      b4: Int, wMb: Int, w16: Int, y: Array[Byte]): Boolean = {
+    def yAt(py: Int, px: Int): Int = y(py * w16 + px) & 0xff
+    val bx = Blk4x(b4); val by = Blk4y(b4)
+    val gx = mbX * 4 + bx; val gy = mbY * 4 + by
+    val x0 = mbX * 16 + bx * 4; val y0 = mbY * 16 + by * 4
+    val topOk4 = gy > 0
+    val leftOk4 = gx > 0
+    val corner =
+      if (topOk4 && leftOk4) yAt(y0 - 1, x0 - 1) else 0
+    val left4 = new Array[Int](4)
+    if (leftOk4) {
+      var i = 0
+      while (i < 4) { left4(i) = yAt(y0 + i, x0 - 1); i += 1 }
+    }
+    val top8 = new Array[Int](8)
+    if (topOk4) {
+      var i = 0
+      while (i < 4) { top8(i) = yAt(y0 - 1, x0 + i); i += 1 }
+      // top-right p[4..7,-1]: available when those samples lie in
+      // the picture AND their block is already decoded — exactly
+      // two reachable cases (§6.4.3 order): the block's top row is
+      // the MB's top row (samples in the previous, fully-decoded MB
+      // row — including the top-RIGHT MB when bx == 3), or the
+      // top-right block is within THIS MB with a smaller decode
+      // index; otherwise substitute p[3,-1] (§8.3.1.2)
+      val trMbX = (gx + 1) / 4
+      val trAvail = gx + 1 < wMb * 4 && (
+        gy % 4 == 0 || // top row of this MB → previous MB row
+          (trMbX == mbX && // within this MB: earlier decode index
+            BlkIdxOf((by - 1) * 4 + (bx + 1)) < b4))
+      if (trAvail) {
+        var i = 4
+        while (i < 8) { top8(i) = yAt(y0 - 1, x0 + i); i += 1 }
+      } else {
+        var i = 4
+        while (i < 8) { top8(i) = top8(3); i += 1 }
+      }
+    }
+    val pred = intra4x4Predict(mode, top8, left4, corner, topOk4, leftOk4)
+    if (pred == null) return false
+    val cBlock = new Array[Int](16)
+    var s2 = 0
+    while (s2 < 16) {
+      cBlock(Zigzag4x4(s2)) = coeffScan(s2); s2 += 1
+    }
+    val g = inverseTransform4x4(dequant4x4(cBlock, qpY))
+    var py = 0
+    while (py < 4) {
+      var px = 0
+      while (px < 4) {
+        y((y0 + py) * w16 + x0 + px) =
+          clip255(pred(py * 4 + px) + ((g(py * 4 + px) + 32) >> 6))
+        px += 1
+      }
+      py += 1
+    }
+    true
+  }
 
   /** Decode the first IDR picture of one AVCC-framed mp4 sample: walk
     * the 4-byte-length NAL sequence, pick up in-band SPS/PPS, and PCM-

@@ -55,7 +55,7 @@ final case class H264MixedPixels(media_id: Long, n_samples: Long, n_idr: Long,
                                  n_decoded: Long, n_seam: Long,
                                  width: Long, height: Long,
                                  i16_checksum: Long, pcm_checksum: Long,
-                                 i4_checksum: Long)
+                                 i4_checksum: Long, cabac_checksum: Long)
 
 /** Codec seam. PNG and WAV are decoded for real (pure-JVM
   * `javax.imageio` / `javax.sound.sampled`, no native deps): a payload
@@ -428,7 +428,24 @@ object FakeCodec {
     }
   }
 
-  /** Seam-extent fixture (x121): five samples spanning every decode
+  /** Planted CABAC I_4x4 residual coefficient at zigzag position `k`
+    * (0..15) of block `blk` — the r20 seam-closure plant, distinct
+    * from [[i4x4Level]] so the CABAC class's checksum cannot be
+    * satisfied by re-reading the CAVLC sample. Block 2's DC position
+    * carries an ESCAPE level (|level| = 16 + mediaId%9 → |level|-1 >
+    * uCoff 14) so every fixture document drives the UEG0 bypass
+    * suffix; other hits stay in {-2,-1,1,2}. */
+  def cabacLevel(mediaId: Long, blk: Int, k: Int): Int =
+    if (blk == 2 && k == 0) {
+      val mag = (16 + mediaId % 9).toInt
+      if (mediaId % 2 == 1) -mag else mag
+    } else if ((mediaId + blk * 11 + k) % 4 == 0 ||
+      (blk % 4 == 1 && k % 3 == 0)) {
+      val v = ((mediaId * 37 + blk * 17 + k * 5) % 4).toInt
+      if (v < 2) v - 2 else v - 1
+    } else 0
+
+  /** Decode-class fixture (x121): five samples spanning every decode
     * class of the [[H264]] layer —
     *   0: SPS+PPS+IDR of ONE Intra_16x16 macroblock, DC prediction,
     *      FULL luma residual (cbp_luma 15: [[i16DcLevel]] DC +
@@ -440,11 +457,13 @@ object FakeCodec {
     *   3: SPS+PPS+IDR of ONE real I_4x4 macroblock ([[i4x4Mode]]
     *      V/H/DC modes + [[i4x4Level]] residual) → the sub-16x16
     *      intra-partition path (the r18 seam, now real);
-    *   4: SPS+CABAC-PPS+IDR → None (the entropy seam, pinned).
-    * The per-class counts and all three decoded-pixel checksums are
-    * exactly reproducible by arithmetic — the oracle holds the decoder
-    * to byte-level truth AND pins the seam's extent (1 of 4 IDRs:
-    * CABAC only). */
+    *   4: SPS+CABAC-PPS+IDR of ONE CABAC-coded I_4x4 macroblock
+    *      ([[i4x4Mode]] modes, [[cabacLevel]] residual incl. a UEG0
+    *      escape level, mb_qp_delta = mediaId%3 - 1 → QPy 25/26/27)
+    *      → the §9.3 entropy path (the r19 seam, closed in r20).
+    * All four IDR classes decode to pixels; every checksum is exactly
+    * reproducible by arithmetic, so the oracle holds the decoder to
+    * byte-level truth across the full class taxonomy (n_seam = 0). */
   def avcMixedAsset(mediaId: Long): Array[Byte] = {
     def avcc(nal: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(4)
@@ -473,7 +492,10 @@ object FakeCodec {
         (_, _, blk) => i4x4Mode(mediaId, blk),
         (_, _, blk) => Array.tabulate(16)(k => i4x4Level(mediaId, blk, k))))
     val cabac = avcc(H264.encodeSps(1, 1)) ++ avcc(H264.encodePpsCabac()) ++
-      avcc(H264.encodeIdrI4x4Stub(4))
+      avcc(Cabac.encodeIdrI4x4(1, 1, 4,
+        (_, _, blk) => i4x4Mode(mediaId, blk),
+        (_, _, blk) => Array.tabulate(16)(k => cabacLevel(mediaId, blk, k)),
+        qpDelta = (mediaId % 3).toInt - 1))
     mp4Asset(Seq(i16, opaque, pcm, i4x4, cabac))
   }
 
@@ -973,11 +995,12 @@ object Multimodal {
     * decodable sync point is the Intra_16x16 CAVLC-coded one (checksum
     * certifies prediction + dequant + inverse transforms through every
     * Table 9-5 nC column), the second is I_PCM, the third the real
-    * I_4x4 reconstruction; only the CABAC sync point returns None and
-    * lands in `n_seam`, so the decoder's remaining envelope is a
-    * pinned, oracle-checked NUMBER instead of prose. Same scale shape
-    * as [[h264IntraDecode]]: partition-local, media bytes never
-    * shuffle. */
+    * I_4x4 reconstruction, the fourth the CABAC-coded I_4x4 (§9.3
+    * arithmetic decode → the same reconstruction); `n_seam` counts
+    * IDRs that refuse, which since the r20 seam closure is ZERO — the
+    * decoder's envelope stays a pinned, oracle-checked NUMBER instead
+    * of prose. Same scale shape as [[h264IntraDecode]]:
+    * partition-local, media bytes never shuffle. */
   def h264MixedDecode(ds: Dataset[MediaRow]): Dataset[H264MixedPixels] =
     ds.mapPartitions { it =>
       it.map { m =>
@@ -986,7 +1009,7 @@ object Multimodal {
             FakeCodec.mp4Samples(m.content).getOrElse(IndexedSeq.empty)
           else IndexedSeq.empty
         var nIdr = 0L; var nDec = 0L; var nSeam = 0L
-        var i16Cs = 0L; var pcmCs = 0L; var i4Cs = 0L
+        var i16Cs = 0L; var pcmCs = 0L; var i4Cs = 0L; var cabacCs = 0L
         var w = 0L; var h = 0L
         samples.foreach { case (off, sz) =>
           val bytes = java.util.Arrays.copyOfRange(
@@ -1002,16 +1025,17 @@ object Multimodal {
                 fr.cb.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
                 fr.cr.foreach(b => cs = (cs * 31 + (b & 0xff)) % P)
                 // decodable sync points in fixture order: Intra_16x16,
-                // I_PCM, I_4x4
+                // I_PCM, I_4x4 (CAVLC), I_4x4 (CABAC)
                 if (nDec == 1) { i16Cs = cs; w = fr.width; h = fr.height }
                 else if (nDec == 2) pcmCs = cs
                 else if (nDec == 3) i4Cs = cs
+                else if (nDec == 4) cabacCs = cs
               case None => nSeam += 1
             }
           }
         }
         H264MixedPixels(m.media_id, samples.length.toLong, nIdr, nDec, nSeam,
-          w, h, i16Cs, pcmCs, i4Cs)
+          w, h, i16Cs, pcmCs, i4Cs, cabacCs)
       }
     }(Encoders.product[H264MixedPixels])
 

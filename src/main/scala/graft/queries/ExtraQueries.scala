@@ -3320,13 +3320,14 @@ object ExtraQueries {
       Multimodal.h264IntraDecode(media).toDF()
     },
 
-    // ----- H.264 seam-extent decode: x120's layer extended past I_PCM —
-    //       a CAVLC-coded Intra_16x16 sync point decodes through REAL
-    //       prediction + dequant + inverse transforms, while I_4x4 and
-    //       CABAC sync points stay None and are COUNTED, so the
-    //       decoder's remaining envelope is an oracle-pinned number
+    // ----- H.264 full-taxonomy decode: x120's layer extended past I_PCM —
+    //       CAVLC Intra_16x16, I_PCM, CAVLC I_4x4 AND CABAC I_4x4 sync
+    //       points ALL decode through real prediction + dequant +
+    //       inverse transforms (the CABAC one through the §9.3
+    //       arithmetic engine); n_seam — still an oracle-pinned
+    //       NUMBER — is now 0
     QueryDef("x121_h264_i16_decode",
-      "H.264 predicted-macroblock decode + seam extent: per doc a 5-sample mp4 spanning every decode class — an Intra_16x16 IDR with FULL luma residual (cbp_luma 15: DC Hadamard path + per-block AC whose densities walk the CAVLC nC context through every Table 9-5 column), an opaque inter frame, an I_PCM IDR, a REAL I_4x4 IDR (per-block V/H/DC prediction modes, 16-coefficient residuals, sequential in-MB reconstruction) and a CABAC IDR; three IDR classes decode to pixels (checksums = prediction + dequant + inverse-transform arithmetic, byte-for-byte — the I_4x4 one replayed by a 16-step recursive CTE), only CABAC returns None → n_seam = 1 — the oracle recomputes every decoded byte AND the seam count by arithmetic, no codec")(
+      "H.264 full-taxonomy decode: per doc a 5-sample mp4 spanning every decode class — an Intra_16x16 IDR with FULL luma residual (cbp_luma 15: DC Hadamard path + per-block AC whose densities walk the CAVLC nC context through every Table 9-5 column), an opaque inter frame, an I_PCM IDR, a CAVLC I_4x4 IDR (per-block V/H/DC prediction modes, 16-coefficient residuals, sequential in-MB reconstruction) and a CABAC I_4x4 IDR (ITU-T §9.3 arithmetic decode: context-modeled significance maps, UEG0 escape levels, mb_qp_delta shifting QPy to 25/26/27 per doc); ALL FOUR IDR classes decode to pixels (checksums = prediction + dequant + inverse-transform arithmetic, byte-for-byte — both I_4x4 classes replayed by 16-step recursive CTEs, the CABAC one at its per-doc QP scale row) → n_seam = 0 — the oracle recomputes every decoded byte AND the class taxonomy by arithmetic, no codec")(
       """WITH RECURSIVE ids AS (SELECT doc_id AS d FROM documents),
         |-- ---- Intra_16x16 DC path (planted zigzag DC levels -> Hadamard)
         |lv AS (SELECT d, k,
@@ -3392,13 +3393,38 @@ object ExtraQueries {
         |  FROM ids i, range(0,16) rb(b), range(0,16) rk(k)),
         |i4dl AS (SELECT d, b, list(dv ORDER BY r) AS dl
         |         FROM i4rows GROUP BY d, b),
+        |-- cabac class (fam 2): the cabacLevel plant — block 2 position 0
+        |-- carries a UEG0 escape level (|lvl| = 16 + d%9), other hits in
+        |-- {-2,-1,1,2} — dequantized at the PER-DOC QP scale row:
+        |-- mb_qp_delta = d%3 - 1 -> QPy in {25,26,27} -> qp%6 in {1,2,3}
+        |-- -> 16*normAdjust rows (176/288/224), (208/320/256), (224/368/288)
+        |cabrows AS (
+        |  SELECT i.d, rb.b, rk.k,
+        |    [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15][rk.k+1] AS r,
+        |    [[176,224,176,224,224,288,224,288,176,224,176,224,224,288,224,288],
+        |     [208,256,208,256,256,320,256,320,208,256,208,256,256,320,256,320],
+        |     [224,288,224,288,288,368,288,368,224,288,224,288,288,368,288,368]]
+        |      [(i.d % 3) + 1]
+        |      [[0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15][rk.k+1] + 1]
+        |    * (CASE WHEN rb.b = 2 AND rk.k = 0
+        |         THEN (16 + i.d % 9) * (CASE WHEN i.d % 2 = 1 THEN -1 ELSE 1 END)
+        |       WHEN (i.d + rb.b*11 + rk.k) % 4 = 0
+        |              OR (rb.b % 4 = 1 AND rk.k % 3 = 0)
+        |         THEN CASE WHEN (i.d*37 + rb.b*17 + rk.k*5) % 4 < 2
+        |                   THEN (i.d*37 + rb.b*17 + rk.k*5) % 4 - 2
+        |                   ELSE (i.d*37 + rb.b*17 + rk.k*5) % 4 - 1 END
+        |       ELSE 0 END) AS dv
+        |  FROM ids i, range(0,16) rb(b), range(0,16) rk(k)),
+        |cabdl AS (SELECT d, b, list(dv ORDER BY r) AS dl
+        |          FROM cabrows GROUP BY d, b),
         |-- ---- shared 8.5.12 inverse core transform + (g+32)>>6 residual.
         |-- Every halved entry is even by construction (AC = level *
         |-- even scale; the possibly-odd Hadamard DC sits at position 0,
         |-- which the butterflies never halve), so // is exact there.
         |alldl AS (
         |  SELECT 0 AS fam, d, b, dl FROM i16dl
-        |  UNION ALL SELECT 1, d, b, dl FROM i4dl),
+        |  UNION ALL SELECT 1, d, b, dl FROM i4dl
+        |  UNION ALL SELECT 2, d, b, dl FROM cabdl),
         |el AS (SELECT fam, d, b,
         |  flatten([[ (dl[i*4+1]+dl[i*4+3]) + (dl[i*4+2] + dl[i*4+4]//2),
         |             (dl[i*4+1]-dl[i*4+3]) + (dl[i*4+2]//2 - dl[i*4+4]),
@@ -3434,11 +3460,11 @@ object ExtraQueries {
         |-- recursion; prediction (V/H/DC by the i4x4Mode plant) reads
         |-- the already-reconstructed pixel state
         |i4rec AS (
-        |  SELECT d, 0 AS step,
+        |  SELECT d, f.fam, 0 AS step,
         |         [CAST(0 AS BIGINT) FOR k IN range(0,256)] AS pix
-        |  FROM ids
+        |  FROM ids, (SELECT unnest([1, 2]) AS fam) f
         |  UNION ALL
-        |  SELECT d, step + 1,
+        |  SELECT d, fam, step + 1,
         |    [CASE WHEN (k//16)//4 = by AND (k%16)//4 = bx
         |       THEN least(greatest(
         |         CASE md
@@ -3454,7 +3480,7 @@ object ExtraQueries {
         |           WHEN q.bx > 0 THEN (q.sl + 2)//4
         |           ELSE 128 END AS dcval
         |    FROM (
-        |      SELECT d, step, pix, bx, by,
+        |      SELECT d, fam, step, pix, bx, by,
         |        CASE WHEN step = 0 THEN 2
         |             WHEN by = 0 THEN CASE WHEN (d + step) % 2 = 0 THEN 1 ELSE 2 END
         |             WHEN bx = 0 THEN CASE WHEN (d + step) % 2 = 0 THEN 0 ELSE 2 END
@@ -3466,28 +3492,35 @@ object ExtraQueries {
         |          list_sum([pix[(by*4 + i)*16 + bx*4] FOR i IN range(0,4)])
         |        ELSE 0 END AS sl
         |      FROM (
-        |        SELECT d, step, pix,
+        |        SELECT d, fam, step, pix,
         |          [0,1,0,1,2,3,2,3,0,1,0,1,2,3,2,3][step+1] AS bx,
         |          [0,0,1,1,0,0,1,1,2,2,3,3,2,2,3,3][step+1] AS by
         |        FROM i4rec WHERE step < 16) q0) q
-        |    JOIN rl r ON r.fam = 1 AND r.d = q.d AND r.b = q.step) z),
+        |    JOIN rl r ON r.fam = q.fam AND r.d = q.d AND r.b = q.step) z),
         |cs4 AS (SELECT d, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |          [CAST(pix[k+1] AS BIGINT) FOR k IN range(0,256)]
         |          || [CAST(128 AS BIGINT) FOR k IN range(0,128)]),
         |          (a, b) -> (a * 31 + b) % 1000000007) AS i4cs
-        |        FROM i4rec WHERE step = 16),
+        |        FROM i4rec WHERE step = 16 AND fam = 1),
+        |cs5 AS (SELECT d, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(pix[k+1] AS BIGINT) FOR k IN range(0,256)]
+        |          || [CAST(128 AS BIGINT) FOR k IN range(0,128)]),
+        |          (a, b) -> (a * 31 + b) % 1000000007) AS cabcs
+        |        FROM i4rec WHERE step = 16 AND fam = 2),
         |pc AS (SELECT d, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |         [CAST((d*131 + 58 + k*17 + 7) % 256 AS BIGINT) FOR k IN range(0,384)]),
         |         (a, b) -> (a * 31 + b) % 1000000007) AS pcmcs
         |       FROM ids)
         |SELECT c1.d AS media_id, CAST(5 AS BIGINT) AS n_samples,
-        |  CAST(4 AS BIGINT) AS n_idr, CAST(3 AS BIGINT) AS n_decoded,
-        |  CAST(1 AS BIGINT) AS n_seam,
+        |  CAST(4 AS BIGINT) AS n_idr, CAST(4 AS BIGINT) AS n_decoded,
+        |  CAST(0 AS BIGINT) AS n_seam,
         |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
         |  CAST(c1.i16cs AS BIGINT) AS i16_checksum,
         |  CAST(p.pcmcs AS BIGINT) AS pcm_checksum,
-        |  CAST(c4.i4cs AS BIGINT) AS i4_checksum
+        |  CAST(c4.i4cs AS BIGINT) AS i4_checksum,
+        |  CAST(c5.cabcs AS BIGINT) AS cabac_checksum
         |FROM cs1 c1 JOIN pc p ON c1.d = p.d JOIN cs4 c4 ON c4.d = c1.d
+        |  JOIN cs5 c5 ON c5.d = c1.d
         |""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}

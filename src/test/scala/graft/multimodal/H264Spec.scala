@@ -89,7 +89,8 @@ class H264Spec extends AnyFunSuite {
     val y = new Array[Byte](256); val c = new Array[Byte](64)
     val full = H264.encodeIdrIPcm(1, 1, 0, y, c, c)
     assert(H264.decodeIdrIPcm(sps, pps, full.take(full.length / 2)).isEmpty)
-    // a CABAC PPS refuses to parse (entropy path not implemented)
+    // a CABAC PPS parses since r20 (entropy handled by Cabac), carrying
+    // the entropy mode for decodeIdrIntra's dispatch
     val wc = new H264.BitWriter
     wc.u(0x68L, 8)
     val pc = new H264.BitWriter
@@ -98,7 +99,9 @@ class H264Spec extends AnyFunSuite {
     pc.u(0L, 1); pc.u(0L, 2); pc.se(0); pc.se(0); pc.se(0)
     pc.u(0L, 1); pc.u(0L, 1); pc.u(0L, 1)
     pc.trailing()
-    assert(H264.parsePps(wc.putBytes(H264.escapeRbsp(pc.result())).result()).isEmpty)
+    val cabacPps =
+      H264.parsePps(wc.putBytes(H264.escapeRbsp(pc.result())).result())
+    assert(cabacPps.isDefined && !cabacPps.get.cavlc)
   }
 
   test("pocType-1 slices: delta_pic_order_cnt is consumed, decode stays aligned") {
@@ -364,14 +367,20 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
-  test("honesty: truncated I_4x4 bodies and CABAC decode to None, never garbage") {
+  test("honesty: truncated I_4x4 bodies and truncated CABAC decode to None, never garbage") {
     val sps = H264.parseSps(H264.encodeSps(1, 1)).get
     val pps = H264.parsePps(H264.encodePps()).get
     // the legacy stub CLAIMS I_4x4 but carries a 16-bit opaque body —
     // the real parser runs out of bits inside mb_pred/residual → None
     assert(H264.decodeIdrIntra(sps, pps, H264.encodeIdrI4x4Stub(0)).isEmpty)
-    // CABAC PPS still refuses at parse time
-    assert(H264.parsePps(H264.encodePpsCabac()).isEmpty)
+    // CABAC PPS parses since r20; a TRUNCATED CABAC slice must refuse
+    val ppsC = H264.parsePps(H264.encodePpsCabac()).get
+    assert(!ppsC.cavlc)
+    val cnal = Cabac.encodeIdrI4x4(1, 1, 0,
+      (_, _, b) => FakeCodec.i4x4Mode(7L, b),
+      (_, _, b) => Array.tabulate(16)(k => FakeCodec.i4x4Level(7L, b, k)),
+      qpDelta = 0)
+    assert(H264.decodeIdrIntra(sps, ppsC, cnal.take(cnal.length / 2)).isEmpty)
     // invalid coeff_token context refuses loudly on the encode side
     val p = new H264.BitWriter
     intercept[IllegalArgumentException] {
