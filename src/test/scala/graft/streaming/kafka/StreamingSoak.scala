@@ -46,7 +46,13 @@ object StreamingSoak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 8, NOT cpus: three concurrent stateful queries x 32 HDFS state
+      // partitions x sub-second triggers starved the state-store
+      // coordinator RPC on the first soak attempt (a task parked inside
+      // reportCommitToCoordinator, wedging the control plane's batch
+      // forever). The state here is small (8 markets / 8 window keys);
+      // 8 partitions is the right sizing AND avoids the pileup.
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -109,7 +115,8 @@ object StreamingSoak {
           timing).toDF(),
         "market-lifecycle", tmp("graft_soak_ctl_ckpt"))
       .queryName("soak_control")
-      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    Thread.sleep(1500) // stagger stateful-query starts (see config note)
 
     // ---- analytics plane: books through event-time windows
     val books = Pipelines.parseValue(
@@ -125,7 +132,8 @@ object StreamingSoak {
           round(avg(col("imb")), 6).as("avg_imb"),
           max(col("bid")).as("max_bid")))
       .writeStream.format("memory").queryName("soak_books")
-      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    Thread.sleep(1500)
 
     // ---- persistence plane: every topic routed to bronze parquet
     val allTopics = Seq("market-updates", "gamma-poll-results",
@@ -135,7 +143,8 @@ object StreamingSoak {
         Pipelines.kafkaSource(spark, allTopics, "earliest"),
         bronzeRoot, tmp("graft_soak_bronze_ckpt"))
       .queryName("soak_bronze")
-      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    Thread.sleep(1500)
 
     // ---- the load: a handful of markets, then waves of books (the
     // reference's volume driver) + 10% positions + a price tick/wave
@@ -172,13 +181,30 @@ object StreamingSoak {
       w += 1
     }
     val sendSec = (System.nanoTime() - t0) / 1e9
-    // drain: every plane has processed everything it can see
-    bronzeQ.processAllAvailable()
-    winQ.processAllAvailable()
-    ctlQ.processAllAvailable()
-    bronzeQ.processAllAvailable() // lifecycle output re-enters bronze
-    val soakSec = (System.nanoTime() - t0) / 1e9
-    val bronzeRows = spark.read.parquet(bronzeRoot).count()
+    // drain with a BOUNDED poll, not processAllAvailable: the lifecycle
+    // plane emits on processing-time timers, and a harness that blocks
+    // unboundedly on quiescence is itself a hang hazard (first attempt's
+    // lesson). Done = bronze landed at least the sent volume and stayed
+    // stable for 3 consecutive checks (lifecycle output re-enters
+    // bronze, so stability, not a fixed count, is the signal).
+    val minExpected = totalBooks + totalPositions + waves + markets.size
+    var bronzeRows = -1L
+    var stable = 0
+    var doneNanos = -1L
+    val deadline = System.nanoTime() + 240L * 1000000000L
+    while (stable < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(2000)
+      val c = try spark.read.parquet(bronzeRoot)
+        .filter(col("topic") =!= "market-lifecycle").count()
+      catch { case _: Throwable => -1L }
+      if (c >= minExpected && doneNanos < 0) doneNanos = System.nanoTime()
+      if (c == bronzeRows && c >= minExpected) stable += 1
+      else { stable = 0; bronzeRows = c }
+    }
+    require(bronzeRows >= minExpected,
+      s"soak did not drain: bronze $bronzeRows < expected $minExpected")
+    // wall = send start -> first poll observing full landing (2 s grain)
+    val soakSec = (doneNanos - t0) / 1e9
     Seq(ctlQ, winQ, bronzeQ).foreach(_.stop())
 
     import scala.jdk.CollectionConverters._
