@@ -80,34 +80,57 @@ object Dedup {
           get(sig, lit(b * rows + r)).cast(StringType)): _*).as("band_key"))
     }: _*)
 
-  /** Near-dup candidate pairs via banded MinHash-LSH. Input: (id, text).
-    * Output: distinct (doc_a, doc_b) with doc_a < doc_b. */
-  def minhashCandidates(docs: DataFrame, id: Column, text: Column,
-                        k: Int = 7, nHashes: Int = 12,
-                        bands: Int = 3, rows: Int = 4): DataFrame = {
-    // staged projections: norm once per row, shingle array once, signature
-    // once — each stage reads the previous stage's materialized value.
-    // Repartition first: shingle hashing is heavy narrow compute, and a
-    // byte-sized scan of a small text table yields far fewer input splits
-    // than cores (one 1.5 MB parquet file = one task doing ALL the work);
-    // shuffling the thin (id, text) rows is trivial next to the compute.
-    val banded = spread(docs)
+  /** Candidate pairs from bucket membership in ONE pass (r20): group the
+    * exploded (key..., doc_id) relation by its bucket key, collect each
+    * bucket's member ids, and emit every a < b combination via two
+    * generators. Replaces the former persist + equi-self-join shape: the
+    * upstream fingerprint pipeline is computed ONCE (the self-join's two
+    * AQE-scheduled sides raced on the cold cache and duplicated the whole
+    * banding pass — measured as twin multi-second stages plus
+    * "Block already exists" churn), and the bucket rows cross the network
+    * once instead of twice. The emitted pair mass is exactly the
+    * Σ pop·(pop−1)/2 the h01 audit bounds — identical to what the join
+    * emitted, so the audit's model is unchanged. Null keys cannot pair
+    * (equi-join semantics) and are filtered before grouping. */
+  private def bucketPairs(keyed: DataFrame, keyCols: Seq[String]): DataFrame =
+    keyed
+      .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("doc_id")).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(explode(col("_ids")).as("doc_a"), col("_ids"))
+      .select(col("doc_a"), explode(col("_ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+  /** Shared banding pipeline: norm → shingles → signature → exploded
+    * (band_id, band_key) rows. */
+  private def bandedKeys(docs: DataFrame, id: Column, text: Column,
+                         k: Int, nHashes: Int,
+                         bands: Int, rows: Int): DataFrame =
+    spread(docs)
       .select(id.as("doc_id"), TextOps.norm(text).as("_t"))
       .select(col("doc_id"), shingleHashes(col("_t"), k).as("_hs"))
       .select(col("doc_id"), minhashSignature(col("_hs"), nHashes).as("_sig"))
       .select(col("doc_id"), explode(lshBands(col("_sig"), bands, rows)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
-      // both sides of the self-join read this — without persist each side
-      // recomputes the whole hash pipeline (no codegen CSE across joins)
-      .persist()
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band_id") === col("b.band_id") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+
+  /** Near-dup candidate pairs via banded MinHash-LSH. Input: (id, text).
+    * Output: distinct (doc_a, doc_b) with doc_a < doc_b.
+    *
+    * Staged projections: norm once per row, shingle array once, signature
+    * once — each stage reads the previous stage's materialized value; the
+    * scan is conditionally repartitioned first because shingle hashing is
+    * heavy narrow compute and a byte-sized single-file scan would run it
+    * on one task ([[graft.ops.Spread]]). Pairing is the one-pass
+    * [[bucketPairs]] aggregation: one shuffle of the thin band rows, no
+    * persist, no self-join. */
+  def minhashCandidates(docs: DataFrame, id: Column, text: Column,
+                        k: Int = 7, nHashes: Int = 12,
+                        bands: Int = 3, rows: Int = 4): DataFrame =
+    bucketPairs(bandedKeys(docs, id, text, k, nHashes, bands, rows),
+      Seq("band_id", "band_key"))
 
   /** Shared staging for every shingle consumer: spread for parallelism,
     * norm materialized once, then the native shingle pass. Output:
@@ -123,9 +146,24 @@ object Dedup {
     * (doc_a, doc_b); `docs` provides (id, text). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
                     k: Int = 7): DataFrame =
-    jaccardOnStaged(pairs,
-      stagedShingles(docs, id, text, k)
-        .persist()) // read twice (a-side and b-side joins)
+    jaccardOnStaged(pairs, stagedShingles(docs, id, text, k))
+
+  /** persist + materialize NOW: a persisted frame whose multiple readers
+    * are sibling AQE stages of one execution is raced — each side's tasks
+    * find a cold cache and recompute the full lineage concurrently (the
+    * profiled twin-stage duplication). One cheap eager count turns every
+    * subsequent reader into a cache scan. Cache-lifetime contract as on
+    * the class scaladoc. NOTE (r20, measured): reserve this for frames
+    * that are EXPENSIVE to recompute relative to their cached bytes —
+    * caching an array<long>-heavy frame costs more in columnar
+    * serialize/compress (+ per-reader decompress) than re-running a
+    * cheap narrow staging, which is why the shingle-verify family now
+    * recomputes its staging per join side instead of caching it. */
+  private def eager(df: DataFrame): DataFrame = {
+    df.persist()
+    df.count()
+    df
+  }
 
   /** Exact Jaccard against an already-staged (_id, _sh) relation —
     * callers persist `sh` since both pair sides join it. */
@@ -161,7 +199,6 @@ object Dedup {
   def containmentVerify(pairs: DataFrame, docs: DataFrame, id: Column,
                         text: Column, k: Int = 7): DataFrame = {
     val sh = stagedShingles(docs, id, text, k)
-      .persist() // read twice (a-side and b-side joins)
     pairs
       .join(sh.select(col("_id").as("doc_a"), col("_sh").as("sh_a")), "doc_a")
       .join(sh.select(col("_id").as("doc_b"), col("_sh").as("sh_b")), "doc_b")
@@ -185,18 +222,11 @@ object Dedup {
                          k: Int = 7, nHashes: Int = 12,
                          bands: Int = 3, rows: Int = 4): DataFrame = {
     val sh = stagedShingles(docs, id, text, k)
-      .persist() // read by the banding AND both verification joins
     val banded = sh
       .select(col("_id").as("doc_id"), minhashSignature(col("_sh"), nHashes).as("_sig"))
       .select(col("doc_id"), explode(lshBands(col("_sig"), bands, rows)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
-      .persist() // self-joined (thin: id + band key strings)
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bucketPairs(banded, Seq("band_id", "band_key"))
     jaccardOnStaged(cand, sh)
   }
 
@@ -217,9 +247,7 @@ object Dedup {
                          bands: Int = 3, rows: Int = 4,
                          minJaccard: Double = 0.5): DataFrame = {
     val csh = stagedShingles(corpus, cid, ctext, k)
-      .persist() // read by banding + the a-side verify join
     val bsh = stagedShingles(batch, bid, btext, k)
-      .persist() // read by banding + the b-side verify join
     def bandedOf(sh: DataFrame) = sh
       .select(col("_id").as("doc_id"),
         minhashSignature(col("_sh"), nHashes).as("_sig"))
@@ -323,16 +351,21 @@ object Dedup {
     val e = spread(docs)
       .select(id.as("doc_id"), TextOps.norm(text).as("_t"))
       .select(col("doc_id"), explode_outer(winnowFingerprints(col("_t"), k, w)).as("h"))
-      .persist() // self-joined; cache contract as on the class scaladoc
-    // per-doc selected sets are distinct, so count(*) per h IS the
-    // document frequency
-    val capped = e.join(
-      e.groupBy("h").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") <= maxDf).select("h"),
-      Seq("h"), "left_semi")
-    capped.as("a").join(capped.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // ONE pass over the exploded fingerprints (r20, was persist +
+    // df-table semi-join + equi-self-join — three shuffles of the same
+    // rows plus an AQE cache race): per-doc selected sets are distinct,
+    // so each fingerprint's bucket size IS its document frequency — the
+    // df cap is a size filter on the grouped bucket, and the a<b pair
+    // expansion is the same Σ pop·(pop−1)/2 mass the self-join emitted.
+    // h is null only for the no-fingerprint explode_outer row, which the
+    // old equi-join could never pair — filtered here for the same effect.
+    e.filter(col("h").isNotNull)
+      .groupBy("h").agg(collect_list(col("doc_id")).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxDf))
+      .select(explode(col("_ids")).as("doc_a"), col("_ids"))
+      .select(col("doc_a"), explode(col("_ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
@@ -354,20 +387,8 @@ object Dedup {
     * decision reads the optimized plan's size ESTIMATE — logical stats
     * only, no physical planning or RDD materialization — divided by the
     * configured split size, mirroring how FilePartition would split it. */
-  private def spread(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.sessionState.conf
-    val target = conf.numShufflePartitions
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // Relations without stats report spark.sql.defaultSizeInBytes
-    // (Long.MaxValue) — that is "unknown", not "huge": treat it as small
-    // and repartition, since the method exists to protect CPU-heavy
-    // narrow stages from under-split inputs and a spurious shuffle of a
-    // genuinely big input is cheap next to the compute it feeds. Compare
-    // as BigInt: join-inflated estimates can exceed Long range.
-    val unknown = bytes >= BigInt(conf.defaultSizeInBytes)
-    val estSplits = bytes / BigInt(math.max(conf.filesMaxPartitionBytes, 1L)) + 1
-    if (unknown || estSplits < BigInt(target)) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame =
+    graft.ops.Spread.toCores(df)
 
   /** Staged fingerprint pipeline: norm → bigram hashes → simhash. */
   def simhashFingerprints(docs: DataFrame, id: Column, text: Column): DataFrame =
@@ -440,47 +461,90 @@ object Dedup {
         df.persist()
         try df.checkpoint(true) finally { df.unpersist(); () }
       } else df.localCheckpoint(true)
-    val und = pin(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    // LAZY pin (local mode): lineage is truncated immediately, but the
+    // materializing job is whatever reads the frame FIRST — used where
+    // the next action over the frame is single-reader, so the round's
+    // convergence statistic and its checkpoint share ONE job instead of
+    // an eager-materialize job followed by a count job (r20: the old
+    // two-jobs-per-round loop plus the AQE stage cascade of each put
+    // the CC family at ~90 driver jobs per query). Reliable mode keeps
+    // the eager write — on a real cluster the checkpoint must survive
+    // executor loss regardless of who reads it first.
+    def pinLazy(df: DataFrame): DataFrame =
+      if (reliable) pin(df) else df.localCheckpoint(false)
+    // candidate pairs are pinned FIRST and EAGERLY: und reads them twice
+    // (both edge directions), so without this the entire candidate plan
+    // (banding + pairing) is inlined — and computed — once per reader
+    // (the profiled duplicate-banding stages), and a lazy pin would be
+    // raced by the two union branches the same way.
+    val cand = pin(pairs.select(col("doc_a"), col("doc_b")))
+    def sym = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // NOTE (r20, measured): running the rounds with AQE disabled was
+    // tried and REVERTED — without AQE the per-round joins stay
+    // sort-merge (no runtime broadcast conversion of the shrunken label
+    // side) and every stage runs at the static partition count; the CC
+    // family read 1.5-3x SLOWER than with AQE's per-stage jobs. AQE's
+    // job cascade is the cheaper half of that trade at every scale.
     // seed with min(self, neighbors) — one aggregation over the edges we
     // already have. Duplicate clusters are near-stars around their min
     // id, so most components converge at round 0 and the loop's first
-    // iteration usually just proves the fixpoint
-    var labels = pin(und.groupBy(col("u"))
+    // iteration usually just proves the fixpoint. Lazy: the prevSum
+    // statistic below is the single first reader and materializes it.
+    val labels0 = pinLazy(sym.groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("label"))
       .select(col("u").as("node"), col("label")))
-    var changed = 1L
+    // edges + one self-loop per node: min over neighbor labels through
+    // THIS relation already includes the node's own label, so each round
+    // is ONE join + ONE aggregation — the old per-round labels⋈neigh
+    // left join (and its exchanges) is gone. Static across rounds; built
+    // from the pinned cand/labels0, so re-deriving it per round is two
+    // cheap checkpoint scans, never a recompute.
+    def undSelf = sym.unionAll(
+      labels0.select(col("node").as("u"), col("node").as("v")))
+    // Convergence statistic: labels only ever DECREASE (each round takes
+    // a min that includes the current label), so Σ label — exact in
+    // DECIMAL(38,0) at any corpus size — strictly decreases iff any node
+    // moved, and one round with an unchanged sum IS the fixpoint proof.
+    // Reading it is the action that materializes the round's lazy
+    // checkpoint: one job per round, no _moved column, no second pass.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast(DecimalType(38, 0))).as("s"))
+        .collect()(0).getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var labels = labels0
+    var prevSum = labelSum(labels0)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val neigh = und
+    while (!converged && i < maxIter) {
+      val grouped = undSelf
         .join(labels.select(col("node").as("v"), col("label").as("_nl")), "v")
-        .groupBy(col("u").as("node")).agg(min(col("_nl")).as("_minNeigh"))
-      val base = labels.join(neigh, Seq("node"), "left")
-      // past the stall budget, also pointer-jump: label(label(node)).
-      // Every label value IS a node in `labels` (labels start as node
-      // ids and only ever copy other labels), so the lookup is a plain
-      // equi-join on the checkpointed relation; coalesce is belt-and-
-      // braces for an absent match, not an expected path
-      val jumped =
-        if (i < starRounds) base.withColumn("_ll", col("label"))
-        else base.join(
-          labels.select(col("node").as("_jn"), col("label").as("_jl")),
-          col("label") === col("_jn"), "left")
-          .withColumn("_ll", coalesce(col("_jl"), col("label")))
-          .drop("_jn", "_jl")
-      // carry a moved-flag through the checkpoint so the convergence
-      // check is a flat scan of already-materialized rows — folding it
-      // here removes a whole labels⋈next join (and its shuffle) per round
-      val cand = least(col("label"),
-        coalesce(col("_minNeigh"), col("label")), col("_ll"))
-      val next = pin(jumped
-        .select(col("node"), cand.as("label"), (cand < col("label")).as("_moved")))
-      changed = next.filter(col("_moved")).count()
-      labels.unpersist()
-      labels = next.drop("_moved")
+        .groupBy(col("u").as("node")).agg(min(col("_nl")).as("label"))
+      // past the stall budget, also pointer-jump the fresh label to its
+      // label's label (star-contraction): distance to the component min
+      // at least halves per round. Every label value IS a node in
+      // `labels` (labels start as node ids and only ever copy other
+      // labels), so the lookup is a plain equi-join on the pinned
+      // relation; coalesce is belt-and-braces for an absent match.
+      val stepped =
+        if (i < starRounds) grouped
+        else grouped.join(
+            labels.select(col("node").as("_jn"), col("label").as("_jl")),
+            grouped("label") === col("_jn"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("_jl"), col("label")))
+              .as("label"))
+      val next = pinLazy(stepped)
+      val s = labelSum(next) // materializes the round; labels decreased?
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      // labels0 stays live: undSelf reads its node set every round (and
+      // unpersisting a local checkpoint discards its only data)
+      if (!(labels eq labels0)) labels.unpersist()
+      labels = next
       i += 1
     }
-    und.unpersist()
     // fail LOUDLY on non-convergence: silently returning partially
     // propagated labels would split one real cluster into several
     // "components" each with its own survivor — wrong dedup downstream.
@@ -488,9 +552,9 @@ object Dedup {
     // min at least halves per round, so maxIter = 60 covers any graph
     // that fits in storage — reaching this require means a bug, not a
     // big input
-    require(changed == 0L,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still moving)")
+        "(labels still moving)")
     labels.select(col("node").as("doc_id"), col("label").as("component"),
       (col("label") === col("node")).as("is_survivor"))
   }
@@ -709,6 +773,14 @@ object Dedup {
     * max_pop bound — change all of them together. */
   val DefaultWinnowMaxDf: Long = 64L
 
+  /** Edge-count threshold under which [[connectedComponents]] runs its
+    * ROUNDS with AQE disabled (see ccLoop): below it, per-round
+    * re-optimization jobs dominate the tiny shuffles they re-optimize;
+    * above it, label shuffles are big enough that AQE's skew handling
+    * and coalescing pay for their stage jobs. ~1M edges ≈ tens of MB
+    * of label traffic per round. */
+  val CcAqeEdgeThreshold: Long = 1000000L
+
   /** Banded Hamming-LSH pairing over ANY 4×16-bit fingerprint table
     * (doc_id, bands) — text SimHash and image dHash share this exact
     * machinery ([[simhashPairs]], [[graft.multimodal.Multimodal
@@ -733,36 +805,34 @@ object Dedup {
       .select(col("doc_id"), col("bands"),
         explode(array(bandKeys(blocks): _*)).as("b"))
       .select(col("doc_id"), col("bands"), col("b.band_id"), col("b.band_val"))
-    // optional hot-bucket cap: a band value shared by a large fraction
-    // of the corpus (all-silence audio → flat contour → band 0; a blank
-    // image → constant dHash) is the fingerprint analog of a boilerplate
-    // line — its bucket is a population² false-candidate generator, and
-    // a pair of genuinely near-dup docs still agrees on one of its
-    // OTHER, discriminating bands (dropping a bucket only loses pairs
-    // whose every agreeing band is over-hot — degenerate content, not
-    // near-dup signal). Off by default; the cap is a declared semantic
-    // (mirror it in any oracle), not a silent truncation.
-    val capped = maxBucket match {
-      case None => exploded
-      case Some(cap) =>
-        require(cap > 1, s"maxBucket must exceed 1, got $cap")
-        exploded.join(
-          exploded.groupBy("band_id", "band_val")
-            .agg(count(lit(1)).as("_bn"))
-            .filter(col("_bn") <= cap)
-            .select("band_id", "band_val"),
-          Seq("band_id", "band_val"), "left_semi")
-    }
-    val fp = capped
-      .persist() // self-joined: avoid recomputing fingerprints per side
-    val a = fp.as("a")
-    val b = fp.as("b")
+    // ONE pass over the exploded keys (r20, was persist + equi-self-join
+    // — the persisted fingerprint pipeline, including any real media
+    // decode feeding it, was raced by the join's two AQE sides and
+    // computed twice): group by candidate key, collect the bucket's
+    // (doc_id, bands) members, expand a < b combinations, and Hamming-
+    // filter. The optional hot-bucket cap — a band value shared by a
+    // large corpus fraction (all-silence audio → flat contour; a blank
+    // image → constant dHash) is a population² false-candidate
+    // generator, while genuinely near-dup pairs still agree on a
+    // discriminating band — becomes a size filter on the SAME grouped
+    // bucket instead of a second aggregation + semi-join. Off by
+    // default; the cap is a declared semantic (mirror it in any
+    // oracle), not a silent truncation.
+    maxBucket.foreach(cap =>
+      require(cap > 1, s"maxBucket must exceed 1, got $cap"))
+    val buckets = exploded
+      .filter(col("band_val").isNotNull)
+      .groupBy(col("band_id"), col("band_val"))
+      .agg(collect_list(struct(col("doc_id"), col("bands"))).as("_ms"))
+      .filter(size(col("_ms")) > 1 &&
+        maxBucket.map(cap => size(col("_ms")) <= cap).getOrElse(lit(true)))
     val ham = (0 until 4).map { j =>
       bit_count(get(col("a.bands"), lit(j)).bitwiseXOR(get(col("b.bands"), lit(j))))
     }.reduce(_ + _).cast(LongType)
-    a.join(b, col("a.band_id") === col("b.band_id") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
+    buckets
+      .select(explode(col("_ms")).as("a"), col("_ms"))
+      .select(col("a"), explode(col("_ms")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -803,14 +873,20 @@ object Dedup {
     * asserts `max_pop` bounds on the dumped rows. */
   def lshBucketAudit(docs: DataFrame, id: Column, text: Column,
                      emb: DataFrame): DataFrame = {
-    val normed = spread(docs).select(id.as("doc_id"), TextOps.norm(text).as("_t"))
-    val mh = normed
+    // normed is read by three fingerprint families — eager, so the
+    // sibling AQE stages scan the cache instead of each re-running the
+    // normalization (class cache contract)
+    val normed = eager(
+      spread(docs).select(id.as("doc_id"), TextOps.norm(text).as("_t")))
+    def popsOf(entries: DataFrame): DataFrame =
+      entries.groupBy("family", "bkey").agg(count(lit(1)).as("pop"))
+    val mh = popsOf(normed
       .select(shingleHashes(col("_t"), 7).as("_hs"))
       .select(minhashSignature(col("_hs"), 12).as("_sig"))
       .select(explode(lshBands(col("_sig"), 3, 4)).as("b"))
       .select(lit("minhash").as("family"),
         concat(col("b.band_id").cast(StringType), lit("|"),
-          col("b.band_key")).as("bkey"))
+          col("b.band_key")).as("bkey")))
     // corpus-scaled Manku blocks, the SAME config simhashPairs runs at
     // this corpus size ([[scaledBlocks]]): past 2^18 docs the queries
     // join on 3-block combo keys, so auditing the 4x16 bands there
@@ -818,31 +894,32 @@ object Dedup {
     // strawman all over again. One eager count at plan construction,
     // hoisted (the sgBits precedent below).
     val shBlocks = scaledBlocks(docs.count())
-    val sh = normed
+    val sh = popsOf(normed
       .select(bigramTokenHashes(col("_t")).as("_hx"))
       .select(simhash64Bands(col("_hx")).as("bands"))
       .select(explode(array(bandKeys(shBlocks): _*)).as("b"))
       .select(lit("simhash64").as("family"),
         concat(col("b.band_id").cast(StringType), lit("|"),
-          col("b.band_val").cast(StringType)).as("bkey"))
-    // winnow keys are read three times (raw family, df table, capped
-    // probe) — persist under the class cache contract
-    val wnK = normed
+          col("b.band_val").cast(StringType)).as("bkey")))
+    // winnow detector + defense rows from ONE pass (r20, was a persisted
+    // entry relation read three times — raw family, df table, capped
+    // semi-join — racing its own cache): a fingerprint's bucket size IS
+    // its df, so the per-bucket pop table is computed once and each
+    // bucket emits its "winnow" row plus, when pop is within
+    // winnowOverlapPairs' df <= 64 boilerplate cap, the same row again
+    // under "winnow_capped" — the capped family's mass stays bounded BY
+    // CONSTRUCTION (pop <= 64 ⇒ gen_pairs <= 31.5 × entries), so a cap
+    // regression reads as winnow_capped ≈ winnow while the raw row
+    // keeps its early-warning role.
+    val wn = normed
       .select(explode(winnowFingerprints(col("_t"), 20, 8)).as("h"))
-      .persist()
-    val wn = wnK
-      .select(lit("winnow").as("family"), col("h").cast(StringType).as("bkey"))
-    // the DEFENSE row next to the detector row: the same keys after
-    // winnowOverlapPairs' df <= 64 boilerplate cap. Its mass is bounded
-    // BY CONSTRUCTION (pop <= 64 ⇒ gen_pairs <= 31.5 × entries), so a
-    // cap regression reads here as winnow_capped ≈ winnow while the
-    // raw winnow row keeps its early-warning role.
-    val wnCap = wnK
-      .join(wnK.groupBy("h").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= DefaultWinnowMaxDf).select("h"),
-        Seq("h"), "left_semi")
-      .select(lit("winnow_capped").as("family"),
-        col("h").cast(StringType).as("bkey"))
+      .groupBy(col("h").cast(StringType).as("bkey"))
+      .agg(count(lit(1)).as("pop"))
+      .select(explode(
+        when(col("pop") <= DefaultWinnowMaxDf,
+          array(lit("winnow"), lit("winnow_capped")))
+          .otherwise(array(lit("winnow")))).as("family"),
+        col("bkey"), col("pop"))
     // corpus-scaled bits, the SAME config the sign-LSH queries run
     // (Similarity.scaledBits, target bucket population 32): a fixed
     // 4-bit table audits a configuration nothing uses past ~500
@@ -852,12 +929,14 @@ object Dedup {
     // time — hoisted to a val so a rebuilt audit pays it exactly once
     // per call, never once per column reference.
     val sgBits = graft.similarity.Similarity.scaledBits(emb.count())
-    val sg = emb
+    val sg = popsOf(emb
       .select(lit("sign_lsh").as("family"),
         graft.plans.functions.sign_bucket_rh(col("embedding"), sgBits, 0)
-          .cast(StringType).as("bkey"))
-    mh.unionAll(sh).unionAll(wn).unionAll(wnCap).unionAll(sg)
-      .groupBy("family", "bkey").agg(count(lit(1)).as("pop"))
+          .cast(StringType).as("bkey")))
+    // families union as per-bucket POP tables (aggregate before the
+    // union's exchange — guide §2.3), then one bounded per-family agg
+    mh.unionAll(sh).unionAll(wn.select("family", "bkey", "pop"))
+      .unionAll(sg)
       .groupBy("family")
       .agg(sum(col("pop")).as("n_entries"),
         count(lit(1)).as("n_buckets"),

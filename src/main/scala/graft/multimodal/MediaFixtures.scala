@@ -135,7 +135,10 @@ object MediaFixtures {
   def stagedImages(docs: DataFrame, dir: String = defaultDir): Dataset[ImageAsset] = {
     val spark = docs.sparkSession
     val path = ensureImages(spark, dir)
-    semiJoin(spark.read.parquet(path), "img_id", docs)
+    // conditional spread (guide §2.5): the decode downstream of this
+    // scan is heavy per-row compute, and the small staged fixture file
+    // yields far fewer splits than cores
+    graft.ops.Spread.toCores(semiJoin(spark.read.parquet(path), "img_id", docs))
       .as[ImageAsset](org.apache.spark.sql.Encoders.product[ImageAsset])
   }
 
@@ -144,7 +147,8 @@ object MediaFixtures {
   def stagedAudio(docs: DataFrame, dir: String = defaultDir): Dataset[AudioAsset] = {
     val spark = docs.sparkSession
     val path = ensureAudio(spark, dir)
-    semiJoin(spark.read.parquet(path), "aud_id", docs)
+    // conditional spread — same rationale as stagedImages
+    graft.ops.Spread.toCores(semiJoin(spark.read.parquet(path), "aud_id", docs))
       .as[AudioAsset](org.apache.spark.sql.Encoders.product[AudioAsset])
   }
 }

@@ -90,10 +90,51 @@ object FakeCodec {
       content(0) == 'R' && content(1) == 'I' && content(2) == 'F' && content(3) == 'F' &&
       content(8) == 'W' && content(9) == 'A' && content(10) == 'V' && content(11) == 'E'
 
+  /** The platform's AudioFileReader providers, resolved ONCE per JVM
+    * (guide §4.5: initialize heavyweight state once, not per row).
+    * `AudioSystem.getAudioInputStream` re-enters a GLOBAL synchronized
+    * provider lookup (JDK13Services.getProviders) and re-runs a
+    * ServiceLoader scan on EVERY call — measured on x89 as a 32-thread
+    * lock convoy: 76 s of executor run time against 4 s of CPU in the
+    * decode stage. Iterating the same SPI list directly is exactly what
+    * AudioSystem does internally (same providers, same order, same
+    * real decode), minus the per-call global lock. */
+  private lazy val audioFileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+  }
+
+  /** The provider that last successfully decoded — tried FIRST. The SPI
+    * list contains readers whose mere "is this mine?" probe re-enters a
+    * globally synchronized lookup (SoftMidiAudioFileReader probes via
+    * MidiSystem → the same JDK13Services lock), so a full scan per row
+    * serializes 32 decode threads; pinning the claiming reader (the RIFF/
+    * WAVE one here) keeps the hot path lock-free. Falls back to the full
+    * ordered scan on a miss, so any content AudioSystem could decode is
+    * still decoded by the same provider it would pick. */
+  @volatile private var claimedReader: javax.sound.sampled.spi.AudioFileReader = null
+
   /** Raw PCM sample bytes of a decoded WAV (header stripped). */
   private def decodeWav(content: Array[Byte]): Array[Byte] = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(content))
+    def tryOne(r: javax.sound.sampled.spi.AudioFileReader) =
+      try r.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => null }
+    var in: javax.sound.sampled.AudioInputStream = null
+    val hot = claimedReader
+    if (hot != null) in = tryOne(hot)
+    if (in == null) {
+      val it = audioFileReaders.iterator
+      while (in == null && it.hasNext) {
+        val r = it.next()
+        in = tryOne(r)
+        if (in != null) claimedReader = r
+      }
+    }
+    if (in == null) // no provider claimed it: surface the real error
+      in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
     try in.readAllBytes() finally in.close()
   }
 

@@ -64,7 +64,15 @@ object CoreQueries {
     QueryDef("a05_book_summary",
       "A1-A5 orderbook summary: best bid/ask, depth sums, arg-max largest order, guarded imbalance — HOFs over array columns")(
       bookSummaryOracle) { (s, dir) =>
-      val levels = Tables.lineitem(s, dir).select(
+      // keyed spread directly over the raw scan (guide §2.5): the sf≤0.1
+      // lineitem file is single-row-group, so without it the scan, the
+      // cents/struct projection AND the partial collect_list all run in
+      // one task; hash-partitioning by the groupBy key replaces the
+      // aggregation's own exchange, so the plan keeps ONE shuffle
+      val levels = Spread.byKeys(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
+        Seq(col("l_orderkey"))).select(
         col("l_orderkey").as("order_key"),
         (col("l_linenumber") % 2 === 0).as("is_bid"),
         struct(Norms.cents(col("l_extendedprice")).as("price_c"),
@@ -81,7 +89,11 @@ object CoreQueries {
     QueryDef("s02_ws_json_roundtrip",
       "serialize books as reference-shaped WS JSON, parse with the declared topic StructType, decode string prices, summarize")(
       bookSummaryOracle) { (s, dir) =>
-      val levels = Tables.lineitem(s, dir).select(
+      // keyed spread over the raw scan — same rationale as a05
+      val levels = Spread.byKeys(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
+        Seq(col("l_orderkey"))).select(
         col("l_orderkey").as("order_key"),
         (col("l_linenumber") % 2 === 0).as("is_bid"),
         // the CLOB WS sends prices/sizes as decimal STRINGS (ws_manager.py:56-57)
@@ -157,7 +169,11 @@ object CoreQueries {
          |       ${centsSql("l_quantity")} AS size_c
          |FROM lineitem WHERE l_returnflag = 'R'
          |""".stripMargin) { (s, dir) =>
-      val packed = Tables.lineitem(s, dir).select(
+      // keyed spread over the raw scan — same rationale as a05
+      val packed = Spread.byKeys(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag"),
+        Seq(col("l_orderkey"))).select(
         col("l_orderkey").as("order_key"),
         struct(Norms.cents(col("l_extendedprice")).as("price_c"),
           Norms.cents(col("l_quantity")).as("size_c"),

@@ -2438,7 +2438,11 @@ object ExtraQueries {
         |""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
-      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      // conditional spread before the per-row synthesis + decode (guide
+      // §2.5): the doc-id scan is one split at the committed fixture
+      // sizes, and without it the whole decode runs on one task
+      val media = graft.ops.Spread.toCores(
+          Tables.documents(s, dir).select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id =>
           MediaRow(id, "video", FakeCodec.mjpegAsset(id, 3), MediaMeta("mp4", 1, 1))))
       Multimodal.framePixelDecode(media, everyN = 1)
@@ -3250,7 +3254,11 @@ object ExtraQueries {
         |""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
-      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      // conditional spread before the per-row synthesis + decode (guide
+      // §2.5): the doc-id scan is one split at the committed fixture
+      // sizes, and without it the whole decode runs on one task
+      val media = graft.ops.Spread.toCores(
+          Tables.documents(s, dir).select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => MediaRow(id, "video",
           FakeCodec.avcAsset(id, (3 + id % 5).toInt, (1 + id % 3).toInt),
           MediaMeta("mp4", 0, 0))))
@@ -3282,7 +3290,11 @@ object ExtraQueries {
         |""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
-      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      // conditional spread before the per-row synthesis + decode (guide
+      // §2.5): the doc-id scan is one split at the committed fixture
+      // sizes, and without it the whole decode runs on one task
+      val media = graft.ops.Spread.toCores(
+          Tables.documents(s, dir).select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => MediaRow(id, "video",
           FakeCodec.avcAsset(id, (3 + id % 5).toInt, (1 + id % 3).toInt),
           MediaMeta("mp4", 0, 0))))
@@ -3313,7 +3325,11 @@ object ExtraQueries {
         |""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
-      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      // conditional spread before the per-row synthesis + decode (guide
+      // §2.5): the doc-id scan is one split at the committed fixture
+      // sizes, and without it the whole decode runs on one task
+      val media = graft.ops.Spread.toCores(
+          Tables.documents(s, dir).select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => MediaRow(id, "video",
           FakeCodec.avcIntraAsset(id, nFrames = 5, gop = 2),
           MediaMeta("mp4", 0, 0))))
@@ -3524,7 +3540,11 @@ object ExtraQueries {
         |""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
-      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      // conditional spread before the per-row synthesis + decode (guide
+      // §2.5): the doc-id scan is one split at the committed fixture
+      // sizes, and without it the whole decode runs on one task
+      val media = graft.ops.Spread.toCores(
+          Tables.documents(s, dir).select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => MediaRow(id, "video",
           FakeCodec.avcMixedAsset(id), MediaMeta("mp4", 0, 0))))
       Multimodal.h264MixedDecode(media).toDF()
@@ -3650,7 +3670,11 @@ object ExtraQueries {
          |""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.{MediaMeta, MediaRow, Multimodal}
-      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      // conditional spread before the per-row synthesis + decode (guide
+      // §2.5): the doc-id scan is one split at the committed fixture
+      // sizes, and without it the whole decode runs on one task
+      val media = graft.ops.Spread.toCores(
+          Tables.documents(s, dir).select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => MediaRow(id, "video",
           Multimodal.sceneAsset(id, nFrames = 6, sceneLen = 2 + (id % 2).toInt),
           MediaMeta("mp4", 8, 6))))

@@ -1857,7 +1857,14 @@ object TextOps {
   def spanDedup(docs: DataFrame, id: Column, text: Column, k: Int = 8,
                 keyByHash: Boolean = true): DataFrame = {
     require(k >= 2, s"span length k must be >= 2, got $k")
-    val n = docs.select(id.as("doc_id"), split(norm(text), " ").as("ws"))
+    // spread: the window explode + hash below is heavy narrow compute
+    // and a single-row-group scan would run it on one task (guide §2.5);
+    // eager persist: BOTH the window branch and the final coverage join
+    // read this staging, and lazily-cached siblings race the cold cache
+    val n = graft.ops.Spread.toCores(
+        docs.select(id.as("doc_id"), split(norm(text), " ").as("ws")))
+      .persist()
+    n.count()
     // windows [s, s+k) as (start, text) structs; the greatest() guard
     // keeps sequence() non-decreasing for docs shorter than k, and the
     // filter drops the one spurious window those docs would emit
@@ -1872,6 +1879,7 @@ object TextOps {
       // (doc_id, start) into one orderable long for the first-wins argmin
       .withColumn("ok", col("doc_id") * lit(1048576L) + col("s"))
       .persist() // read twice: dup-window agg + coverage join
+    win.count() // eager: the two sibling readers must scan, not race, it
     val dup = win.groupBy("w")
       .agg(countDistinct(col("doc_id")).as("_nd"), min(col("ok")).as("fk"))
       .filter(col("_nd") > 1)
