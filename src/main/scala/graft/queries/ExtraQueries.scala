@@ -957,7 +957,11 @@ object ExtraQueries {
          |WHERE n_tokens BETWEEN 10 AND 1000
          |  AND CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.01
          |""".stripMargin) { (s, dir) =>
+      // explicit-count repartition (the x84 pattern): the corpus feeds
+      // both the dedup branch and the CPU-heavy metering branch — one
+      // reused exchange, full parallelism off the single-split scans
       val corpus = wsDupCorpus(s, dir)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       val survivors = Dedup.exact(corpus, col("doc_id"), col("text")).select("doc_id")
       val stops = Seq(" the ", " a ", " of ", " and ")
       val pad = TextOps.padded(TextOps.norm(col("text")))
@@ -3135,8 +3139,16 @@ object ExtraQueries {
          |FROM b GROUP BY 1
          |""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      // repartition: the synthesized quality-range corpus feeds BOTH
+      // signal branches — the identical exchange subtree is computed
+      // once and re-read per branch (ReuseExchange), and the union of
+      // single-split scans fans out to the full parallelism. The count
+      // is EXPLICIT (conf-derived) because AQE's bytes-based coalescing
+      // read this highly-compressible text exchange as one ~1 MB
+      // partition and ran both CPU-heavy branches single-threaded.
       val corpus = docs.select(col("doc_id"), col("text")).unionByName(
         graft.text.Classifier.junkCorpus(docs, col("doc_id"), col("text")))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       TextOps.signalAgreement(
         TextOps.classifierScore(corpus, col("doc_id"), col("text"),
           graft.text.Classifier.loadWeights(s))

@@ -228,11 +228,29 @@ object Silver {
     require(expectedKeys.nonEmpty, "keyArrival: empty expected-key set")
     val spark = bronze.sparkSession
     import spark.implicits._
-    val base = bronze.select(bucket.as("bucket"),
-      json_object_keys(payload).as("_ks"))
-    val totals = base.groupBy("bucket").agg(count(lit(1)).as("n_rows"))
-    val present = base.select(col("bucket"), explode(col("_ks")).as("key"))
-      .groupBy("bucket", "key").agg(count(lit(1)).as("n_present"))
+    // ONE aggregation pass over the bronze scan (r20, was two — the
+    // totals and per-key branches each re-ran the JSON key extraction,
+    // profiled as twin near-second stages): a sentinel "row" key is
+    // prepended to every row's (possibly absent) key set, so the same
+    // (bucket, key) count yields per-key arrivals AND the all-rows
+    // totals (invalid payloads produce a null key set → only the
+    // sentinel, exactly the oracle's count(*) semantics). The counted
+    // table is days x keys — cacheable at any scale — and is persisted
+    // EAGERLY because two tiny consumers below would otherwise race the
+    // whole pass back into existence.
+    // NUL-prefixed sentinel: no JSON object key can collide with it
+    val rowsKey = "\u0000rows"
+    val counted = bronze
+      .select(bucket.as("bucket"),
+        explode(concat(array(lit(rowsKey)),
+          coalesce(json_object_keys(payload), array()))).as("key"))
+      .groupBy("bucket", "key").agg(count(lit(1)).as("n"))
+      .persist()
+    counted.count()
+    val totals = counted.filter(col("key") === rowsKey)
+      .select(col("bucket"), col("n").as("n_rows"))
+    val present = counted.filter(col("key") =!= rowsKey)
+      .select(col("bucket"), col("key"), col("n").as("n_present"))
     val expected = totals
       .crossJoin(broadcast(expectedKeys.toDF("key")))
       .join(present, Seq("bucket", "key"), "left")

@@ -278,7 +278,16 @@ object TextOps {
     * fold's collect_list is per document, bounded by document length.
     * Output: (doc_id, n_bigrams, lm_score). */
   def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val bg = docs.select(id.as("doc_id"), split(norm(text), " ").as("_ws"))
+    // Shared via EXCHANGE, not cache (r20): the bigram relation is read
+    // three times (two model aggregations + the scoring join); the old
+    // persist() was raced by the three sibling AQE stages — profiled as
+    // three sequential one-task stages, two of them pure lock-wait —
+    // while a repartition is a plain shuffle whose identical subtree is
+    // computed ONCE and re-read per consumer (ReuseExchange), at any
+    // scale, with no executor cache. The Spread below parallelizes the
+    // norm/split/explode off a single-row-group scan (guide §2.5).
+    val bg = graft.ops.Spread
+      .toCores(docs.select(id.as("doc_id"), split(norm(text), " ").as("_ws")))
       .filter(size(col("_ws")) >= 2)
       .select(col("doc_id"), posexplode(
         zip_with(slice(col("_ws"), lit(1), size(col("_ws")) - 1),
@@ -286,9 +295,11 @@ object TextOps {
           (a, b) => struct(a.as("w1"), concat(a, lit("_"), b).as("bg"))))
         .as(Seq("pos", "p")))
       .select(col("doc_id"), col("pos"), col("p.w1"), col("p.bg"))
-      // read three times (two model aggregations + the scoring join);
-      // see the cache-lifetime contract on graft.dedup.Dedup
-      .persist()
+      // AQE-coalescible on purpose (measured both ways): the model
+      // aggregations above this exchange are cheap per byte, so the
+      // coalesced read beats a full-parallelism fan-out — unlike x84's
+      // corpus exchange, where the explicit count is required
+      .repartition(col("doc_id"))
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("_c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("_c1"))
     bg.join(c2, "bg").join(c1, "w1")
@@ -575,7 +586,11 @@ object TextOps {
           pmod(fingerprint(col("bg")), lit(m.toLong)).as("f"))
       uni.unionByName(big)
     }
-    val rawF = feats(raw, id, text).persist()
+    // shared via exchange, not cache (r20): three consumers (bucket
+    // counts, totals, the scoring join) read the raw features; the old
+    // persist() raced its sibling AQE stages into triple computation —
+    // one reused shuffle is computed once at any scale
+    val rawF = feats(raw, id, text).repartition(col("doc_id"))
     val tgtF = feats(target, id, targetText)
     val qc = rawF.groupBy("f").agg(count(lit(1)).as("_qc"))
     val pc = tgtF.groupBy("f").agg(count(lit(1)).as("_pc"))
@@ -661,7 +676,9 @@ object TextOps {
       .select(col("doc_id"),
         fingerprint(array_join(slice(col("_ws"), col("_i"), lit(n)), " ")).as("h"))
       // read twice (global counts + the count join) — cache contract as
-      // on graft.dedup.Dedup
+      // on graft.dedup.Dedup; measured (r20) against exchange-sharing
+      // and plain recompute, the cache wins: the slice/join/fingerprint
+      // per gram is the dominant cost and the cached rows are two longs
       .persist()
     val counts = grams.groupBy("h").agg(count(lit(1)).as("_ch"))
     grams.join(counts, "h")
@@ -774,6 +791,10 @@ object TextOps {
                    k: Int = 7, nBuckets: Int = 10): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     import graft.dedup.Dedup
+    // deliberately NOT shared (measured r20): the exploded relation
+    // feeds two aggregations, but re-running the native shingle pass in
+    // both parallel branches is cheaper than shuffling the exploded
+    // rows through a shared exchange
     val g = docs
       .select(id.as("doc_id"),
         explode(array_distinct(Dedup.shingleHashes(norm(text), k))).as("g"))
@@ -2099,7 +2120,13 @@ object TextOps {
       x => length(x) > 0 && !x.rlike("^(utm_|fbclid=|gclid=)")), "&")
     val canon = concat(cpre, cpath,
       when(cq === "", "").otherwise(concat(lit("?"), cq)))
+    // one exchange total (r20): hash-partitioning by the canonical URL
+    // computes the regex canonicalization ONCE below a shuffle that BOTH
+    // consumers reuse (ReuseExchange), and that same partitioning
+    // satisfies the keeper aggregation AND the keeper join — neither
+    // adds an exchange of its own
     val c = docs.select(id.as("doc_id"), url.as("url"), canon.as("canon_url"))
+      .repartition(col("canon_url"))
     val keepers = c.groupBy("canon_url").agg(min(col("doc_id")).as("_keep"))
     c.join(keepers, "canon_url")
       .select(col("doc_id"), col("url"), col("canon_url"),

@@ -48,16 +48,24 @@ object WebGraph {
     require(scale > 0, s"scale must be positive, got $scale")
     val e0 = edges.groupBy("src", "dst").agg(sum(col("w")).as("w"))
     val outw = e0.groupBy("src").agg(sum(col("w")).as("tw"))
+    // both relations are re-read per iteration by ONE final execution
+    // (the loop builds a single nested plan), so they must be
+    // MATERIALIZED, not just lazily cached: sibling AQE stages racing a
+    // cold cache recompute the full edge derivation per iteration (r20
+    // profile). The host universe is persisted too — its count below
+    // doubles as the eager materialization.
     val e = e0.join(outw, "src").persist()
-    val nHosts = hosts.count()
+    e.count()
+    val h = hosts.persist()
+    val nHosts = h.count()
     require(nHosts > 0, "host universe is empty")
     val base = scale / nHosts
-    var r = hosts.select(col("host"), lit(base).as("r"))
+    var r = h.select(col("host"), lit(base).as("r"))
     for (_ <- 1 to iters) {
       val insum = e.join(r, e("src") === r("host"))
         .select(col("dst"), expr("r * w div tw").as("_c"))
         .groupBy("dst").agg(sum(col("_c")).as("_in"))
-      r = hosts.join(insum, hosts("host") === insum("dst"), "left")
+      r = h.join(insum, h("host") === insum("dst"), "left")
         .select(col("host"),
           expr(s"(17 * coalesce(_in, 0L) + 3 * ${base}L) div 20").as("r"))
     }
