@@ -515,11 +515,22 @@ object Dedup {
     }
     var labels = labels0
     var prevSum = labelSum(labels0)
+    // Broadcast the label side of the round joins when the graph is
+    // SMALL, decided from the materialized edge count (a ~free count on
+    // the pinned checkpoint — guide §3.1 "broadcast the side that
+    // fits"): labels has at most 2·edges rows, so below the threshold
+    // each round is a map-side join + one aggregation exchange instead
+    // of an AQE cascade of label/edge shuffles. Past the threshold
+    // nothing is hinted and AQE keeps choosing per-round (its runtime
+    // broadcast conversion took over in the measured mid-size runs).
+    val smallGraph = cand.count() <= CcBroadcastEdgeThreshold
+    def labelSide(df: DataFrame): DataFrame =
+      if (smallGraph) broadcast(df) else df
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val grouped = undSelf
-        .join(labels.select(col("node").as("v"), col("label").as("_nl")), "v")
+        .join(labelSide(labels.select(col("node").as("v"), col("label").as("_nl"))), "v")
         .groupBy(col("u").as("node")).agg(min(col("_nl")).as("label"))
       // past the stall budget, also pointer-jump the fresh label to its
       // label's label (star-contraction): distance to the component min
@@ -530,7 +541,7 @@ object Dedup {
       val stepped =
         if (i < starRounds) grouped
         else grouped.join(
-            labels.select(col("node").as("_jn"), col("label").as("_jl")),
+            labelSide(labels.select(col("node").as("_jn"), col("label").as("_jl"))),
             grouped("label") === col("_jn"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("_jl"), col("label")))
@@ -773,13 +784,13 @@ object Dedup {
     * max_pop bound — change all of them together. */
   val DefaultWinnowMaxDf: Long = 64L
 
-  /** Edge-count threshold under which [[connectedComponents]] runs its
-    * ROUNDS with AQE disabled (see ccLoop): below it, per-round
-    * re-optimization jobs dominate the tiny shuffles they re-optimize;
-    * above it, label shuffles are big enough that AQE's skew handling
-    * and coalescing pay for their stage jobs. ~1M edges ≈ tens of MB
-    * of label traffic per round. */
-  val CcAqeEdgeThreshold: Long = 1000000L
+  /** Edge-count threshold under which [[connectedComponents]] BROADCASTS
+    * the label side of each round's join (see ccLoop): labels carry at
+    * most 2·edges rows of two longs, so 2M edges bounds the broadcast
+    * relation at ~4M rows / tens of MB — comfortably under the 8 GB /
+    * 512M-row broadcast cap with a wide margin for driver memory. Above
+    * the threshold nothing is hinted and AQE chooses per round. */
+  val CcBroadcastEdgeThreshold: Long = 2000000L
 
   /** Banded Hamming-LSH pairing over ANY 4×16-bit fingerprint table
     * (doc_id, bands) — text SimHash and image dHash share this exact
