@@ -114,6 +114,41 @@ object Bench {
                  }
       reps(reps.size / 2)
     }
+    // Memory-bandwidth probe (r20 verdict task 8): the compute probe's
+    // working set is cache-resident, so it under-corrects DRAM-bandwidth
+    // contention — the r19-vs-r20 window dispute was undecidable from the
+    // artifact because shuffle/decode-shaped queries ran 1.5-2x degraded
+    // while the probe read only 1.17x. This one streams a 64 MiB array
+    // per core (cpus x 64 MiB >> any LLC) sequentially, fill + 6 xor
+    // passes, so its reading moves with achievable memory bandwidth.
+    // Deterministic (seeded by partition id), no data dependence.
+    def memProbe(): Double = {
+      val t0 = System.nanoTime()
+      val n = 8 * 1024 * 1024 // 8M longs = 64 MiB per task
+      spark.range(0L, cpus.toLong, 1L, cpus.toInt).rdd.map { p =>
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) { a(i) = p * 2654435761L + i; i += 1 }
+        var s = 0L
+        var pass = 0
+        while (pass < 6) {
+          var j = 0
+          while (j < n) { s ^= a(j); j += 1 }
+          pass += 1
+        }
+        s
+      }.reduce(_ ^ _)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeMemSec: Double = {
+      try { memProbe(); () } catch { case _: Throwable => () } // warm
+      val reps = try Seq.fill(3)(memProbe()).sorted
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] memory probe FAILED: $e")
+                   Seq(-1.0)
+                 }
+      reps(reps.size / 2)
+    }
     // run-level steal window opens AFTER the probe (r19 advice): the
     // ~4 s probe is harness accounting, and for short filtered runs
     // (the sf10 one-query-per-JVM loop) including it would be a
@@ -376,51 +411,61 @@ object Bench {
     }
     val existingClean = cleanInfo.isDefined
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-    val noisyPart =
+    // the clean-pointer blob at three fidelities: full (total/steal/ts/
+    // sha), short (total + sha binding), minimal (flag only). No pointer
+    // under FORCE: the noisy full artifact is about to replace the clean
+    // reading the pointer would name.
+    def noisyPartAt(level: Int): String =
       if (!hostNoisy) ""
-      // no pointer under FORCE: the noisy full artifact is about to
-      // replace the clean reading the pointer would name
       else if (existingClean && !force) {
-        // self-contained refusal: the clean artifact's total/steal/ts
-        // plus a 16-hex sha256 prefix of its exact bytes, so the
-        // driver's captured line carries the authoritative reading
         val c = cleanInfo.get
-        s""","host_noisy":true,"clean_artifact":"$outPath","clean":{"total":${c.total},"steal_pct":${c.steal},"ts":"${c.ts}","sha256_16":"${c.sha}"}"""
+        level match {
+          case 0 =>
+            s""","host_noisy":true,"clean_artifact":"$outPath","clean":{"total":${c.total},"steal_pct":${c.steal},"ts":"${c.ts}","sha256_16":"${c.sha}"}"""
+          case 1 =>
+            s""","host_noisy":true,"clean":{"total":${c.total},"sha256_16":"${c.sha}"}"""
+          case _ =>
+            s""","host_noisy":true,"clean_sha":"${c.sha}""""
+        }
       }
       else ""","host_noisy":true"""
     // STAGED degradation to guarantee the line parses from the driver's
     // 2000-char stdout tail (the r16 line was ~2,080 chars and the
     // driver recorded parsed:null — an unparseable line is worth less
-    // than a lower-precision one; BENCH_LOCAL.json keeps full fidelity):
-    // 1. compact floats + basename sf;  2. drop the noisy/escalated
-    // maps to counts;  3. 1-decimal per-query values.
+    // than a lower-precision one; BENCH_LOCAL.json keeps full fidelity).
+    // The per-query map is the single highest-priority payload (r20
+    // verdict task 1: the old stage 3 stripped all 171 values from a
+    // host_noisy run and PERF_r20 compared nothing — n_common: 0), so
+    // the ladder degrades EVERYTHING ELSE first and never drops
+    // `queries`:
+    //   1. full line — 2-decimal values, noisy/escalated maps, full
+    //      clean blob;
+    //   2. minimal keys + 1-decimal values, clean blob shortened to
+    //      total + sha binding;
+    //   3. probe_mem dropped, clean blob reduced to its sha binding
+    //      (host_noisy stays — a degraded noisy run must still disclaim
+    //      itself; the clean reading is recoverable from the named
+    //      artifact, the per-query values are not recoverable anywhere
+    //      the driver reads).
     val sfShort = new java.io.File(sfDir).getName
     val Budget = 1950
+    def f1(v: Double): String = {
+      val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
+    val failedPart =
+      if (failedAll.isEmpty) "" else s""","failed":$failed"""
     var line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"policy":$policy,"steal_pct":${f2(runSteal)},"probe":${f2(probeSec)},"escalated":$escalatedJson$noisyPart,"sf":"$sfShort"}"""
-    if (line.length > Budget) {
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"policy":$policy,"steal_pct":${f2(runSteal)},"probe":${f2(probeSec)},"probe_mem":${f2(probeMemSec)},"escalated":$escalatedJson${noisyPartAt(0)},"sf":"$sfShort"}"""
+    if (line.length > Budget)
       // minimal keys + 1-decimal stripped values (~1,790 chars at 170
       // queries); failed stays whenever nonempty — a failure signal
-      // must never be a degradation casualty (nor may host_noisy /
-      // clean_artifact: they are exactly the keys a degraded-budget
-      // noisy run needs to disclaim itself)
-      def f1(v: Double): String = {
-        val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-        if (s.endsWith(".0")) s.dropRight(2) else s
-      }
-      val failedPart =
-        if (failedAll.isEmpty) "" else s""","failed":$failed"""
-      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qsJson(f1)}$failedPart,"steal_pct":${f2(runSteal)},"probe":${f2(probeSec)}$noisyPart,"sf":"$sfShort"}"""
-    }
-    if (line.length > Budget && hostNoisy && existingClean && !force) {
-      // stage 3, refusal only: this run's per-query numbers are noise
-      // (they live in the .noisy.json sibling) — drop them rather than
-      // risk truncating the embedded clean reading, which is the part
-      // of the line the driver actually needs
-      val failedPart =
-        if (failedAll.isEmpty) "" else s""","failed":$failed"""
-      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"$failedPart,"steal_pct":${f2(runSteal)},"probe":${f2(probeSec)}$noisyPart,"sf":"$sfShort"}"""
-    }
+      // must never be a degradation casualty (nor may host_noisy: it is
+      // exactly the key a degraded-budget noisy run needs to disclaim
+      // itself)
+      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qsJson(f1)}$failedPart,"steal_pct":${f2(runSteal)},"probe":${f2(probeSec)},"probe_mem":${f2(probeMemSec)}${noisyPartAt(1)},"sf":"$sfShort"}"""
+    if (line.length > Budget)
+      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qsJson(f1)}$failedPart,"steal_pct":${f2(runSteal)},"probe":${f2(probeSec)}${noisyPartAt(2)},"sf":"$sfShort"}"""
     if (line.length > Budget)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
         "even after degradation — the driver tail may truncate it")
@@ -444,6 +489,7 @@ object Bench {
          |"cpus": $cpus,
          |"total_sec": ${f3(total)},
          |"probe_sec": ${f3(probeSec)},
+         |"probe_mem_sec": ${f3(probeMemSec)},
          |"total_per_probe": ${if (probeSec > 0) f3(total / probeSec) else "-1"},
          |"steal_pct": ${f2(runSteal)},
          |"ambient_load1": ${f2(ambientLoad1)},
@@ -463,10 +509,14 @@ object Bench {
     val target = {
       val p = java.nio.file.Paths.get(outPath)
       if (!force && hostNoisy && existingClean) {
+        // sibling keyed by sf AND cpus (r20 verdict task 1: the c8
+        // scaling run overwrote the 32-core run's .noisy.json — keyed
+        // only by outPath — and the 32-core per-query record was lost)
+        val sib = outPath.stripSuffix(".json") + s".noisy.$sfShort.c$cpus.json"
         System.err.println(s"[bench] $outPath holds a steal-clean reading " +
-          "and this run is host_noisy — writing to the .noisy.json sibling " +
+          s"and this run is host_noisy — writing to $sib " +
           "instead (SPARK_GRAFT_BENCH_FORCE=1 to override)")
-        java.nio.file.Paths.get(outPath.stripSuffix(".json") + ".noisy.json")
+        java.nio.file.Paths.get(sib)
       } else p
     }
     try java.nio.file.Files.writeString(target, full)
