@@ -91,18 +91,41 @@ object Dedup {
     * once instead of twice. The emitted pair mass is exactly the
     * Σ pop·(pop−1)/2 the h01 audit bounds — identical to what the join
     * emitted, so the audit's model is unchanged. Null keys cannot pair
-    * (equi-join semantics) and are filtered before grouping. */
-  private def bucketPairs(keyed: DataFrame, keyCols: Seq[String]): DataFrame =
+    * (equi-join semantics) and are filtered before grouping.
+    *
+    * CAP BEFORE COLLECT (r21): bucket population is counted by a window
+    * pass over the SAME exchange (count over partitionBy(key) — the
+    * window buffers rows in a spillable ExternalAppendOnlyUnsafeRowArray,
+    * the structure the old self-join buffered in), and singleton buckets
+    * plus any bucket past `maxBucket` are dropped BEFORE collect_list
+    * materializes a bucket as one un-spillable array value. With a cap,
+    * no collected array ever exceeds it. Without one (the declared LSH
+    * candidate semantics of [[minhashCandidates]] — every bucket pairs),
+    * a degenerate hot bucket (e.g. all-empty normalized docs sharing the
+    * single degenerate shingle) still becomes one pop-sized array row:
+    * bounded only by the corpus's duplicate structure. Callers that can
+    * declare a cap (mirrored in their oracle) should pass one; h01's
+    * max_pop audit row is the standing early-warning for this exact
+    * shape. */
+  private def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
+                          maxBucket: Option[Long] = None): DataFrame = {
+    maxBucket.foreach(cap =>
+      require(cap > 1, s"maxBucket must exceed 1, got $cap"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
     keyed
       .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .withColumn("_pop", count(lit(1)).over(byKey))
+      .filter(col("_pop") > 1 &&
+        maxBucket.map(cap => col("_pop") <= cap).getOrElse(lit(true)))
       .groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("doc_id")).as("_ids"))
-      .filter(size(col("_ids")) > 1)
       .select(explode(col("_ids")).as("doc_a"), col("_ids"))
       .select(col("doc_a"), explode(col("_ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
 
   /** Shared banding pipeline: norm → shingles → signature → exploded
     * (band_id, band_key) rows. */
@@ -125,12 +148,21 @@ object Dedup {
     * heavy narrow compute and a byte-sized single-file scan would run it
     * on one task ([[graft.ops.Spread]]). Pairing is the one-pass
     * [[bucketPairs]] aggregation: one shuffle of the thin band rows, no
-    * persist, no self-join. */
+    * persist, no self-join.
+    *
+    * `maxBucket` (default None — every bucket pairs, the declared LSH
+    * semantics of all current callers): buckets past the cap are dropped
+    * BEFORE their member list is materialized ([[bucketPairs]]'s
+    * cap-before-collect) — the boilerplate-hot-bucket valve for corpora
+    * where one band key captures a corpus fraction. A cap is a DECLARED
+    * semantic: mirror it in the caller's oracle exactly like
+    * [[winnowOverlapPairs]]' maxDf. */
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
                         k: Int = 7, nHashes: Int = 12,
-                        bands: Int = 3, rows: Int = 4): DataFrame =
+                        bands: Int = 3, rows: Int = 4,
+                        maxBucket: Option[Long] = None): DataFrame =
     bucketPairs(bandedKeys(docs, id, text, k, nHashes, bands, rows),
-      Seq("band_id", "band_key"))
+      Seq("band_id", "band_key"), maxBucket)
 
   /** Shared staging for every shingle consumer: spread for parallelism,
     * norm materialized once, then the native shingle pass. Output:
@@ -355,13 +387,19 @@ object Dedup {
     // df-table semi-join + equi-self-join — three shuffles of the same
     // rows plus an AQE cache race): per-doc selected sets are distinct,
     // so each fingerprint's bucket size IS its document frequency — the
-    // df cap is a size filter on the grouped bucket, and the a<b pair
+    // df cap is a count filter on the same bucket rows, and the a<b pair
     // expansion is the same Σ pop·(pop−1)/2 mass the self-join emitted.
     // h is null only for the no-fingerprint explode_outer row, which the
     // old equi-join could never pair — filtered here for the same effect.
+    // CAP BEFORE COLLECT (r21): the df count is a window pass riding the
+    // same exchange (spillable row buffer), so a boilerplate bucket past
+    // maxDf is dropped before collect_list ever materializes it as one
+    // un-spillable array row — no collected bucket exceeds maxDf.
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
     e.filter(col("h").isNotNull)
+      .withColumn("_df", count(lit(1)).over(byH))
+      .filter(col("_df").between(2, maxDf))
       .groupBy("h").agg(collect_list(col("doc_id")).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxDf))
       .select(explode(col("_ids")).as("doc_a"), col("_ids"))
       .select(col("doc_a"), explode(col("_ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
@@ -446,6 +484,19 @@ object Dedup {
     // dir acquisition guards the SparkContext-GLOBAL checkpoint dir:
     // a concurrent invocation on a different dir throws instead of
     // silently re-pointing it mid-run (ReliableCheckpoints class doc)
+    // fail LOUDLY on a non-integral id type (r20 advice): the Σ label
+    // convergence statistic casts labels to DECIMAL(38,0); a non-numeric
+    // id would cast to null under non-ANSI, null-sum every round, and
+    // silently declare convergence after round 1 with unpropagated
+    // labels. The old _moved count was type-agnostic; this pins the
+    // narrowed contract at entry instead of at a wrong answer.
+    Seq("doc_a", "doc_b").foreach { c =>
+      val t = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"connectedComponents requires integral node ids; $c is " +
+          s"${t.catalogString} (the exact-decimal label-sum convergence " +
+          "proof needs lossless numeric labels)")
+    }
     checkpointDir.foreach(d => ReliableCheckpoints.acquire(pairs.sparkSession, d))
     try ccLoop(pairs, maxIter, starRounds, reliable = checkpointDir.isDefined)
     finally checkpointDir.foreach(_ => ReliableCheckpoints.release())
@@ -825,18 +876,24 @@ object Dedup {
     // large corpus fraction (all-silence audio → flat contour; a blank
     // image → constant dHash) is a population² false-candidate
     // generator, while genuinely near-dup pairs still agree on a
-    // discriminating band — becomes a size filter on the SAME grouped
-    // bucket instead of a second aggregation + semi-join. Off by
-    // default; the cap is a declared semantic (mirror it in any
-    // oracle), not a silent truncation.
+    // discriminating band — is applied by a window count over the SAME
+    // exchange BEFORE collect_list materializes a bucket as one
+    // un-spillable array row (cap-before-collect, r21; the window
+    // buffers in a spillable row array). Off by default; the cap is a
+    // declared semantic (mirror it in any oracle), not a silent
+    // truncation — without it a degenerate hot bucket is bounded only
+    // by the corpus's duplicate structure (see [[bucketPairs]]).
     maxBucket.foreach(cap =>
       require(cap > 1, s"maxBucket must exceed 1, got $cap"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_val")
     val buckets = exploded
       .filter(col("band_val").isNotNull)
+      .withColumn("_pop", count(lit(1)).over(byKey))
+      .filter(col("_pop") > 1 &&
+        maxBucket.map(cap => col("_pop") <= cap).getOrElse(lit(true)))
       .groupBy(col("band_id"), col("band_val"))
       .agg(collect_list(struct(col("doc_id"), col("bands"))).as("_ms"))
-      .filter(size(col("_ms")) > 1 &&
-        maxBucket.map(cap => size(col("_ms")) <= cap).getOrElse(lit(true)))
     val ham = (0 until 4).map { j =>
       bit_count(get(col("a.bands"), lit(j)).bitwiseXOR(get(col("b.bands"), lit(j))))
     }.reduce(_ + _).cast(LongType)

@@ -96,9 +96,15 @@ object FakeCodec {
     * provider lookup (JDK13Services.getProviders) and re-runs a
     * ServiceLoader scan on EVERY call — measured on x89 as a 32-thread
     * lock convoy: 76 s of executor run time against 4 s of CPU in the
-    * decode stage. Iterating the same SPI list directly is exactly what
-    * AudioSystem does internally (same providers, same order, same
-    * real decode), minus the per-call global lock. */
+    * decode stage. Iterating the SPI list directly sees the same
+    * provider SET AudioSystem does, minus the per-call global lock —
+    * but possibly in a DIFFERENT ORDER (JDK13Services prepends each
+    * provider, effectively reversing ServiceLoader order, third-party
+    * first). For content claimed by exactly one reader (RIFF/WAVE
+    * here — each JDK reader claims only its own container) the order is
+    * immaterial; content claimed by multiple readers could decode via a
+    * different provider than AudioSystem would pick, which is why the
+    * no-claim path below still falls back to AudioSystem itself. */
   private lazy val audioFileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
     import scala.jdk.CollectionConverters._
     java.util.ServiceLoader

@@ -62,25 +62,44 @@ object Book {
       .otherwise(round((bidVol - askVol).cast("double") / total.cast("double"), 6))
   }
 
+  /** The exact HOF formulation of one side's five summary fields — kept
+    * as the executable spec the native kernel is equality-tested against
+    * (BookSideStatsSpec); [[summarize]] no longer runs it. */
+  private[graft] def hofSideStats(side: Column, isBid: Boolean): Column =
+    struct(
+      bestPrice(side, isBid).as("best_price_c"),
+      bestSize(side, isBid).as("best_size_c"),
+      depth(side).as("total_volume_c"),
+      largest(side).getField("size_c").as("largest_size_c"),
+      largest(side).getField("price_c").as("largest_price_c"))
+
   /** Full 13-field summary (SURVEY A5) appended to `keep` columns.
-    * `bids`/`asks` must be `array<struct<price_c:long, size_c:long>>`. */
+    * `bids`/`asks` must be `array<struct<price_c:long, size_c:long>>`.
+    *
+    * r21: each side's five fields come from ONE native pass
+    * ([[graft.plans.BookUtil.sideStats]]) instead of ~8 interpreted HOF
+    * walks of the same array per row — null semantics pinned to the HOF
+    * chain by BookSideStatsSpec. The sides are STAGED in an inner
+    * projection so each kernel runs once per row (CollapseProject will
+    * not inline a non-cheap expression into multiple uses). */
   def summarize(df: DataFrame, keep: Seq[String]): DataFrame = {
-    val bids = col("bids")
-    val asks = col("asks")
-    val bidVol = depth(bids)
-    val askVol = depth(asks)
-    df.filter(size(bids) > 0 && size(asks) > 0) // both-sides guard (A5)
+    val staged = df
+      .filter(size(col("bids")) > 0 && size(col("asks")) > 0) // both-sides guard (A5)
       .select(keep.map(col) ++ Seq(
-        bestPrice(bids, isBid = true).as("best_bid_price_c"),
-        bestSize(bids, isBid = true).as("best_bid_size_c"),
-        bestPrice(asks, isBid = false).as("best_ask_price_c"),
-        bestSize(asks, isBid = false).as("best_ask_size_c"),
-        bidVol.as("total_bid_volume_c"),
-        askVol.as("total_ask_volume_c"),
-        largest(bids).getField("size_c").as("largest_bid_size_c"),
-        largest(bids).getField("price_c").as("largest_bid_price_c"),
-        largest(asks).getField("size_c").as("largest_ask_size_c"),
-        largest(asks).getField("price_c").as("largest_ask_price_c"),
-        imbalance(bidVol, askVol).as("book_imbalance")): _*)
+        graft.plans.functions.book_side_stats(col("bids"), isBid = true).as("_b"),
+        graft.plans.functions.book_side_stats(col("asks"), isBid = false).as("_a")): _*)
+    staged.select(keep.map(col) ++ Seq(
+      col("_b.best_price_c").as("best_bid_price_c"),
+      col("_b.best_size_c").as("best_bid_size_c"),
+      col("_a.best_price_c").as("best_ask_price_c"),
+      col("_a.best_size_c").as("best_ask_size_c"),
+      col("_b.total_volume_c").as("total_bid_volume_c"),
+      col("_a.total_volume_c").as("total_ask_volume_c"),
+      col("_b.largest_size_c").as("largest_bid_size_c"),
+      col("_b.largest_price_c").as("largest_bid_price_c"),
+      col("_a.largest_size_c").as("largest_ask_size_c"),
+      col("_a.largest_price_c").as("largest_ask_price_c"),
+      imbalance(col("_b.total_volume_c"), col("_a.total_volume_c"))
+        .as("book_imbalance")): _*)
   }
 }

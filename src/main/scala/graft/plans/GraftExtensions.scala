@@ -45,6 +45,16 @@ object GraftExtensions {
       }
   }
 
+  /** Fold a constant argument to a Boolean (the book_side_stats side
+    * flag). */
+  private def boolArg(fnName: String, param: String, e: Expression): Boolean = {
+    requireFoldable(fnName, param, "BOOLEAN", e)
+    e.eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case _ => badArg(fnName, param, "a non-null boolean literal")
+    }
+  }
+
   /** Fold a constant argument (lambda/threshold parameters) to a Double.
     * A bare SQL literal like `0.5` arrives as Decimal (not a
     * java.lang.Number), so both shapes are accepted. */
@@ -140,6 +150,9 @@ object GraftExtensions {
         intArg("sign_bucket_rh", "seed", a(2)))),
     fn("char_entropy_stats", classOf[CharEntropyStats], 1, "char_entropy_stats(str)")(
       a => CharEntropyStats(a.head)),
+    fn("book_side_stats", classOf[BookSideStats], 2,
+      "book_side_stats(array<struct<price_c,size_c>>, is_bid)")(
+      a => BookSideStats(a.head, boolArg("book_side_stats", "is_bid", a(1)))),
     fn("nfc_normalize", classOf[NfcNormalize], 1, "nfc_normalize(str)")(
       a => NfcNormalize(a.head)),
     fn("mmr_select", classOf[MmrSelect], 3, "mmr_select(array<struct>, k, lam)")(
@@ -231,6 +244,9 @@ object functions {
 
   def char_entropy_stats(c: Column): Column =
     GraftBridge.column(CharEntropyStats(GraftBridge.expression(c)))
+
+  def book_side_stats(c: Column, isBid: Boolean): Column =
+    GraftBridge.column(BookSideStats(GraftBridge.expression(c), isBid))
 
   def nfc_normalize(c: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))

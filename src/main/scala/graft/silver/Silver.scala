@@ -230,26 +230,38 @@ object Silver {
     import spark.implicits._
     // ONE aggregation pass over the bronze scan (r20, was two — the
     // totals and per-key branches each re-ran the JSON key extraction,
-    // profiled as twin near-second stages): a sentinel "row" key is
+    // profiled as twin near-second stages): a sentinel "row" marker is
     // prepended to every row's (possibly absent) key set, so the same
-    // (bucket, key) count yields per-key arrivals AND the all-rows
-    // totals (invalid payloads produce a null key set → only the
-    // sentinel, exactly the oracle's count(*) semantics). The counted
+    // (bucket, marker, key) count yields per-key arrivals AND the
+    // all-rows totals (invalid payloads produce a null key set → only
+    // the sentinel, exactly the oracle's count(*) semantics). The marker
+    // is a STRUCT FIELD, not a magic string key (r20 advice: a NUL-
+    // prefixed key is still a legal escaped JSON object key, which would
+    // have been folded into n_rows instead of counted as a novel key —
+    // the struct marker cannot collide with any payload). The counted
     // table is days x keys — cacheable at any scale — and is persisted
     // EAGERLY because two tiny consumers below would otherwise race the
-    // whole pass back into existence.
-    // NUL-prefixed sentinel: no JSON object key can collide with it
-    val rowsKey = "\u0000rows"
+    // whole pass back into existence. CACHE LIFETIME: the persist is
+    // read by the returned lazy frame, so it cannot unpersist here —
+    // callers clear it after consuming the result (Verify/Bench
+    // clearCache per query; the Dedup class-level contract).
+    val keyStruct = "array<struct<r:boolean,key:string>>"
     val counted = bronze
       .select(bucket.as("bucket"),
-        explode(concat(array(lit(rowsKey)),
-          coalesce(json_object_keys(payload), array()))).as("key"))
-      .groupBy("bucket", "key").agg(count(lit(1)).as("n"))
+        explode(concat(
+          array(struct(lit(true).as("r"),
+            lit(null).cast(StringType).as("key"))),
+          coalesce(
+            transform(json_object_keys(payload),
+              k => struct(lit(false).as("r"), k.as("key"))),
+            array().cast(keyStruct)))).as("k"))
+      .groupBy(col("bucket"), col("k.r").as("r"), col("k.key").as("key"))
+      .agg(count(lit(1)).as("n"))
       .persist()
     counted.count()
-    val totals = counted.filter(col("key") === rowsKey)
+    val totals = counted.filter(col("r"))
       .select(col("bucket"), col("n").as("n_rows"))
-    val present = counted.filter(col("key") =!= rowsKey)
+    val present = counted.filter(!col("r"))
       .select(col("bucket"), col("key"), col("n").as("n_present"))
     val expected = totals
       .crossJoin(broadcast(expectedKeys.toDF("key")))
