@@ -474,7 +474,17 @@ object Dedup {
     * cleanup. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 60,
                           starRounds: Int = 5,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsAt(pairs, maxIter, starRounds, checkpointDir,
+      CcLocalEdgeThreshold)
+
+  /** [[connectedComponents]] with an explicit local-dispatch threshold —
+    * package-private so the equivalence spec can force the distributed
+    * loop on a small graph and assert both paths agree. */
+  private[graft] def connectedComponentsAt(pairs: DataFrame, maxIter: Int,
+                                           starRounds: Int,
+                                           checkpointDir: Option[String],
+                                           localThreshold: Long): DataFrame = {
     // checkpoint, NOT persist: an iterative loop's logical plan
     // embeds the previous iteration's plan twice per round, so without
     // lineage TRUNCATION analysis cost grows ~2^rounds and the driver
@@ -498,12 +508,13 @@ object Dedup {
           "proof needs lossless numeric labels)")
     }
     checkpointDir.foreach(d => ReliableCheckpoints.acquire(pairs.sparkSession, d))
-    try ccLoop(pairs, maxIter, starRounds, reliable = checkpointDir.isDefined)
+    try ccLoop(pairs, maxIter, starRounds, reliable = checkpointDir.isDefined,
+      localThreshold)
     finally checkpointDir.foreach(_ => ReliableCheckpoints.release())
   }
 
   private def ccLoop(pairs: DataFrame, maxIter: Int, starRounds: Int,
-                     reliable: Boolean): DataFrame = {
+                     reliable: Boolean, localThreshold: Long): DataFrame = {
     def pin(df: DataFrame): DataFrame =
       if (reliable) {
         // persist around the reliable checkpoint: checkpoint(true) runs
@@ -529,6 +540,23 @@ object Dedup {
     // (the profiled duplicate-banding stages), and a lazy pin would be
     // raced by the two union branches the same way.
     val cand = pin(pairs.select(col("doc_a"), col("doc_b")))
+    // DRIVER-LOCAL DISPATCH (r21, guide §1.2): below the edge threshold
+    // the whole loop is replaced by one bounded collect of the pinned
+    // edges (a ~free count on the checkpoint decides) + driver
+    // union-find + one parallelize — the [[graft.text.TextOps
+    // .bpeMergesLocal]] discipline applied to the other iterative
+    // operator. The distributed loop's cost at this size was never the
+    // data: Profile read x23 at 39 driver jobs with Σ stage wall 1.9 s
+    // against 3.9 s query wall — a ~50 ms-per-job AQE/job-dispatch
+    // cascade the r20 round could only shave (90 → 40 jobs), not
+    // remove. The threshold bounds driver memory exactly like the r20
+    // broadcast bound it replaces (2M edges ≈ 32 MB of edge longs; the
+    // broadcast label relation it subsumes held the same rows on the
+    // driver AND every executor). Output is pinned bit-identical to the
+    // distributed loop by CcLocalEquivalenceSpec; past the threshold
+    // the loop below runs unchanged at any scale.
+    if (cand.count() <= localThreshold)
+      return ccLocal(cand)
     def sym = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
     // NOTE (r20, measured): running the rounds with AQE disabled was
@@ -566,17 +594,12 @@ object Dedup {
     }
     var labels = labels0
     var prevSum = labelSum(labels0)
-    // Broadcast the label side of the round joins when the graph is
-    // SMALL, decided from the materialized edge count (a ~free count on
-    // the pinned checkpoint — guide §3.1 "broadcast the side that
-    // fits"): labels has at most 2·edges rows, so below the threshold
-    // each round is a map-side join + one aggregation exchange instead
-    // of an AQE cascade of label/edge shuffles. Past the threshold
-    // nothing is hinted and AQE keeps choosing per-round (its runtime
-    // broadcast conversion took over in the measured mid-size runs).
-    val smallGraph = cand.count() <= CcBroadcastEdgeThreshold
-    def labelSide(df: DataFrame): DataFrame =
-      if (smallGraph) broadcast(df) else df
+    // No broadcast hint on the round joins: this code now runs only
+    // ABOVE the local-dispatch threshold (the r20 small-graph broadcast
+    // is subsumed by ccLocal — same bound, no rounds at all), where AQE's
+    // runtime broadcast conversion decides per round as the label side
+    // shrinks.
+    def labelSide(df: DataFrame): DataFrame = df
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -619,6 +642,63 @@ object Dedup {
         "(labels still moving)")
     labels.select(col("node").as("doc_id"), col("label").as("component"),
       (col("label") === col("node")).as("is_survivor"))
+  }
+
+  /** Driver-local union-find ending for graphs at or under
+    * [[CcLocalEdgeThreshold]] edges: ONE bounded collect of the pinned
+    * edge list, path-compressed union-find linking every union toward
+    * the smaller root (so each final root IS its component's minimum id
+    * — the distributed fixpoint's exact labeling), one parallelize back.
+    * Rows, schema and id dtype match the distributed loop bit-for-bit
+    * (CcLocalEquivalenceSpec pins both paths on the same graphs,
+    * including chains past starRounds and isolated self-pairs). Fails
+    * loudly on a null node id — out of the candidate-pair contract
+    * either way (bucketPairs filters null keys; null never equi-joins). */
+  private def ccLocal(cand: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
+    val idType = cand.schema("doc_a").dataType
+    val edges = cand
+      .select(col("doc_a").cast(LongType), col("doc_b").cast(LongType))
+      .collect()
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    val seen = new scala.collection.mutable.LongMap[Boolean]()
+    edges.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "connectedComponents: null node id in candidate pairs")
+      val a = r.getLong(0); val b = r.getLong(1)
+      seen(a) = true; seen(b) = true
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val out = new Array[org.apache.spark.sql.Row](seen.size)
+    var i = 0
+    seen.foreachKey { n =>
+      val c = find(n)
+      out(i) = org.apache.spark.sql.Row(n, c, n == c)
+      i += 1
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("component", LongType),
+      StructField("is_survivor", BooleanType)))
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, parts), schema)
+    if (idType == LongType) df
+    else df.select(col("doc_id").cast(idType).as("doc_id"),
+      col("component").cast(idType).as("component"), col("is_survivor"))
   }
 
   /** The fuzzy-dedup ending: given near-dup candidate pairs, keep ONE
@@ -835,13 +915,16 @@ object Dedup {
     * max_pop bound — change all of them together. */
   val DefaultWinnowMaxDf: Long = 64L
 
-  /** Edge-count threshold under which [[connectedComponents]] BROADCASTS
-    * the label side of each round's join (see ccLoop): labels carry at
-    * most 2·edges rows of two longs, so 2M edges bounds the broadcast
-    * relation at ~4M rows / tens of MB — comfortably under the 8 GB /
-    * 512M-row broadcast cap with a wide margin for driver memory. Above
-    * the threshold nothing is hinted and AQE chooses per round. */
-  val CcBroadcastEdgeThreshold: Long = 2000000L
+  /** Edge-count threshold under which [[connectedComponents]] runs the
+    * DRIVER-LOCAL union-find path (see ccLoop/ccLocal) instead of the
+    * distributed fixpoint loop: 2M edges is ~32 MB of collected edge
+    * longs and at most 4M result rows — the same driver-memory bound
+    * the r20 broadcast-label optimization used (that broadcast held the
+    * same rows on the driver AND every executor, so the local path is
+    * strictly cheaper in memory and removes the per-round job cascade
+    * entirely). Above the threshold the distributed loop runs with no
+    * hints and AQE chooses join strategies per round. */
+  val CcLocalEdgeThreshold: Long = 2000000L
 
   /** Banded Hamming-LSH pairing over ANY 4×16-bit fingerprint table
     * (doc_id, bands) — text SimHash and image dHash share this exact
@@ -1001,14 +1084,33 @@ object Dedup {
       .select(lit("sign_lsh").as("family"),
         graft.plans.functions.sign_bucket_rh(col("embedding"), sgBits, 0)
           .cast(StringType).as("bkey")))
-    // families union as per-bucket POP tables (aggregate before the
-    // union's exchange — guide §2.3), then one bounded per-family agg
-    mh.unionAll(sh).unionAll(wn.select("family", "bkey", "pop"))
-      .unionAll(sg)
-      .groupBy("family")
-      .agg(sum(col("pop")).as("n_entries"),
-        count(lit(1)).as("n_buckets"),
-        max(col("pop")).as("max_pop"),
-        sum(expr("pop * (pop - 1) DIV 2")).as("gen_pairs"))
+    // Per-family bounded aggregates (aggregate before any union — guide
+    // §2.3), run as CONCURRENT jobs (guide §2.6): the four families are
+    // independent subtrees over the SAME eagerly-cached normed staging,
+    // and executing them sequentially left each family's stage tail
+    // idling most of the cores. Family values are disjoint across
+    // subtrees ("minhash" / "simhash64" / "winnow"+"winnow_capped" /
+    // "sign_lsh"), so per-subtree groupBy + union is row-identical to
+    // the old union + global groupBy. Each persisted aggregate is ≤ 2
+    // rows (cache cleared by the session's per-query contract); 3 jobs
+    // in flight is the guide's "enough to fill the tail" sizing.
+    def famAgg(pops: DataFrame): DataFrame =
+      pops.groupBy("family")
+        .agg(sum(col("pop")).as("n_entries"),
+          count(lit(1)).as("n_buckets"),
+          max(col("pop")).as("max_pop"),
+          sum(expr("pop * (pop - 1) DIV 2")).as("gen_pairs"))
+    val fams = Seq(famAgg(mh), famAgg(sh),
+      famAgg(wn.select("family", "bkey", "pop")), famAgg(sg))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val running = fams.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = { f.persist(); f.count(); () }
+        })
+      }
+      running.foreach(_.get())
+    } finally pool.shutdown()
+    fams.reduce(_ unionAll _)
   }
 }

@@ -299,6 +299,21 @@ object Similarity {
     * winning centroid cosine survives as `ccos` (the prototypicality
     * signal x98 ranks on); default drops it — most callers only need
     * the cell id. */
+  /** Collect a deterministic, bounded-by-construction tiny relation —
+    * centroid / codebook tables, capped at ≤ 65,536 rows by
+    * [[scaledCells]]/[[scaledCells2]]/nCodes — into a driver-LOCAL
+    * relation (r21, guide §1.2/§2.4). Every later reader then costs
+    * ZERO Spark jobs: a BroadcastExchange over a LocalTableScan builds
+    * on the driver without submitting a job, where the distributed form
+    * paid one AQE materialization job per reader re-running the
+    * TakeOrdered/window that produced the table (Profile read x43 at 26
+    * driver jobs, most of them ~80 ms one-task stages over exactly
+    * these frames). Values are bit-identical — collect preserves floats
+    * exactly — so this is plan shape only, never semantics. */
+  private def localRel(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   def assignCells(df: DataFrame, idCol: String, emb: String,
                   centroids: DataFrame, nprobe: Int = 1,
                   keepScore: Boolean = false): DataFrame = {
@@ -462,9 +477,9 @@ object Similarity {
               checkpointDir: Option[String] = None): DataFrame = {
     val init = corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    val cents = (if (kmeansIters > 0)
+    val cents = localRel(if (kmeansIters > 0)
                    kmeansRefine(corpus, init, kmeansIters, checkpointDir)
-                 else init).persist()
+                 else init)
     val c = assignCells(corpus, "vec_id", "embedding", cents, 1)
     val q = assignCells(queries, "q_id", "q_emb", cents, nprobe)
       .select("q_id", "q_emb", "cell")
@@ -485,14 +500,14 @@ object Similarity {
     * stored vectors — runs on the 4× smaller int8 column with exact
     * integer dots/norms. The two compressions multiply with the cell
     * pruning: candidates shrink ~nCells/nprobe× AND each candidate
-    * read is 4× cheaper. Same cache-lifetime contract as [[ivfTopK]]
-    * (centroids persist, caller clears). Recall vs the fp32 IVF route
+    * read is 4× cheaper. Centroids are driver-local ([[localRel]]) —
+    * nothing persists here. Recall vs the fp32 IVF route
     * at identical cells/probes is gated in Int8AnnSpec. */
   def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
                   nCells: Int = 8, nprobe: Int = 1): DataFrame = {
     import graft.plans.functions.{int_dot_fold, int_sqnorm_fold, quantize_int8}
-    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")).persist()
+    val cents = localRel(corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
     // quantize ONCE, then fold over the materialized column (see int8TopK)
     val c = assignCells(corpus, "vec_id", "embedding", cents, 1)
       .select(col("cell"), col("vec_id"), quantize_int8(col("embedding")).as("qv"))
@@ -541,9 +556,9 @@ object Similarity {
     // ONE sub-cell or straddles several — the case where lowest-id
     // seeding measurably loses recall and local Lloyd wins it back
     // (RecallProbeSpec planted-cluster fixture; PLANS.md "ANN recall").
-    val cents1 = (if (kmeansIters > 0)
+    val cents1 = localRel(if (kmeansIters > 0)
                     kmeansRefine(corpus, init, kmeansIters, checkpointDir)
-                  else init).persist()
+                  else init)
     val asg1 = assignCells(corpus, "vec_id", "embedding", cents1, 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .persist() // read by sub-centroid pick + sub-assignment; cache
@@ -624,8 +639,10 @@ object Similarity {
     val seeds = corpus.orderBy(col("vec_id")).limit(nCodes)
       .select(col("vec_id"), col("embedding"),
         (row_number().over(w) - 1).as("code"))
-    val codebook = subs(seeds.drop("vec_id"), "code", "embedding")
-      .select(col("s"), col("code"), col("sub").as("c_sub"))
+    // nSub x nCodes rows, read by the encode join AND the query LUT —
+    // localized so both broadcast builds cost zero jobs (see localRel)
+    val codebook = localRel(subs(seeds.drop("vec_id"), "code", "embedding")
+      .select(col("s"), col("code"), col("sub").as("c_sub")))
     // encode: argmin exact L2 per (vec, subspace); d2 built from the
     // same three folds the oracle mirrors, ties to the lowest code
     val d2 = sqNorm(col("sub")) + sqNorm(col("c_sub")) -
@@ -683,8 +700,10 @@ object Similarity {
                 rerank: Int = 10): DataFrame = {
     require(nSub > 0 && dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val subDim = dim / nSub
-    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    // ≤ nCells rows, read by corpus assignment, the residual join and
+    // the query probe — localized (zero-job broadcasts; see localRel)
+    val cents = localRel(corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
     val asg = assignCells(corpus, "vec_id", "embedding", cents, 1)
       .join(broadcast(cents.withColumnRenamed("cid", "cell")), "cell")
       .select(col("vec_id"), col("cell"), col("embedding"),
@@ -708,14 +727,15 @@ object Similarity {
       .select(col("_res"), (row_number().over(w) - 1).as("_rk"))
       .filter(col("_rk") >= nCells)
       .select(col("_res"), (col("_rk") - nCells).as("code"))
+    // defined below via subs(); localized like pqTopK's codebook
     def subs(df: DataFrame, idc: String, emb: String): DataFrame = df
       .select(col(idc), explode(array((0 until nSub).map { s =>
         struct(lit(s).as("s"),
           slice(col(emb), s * subDim + 1, subDim).as("sub"))
       }: _*)).as("t"))
       .select(col(idc), col("t.s"), col("t.sub"))
-    val codebook = subs(seeds, "code", "_res")
-      .select(col("s"), col("code"), col("sub").as("c_sub"))
+    val codebook = localRel(subs(seeds, "code", "_res")
+      .select(col("s"), col("code"), col("sub").as("c_sub")))
     val d2 = sqNorm(col("sub")) + sqNorm(col("c_sub")) -
       lit(2.0) * dot(col("sub"), col("c_sub"))
     val encoded = TopK.perGroup(

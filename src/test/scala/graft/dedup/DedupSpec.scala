@@ -332,22 +332,29 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents fails loudly when the diameter exceeds maxIter") {
+    // threshold -1 forces the DISTRIBUTED loop (the small-graph local
+    // union-find has no rounds to exhaust)
     val chain = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, maxIter = 2)
+      Dedup.connectedComponentsAt(chain, maxIter = 2, starRounds = 5,
+        checkpointDir = None, localThreshold = -1L)
     }
     assert(e.getMessage.contains("did not converge"))
     // and converges fine with enough rounds
-    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+    val ok = Dedup.connectedComponentsAt(chain, maxIter = 10, starRounds = 5,
+        checkpointDir = None, localThreshold = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 9L).forall(d => ok(d) == 1L))
   }
 
   test("adversarial 100-node chain converges via the pointer-jump fallback") {
     // diameter 100 ≫ starRounds: plain min-label propagation alone would
-    // need ~100 rounds; the pointer-jump phase must close it in O(log n)
+    // need ~100 rounds; the pointer-jump phase must close it in O(log n).
+    // threshold -1 forces the distributed loop — the local union-find
+    // would short-circuit the phase this test exists to exercise
     val chain = (1L to 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = Dedup.connectedComponents(chain)
+    val out = Dedup.connectedComponentsAt(chain, maxIter = 60, starRounds = 5,
+        checkpointDir = None, localThreshold = -1L)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(out.size === 101)
     assert(out.values.forall(_._1 == 1L)) // one component, min id 1
