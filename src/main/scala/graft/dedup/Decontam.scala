@@ -89,7 +89,14 @@ object Decontam {
           .as("h"))
     val bset = grams(bench, benchId, benchText)
       .select("h").distinct().withColumn("_b", lit(true))
-    val g = grams(corpus, id, text)
+    // keyed spread over the corpus scan (guide §2.5, r21): the n-gram
+    // fingerprint pass is heavy narrow compute directly above the scan
+    // and ran on ONE task off a single-row-group file (the x108
+    // pathology); hash-partitioning by doc id parallelizes it and is
+    // the distribution the doc-keyed totals/runs aggregations want.
+    val g = grams(graft.ops.Spread.byKeys(
+        corpus.select(id.as("_sid"), text.as("_stext")), Seq(col("_sid"))),
+        col("_sid"), col("_stext"))
       .join(broadcast(bset), Seq("h"), "left")
       .persist()
     val totals = g.groupBy("doc_id")
@@ -139,14 +146,23 @@ object Decontam {
         explode(sequence(lit(1), size(col("_ws")) - (n - 1))).as("q"))
       .select(col("doc_id"), col("q"),
         fingerprint(array_join(slice(col("_ws"), col("q"), lit(n)), " ")).as("h"))
+    // keyed spread over the corpus scan (guide §2.5, r21): the n-gram
+    // fingerprint pass and the word explode are heavy narrow compute
+    // directly above the scan, and a single-row-group file ran BOTH on
+    // one task (Profile: x108 Σ run ≈ Σ stage wall — zero parallelism).
+    // Hash-partitioning by doc id keeps the downstream (doc, pos) join
+    // and doc-keyed reassembly on the same exchange.
+    val c = graft.ops.Spread.byKeys(
+      corpus.select(id.as("_sid"), text.as("_stext")), Seq(col("_sid")))
     val bset = starts(bench, benchId, benchText).select("h").distinct()
-    val matched = starts(corpus, id, text)
+    val matched = starts(c, col("_sid"), col("_stext"))
       .join(broadcast(bset), Seq("h")).select("doc_id", "q")
     val covered = matched
       .select(col("doc_id"), explode(sequence(col("q"), col("q") + (n - 1))).as("p"))
       .distinct().withColumn("_c", lit(true))
-    val words = corpus
-      .select(id.as("doc_id"), posexplode(split(norm(text), " ")).as(Seq("p0", "w")))
+    val words = c
+      .select(col("_sid").as("doc_id"),
+        posexplode(split(norm(col("_stext")), " ")).as(Seq("p0", "w")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
     words.join(covered, Seq("doc_id", "p"), "left")
       .select(col("doc_id"), col("p"), col("_c"),

@@ -287,7 +287,8 @@ object TextOps {
     // scale, with no executor cache. The Spread below parallelizes the
     // norm/split/explode off a single-row-group scan (guide §2.5).
     val bg = graft.ops.Spread
-      .toCores(docs.select(id.as("doc_id"), split(norm(text), " ").as("_ws")))
+      .toCores(docs.select(id.as("doc_id"), text.as("_t")))
+      .select(col("doc_id"), split(norm(col("_t")), " ").as("_ws"))
       .filter(size(col("_ws")) >= 2)
       .select(col("doc_id"), posexplode(
         zip_with(slice(col("_ws"), lit(1), size(col("_ws")) - 1),
@@ -589,8 +590,17 @@ object TextOps {
     // shared via exchange, not cache (r20): three consumers (bucket
     // counts, totals, the scoring join) read the raw features; the old
     // persist() raced its sibling AQE stages into triple computation —
-    // one reused shuffle is computed once at any scale
-    val rawF = feats(raw, id, text).repartition(col("doc_id"))
+    // one reused shuffle is computed once at any scale. The keyed
+    // Spread under feats (r21, guide §2.5) moves the heavy norm/split/
+    // explode/fingerprint pass above a cheap exchange of the raw text:
+    // off a single-row-group scan it previously ran on ONE task below
+    // the shared exchange (Profile: x39's feature stage wall ≈ its
+    // single task). uni+big both read the spread exchange (reused, one
+    // shuffle), so the pass runs at full parallelism on both branches.
+    val rawF = feats(graft.ops.Spread.byKeys(
+        raw.select(id.as("_rid"), text.as("_rtxt")), Seq(col("_rid"))),
+        col("_rid"), col("_rtxt"))
+      .repartition(col("doc_id"))
     val tgtF = feats(target, id, targetText)
     val qc = rawF.groupBy("f").agg(count(lit(1)).as("_qc"))
     val pc = tgtF.groupBy("f").agg(count(lit(1)).as("_pc"))

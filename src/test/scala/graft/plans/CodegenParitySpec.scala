@@ -133,7 +133,13 @@ class CodegenParitySpec extends SparkSpec {
       F.sam_longest_match(w(lit("alpha beta gamma delta epsilon")),
         Seq(Seq("beta", "gamma", "delta"), Seq("zeta", "eta")))),
     "bloom_might_contain" -> (w =>
-      F.bloom_might_contain(w(lit(42L)), bloom))
+      F.bloom_might_contain(w(lit(42L)), bloom)),
+    "book_side_stats" -> (w => F.book_side_stats(
+      w(array(
+        struct(lit(500L).as("price_c"), lit(3L).as("size_c")),
+        struct(lit(650L).as("price_c"), lit(2L).as("size_c")),
+        struct(lit(500L).as("price_c"), lit(7L).as("size_c")))),
+      isBid = true))
   )
 
   private def run(c: Column): (String, Boolean) = {

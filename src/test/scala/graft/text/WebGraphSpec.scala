@@ -43,4 +43,24 @@ class WebGraphSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(a === b, s"duplicate-pair rows must aggregate: $a vs $b")
   }
+
+  test("driver-local replay equals the distributed loop bit-for-bit") {
+    // a denser graph with weights, an out-of-universe src (dropped by
+    // the equi-join on both paths) and an in-edge from a dangling host
+    val hosts2 = Seq("A", "B", "C", "D", "E").toDF("host")
+    val edges2 = Seq(
+      ("A", "B", 3L), ("A", "C", 1L), ("B", "A", 2L), ("C", "D", 5L),
+      ("D", "A", 1L), ("D", "B", 1L), ("E", "A", 4L), ("Z", "A", 7L))
+      .toDF("src", "dst", "w")
+    def run(threshold: Long) = {
+      val rows = WebGraph.hostRankAt(hosts2, edges2, iters = 4,
+          scale = 99991L, localThreshold = threshold)
+        .collect().map(_.toString).sorted.toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    val local = run(Long.MaxValue)
+    val dist = run(-1L)
+    assert(local == dist, s"\n local=$local\n dist =$dist")
+  }
 }
