@@ -1084,33 +1084,23 @@ object Dedup {
       .select(lit("sign_lsh").as("family"),
         graft.plans.functions.sign_bucket_rh(col("embedding"), sgBits, 0)
           .cast(StringType).as("bkey")))
-    // Per-family bounded aggregates (aggregate before any union — guide
-    // §2.3), run as CONCURRENT jobs (guide §2.6): the four families are
-    // independent subtrees over the SAME eagerly-cached normed staging,
-    // and executing them sequentially left each family's stage tail
-    // idling most of the cores. Family values are disjoint across
-    // subtrees ("minhash" / "simhash64" / "winnow"+"winnow_capped" /
-    // "sign_lsh"), so per-subtree groupBy + union is row-identical to
-    // the old union + global groupBy. Each persisted aggregate is ≤ 2
-    // rows (cache cleared by the session's per-query contract); 3 jobs
-    // in flight is the guide's "enough to fill the tail" sizing.
-    def famAgg(pops: DataFrame): DataFrame =
-      pops.groupBy("family")
-        .agg(sum(col("pop")).as("n_entries"),
-          count(lit(1)).as("n_buckets"),
-          max(col("pop")).as("max_pop"),
-          sum(expr("pop * (pop - 1) DIV 2")).as("gen_pairs"))
-    val fams = Seq(famAgg(mh), famAgg(sh),
-      famAgg(wn.select("family", "bkey", "pop")), famAgg(sg))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    try {
-      val running = fams.map { f =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          override def call(): Unit = { f.persist(); f.count(); () }
-        })
-      }
-      running.foreach(_.get())
-    } finally pool.shutdown()
-    fams.reduce(_ unionAll _)
+    // families union as per-bucket POP tables (aggregate before the
+    // union's exchange — guide §2.3), then one bounded per-family agg.
+    // MEASURED DEAD END (r21): running the four family aggregates as
+    // concurrent persist+count jobs from a thread pool (guide §2.6)
+    // read h01 at 1.81-1.87 s in steal-clean probe-matched windows vs
+    // 1.16 s for this single-plan form — the DAGScheduler already runs
+    // the four independent family subtrees' stages concurrently inside
+    // the ONE job this plan submits, so the pool bought no overlap and
+    // paid four extra cache materializations plus job round-trips. The
+    // pooled form only looked competitive under ~4% hypervisor steal,
+    // where per-job overhead drowns in contention. Reverted.
+    mh.unionAll(sh).unionAll(wn.select("family", "bkey", "pop"))
+      .unionAll(sg)
+      .groupBy("family")
+      .agg(sum(col("pop")).as("n_entries"),
+        count(lit(1)).as("n_buckets"),
+        max(col("pop")).as("max_pop"),
+        sum(expr("pop * (pop - 1) DIV 2")).as("gen_pairs"))
   }
 }

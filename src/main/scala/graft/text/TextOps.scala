@@ -468,26 +468,17 @@ object TextOps {
   def pruningFrontier(docs: DataFrame, id: Column, text: Column,
                       weights: Array[Long], nDeciles: Int = 10): DataFrame = {
     require(nDeciles > 0, s"need positive deciles, got $nDeciles")
-    require(weights.nonEmpty, "weights must be a non-empty dense table")
-    // One projection instead of a self-join (r21, guide §2.1/§3.4):
-    // [[classifierScore]] is a zero-shuffle projection over the SAME
-    // scan as the token-count side, so the old doc_id equi-join of the
-    // two was a pure plan artifact — two scans, two exchanges and an
-    // AQE job cascade to reassemble rows that were never apart. The
-    // score expression here is classifierScore's verbatim.
-    val feats = classifierFeatures(text, weights.length)
-    val wsum = graft.plans.functions.hashed_weight_sum(feats, lit(weights))
-    val nFeats = size(feats).cast(LongType)
-    val score = round(when(nFeats === 0, lit(0.0))
-      .otherwise(wsum.cast(DoubleType) / (nFeats * 1000.0)), 6)
+    val scored = classifierScore(docs, id, text, weights)
+      .select(col("doc_id"), col("score"))
     val joined = docs.select(id.as("doc_id"), text.as("_text"),
-      wsTokenCount(norm(text)).as("n_tokens"),
-      round(score * 1000000.0, 0).cast(LongType).as("_micro"))
+        wsTokenCount(norm(text)).as("n_tokens"))
+      .join(scored, "doc_id")
+      .withColumn("_micro", round(col("score") * 1000000.0, 0).cast(LongType))
     val n = joined.count()
-    // extras thread the rollup payload through the rank, so the old
-    // rank→corpus join-back disappears with it
-    curriculumOrder(joined, col("doc_id"), col("_text"), -col("_micro"),
-        extras = Seq(col("n_tokens"), col("_micro")))
+    val ord = curriculumOrder(joined, col("doc_id"), col("_text"),
+      -col("_micro"))
+    joined.select("doc_id", "n_tokens", "_micro")
+      .join(ord.select("doc_id", "seq"), "doc_id")
       .select(col("n_tokens"), col("_micro"),
         expr(s"((seq - 1) * ${nDeciles}L) div ${n}L").as("decile"))
       .groupBy("decile")
@@ -536,12 +527,11 @@ object TextOps {
     * row_number within its (band, bucket) only; no global one-task
     * sort, no RNG state, row-order immune. */
   def curriculumOrder(docs: DataFrame, id: Column, text: Column,
-                      band: Column, nBuckets: Int = 1024,
-                      extras: Seq[Column] = Nil): DataFrame = {
+                      band: Column, nBuckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = docs.select(id.as("doc_id") +:
-        coalesce(band.cast(LongType), lit(Long.MinValue)).as("band") +:
-        fingerprint(norm(text)).as("_hk") +: extras: _*)
+    val h = docs.select(id.as("doc_id"),
+        coalesce(band.cast(LongType), lit(Long.MinValue)).as("band"),
+        fingerprint(norm(text)).as("_hk"))
       .withColumn("_bkt", rangeBucket(col("_hk"), nBuckets))
     val wOff = Window.partitionBy(pmod(col("_bkt"), lit(1L)))
       .orderBy(col("band"), col("_bkt"))
@@ -550,12 +540,9 @@ object TextOps {
       .select("band", "_bkt", "_off")
     val wIn = Window.partitionBy(col("band"), col("_bkt"))
       .orderBy(col("_hk"), col("doc_id"))
-    val extraNames = h.schema.fieldNames
-      .filterNot(Set("doc_id", "band", "_hk", "_bkt"))
     h.join(offsets, Seq("band", "_bkt"))
-      .select(col("doc_id") +: col("band") +:
-        (col("_off") + row_number().over(wIn)).as("seq") +:
-        extraNames.toSeq.map(col): _*)
+      .select(col("doc_id"), col("band"),
+        (col("_off") + row_number().over(wIn)).as("seq"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
