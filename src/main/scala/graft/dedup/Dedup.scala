@@ -93,39 +93,54 @@ object Dedup {
     * emitted, so the audit's model is unchanged. Null keys cannot pair
     * (equi-join semantics) and are filtered before grouping.
     *
-    * CAP BEFORE COLLECT (r21): bucket population is counted by a window
-    * pass over the SAME exchange (count over partitionBy(key) — the
-    * window buffers rows in a spillable ExternalAppendOnlyUnsafeRowArray,
-    * the structure the old self-join buffered in), and singleton buckets
-    * plus any bucket past `maxBucket` are dropped BEFORE collect_list
-    * materializes a bucket as one un-spillable array value. With a cap,
-    * no collected array ever exceeds it. Without one (the declared LSH
-    * candidate semantics of [[minhashCandidates]] — every bucket pairs),
-    * a degenerate hot bucket (e.g. all-empty normalized docs sharing the
-    * single degenerate shingle) still becomes one pop-sized array row:
-    * bounded only by the corpus's duplicate structure. Callers that can
-    * declare a cap (mirrored in their oracle) should pass one; h01's
-    * max_pop audit row is the standing early-warning for this exact
-    * shape. */
+    * CAP BEFORE COLLECT (r21): when a cap is declared, the collect is
+    * [[graft.plans.CappedCollectList]] with limit = cap + 1 — the
+    * aggregation BUFFER is bounded at cap + 1 elements by construction,
+    * so no degenerate bucket can build an oversized array at any scale;
+    * buckets whose population is ≤ cap collect completely (output
+    * identical to collect_list) and over-cap buckets arrive truncated
+    * at cap + 1, which the size filter drops before their (partition-
+    * order-dependent) truncated content can reach the output. Two
+    * rejected forms, both measured at sf10 (~10⁷ exploded rows): a
+    * count window riding the collect's exchange buffers every bucket
+    * group through ExternalAppendOnlyUnsafeRowArray's 4096-row spill
+    * threshold (x34 13.1 s → 107 s, x03 14.4 s → 48 s); a pre-count +
+    * key semi-join pays a second pass plus a sort-merge join of the
+    * full exploded stream (x34 ~74 s). This form keeps the r20 single
+    * hash aggregation — no sort, no join, no second pass. Without a
+    * cap (the declared LSH candidate semantics of
+    * [[minhashCandidates]] — every bucket pairs), plain collect_list
+    * runs and a degenerate hot bucket still becomes one pop-sized
+    * array row: bounded only by the corpus's duplicate structure.
+    * Callers that can declare a cap (mirrored in their oracle) should
+    * pass one; h01's max_pop audit row is the standing early-warning
+    * for this exact shape. */
   private def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
                           maxBucket: Option[Long] = None): DataFrame = {
     maxBucket.foreach(cap =>
       require(cap > 1, s"maxBucket must exceed 1, got $cap"))
-    val byKey = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
     keyed
       .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
-      .withColumn("_pop", count(lit(1)).over(byKey))
-      .filter(col("_pop") > 1 &&
-        maxBucket.map(cap => col("_pop") <= cap).getOrElse(lit(true)))
       .groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col("doc_id")).as("_ids"))
+      .agg(cappedIds(col("doc_id"), maxBucket).as("_ids"))
+      .filter(size(col("_ids")) > 1 &&
+        maxBucket.map(cap => size(col("_ids")) <= cap).getOrElse(lit(true)))
       .select(explode(col("_ids")).as("doc_a"), col("_ids"))
       .select(col("doc_a"), explode(col("_ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
   }
+
+  /** The cap-before-collect collector: bounded-buffer capped collect at
+    * cap + 1 when a cap is declared, plain collect_list otherwise. */
+  private def cappedIds(c: Column, maxBucket: Option[Long]): Column =
+    maxBucket match {
+      case Some(cap) =>
+        require(cap < Int.MaxValue, s"bucket cap $cap exceeds array bounds")
+        graft.plans.functions.capped_collect(c, (cap + 1).toInt)
+      case None => collect_list(c)
+    }
 
   /** Shared banding pipeline: norm → shingles → signature → exploded
     * (band_id, band_key) rows. */
@@ -379,7 +394,8 @@ object Dedup {
                          k: Int = 20, w: Int = 8,
                          minShared: Long = 3L,
                          maxDf: Long = DefaultWinnowMaxDf): DataFrame = {
-    require(maxDf > 1, s"maxDf must exceed 1, got $maxDf")
+    require(maxDf > 1 && maxDf < Int.MaxValue,
+      s"maxDf must be in (1, Int.MaxValue), got $maxDf")
     val e = spread(docs)
       .select(id.as("doc_id"), TextOps.norm(text).as("_t"))
       .select(col("doc_id"), explode_outer(winnowFingerprints(col("_t"), k, w)).as("h"))
@@ -391,15 +407,17 @@ object Dedup {
     // expansion is the same Σ pop·(pop−1)/2 mass the self-join emitted.
     // h is null only for the no-fingerprint explode_outer row, which the
     // old equi-join could never pair — filtered here for the same effect.
-    // CAP BEFORE COLLECT (r21): the df count is a window pass riding the
-    // same exchange (spillable row buffer), so a boilerplate bucket past
-    // maxDf is dropped before collect_list ever materializes it as one
-    // un-spillable array row — no collected bucket exceeds maxDf.
-    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    // CAP BEFORE COLLECT (r21): the collect is the bounded-buffer
+    // capped_collect at maxDf + 1 — a boilerplate bucket past maxDf can
+    // never materialize more than maxDf + 1 elements, and the df size
+    // filter drops it before its truncated content reaches the output
+    // (see bucketPairs for the two rejected gating forms and their
+    // measured sf10 cost).
     e.filter(col("h").isNotNull)
-      .withColumn("_df", count(lit(1)).over(byH))
-      .filter(col("_df").between(2, maxDf))
-      .groupBy("h").agg(collect_list(col("doc_id")).as("_ids"))
+      .groupBy("h")
+      .agg(graft.plans.functions.capped_collect(
+        col("doc_id"), (maxDf + 1).toInt).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxDf))
       .select(explode(col("_ids")).as("doc_a"), col("_ids"))
       .select(col("doc_a"), explode(col("_ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
@@ -959,24 +977,24 @@ object Dedup {
     // large corpus fraction (all-silence audio → flat contour; a blank
     // image → constant dHash) is a population² false-candidate
     // generator, while genuinely near-dup pairs still agree on a
-    // discriminating band — is applied by a window count over the SAME
-    // exchange BEFORE collect_list materializes a bucket as one
-    // un-spillable array row (cap-before-collect, r21; the window
-    // buffers in a spillable row array). Off by default; the cap is a
-    // declared semantic (mirror it in any oracle), not a silent
-    // truncation — without it a degenerate hot bucket is bounded only
-    // by the corpus's duplicate structure (see [[bucketPairs]]).
+    // discriminating band — is enforced INSIDE the collect: with a cap
+    // the collector is the bounded-buffer capped_collect at cap + 1,
+    // so no bucket can materialize an array past the cap, and the size
+    // filter drops over-cap buckets before their truncated content
+    // reaches the output (cap-before-collect, r21; see [[bucketPairs]]
+    // for the two rejected gating forms and their measured sf10 cost).
+    // Off by default; the cap is a declared semantic (mirror it in any
+    // oracle), not a silent truncation — without it plain collect_list
+    // runs and a degenerate hot bucket is bounded only by the corpus's
+    // duplicate structure.
     maxBucket.foreach(cap =>
       require(cap > 1, s"maxBucket must exceed 1, got $cap"))
-    val byKey = org.apache.spark.sql.expressions.Window
-      .partitionBy("band_id", "band_val")
     val buckets = exploded
       .filter(col("band_val").isNotNull)
-      .withColumn("_pop", count(lit(1)).over(byKey))
-      .filter(col("_pop") > 1 &&
-        maxBucket.map(cap => col("_pop") <= cap).getOrElse(lit(true)))
       .groupBy(col("band_id"), col("band_val"))
-      .agg(collect_list(struct(col("doc_id"), col("bands"))).as("_ms"))
+      .agg(cappedIds(struct(col("doc_id"), col("bands")), maxBucket).as("_ms"))
+      .filter(maxBucket.map(cap => size(col("_ms")) <= cap)
+        .getOrElse(lit(true)))
     val ham = (0 until 4).map { j =>
       bit_count(get(col("a.bands"), lit(j)).bitwiseXOR(get(col("b.bands"), lit(j))))
     }.reduce(_ + _).cast(LongType)

@@ -270,6 +270,14 @@ object functions {
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.expression(item), k).toAggregateExpression())
 
+  /** collect_list with a hard buffer bound — see
+    * [[graft.plans.CappedCollectList]]. Not on the SQL surface: the
+    * bucket-cap idiom (limit = cap + 1, over-cap groups dropped by a
+    * size filter) is internal to the dedup pair generators. */
+  def capped_collect(c: Column, limit: Int): Column =
+    GraftBridge.column(
+      CappedCollectList(GraftBridge.expression(c), limit).toAggregateExpression())
+
   def lz78_phrases(c: Column): Column =
     GraftBridge.column(Lz78Phrases(GraftBridge.expression(c)))
 
